@@ -1,0 +1,301 @@
+"""Expression compiler core: pipe IR → a single variant Column.
+
+The reference interprets pipes per record — re-parsing the expression every
+evaluation (``transform.rs:965-997``).  Here a pipe compiles **once** into a
+Catalyst expression tree; Spark then vectorizes it across all records.
+
+Error model: hard errors compile to ``F.raise_error`` guarded by a
+``F.when`` branch (lazily evaluated per row).  ``when``/``record_when``
+conditions compile in *lenient* mode, where would-be errors yield NULL
+(→ false), matching the reference's error-to-warning-and-skip semantics
+(``transform.rs:1041-1091``).
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import RuleError
+from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
+                       IfStep, LetStep, MapStep, OpStep, Pipe, Ref, RefStep,
+                       StartLiteral, StartPipeValue, StartRef)
+from ..paths import parse_path
+from ..registry import OP_ALIASES, OP_ARITY
+from . import variant as V
+
+_lenient_state = threading.local()
+_version_state = threading.local()
+
+
+def lenient_on() -> bool:
+    return getattr(_lenient_state, "depth", 0) > 0
+
+
+@contextmanager
+def lenient_errors():
+    _lenient_state.depth = getattr(_lenient_state, "depth", 0) + 1
+    try:
+        yield
+    finally:
+        _lenient_state.depth -= 1
+
+
+def cur_version() -> int:
+    """Rule version in effect during compilation (defaults to 2).
+
+    v1 and v2 diverge on a few op semantics — e.g. v1 arithmetic re-emits
+    integral f64 results as ints (``transform.rs:5846-5859``) while the v2
+    runtime keeps raw f64 (``v2_eval.rs:1861``); v1 ``map`` keeps missing
+    results as null (``transform.rs:3104-3110``) while v2 drops them
+    (``v2_eval.rs:1960-1962``).
+    """
+    return getattr(_version_state, "version", 2)
+
+
+@contextmanager
+def rule_version(version: int):
+    prev = getattr(_version_state, "version", 2)
+    _version_state.version = version
+    try:
+        yield
+    finally:
+        _version_state.version = prev
+
+
+def rerr(kind: str, message: str, path: str | None = None,
+         code: str | None = None) -> Column:
+    """Error column: raise in strict mode, NULL in lenient (when) mode."""
+    if lenient_on():
+        return F.lit(None)
+    return V.raise_err(kind, message, path, code)
+
+
+@dataclass
+class Scope:
+    """Compile-time name environment: every slot is a variant Column."""
+
+    input: Column
+    context: Column | None = None
+    out: Column | None = None
+    item: Column | None = None
+    item_index: Column | None = None
+    acc: Column | None = None
+    pipe: Column | None = None
+    locals: dict[str, Column] = field(default_factory=dict)
+
+    def child(self, **kw) -> "Scope":
+        if "locals" not in kw:
+            kw["locals"] = dict(self.locals)
+        return replace(self, **kw)
+
+
+# op name -> fn(scope, cur, args, path) ; populated by the ops modules.
+OPS: dict[str, object] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        OPS[name] = fn
+        return fn
+    return deco
+
+
+def compile_ref(ref: Ref, scope: Scope, path: str) -> Column:
+    """Resolve an ``@`` reference to a variant Column
+    (``v2_eval.rs:301-386``)."""
+    if ref.namespace == "input":
+        base = scope.input
+    elif ref.namespace == "context":
+        if scope.context is None:
+            return V.missing()
+        base = scope.context
+    elif ref.namespace == "out":
+        base = scope.out if scope.out is not None else V.lit_variant({})
+    elif ref.namespace == "item":
+        if scope.item is None:
+            raise RuleError("expr_error",
+                            "@item is only available in map/filter operations",
+                            path)
+        if ref.path == "":
+            return scope.item
+        if ref.path == "index":
+            return scope.item_index.cast("long").cast(V.VT)
+        rest = ref.path
+        if rest == "value":
+            return scope.item
+        if rest.startswith("value."):
+            rest = rest[len("value."):]
+        return V.navigate(scope.item, parse_path(rest))
+    elif ref.namespace == "acc":
+        if scope.acc is None:
+            raise RuleError("expr_error",
+                            "@acc is only available in reduce/fold operations",
+                            path)
+        if ref.path in ("", "value"):
+            return scope.acc
+        rest = ref.path
+        if rest.startswith("value."):
+            rest = rest[len("value."):]
+        return V.navigate(scope.acc, parse_path(rest))
+    elif ref.namespace == "local":
+        name = ref.local_name
+        if name not in scope.locals:
+            raise RuleError("expr_error", f"undefined variable: @{name}", path)
+        return scope.locals[name]
+    else:  # pragma: no cover
+        raise RuleError("invalid_ref", f"unknown namespace {ref.namespace}")
+    if ref.path == "":
+        return base
+    return V.navigate(base, parse_path(ref.path))
+
+
+def compile_pipe(pipe: Pipe, scope: Scope, path: str = "expr") -> Column:
+    """Fold the pipe left-to-right (``v2_eval.rs:820-893``)."""
+    start = pipe.start
+    if isinstance(start, StartLiteral):
+        cur = V.lit_variant(start.value)
+    elif isinstance(start, StartRef):
+        cur = compile_ref(start.ref, scope, path)
+    elif isinstance(start, StartPipeValue):
+        if scope.pipe is None:
+            raise RuleError("expr_error", "$ is not available here", path)
+        cur = scope.pipe
+    else:  # pragma: no cover
+        raise RuleError("expr_error", "invalid pipe start", path)
+
+    scope = scope.child()
+    for i, step in enumerate(pipe.steps):
+        step_path = f"{path}[{i}]"
+        cur, scope = compile_step(step, cur, scope, step_path)
+    return cur
+
+
+def compile_step(step, cur: Column, scope: Scope, path: str):
+    """Compile one step; returns (new_pipe_value, new_scope)."""
+    if isinstance(step, OpStep):
+        op = OP_ALIASES.get(step.op, step.op)
+        if step.op not in OP_ARITY and op not in OP_ARITY:
+            raise RuleError("unknown_op", f"unknown op: {step.op}", path)
+        lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
+        n = len(step.args)
+        if n < lo or (hi is not None and n > hi):
+            raise RuleError(
+                "invalid_args",
+                f"{step.op} expects between {lo} and {hi if hi is not None else 'inf'} args, got {n}",
+                path)
+        fn = OPS.get(op)
+        if fn is None:
+            raise RuleError("unknown_op", f"op not implemented: {op}", path)
+        return fn(scope, cur, list(step.args), path), scope
+    if isinstance(step, LetStep):
+        new_locals = dict(scope.locals)
+        pipe_scope = scope.child(pipe=cur)
+        for name, expr in step.bindings:
+            new_locals[name] = compile_pipe(expr, pipe_scope, f"{path}.let.{name}")
+            pipe_scope = pipe_scope.child(locals=dict(new_locals))
+        return cur, scope.child(locals=new_locals)
+    if isinstance(step, IfStep):
+        pipe_scope = scope.child(pipe=cur)
+        cond = compile_condition(step.cond, pipe_scope, f"{path}.if")
+        then_c = compile_pipe(step.then_branch, pipe_scope, f"{path}.then")
+        if step.else_branch is not None:
+            else_c = compile_pipe(step.else_branch, pipe_scope, f"{path}.else")
+        else:
+            else_c = cur  # absent else: pipe value unchanged (v2_eval.rs:916-953)
+        return F.when(F.coalesce(cond, F.lit(False)), then_c).otherwise(else_c), scope
+    if isinstance(step, MapStep):
+        from .ops_array import compile_map_step
+        return compile_map_step(step, cur, scope, path), scope
+    if isinstance(step, RefStep):
+        return compile_ref(step.ref, scope.child(pipe=cur), path), scope
+    raise RuleError("expr_error", f"unknown step type {type(step).__name__}", path)
+
+
+# --- conditions (v2): strict eq, numeric-then-lexicographic ordering ----
+
+def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Column:
+    """Compile a v2 condition to a BooleanType Column.
+
+    Comparison semantics per ``rules_spec_en.md:225-248`` and
+    ``v2_eval.rs:1048-1218``: strict JSON equality for eq/ne; numeric
+    comparison first then both-string lexicographic for orderings; regex
+    for match.  Lenient mode maps evaluation errors to NULL (false).
+    """
+    if isinstance(cond, CondAll):
+        result = F.lit(True)
+        for c in cond.conditions:
+            result = result & compile_condition(c, scope, path)
+        return result
+    if isinstance(cond, CondAny):
+        result = F.lit(False)
+        for c in cond.conditions:
+            result = result | compile_condition(c, scope, path)
+        return result
+    if isinstance(cond, CondCompare):
+        args = [compile_pipe(a, scope, f"{path}.{cond.op}[{i}]")
+                for i, a in enumerate(cond.args)]
+        if len(args) != 2:
+            # single-arg comparisons use the pipe value as the left side
+            if len(args) == 1 and scope.pipe is not None:
+                args = [scope.pipe, args[0]]
+            else:
+                raise RuleError("invalid_args",
+                                f"{cond.op} requires 2 arguments", path)
+        left, right = args
+        return _compare(cond.op, left, right, path)
+    if isinstance(cond, CondExpr):
+        value = compile_pipe(cond.expr, scope, path)
+        # must be a boolean; missing/null → false; non-bool → error
+        return (
+            F.when(V.is_absent(value), F.lit(False))
+            .when(V.is_bool(value), value.try_cast("boolean"))
+            .otherwise(rerr("expr_error",
+                            "when/record_when must evaluate to boolean",
+                            path).cast("boolean"))
+        )
+    raise RuleError("expr_error", "unknown condition", path)
+
+
+def _compare(op: str, left: Column, right: Column, path: str) -> Column:
+    if op in ("eq", "ne"):
+        eq = V.strict_json(left) == V.strict_json(right)
+        return eq if op == "eq" else ~eq
+    if op == "match":
+        s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
+            rerr("expr_error", "match operand must be a string", path)
+            .cast("string"))
+        pat = F.when(V.is_string(right), right.try_cast("string")).otherwise(
+            rerr("expr_error", "match pattern must be a string", path)
+            .cast("string"))
+        return F.coalesce(F.rlike(s, pat), F.lit(False))
+    # orderings: numeric first, then both-non-numeric-strings lexicographic
+    ln = _numeric_or_null(left)
+    rn = _numeric_or_null(right)
+    ls = F.when(V.is_string(left), left.try_cast("string"))
+    rs = F.when(V.is_string(right), right.try_cast("string"))
+    num_ok = ln.isNotNull() & rn.isNotNull()
+    str_ok = ls.isNotNull() & rs.isNotNull() & ln.isNull() & rn.isNull()
+    import operator
+    pyop = {"gt": operator.gt, "gte": operator.ge,
+            "lt": operator.lt, "lte": operator.le}[op]
+    return (
+        F.when(num_ok, pyop(ln, rn))
+        .when(str_ok, pyop(ls, rs))
+        .otherwise(rerr("expr_error",
+                        "comparison operands must be numbers or strings",
+                        path).cast("boolean"))
+    )
+
+
+def _numeric_or_null(v: Column) -> Column:
+    """double if the variant is a number or numeric string, else NULL."""
+    parsed = v.try_cast("string").try_cast("double")
+    return (
+        F.when(V.is_number(v), v.try_cast("double"))
+        .when(V.is_string(v), parsed)
+    )

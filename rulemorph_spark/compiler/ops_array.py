@@ -1,0 +1,550 @@
+"""Array ops — compiled to Spark higher-order functions.
+
+Reference: v2-native implementations ``v2_eval.rs:1930-2446`` (v2 rules)
+and v1 ``transform.rs:3075-4358`` (v1 rules).  Every per-element
+sub-expression compiles into the HOF lambda body (``F.transform`` /
+``F.filter`` / ``F.aggregate`` / ``F.array_sort``), so Catalyst evaluates
+them JVM-side without per-record interpretation.
+
+Input coercion (``eval_v2_array_from_eval_value``, ``v2_eval.rs:1536-1553``;
+v1 ``eval_array_arg`` ``transform.rs:2894-2922``): missing/null → empty
+array, non-array → error.  Exception: v2 ``map`` propagates missing and
+errors on null (``v2_eval.rs:1938-1950``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import RuleError
+from ..expr_ir import MapStep, Pipe, StartLiteral
+from . import variant as V
+from .core import (Scope, compile_pipe, compile_step, cur_version, register,
+                   rerr)
+from .ops_scalar import _operands, seq_strict
+
+def EMPTY() -> Column:
+    return F.array().cast(V.ARR_T)
+
+
+def _coerce_array(o: Column, path: str) -> Column:
+    """missing/null → empty; array → elements; else error."""
+    return (
+        F.when(V.is_absent(o), EMPTY())
+        .when(V.is_array(o), o.try_cast(V.ARR_T))
+        .otherwise(rerr("expr_error", "expr arg must be an array",
+                        path).cast(V.ARR_T))
+    )
+
+
+def _item_scope(scope: Scope, x: Column, i: Column) -> Scope:
+    return scope.child(item=x, item_index=i, pipe=x)
+
+
+def _predicate(scope: Scope, expr: Pipe, path: str):
+    """Per-item predicate: missing/null → false, non-bool → error
+    (``v2_eval.rs:1404-1421``)."""
+    def pred(x, i):
+        value = compile_pipe(expr, _item_scope(scope, x, i), path)
+        return (
+            F.when(V.is_absent(value), F.lit(False))
+            .when(V.is_bool(value), value.try_cast("boolean"))
+            .otherwise(rerr("expr_error", "value must be a boolean",
+                            path).cast("boolean"))
+        )
+    return pred
+
+
+def _key_string(scope: Scope, expr: Pipe, path: str):
+    """Per-item key expression stringified (``v2_eval.rs:1423-1460``)."""
+    def key(x, i):
+        value = compile_pipe(expr, _item_scope(scope, x, i), path)
+        return V.to_string_strict(value, path, "key must be stringifiable")
+    return key
+
+
+def _with_index(arr: Column) -> Column:
+    """array<variant> → array<struct<v:variant, i:int>>."""
+    return F.transform(arr, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+
+
+@register("map")
+def op_map(scope, cur, args, path):
+    expr = args[0]
+    if cur_version() >= 2:
+        arr = F.when(V.is_array(cur), cur.try_cast(V.ARR_T)).otherwise(
+            rerr("expr_error", "expr arg must be an array",
+                 path).cast(V.ARR_T))
+        mapped = F.transform(
+            arr, lambda x, i: compile_pipe(expr, _item_scope(scope, x, i),
+                                           path))
+        # v2 drops missing results (v2_eval.rs:1960-1962)
+        result = V.arr_to_variant(F.filter(mapped, lambda x: x.isNotNull()))
+        return F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(result)
+    # v1 keeps missing results as null (transform.rs:3104-3110)
+    arr = _coerce_array(cur, path)
+    mapped = F.transform(
+        arr, lambda x, i: F.coalesce(
+            compile_pipe(expr, _item_scope(scope, x, i), path), V.vnull()))
+    return V.arr_to_variant(mapped)
+
+
+def compile_map_step(step: MapStep, cur: Column, scope: Scope, path: str):
+    """The ``{map: [steps...]}`` step (``v2_eval.rs:955-1046``): pipe value
+    per element, steps folded; missing results dropped."""
+    arr = F.when(V.is_array(cur), cur.try_cast(V.ARR_T)).otherwise(
+        rerr("expr_error", "map requires an array", path).cast(V.ARR_T))
+
+    def run(x, i):
+        inner = _item_scope(scope, x, i)
+        value = x
+        for j, s in enumerate(step.steps):
+            value, inner = compile_step(s, value, inner, f"{path}.map[{j}]")
+        return value
+
+    mapped = F.transform(arr, run)
+    result = V.arr_to_variant(F.filter(mapped, lambda x: x.isNotNull()))
+    return F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(result)
+
+
+@register("filter")
+def op_filter(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    pred = _predicate(scope, args[0], path)
+    kept = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
+    return V.arr_to_variant(F.transform(kept, lambda p: p["v"]))
+
+
+@register("flat_map")
+def op_flat_map(scope, cur, args, path):
+    expr = args[0]
+    arr = _coerce_array(cur, path)
+    mapped = F.transform(
+        arr, lambda x, i: F.coalesce(
+            compile_pipe(expr, _item_scope(scope, x, i), path), V.vnull()))
+    flattened = F.aggregate(
+        mapped, EMPTY(),
+        lambda acc, x: F.concat(
+            acc, F.when(V.is_array(x), x.try_cast(V.ARR_T))
+                  .otherwise(F.array(x))))
+    return V.arr_to_variant(flattened)
+
+
+@register("flatten")
+def op_flatten(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    depth = 1
+    if len(args) == 1:
+        lit = args[0].start
+        if isinstance(lit, StartLiteral) and isinstance(lit.value, int):
+            depth = lit.value
+        else:
+            raise RuleError("expr_error", "flatten depth must be a literal "
+                            "integer for the Spark compiler", path)
+        if depth < 0:
+            raise RuleError("expr_error",
+                            "flatten depth must be non-negative", path)
+    arr = _coerce_array(cur, path)
+    for _ in range(min(depth, 32)):
+        arr = F.aggregate(
+            arr, EMPTY(),
+            lambda acc, x: F.concat(
+                acc, F.when(V.is_array(x), x.try_cast(V.ARR_T))
+                      .otherwise(F.array(x))))
+    return V.arr_to_variant(arr)
+
+
+def _int_arg(scope, cur, arg: Pipe, path: str) -> Column:
+    from .ops_scalar import _as_i64
+    value = compile_pipe(arg, scope.child(pipe=cur), path)
+    return _as_i64(value, path, "count must be an integer")
+
+
+@register("take")
+def op_take(scope, cur, args, path):
+    """take n from head; negative n takes from tail (``transform.rs:3272``)."""
+    arr = _coerce_array(cur, path)
+    n = _int_arg(scope, cur, args[0], path)
+    size = F.size(arr).cast("long")
+    head = F.slice(arr, F.lit(1), F.least(n, size).cast("int"))
+    tail_start = F.greatest(size - F.abs(n) + 1, F.lit(1).cast("long"))
+    tail = F.slice(arr, tail_start.cast("int"),
+                   F.least(F.abs(n), size).cast("int"))
+    return V.arr_to_variant(F.when(n >= 0, head).otherwise(tail))
+
+
+@register("drop")
+def op_drop(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    n = _int_arg(scope, cur, args[0], path)
+    size = F.size(arr).cast("long")
+    head_dropped = F.slice(arr, (F.least(n, size) + 1).cast("int"),
+                           F.greatest(size - n, F.lit(0).cast("long")).cast("int"))
+    tail_dropped = F.slice(arr, F.lit(1),
+                           F.greatest(size - F.abs(n),
+                                      F.lit(0).cast("long")).cast("int"))
+    return V.arr_to_variant(F.when(n >= 0, head_dropped).otherwise(tail_dropped))
+
+
+@register("slice")
+def op_slice(scope, cur, args, path):
+    """[start, end) with negatives from the end (``transform.rs:3376``)."""
+    arr = _coerce_array(cur, path)
+    size = F.size(arr).cast("long")
+    start = _int_arg(scope, cur, args[0], path)
+    start = F.when(start < 0, F.greatest(size + start, F.lit(0).cast("long"))) \
+             .otherwise(F.least(start, size))
+    if len(args) == 2:
+        end = _int_arg(scope, cur, args[1], path)
+        end = F.when(end < 0, F.greatest(size + end, F.lit(0).cast("long"))) \
+               .otherwise(F.least(end, size))
+    else:
+        end = size
+    length = F.greatest(end - start, F.lit(0).cast("long"))
+    return V.arr_to_variant(
+        F.slice(arr, (start + 1).cast("int"), length.cast("int")))
+
+
+@register("chunk")
+def op_chunk(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    n = _int_arg(scope, cur, args[0], path)
+    n_checked = F.when(n <= 0, rerr(
+        "expr_error", "chunk size must be a positive integer",
+        path).cast("long")).otherwise(n)
+    size = F.size(arr).cast("long")
+    n_chunks = F.ceil(size.cast("double") / n_checked.cast("double")).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(arr, (i.cast("long") * n_checked + 1).cast("int"),
+                          n_checked.cast("int")).cast(V.VT))
+    return V.arr_to_variant(F.when(size == 0, EMPTY()).otherwise(chunks))
+
+
+def _zip_rows(arrays: list[Column]) -> tuple[Column, Column]:
+    """(row_count, rows as array<array<variant>>), zipped to shortest."""
+    if len(arrays) > 1:
+        min_len = F.least(*[F.size(a) for a in arrays])
+    else:
+        min_len = F.size(arrays[0])
+    rows = F.transform(
+        F.sequence(F.lit(1), F.greatest(min_len, F.lit(1))),
+        lambda i: F.array(*[F.try_element_at(a, i) for a in arrays]))
+    rows = F.when(min_len <= 0, F.array().cast("array<array<variant>>")) \
+            .otherwise(rows)
+    return min_len, rows
+
+
+@register("zip")
+def op_zip(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    arrays = [_coerce_array(o, path) for o in ops]
+    _, rows = _zip_rows(arrays)
+    return V.arr_to_variant(
+        F.transform(rows, lambda row: row.cast(V.VT)))
+
+
+@register("zip_with")
+def op_zip_with(scope, cur, args, path):
+    """zip to shortest, combiner sees @item = the zipped row array
+    (``transform.rs:3538-3598``); missing combiner results kept as null."""
+    expr = args[-1]
+    ops = _operands(scope, cur, args[:-1], path)
+    arrays = [_coerce_array(o, path) for o in ops]
+    _, rows = _zip_rows(arrays)
+    combined = F.transform(
+        rows,
+        lambda row, i: F.coalesce(
+            compile_pipe(expr, _item_scope(scope, row.cast(V.VT), i), path),
+            V.vnull()))
+    return V.arr_to_variant(combined)
+
+
+@register("unzip")
+def op_unzip(scope, cur, args, path):
+    """array-of-rows → array-of-columns; rows must be equal-length arrays
+    (``transform.rs:3600-3660``)."""
+    arr = _coerce_array(cur, path)
+    first_row = V.as_array(F.try_element_at(arr, F.lit(1)))
+    width_ok = F.forall(arr, lambda row: V.is_array(row) &
+                        (F.size(V.as_array(row)) == F.size(first_row)))
+    width_checked = F.when(
+        width_ok, F.size(first_row)).otherwise(
+        rerr("expr_error", "unzip items must have the same length",
+             path).cast("int"))
+    cols = F.transform(
+        F.sequence(F.lit(1), F.greatest(width_checked, F.lit(1))),
+        lambda j: F.transform(
+            arr, lambda row: F.try_element_at(V.as_array(row), j)).cast(V.VT))
+    return V.arr_to_variant(
+        F.when((F.size(arr) == 0) | (width_checked <= 0), EMPTY())
+        .otherwise(cols))
+
+
+@register("group_by")
+def op_group_by(scope, cur, args, path):
+    """{key: [items]} — key expr stringified (``v2_eval.rs:2026-2057``).
+    Note: variant objects enumerate keys sorted, not first-seen."""
+    arr = _coerce_array(cur, path)
+    key = _key_string(scope, args[0], path)
+    pairs = F.transform(_with_index(arr),
+                        lambda p: F.struct(key(p["v"], p["i"]).alias("k"),
+                                           p["v"].alias("v")))
+    distinct_keys = F.array_distinct(F.transform(pairs, lambda p: p["k"]))
+    m = F.map_from_entries(F.transform(
+        distinct_keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.transform(F.filter(pairs, lambda p: p["k"] == k),
+                        lambda p: p["v"]).cast(V.VT).alias("value"))))
+    return V.map_to_variant(m)
+
+
+@register("key_by")
+def op_key_by(scope, cur, args, path):
+    """{key: item}, last wins (``transform.rs:3706-3743``)."""
+    arr = _coerce_array(cur, path)
+    key = _key_string(scope, args[0], path)
+    pairs = F.transform(_with_index(arr),
+                        lambda p: F.struct(key(p["v"], p["i"]).alias("key"),
+                                           p["v"].alias("value")))
+    # map_from_entries + LAST_WIN dedup policy = last wins
+    return V.map_to_variant(F.map_from_entries(pairs))
+
+
+@register("partition")
+def op_partition(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    pred = _predicate(scope, args[0], path)
+    decorated = F.transform(_with_index(arr),
+                            lambda p: F.struct(p["v"].alias("v"),
+                                               pred(p["v"], p["i"]).alias("m")))
+    matched = F.transform(F.filter(decorated, lambda d: d["m"]),
+                          lambda d: d["v"])
+    unmatched = F.transform(F.filter(decorated, lambda d: ~d["m"]),
+                            lambda d: d["v"])
+    return V.arr_to_variant(F.array(matched.cast(V.VT), unmatched.cast(V.VT)))
+
+
+@register("unique")
+def op_unique(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    def ukey(x):
+        return (
+            F.when(V.is_vnull(x) | x.isNull(), F.lit("\x00null"))
+            .when(V.is_array(x) | V.is_object(x),
+                  rerr("expr_error",
+                       "unique elements must be scalar or null",
+                       path).cast("string"))
+            .otherwise(V.to_string_strict(x, path))
+        )
+    keys = F.transform(arr, ukey)
+    kept = F.filter(
+        _with_index(arr),
+        lambda p: F.array_position(keys, ukey(p["v"])) - 1 == p["i"].cast("long"))
+    return V.arr_to_variant(F.transform(kept, lambda p: p["v"]))
+
+
+@register("distinct_by")
+def op_distinct_by(scope, cur, args, path):
+    """dedupe by key expr, first wins (``v2_eval.rs:2122-2152``)."""
+    arr = _coerce_array(cur, path)
+    key = _key_string(scope, args[0], path)
+    keys = F.transform(_with_index(arr), lambda p: key(p["v"], p["i"]))
+    kept = F.filter(
+        _with_index(arr),
+        lambda p: F.array_position(keys, key(p["v"], p["i"])) - 1
+        == p["i"].cast("long"))
+    return V.arr_to_variant(F.transform(kept, lambda p: p["v"]))
+
+
+@register("sort_by")
+def op_sort_by(scope, cur, args, path):
+    """stable sort by key expr; keys must be uniformly num/str/bool
+    (``transform.rs:3872-3967``, ``v2_eval.rs:2153-2246``)."""
+    arr = _coerce_array(cur, path)
+    key_fn_expr = args[0]
+    order = "asc"
+    if len(args) == 2:
+        lit = args[1].start
+        if isinstance(lit, StartLiteral) and lit.value in ("asc", "desc"):
+            order = lit.value
+        else:
+            raise RuleError("expr_error", "sort order must be asc or desc",
+                            path)
+
+    def key(x, i):
+        value = compile_pipe(key_fn_expr, _item_scope(scope, x, i), path)
+        t = V.typeof(value)
+        ok = V.is_number(value) | (t == "STRING") | (t == "BOOLEAN")
+        return F.when(ok, value).otherwise(
+            rerr("expr_error", "sort key must be number, string, or boolean",
+                 path).cast(V.VT))
+
+    decorated = F.transform(
+        _with_index(arr),
+        lambda p: F.struct(
+            p["v"].alias("v"), p["i"].alias("i"),
+            key(p["v"], p["i"]).alias("k")))
+
+    sign = 1 if order == "asc" else -1
+
+    def cmp(a, b):
+        ka, kb = a["k"], b["k"]
+        kan = ka.try_cast("double")
+        kbn = kb.try_cast("double")
+        kas = ka.try_cast("string")
+        kbs = kb.try_cast("string")
+        num_mode = V.is_number(ka)
+        keycmp = (
+            F.when(num_mode & (kan < kbn), -1)
+            .when(num_mode & (kan > kbn), 1)
+            .when(~num_mode & (kas < kbs), -1)
+            .when(~num_mode & (kas > kbs), 1)
+            .otherwise(0)
+        ) * F.lit(sign)
+        return F.when(keycmp != 0, keycmp).otherwise(
+            F.when(a["i"] < b["i"], -1).when(a["i"] > b["i"], 1).otherwise(0))
+
+    sorted_arr = F.array_sort(decorated, cmp)
+    return V.arr_to_variant(F.transform(sorted_arr, lambda p: p["v"]))
+
+
+@register("find")
+def op_find(scope, cur, args, path):
+    """first match, JSON null if none (``transform.rs:3969-4006``)."""
+    arr = _coerce_array(cur, path)
+    pred = _predicate(scope, args[0], path)
+    found = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
+    first = F.try_element_at(found, F.lit(1))
+    return F.when(first.isNull(), V.vnull()).otherwise(
+        F.coalesce(first["v"], V.vnull()))
+
+
+@register("find_index")
+def op_find_index(scope, cur, args, path):
+    """index of first match, -1 if none (``transform.rs:4008-4045``)."""
+    arr = _coerce_array(cur, path)
+    pred = _predicate(scope, args[0], path)
+    found = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
+    first = F.try_element_at(found, F.lit(1))
+    return F.coalesce(first["i"].cast("long"), F.lit(-1).cast("long")).cast(V.VT)
+
+
+def _eq_proxy(x: Column, path: str) -> Column:
+    """v1 compare_eq as a string proxy (null ≡ null; scalars stringified)."""
+    return (
+        F.when(x.isNull() | V.is_vnull(x), F.lit("\x00null"))
+        .otherwise(V.to_string_strict(
+            x, path, "comparison operand must be stringifiable"))
+    )
+
+
+@register("index_of")
+def op_index_of(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    target = compile_pipe(args[0], scope.child(pipe=cur), f"{path}.args[0]")
+    proxies = F.transform(arr, lambda x: _eq_proxy(x, path))
+    pos = F.array_position(proxies, _eq_proxy(target, path))
+    return (pos - 1).cast("long").cast(V.VT)
+
+
+@register("contains")
+def op_contains(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    target = compile_pipe(args[0], scope.child(pipe=cur), f"{path}.args[0]")
+    proxies = F.transform(arr, lambda x: _eq_proxy(x, path))
+    return F.array_contains(proxies, _eq_proxy(target, path)).cast(V.VT)
+
+
+def _numeric_agg(scope, cur, args, path, agg: str):
+    """sum/avg/min/max: empty → JSON null; elements must be numbers
+    (``transform.rs:4117-4260``)."""
+    arr = _coerce_array(cur, path)
+    nums = F.transform(arr, lambda x: V.to_number_strict(
+        x, path, "array item must be a number"))
+    total = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
+    if agg == "sum":
+        result = total
+    elif agg == "avg":
+        result = total / F.size(arr).cast("double")
+    elif agg == "min":
+        result = F.array_min(nums)
+    else:
+        result = F.array_max(nums)
+    return F.when(F.size(arr) == 0, V.vnull()).otherwise(
+        V.num_to_variant(result))
+
+
+@register("sum")
+def op_sum(scope, cur, args, path):
+    return _numeric_agg(scope, cur, args, path, "sum")
+
+
+@register("avg")
+def op_avg(scope, cur, args, path):
+    return _numeric_agg(scope, cur, args, path, "avg")
+
+
+@register("min")
+def op_min(scope, cur, args, path):
+    return _numeric_agg(scope, cur, args, path, "min")
+
+
+@register("max")
+def op_max(scope, cur, args, path):
+    return _numeric_agg(scope, cur, args, path, "max")
+
+
+@register("reduce")
+def op_reduce(scope, cur, args, path):
+    """fold seeded by the first element; empty → JSON null
+    (``transform.rs:4262-4308``)."""
+    expr = args[0]
+    arr = _coerce_array(cur, path)
+    rest = F.slice(_with_index(arr), 2,
+                   F.greatest(F.size(arr) - 1, F.lit(0)))
+    seed = F.coalesce(F.try_element_at(arr, F.lit(1)), V.vnull())
+
+    def step(acc, p):
+        inner = scope.child(item=p["v"], item_index=p["i"], acc=acc,
+                            pipe=p["v"])
+        return F.coalesce(compile_pipe(expr, inner, path), V.vnull())
+
+    result = F.aggregate(rest, seed, step)
+    return F.when(F.size(arr) == 0, V.vnull()).otherwise(result)
+
+
+@register("fold")
+def op_fold(scope, cur, args, path):
+    """fold with explicit initial value (``transform.rs:4310-4358``)."""
+    init_expr, expr = args[0], args[1]
+    arr = _coerce_array(cur, path)
+    init = F.coalesce(
+        compile_pipe(init_expr, scope.child(pipe=cur), f"{path}.init"),
+        V.vnull())
+
+    def step(acc, p):
+        inner = scope.child(item=p["v"], item_index=p["i"], acc=acc,
+                            pipe=p["v"])
+        return F.coalesce(compile_pipe(expr, inner, path), V.vnull())
+
+    return F.aggregate(_with_index(arr), init, step)
+
+
+@register("first")
+def op_first(scope, cur, args, path):
+    """first element, missing on empty (``v2_eval.rs:2416-2430``)."""
+    arr = _coerce_array(cur, path)
+    el = F.try_element_at(arr, F.lit(1))
+    return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
+        F.coalesce(el, V.vnull()))
+
+
+@register("last")
+def op_last(scope, cur, args, path):
+    arr = _coerce_array(cur, path)
+    el = F.try_element_at(arr, F.size(arr))
+    return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
+        F.coalesce(el, V.vnull()))

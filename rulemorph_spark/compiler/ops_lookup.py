@@ -1,0 +1,168 @@
+"""lookup / lookup_first — the engine's only join.
+
+Expression form: filter over a (usually @context) array
+(v1 ``transform.rs:2733-2883``; v2 ``v2_eval.rs:2653-3062``).  Compiled
+here as an ``F.filter`` over the collection — for @context collections
+that's a Catalyst constant array, so the scan cost mirrors the
+reference's O(n·m) linear probe.  The relational scale path (broadcast
+hash join for large lookup tables) lives in
+``rulemorph_spark.functions.relational`` and is used by the TPC-H query
+surface; at 100 TB a context-array lookup is the wrong tool and the
+engine's docs steer rule authors to join-backed enrichment instead.
+
+v1/v2 differences honored: v1 matches by stringified dot-path key and
+returns *missing* when nothing matched; v2 matches a single object field
+by strict equality and returns an empty array (``lookup``) / missing
+(``lookup_first``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import RuleError
+from ..expr_ir import Pipe, StartLiteral
+from ..paths import parse_path
+from . import variant as V
+from .core import Scope, compile_pipe, cur_version, register, rerr
+
+
+def _literal_str(arg: Pipe):
+    if isinstance(arg.start, StartLiteral) and not arg.steps \
+            and isinstance(arg.start.value, str):
+        return arg.start.value
+    return None
+
+
+def _v1_match_key(item: Column, key_tokens, path: str) -> Column:
+    """stringified item key at path; NULL when absent/unstringifiable."""
+    kv = V.navigate(item, key_tokens)
+    return (
+        F.when(kv.isNull() | V.is_vnull(kv) | V.is_array(kv) | V.is_object(kv),
+               F.lit(None).cast("string"))
+        .otherwise(V.to_string_strict(kv, path))
+    )
+
+
+def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
+                    *, first_only: bool) -> Column:
+    n = len(args)
+    pipe_scope = scope.child(pipe=cur)
+
+    if cur_version() < 2:
+        # v1 positional form: [collection, key_path, match_value, out_path?]
+        # (pipe value is injected as the collection when used in a chain)
+        compiled = [compile_pipe(a, pipe_scope, f"{path}.args[{i}]")
+                    for i, a in enumerate(args)]
+        operands = [cur] + compiled
+        if len(operands) < 3:
+            raise RuleError("invalid_args",
+                            "lookup args must be [collection, key_path, "
+                            "match_value, output_path?]", path)
+        collection, match_value = operands[0], operands[2]
+        # key_path / output_path must be string literals (transform.rs:2783)
+        key_lit = _literal_str(args[0])
+        out_lit = _literal_str(args[2]) if len(args) >= 3 else None
+        if key_lit is None:
+            raise RuleError("expr_error",
+                            "lookup key_path must be a non-empty string "
+                            "literal", path)
+        key_tokens = parse_path(key_lit, error_code="expr_error")
+        out_tokens = (parse_path(out_lit, error_code="expr_error")
+                      if out_lit is not None else None)
+        return _v1_lookup(collection, key_tokens, match_value, out_tokens,
+                          path, first_only)
+
+    # v2 keyword form (v2_eval.rs:2653-2780): arg-count decides where
+    # from/match_key/match_value/get sit; 3 args disambiguate per row on
+    # whether args[0] is an array.
+    compiled = [compile_pipe(a, pipe_scope, f"{path}.args[{i}]")
+                for i, a in enumerate(args)]
+    if n == 2:
+        return _v2_lookup(cur, compiled[0], compiled[1], None, path,
+                          first_only)
+    if n == 4:
+        return _v2_lookup(compiled[0], compiled[1], compiled[2],
+                          compiled[3], path, first_only)
+    # n == 3: explicit (from,key,value) when args[0] is an array,
+    # else implicit (key,value,get) over the pipe value
+    explicit = _v2_lookup(compiled[0], compiled[1], compiled[2], None,
+                          path, first_only)
+    implicit = _v2_lookup(cur, compiled[0], compiled[1], compiled[2],
+                          path, first_only)
+    return F.when(V.is_array(compiled[0]), explicit).otherwise(
+        F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(implicit))
+
+
+def _v1_lookup(collection: Column, key_tokens, match_value: Column,
+               out_tokens, path: str, first_only: bool) -> Column:
+    arr = F.when(V.is_array(collection), collection.try_cast(V.ARR_T)) \
+           .otherwise(rerr("expr_error", "lookup collection must be an array",
+                           path).cast(V.ARR_T))
+    match_str = V.to_string_strict(match_value, path)
+    matches = F.filter(
+        arr, lambda item: _v1_match_key(item, key_tokens, path) == match_str)
+    if out_tokens is not None:
+        selected = F.filter(
+            F.transform(matches, lambda item: V.navigate(item, out_tokens)),
+            lambda x: x.isNotNull())
+    else:
+        selected = matches
+    result_all = F.when(F.size(selected) == 0, F.lit(None).cast(V.VT)) \
+                  .otherwise(V.arr_to_variant(selected))
+    result_first = F.try_element_at(selected, F.lit(1))
+    result = result_first if first_only else result_all
+    return (
+        F.when(collection.isNull(), F.lit(None).cast(V.VT))
+        .when(match_value.isNull(), F.lit(None).cast(V.VT))
+        .when(V.is_vnull(match_value),
+              rerr("expr_error", "lookup match_value must not be null",
+                   path).cast(V.VT))
+        .otherwise(result)
+    )
+
+
+def _v2_lookup(from_value: Column, match_key: Column, match_value: Column,
+               get_field: Column | None, path: str,
+               first_only: bool) -> Column:
+    arr = F.when(V.is_array(from_value), from_value.try_cast(V.ARR_T)) \
+           .otherwise(rerr("expr_error", "lookup 'from' must be an array",
+                           path).cast(V.ARR_T))
+    key_str = V.to_string_strict(match_key, path,
+                                 "lookup match_key must be a string")
+    target_json = V.strict_json(match_value)
+
+    def matches_pred(item):
+        field = V.get_key(item, key_str)
+        # field absent → no match (obj.get returns None); strict JSON eq
+        # with missing ≡ null (compare_values_eq, v2_eval.rs:1140-1147)
+        return V.is_object(item) & field.isNotNull() & \
+            (V.strict_json(field) == target_json)
+
+    matched = F.filter(arr, matches_pred)
+    if get_field is not None:
+        get_str = V.to_string_strict(get_field, path)
+        projected = F.transform(matched, lambda item: V.get_key(item, get_str))
+        selected = F.filter(projected, lambda x: x.isNotNull())
+    else:
+        selected = matched
+    if first_only:
+        result = F.try_element_at(selected, F.lit(1))
+    else:
+        result = V.arr_to_variant(selected)
+    return (
+        F.when(from_value.isNull(), F.lit(None).cast(V.VT))
+        .when(match_value.isNull(), F.lit(None).cast(V.VT))
+        .otherwise(result)
+    )
+
+
+@register("lookup")
+def op_lookup(scope, cur, args, path):
+    return _compile_lookup(scope, cur, args, path, first_only=False)
+
+
+@register("lookup_first")
+def op_lookup_first(scope, cur, args, path):
+    return _compile_lookup(scope, cur, args, path, first_only=True)

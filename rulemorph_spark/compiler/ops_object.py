@@ -1,0 +1,475 @@
+"""JSON/object ops: merge, get, pick, omit, keys/values/entries, len,
+from_entries, object_flatten, object_unflatten.
+
+Reference semantics: ``transform.rs:4360-5057``.  Objects compile to
+``map<string,variant>`` Columns.  Note: the variant encoding stores object
+keys sorted, so key-enumeration order is sorted here where the reference
+preserves insertion order (structural JSON equality is unaffected).
+
+``object_flatten`` / ``object_unflatten`` / ``deep_merge`` recurse over
+data-dependent shapes that Column expressions cannot express for unbounded
+depth — they run as Arrow-batched pandas UDFs over canonical JSON text
+(the engine's only Python-side ops; everything else is JVM-side).
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import RuleError, encode_engine_error
+from ..expr_ir import Pipe, StartLiteral
+from ..paths import Index, Key, parse_path
+from . import variant as V
+from .core import compile_pipe, register, rerr
+from .ops_scalar import _operands, seq_strict
+
+_MISSING_SENTINEL = "\x00missing\x00"
+
+
+def _obj_or_error(o: Column, path: str) -> Column:
+    return F.when(V.is_object(o), o.try_cast(V.MAP_T)).otherwise(
+        rerr("expr_error", "expr arg must be object", path).cast(V.MAP_T))
+
+
+@register("merge")
+def op_merge(scope, cur, args, path):
+    """Shallow merge, rightmost wins; missing args skipped; all-missing →
+    missing (``transform.rs:4360-4417``)."""
+    ops = _operands(scope, cur, args, path)
+    checked = [
+        F.when(o.isNull(), F.lit(None).cast(V.MAP_T))
+        .when(V.is_vnull(o), rerr("expr_error", "expr arg must not be null",
+                                  path).cast(V.MAP_T))
+        .otherwise(_obj_or_error(o, path))
+        for o in ops
+    ]
+    merged = checked[0]
+    for m in checked[1:]:
+        both = F.map_zip_with(
+            F.coalesce(merged, F.create_map().cast(V.MAP_T)),
+            F.coalesce(m, F.create_map().cast(V.MAP_T)),
+            lambda k, v1, v2: F.coalesce(v2, v1))
+        merged = (
+            F.when(merged.isNull(), m)
+            .when(m.isNull(), merged)
+            .otherwise(both)
+        )
+    return F.when(merged.isNull(), F.lit(None).cast(V.VT)).otherwise(
+        V.map_to_variant(merged))
+
+
+def _json_udf(fn_name: str, py_fn):
+    """Wrap a JSON-text → JSON-text python function as an Arrow pandas UDF.
+
+    ``None`` input/output encodes *missing*; engine errors are raised with
+    the standard payload so the driver recovers {kind, path}.
+    """
+    @F.pandas_udf("string")
+    def _udf(col: pd.Series) -> pd.Series:
+        def run(text):
+            if text is None:
+                return None
+            return py_fn(_json.loads(text))
+        return col.map(run)
+    return _udf
+
+
+def _py_err(kind, message, path):
+    return RuntimeError(encode_engine_error(kind, message, path))
+
+
+def _make_deep_merge(path):
+    def deep_merge(payload):
+        objs = payload  # list of objects (nulls pre-checked)
+        def merge(target, incoming):
+            for k, v in incoming.items():
+                if isinstance(target.get(k), dict) and isinstance(v, dict):
+                    merge(target[k], v)
+                else:
+                    target[k] = v
+        result = {}
+        first = True
+        for o in objs:
+            if o == _MISSING_SENTINEL:
+                continue
+            if o is None:
+                raise _py_err("expr_error", "expr arg must not be null", path)
+            if not isinstance(o, dict):
+                raise _py_err("expr_error", "expr arg must be object", path)
+            if first:
+                result = _json.loads(_json.dumps(o))
+                first = False
+            else:
+                merge(result, o)
+        if first:
+            return None
+        return _json.dumps(result)
+    return deep_merge
+
+
+@register("deep_merge")
+def op_deep_merge(scope, cur, args, path):
+    """Recursive object merge; arrays replaced (``transform.rs:5059-5080``).
+    Unbounded recursion → pandas-UDF slow path."""
+    ops = _operands(scope, cur, args, path)
+    packed = F.to_json(F.array(*[
+        F.coalesce(F.to_json(o), F.lit(_json.dumps(_MISSING_SENTINEL)))
+        for o in ops
+    ]).cast("array<string>"))
+    # array of JSON texts; decode inside the UDF
+    udf = _json_udf("deep_merge", _make_deep_merge_outer(path))
+    result = udf(packed)
+    return F.when(result.isNull(), F.lit(None).cast(V.VT)).otherwise(
+        F.parse_json(result))
+
+
+def _make_deep_merge_outer(path):
+    inner = _make_deep_merge(path)
+    def outer(texts):
+        objs = [_json.loads(t) for t in texts]
+        return inner(objs)
+    return outer
+
+
+@register("get")
+def op_get(scope, cur, args, path):
+    """Value at dot path; absent → missing; null base → missing
+    (``transform.rs:4419-4474``)."""
+    ops = _operands(scope, cur, args, path)
+    base, path_arg = ops[0], ops[1]
+    path_literal = _literal_or_none(args[0])
+    if path_literal is not None:
+        if not isinstance(path_literal, str) or not path_literal:
+            raise RuleError("expr_error", "path must be a non-empty string",
+                            path)
+        tokens = parse_path(path_literal, error_code="expr_error")
+        result = V.navigate(base, tokens)
+    else:
+        # dynamic single-key path (full dynamic dot-paths unsupported)
+        key = F.when(V.is_string(path_arg), path_arg.try_cast("string"))
+        result = V.get_key(base, F.coalesce(key, F.lit("")))
+    return (
+        F.when(base.isNull() | V.is_vnull(base), F.lit(None).cast(V.VT))
+        .when(path_arg.isNull(), F.lit(None).cast(V.VT))
+        .when(V.is_vnull(path_arg),
+              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+        .otherwise(result)
+    )
+
+
+def _literal_or_none(arg: Pipe):
+    if isinstance(arg.start, StartLiteral) and not arg.steps:
+        return arg.start.value
+    return None
+
+
+def _paths_from_args(args, path, *, allow_terminal_index: bool):
+    """pick/omit paths must be compile-time literals here
+    (``transform.rs:4964-5040``); dedup + conflict checks apply."""
+    raw_paths: list[str] = []
+    for a in args:
+        lit = _literal_or_none(a)
+        if lit is None:
+            raise RuleError("expr_error",
+                            "pick/omit paths must be literals for the Spark "
+                            "compiler", path)
+        if isinstance(lit, str):
+            raw_paths.append(lit)
+        elif isinstance(lit, list) and all(isinstance(x, str) for x in lit):
+            raw_paths.extend(lit)
+        else:
+            raise RuleError("expr_error",
+                            "paths must be a string or array of strings", path)
+    token_paths = []
+    for p in raw_paths:
+        tokens = parse_path(p, error_code="expr_error")
+        if not allow_terminal_index and tokens and isinstance(tokens[-1], Index):
+            raise RuleError("expr_error",
+                            "path must not end with array index", path)
+        if tokens in token_paths:
+            continue
+        for existing in token_paths:
+            shorter, longer = sorted((existing, tokens), key=len)
+            if longer[:len(shorter)] == shorter:
+                raise RuleError("expr_error",
+                                "path conflicts with another path", path)
+        token_paths.append(tokens)
+    return token_paths
+
+
+def _build_object(fields: list[tuple[str, Column]]) -> Column:
+    """object from (key, variant-value) pairs; missing values omit keys."""
+    if not fields:
+        return V.lit_variant({})
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in fields]),
+            F.array(*[v for _, v in fields]),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return V.map_to_variant(m)
+
+
+def _pick_tree(base: Column, token_paths, path) -> Column:
+    """Reconstruct the picked sub-object (object keys only beyond root)."""
+    groups: dict[str, list] = {}
+    for tokens in token_paths:
+        if not tokens:
+            continue
+        head = tokens[0]
+        if not isinstance(head, Key):
+            raise RuleError("expr_error",
+                            "pick paths must start with an object key", path)
+        groups.setdefault(head.name, []).append(tokens[1:])
+    fields = []
+    for key, rests in groups.items():
+        child = V.get_key(base, key)
+        if any(len(r) == 0 for r in rests):
+            fields.append((key, child))
+        else:
+            fields.append((key, F.when(child.isNotNull(),
+                                       _pick_tree(child, rests, path))))
+    return _build_object(fields)
+
+
+@register("pick")
+def op_pick(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    base = ops[0]
+    token_paths = _paths_from_args(args, path, allow_terminal_index=True)
+    picked = _pick_tree(base, token_paths, path)
+    return (
+        F.when(base.isNull(), F.lit(None).cast(V.VT))
+        .when(V.is_vnull(base),
+              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+        .when(~V.is_object(base),
+              rerr("expr_error", "expr arg must be object", path).cast(V.VT))
+        .otherwise(picked)
+    )
+
+
+def _omit_tree(base_map: Column, token_paths, path) -> Column:
+    """map<string,variant> with the given literal paths removed."""
+    top_removed = {t[0].name for t in token_paths
+                   if len(t) == 1 and isinstance(t[0], Key)}
+    nested: dict[str, list] = {}
+    for t in token_paths:
+        if len(t) > 1 and isinstance(t[0], Key):
+            nested.setdefault(t[0].name, []).append(t[1:])
+    result = base_map
+    if top_removed:
+        names = F.array(*[F.lit(n) for n in top_removed])
+        result = F.map_filter(result, lambda k, v: ~F.array_contains(names, k))
+    for key, rests in nested.items():
+        def rewrite(k, v, key=key, rests=rests):
+            child_obj = V.as_map(v)
+            rewritten = V.map_to_variant(_omit_tree(child_obj, rests, path))
+            return F.when((k == key) & child_obj.isNotNull(), rewritten) \
+                    .otherwise(v)
+        result = F.transform_values(result, rewrite)
+    return result
+
+
+@register("omit")
+def op_omit(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    base = ops[0]
+    token_paths = _paths_from_args(args, path, allow_terminal_index=True)
+    token_paths = [t for t in token_paths
+                   if all(isinstance(tok, Key) for tok in t)]
+    omitted = V.map_to_variant(_omit_tree(base.try_cast(V.MAP_T),
+                                          token_paths, path))
+    return (
+        F.when(base.isNull(), F.lit(None).cast(V.VT))
+        .when(V.is_vnull(base),
+              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+        .when(~V.is_object(base),
+              rerr("expr_error", "expr arg must be object", path).cast(V.VT))
+        .otherwise(omitted)
+    )
+
+
+def _obj_unary(scope, cur, args, path, fn):
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    m = _obj_or_error(o, path)
+    return seq_strict(ops, path, fn(m))
+
+
+@register("keys")
+def op_keys(scope, cur, args, path):
+    return _obj_unary(scope, cur, args, path, lambda m: V.arr_to_variant(
+        F.transform(F.map_keys(m), lambda k: k.cast(V.VT))))
+
+
+@register("values")
+def op_values(scope, cur, args, path):
+    return _obj_unary(scope, cur, args, path, lambda m: V.arr_to_variant(
+        F.transform(F.map_values(m),
+                    lambda v: F.coalesce(v, V.vnull()))))
+
+
+@register("entries")
+def op_entries(scope, cur, args, path):
+    def build(m):
+        entries = F.transform(
+            F.map_entries(m),
+            lambda e: F.parse_json(F.to_json(F.struct(
+                e["key"].alias("key"),
+                F.coalesce(e["value"], V.vnull()).alias("value"),
+            ))))
+        return V.arr_to_variant(entries)
+    return _obj_unary(scope, cur, args, path, build)
+
+
+@register("len")
+def op_len(scope, cur, args, path):
+    """chars of string / array len / object size (``transform.rs:4671-4719``)."""
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    result = (
+        F.when(V.is_string(o), F.length(o.try_cast("string")).cast("long"))
+        .when(V.is_array(o), F.size(V.as_array(o)).cast("long"))
+        .when(V.is_object(o), F.size(V.as_map(o)).cast("long"))
+        .otherwise(rerr("expr_error",
+                        "expr arg must be string, array, or object",
+                        path).cast("long"))
+    )
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+@register("from_entries")
+def op_from_entries(scope, cur, args, path):
+    """pairs ``[k,v]`` / ``{key,value}`` objects → object; or 2-arg
+    ``(key, value)`` → single-entry object (``transform.rs:4721-4830``)."""
+    ops = _operands(scope, cur, args, path)
+    first = ops[0]
+    if len(ops) == 2:
+        key = V.to_string_strict(first, path)
+        value = F.coalesce(ops[1], V.vnull())
+        single = V.map_to_variant(F.map_from_arrays(F.array(key),
+                                                    F.array(value)))
+        return seq_strict([ops[0]], path, F.when(
+            ops[1].isNull(), F.lit(None).cast(V.VT)).otherwise(single))
+
+    items = V.as_array(first)
+    def entry_pair(item):
+        pair = V.as_array(item)
+        obj = V.as_map(item)
+        pair_ok = pair.isNotNull() & (F.size(pair) == 2)
+        key_from_pair = V.to_string_strict(F.try_element_at(pair, F.lit(1)),
+                                           path)
+        obj_key = F.try_element_at(obj, F.lit("key"))
+        obj_val = F.try_element_at(obj, F.lit("value"))
+        key_from_obj = F.when(
+            obj_key.isNull() | V.is_vnull(obj_key),
+            rerr("expr_error", "entry must contain key", path).cast("string")
+        ).otherwise(V.to_string_strict(obj_key, path))
+        return F.struct(
+            F.when(pair.isNotNull() & pair_ok, key_from_pair)
+            .when(pair.isNotNull(), rerr("expr_error",
+                                         "entries must have exactly two items",
+                                         path).cast("string"))
+            .when(obj.isNotNull(), key_from_obj)
+            .otherwise(rerr("expr_error", "entries must be arrays or objects",
+                            path).cast("string")).alias("key"),
+            F.when(pair.isNotNull(),
+                   F.coalesce(F.try_element_at(pair, F.lit(2)), V.vnull()))
+            .otherwise(F.when(obj_val.isNull(),
+                              rerr("expr_error", "entry must contain value",
+                                   path).cast(V.VT))
+                       .otherwise(obj_val)).alias("value"),
+        )
+    built = V.map_to_variant(
+        F.map_from_entries(F.transform(items, entry_pair)))
+    result = (
+        F.when(V.is_object(first), first)
+        .when(V.is_array(first), built)
+        .otherwise(rerr("expr_error", "expr arg must be object or array",
+                        path).cast(V.VT))
+    )
+    return seq_strict(ops, path, result)
+
+
+def _make_object_flatten(path):
+    def flatten(obj):
+        if not isinstance(obj, dict):
+            raise _py_err("expr_error", "expr arg must be object", path)
+        out = {}
+        def walk(prefix, m):
+            for k, v in m.items():
+                if k == "" or "[" in k or "]" in k or "." in k:
+                    raise _py_err(
+                        "expr_error",
+                        "object keys must not contain dots or brackets",
+                        path)
+                p = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    walk(p, v)
+                else:
+                    out[p] = v
+        walk("", obj)
+        return _json.dumps(out)
+    return flatten
+
+
+def _make_object_unflatten(path):
+    def unflatten(obj):
+        if not isinstance(obj, dict):
+            raise _py_err("expr_error", "expr arg must be object", path)
+        from ..paths import Index as PIndex
+        from ..paths import parse_path as pp
+        root = {}
+        seen = []
+        for key, value in obj.items():
+            try:
+                tokens = pp(key, error_code="expr_error")
+            except RuleError as e:
+                raise _py_err("expr_error", str(e), path)
+            if any(isinstance(t, PIndex) for t in tokens):
+                raise _py_err("expr_error",
+                              "array indexes are not allowed in path", path)
+            names = [t.name for t in tokens]
+            for s in seen:
+                shorter, longer = sorted((s, names), key=len)
+                if longer[:len(shorter)] == shorter:
+                    raise _py_err("expr_error",
+                                  "path conflicts with another path", path)
+            seen.append(names)
+            curm = root
+            for name in names[:-1]:
+                nxt = curm.setdefault(name, {})
+                if not isinstance(nxt, dict):
+                    raise _py_err("expr_error",
+                                  "path conflicts with another path", path)
+                curm = nxt
+            curm[names[-1]] = value
+        return _json.dumps(root)
+    return unflatten
+
+
+def _obj_unary_udf(scope, cur, args, path, make_fn):
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    udf = _json_udf("obj_op", make_fn(path))
+    result = F.parse_json(udf(F.to_json(o)))
+    return seq_strict(ops, path, result)
+
+
+@register("object_flatten")
+def op_object_flatten(scope, cur, args, path):
+    """nested object → flat dotted-path keys (``transform.rs:4832-4856``);
+    pandas-UDF slow path (unbounded recursion)."""
+    return _obj_unary_udf(scope, cur, args, path, _make_object_flatten)
+
+
+@register("object_unflatten")
+def op_object_unflatten(scope, cur, args, path):
+    """inverse of object_flatten; index paths & conflicts error
+    (``transform.rs:4858-4913``)."""
+    return _obj_unary_udf(scope, cur, args, path, _make_object_unflatten)

@@ -1,0 +1,461 @@
+"""Scalar ops: string / numeric / logical / comparison / casts.
+
+Semantics mirror the reference v1 evaluator, which the v2 runtime delegates
+these ops to (``v2_eval.rs:1580-1640``):
+
+- string ops: ``transform.rs:1403-2373``
+- numeric ops: ``transform.rs:2375-2574``
+- logical ops: ``transform.rs:5340-5417``
+- comparisons: ``transform.rs:5419-5520`` (``==`` is string-coerced!)
+- casts: ``transform.rs:5925-5994`` / ``v2_eval.rs:1677-1762``
+
+The common argument protocol (``transform.rs:1996-2135``): evaluate
+operands left-to-right; a *missing* operand makes the whole op missing; a
+*null* operand is an error (unless the op says otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import variant as V
+from .core import OPS, Scope, compile_pipe, cur_version, register, rerr
+
+
+def _operands(scope: Scope, cur: Column, args, path: str) -> list[Column]:
+    """Pipe value + compiled args (reference's injected-arg protocol)."""
+    pipe_scope = scope.child(pipe=cur)
+    return [cur] + [compile_pipe(a, pipe_scope, f"{path}.args[{i + 1}]")
+                    for i, a in enumerate(args)]
+
+
+def seq_strict(operands: list[Column], path: str, result: Column,
+               *, allow_null: bool = False) -> Column:
+    """Wrap ``result`` with the missing-propagates / null-errors protocol."""
+    for o in reversed(operands):
+        inner = result
+        if not allow_null:
+            inner = F.when(V.is_vnull(o),
+                           rerr("expr_error", "expr arg must not be null",
+                                path)).otherwise(inner)
+        result = F.when(o.isNull(), F.lit(None)).otherwise(inner)
+    return result.cast(V.VT)
+
+
+def _as_string(o: Column, path: str) -> Column:
+    """``value_as_string`` — strings only (``transform.rs:5787-5795``)."""
+    return F.when(V.is_string(o), o.try_cast("string")).otherwise(
+        rerr("expr_error", "value must be a string", path).cast("string"))
+
+
+def _as_i64(o: Column, path: str, msg: str) -> Column:
+    """``value_to_i64`` — int, integral float, or integer string."""
+    d = V.to_number_strict(o, path, msg)
+    return F.when(d == F.floor(d), d.cast("long")).otherwise(
+        rerr("expr_error", msg, path).cast("long"))
+
+
+# --- string ops ---------------------------------------------------------
+
+@register("concat")
+def op_concat(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    parts = [V.to_string_strict(o, path, "concat parts must be stringifiable")
+             for o in ops]
+    return seq_strict(ops, path, F.concat(*parts).cast(V.VT))
+
+
+@register("coalesce")
+def op_coalesce(scope, cur, args, path):
+    # first non-missing, non-null (transform.rs:1434-1457); all → missing
+    ops = _operands(scope, cur, args, path)
+    guarded = [F.when(~V.is_absent(o), o) for o in ops]
+    return F.coalesce(*guarded, F.lit(None).cast(V.VT))
+
+
+@register("to_string")
+def op_to_string(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    if cur_version() >= 2:
+        # v2-native to_string never errors: null → "null", containers →
+        # their JSON text (v2_eval.rs:1813-1825)
+        o = ops[0]
+        result = (
+            F.when(o.isNull(), F.lit(None).cast("string"))
+            .when(V.is_vnull(o), F.lit("null"))
+            .when(V.is_array(o) | V.is_object(o), F.to_json(o))
+            .otherwise(V.to_string_strict(o, path))
+        )
+        return result.cast(V.VT)
+    return seq_strict(ops, path,
+                      V.to_string_strict(ops[0], path).cast(V.VT))
+
+
+def _unary_string(scope, cur, args, path, fn):
+    ops = _operands(scope, cur, args, path)
+    s = _as_string(ops[0], path)
+    return seq_strict(ops, path, fn(s).cast(V.VT))
+
+
+@register("trim")
+def op_trim(scope, cur, args, path):
+    return _unary_string(scope, cur, args, path, F.trim)
+
+
+@register("lowercase")
+def op_lowercase(scope, cur, args, path):
+    return _unary_string(scope, cur, args, path, F.lower)
+
+
+@register("uppercase")
+def op_uppercase(scope, cur, args, path):
+    return _unary_string(scope, cur, args, path, F.upper)
+
+
+@register("replace")
+def op_replace(scope, cur, args, path):
+    """Four modes (``transform.rs:2162-2236``): default literal-FIRST,
+    ``all`` literal-all, ``regex`` regex-first, ``regex_all`` regex-all."""
+    ops = _operands(scope, cur, args, path)
+    value = _as_string(ops[0], path)
+    pattern = _as_string(ops[1], path)
+    replacement = _as_string(ops[2], path)
+    mode = _as_string(ops[3], path) if len(ops) == 4 else F.lit("__first__")
+
+    lit_first = _replace_literal_first(value, pattern, replacement)
+    lit_all = F.replace(value, pattern, replacement)
+    rx_first = _replace_regex_first(value, pattern, replacement)
+    rx_all = F.regexp_replace(value, pattern, replacement)
+
+    result = (
+        F.when(mode == "__first__", lit_first)
+        .when(mode == "all", lit_all)
+        .when(mode == "regex", rx_first)
+        .when(mode == "regex_all", rx_all)
+        .otherwise(rerr("expr_error", "replace mode must be all|regex|regex_all",
+                        path).cast("string"))
+    )
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+def _replace_literal_first(value, pattern, replacement):
+    pos = F.instr(value, pattern)  # 1-based, 0 = no match
+    return (
+        F.when(pattern == "", F.concat(replacement, value))
+        .when(pos == 0, value)
+        .otherwise(F.concat(
+            F.substring(value, F.lit(1), pos - 1),
+            replacement,
+            F.substring(value, pos + F.length(pattern),
+                        F.length(value)),
+        ))
+    )
+
+
+def _replace_regex_first(value, pattern, replacement):
+    # first-match splice: locate, re-replace just the matched slice so $n
+    # group references still resolve (Rust regex.replace(first)).
+    pos = F.regexp_instr(value, pattern)  # 1-based, 0 = no match
+    matched = F.regexp_extract(value, pattern, 0)
+    head = F.substring(value, F.lit(1), pos - 1)
+    tail = F.substring(value, pos + F.length(matched), F.length(value))
+    replaced = F.regexp_replace(matched, pattern, replacement)
+    return F.when(pos == 0, value).otherwise(F.concat(head, replaced, tail))
+
+
+@register("split")
+def op_split(scope, cur, args, path):
+    """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``)."""
+    import re as _re
+    ops = _operands(scope, cur, args, path)
+    value = _as_string(ops[0], path)
+    delim = _as_string(ops[1], path)
+    delim_checked = F.when(delim == "", rerr(
+        "expr_error", "split delimiter must not be empty",
+        path).cast("string")).otherwise(delim)
+    # F.split takes a regex → escape the literal delimiter per row
+    escaped = F.regexp_replace(delim_checked,
+                               F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
+                               F.lit(r"\\$1"))
+    parts = F.split(value, escaped, F.lit(-1))
+    arr = F.transform(parts, lambda x: x.cast(V.VT))
+    return seq_strict(ops, path, V.arr_to_variant(arr))
+
+
+def _pad(scope, cur, args, path, *, start: bool):
+    ops = _operands(scope, cur, args, path)
+    value = _as_string(ops[0], path)
+    length = _as_i64(ops[1], path, "pad length must be a non-negative integer")
+    length = F.when(length < 0, rerr(
+        "expr_error", "pad length must be a non-negative integer",
+        path).cast("long")).otherwise(length)
+    pad = _as_string(ops[2], path) if len(ops) == 3 else F.lit(" ")
+    fn = F.lpad if start else F.rpad
+    padded = fn(value, length.cast("int"), pad)
+    # Spark lpad/rpad truncate long values & mishandle empty pad; the
+    # reference returns the value unchanged (transform.rs:2356-2373)
+    result = F.when((F.length(value) >= length) | (pad == ""),
+                    value).otherwise(padded)
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+@register("pad_start")
+def op_pad_start(scope, cur, args, path):
+    return _pad(scope, cur, args, path, start=True)
+
+
+@register("pad_end")
+def op_pad_end(scope, cur, args, path):
+    return _pad(scope, cur, args, path, start=False)
+
+
+# --- numeric ops ---------------------------------------------------------
+
+@register("+")
+def op_add(scope, cur, args, path):
+    return _numeric_fold(scope, cur, args, path, "+")
+
+
+@register("-")
+def op_sub(scope, cur, args, path):
+    return _numeric_fold(scope, cur, args, path, "-", exact_two=True)
+
+
+@register("*")
+def op_mul(scope, cur, args, path):
+    return _numeric_fold(scope, cur, args, path, "*")
+
+
+@register("/")
+def op_div(scope, cur, args, path):
+    return _numeric_fold(scope, cur, args, path, "/", exact_two=True)
+
+
+def _numeric_fold(scope, cur, args, path, op, exact_two=False):
+    """f64 fold over operands; numeric strings accepted; integral results
+    re-emitted as ints; non-finite results error (``transform.rs:2375-2435``)."""
+    ops = _operands(scope, cur, args, path)
+    if exact_two and cur_version() < 2 and len(ops) != 2:
+        from ..errors import RuleError
+        raise RuleError("invalid_args",
+                        f"{op} requires exactly two operands", path)
+    nums = [V.to_number_strict(o, path, "operand must be a number")
+            for o in ops]
+    acc = nums[0]
+    for n in nums[1:]:
+        if op == "+":
+            acc = acc + n
+        elif op == "-":
+            acc = acc - n
+        elif op == "*":
+            acc = acc * n
+        else:
+            acc = acc / n  # Spark double /0 → NULL? guarded below
+    if cur_version() >= 2:
+        # v2-native arithmetic: raw f64 result (no int re-emission,
+        # v2_eval.rs:1848-1928); explicit division-by-zero error
+        result = acc.cast(V.VT)
+        if op == "/":
+            zero_guard = F.lit(False)
+            for n in nums[1:]:
+                zero_guard = zero_guard | (n == 0.0)
+            result = F.when(zero_guard, rerr("expr_error",
+                                             "division by zero",
+                                             path).cast(V.VT)).otherwise(result)
+        return seq_strict(ops, path, result)
+    if op == "/":
+        # IEEE: x/0 → ±inf in Rust; Spark double division by zero → NULL.
+        acc = F.when(nums[1] == 0.0, F.lit(float("inf")) * F.signum(nums[0])
+                     ).otherwise(acc)
+    finite = ~(F.isnan(acc) | (F.abs(acc) == F.lit(float("inf"))))
+    result = F.when(finite, V.num_to_variant(acc)).otherwise(
+        rerr("expr_error", "number result is not finite", path).cast(V.VT))
+    return seq_strict(ops, path, result)
+
+
+@register("round")
+def op_round(scope, cur, args, path):
+    """Half-away-from-zero with optional scale (``transform.rs:2437-2515``)."""
+    ops = _operands(scope, cur, args, path)
+    number = V.to_number_strict(ops[0], path, "operand must be a number")
+    if len(ops) == 2:
+        scale = _as_i64(ops[1], path, "scale must be a non-negative integer")
+        scale = F.when((scale < 0) | (scale > 308), rerr(
+            "expr_error", "scale must be a non-negative integer",
+            path).cast("long")).otherwise(scale)
+    else:
+        scale = F.lit(0).cast("long")
+    factor = F.pow(F.lit(10.0), scale.cast("double"))
+    scaled = number * factor
+    # Rust f64::round = half away from zero
+    rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+        F.ceil(scaled - 0.5))
+    result = rounded.cast("double") / factor
+    return seq_strict(ops, path, V.num_to_variant(result))
+
+
+@register("to_base")
+def op_to_base(scope, cur, args, path):
+    """int → base-2..36 lowercase digits (``transform.rs:2517-2574``)."""
+    ops = _operands(scope, cur, args, path)
+    number = _as_i64(ops[0], path, "value must be an integer")
+    base = _as_i64(ops[1], path, "base must be an integer")
+    base = F.when((base < 2) | (base > 36), rerr(
+        "expr_error", "base must be between 2 and 36",
+        path).cast("long")).otherwise(base)
+    digits = F.lower(F.conv(F.abs(number).cast("string"), F.lit(10),
+                            base.cast("int")))
+    result = F.when(number < 0, F.concat(F.lit("-"), digits)).otherwise(digits)
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+# --- logical ops ---------------------------------------------------------
+
+@register("and")
+def op_and(scope, cur, args, path):
+    return _and_or(scope, cur, args, path, is_and=True)
+
+
+@register("or")
+def op_or(scope, cur, args, path):
+    return _and_or(scope, cur, args, path, is_and=False)
+
+
+def _and_or(scope, cur, args, path, *, is_and: bool):
+    """Short-circuits on false/true before later args can error; missing
+    args are skipped but make a non-short-circuited result missing
+    (``transform.rs:5340-5388``)."""
+    ops = _operands(scope, cur, args, path)
+    flags = [F.when(o.isNull(), F.lit(None)).otherwise(
+        V.to_bool_strict(o, path, "value must be a boolean")) for o in ops]
+    any_missing = flags[0].isNull()
+    for f in flags[1:]:
+        any_missing = any_missing | f.isNull()
+    final = F.when(any_missing, F.lit(None).cast(V.VT)).otherwise(
+        V.bool_to_variant(F.lit(is_and)))
+    result = final
+    for f in reversed(flags):
+        short = ~f if is_and else f  # and: stop on false; or: stop on true
+        result = F.when(F.coalesce(short, F.lit(False)),
+                        V.bool_to_variant(F.lit(not is_and))).otherwise(result)
+    return result
+
+
+@register("not")
+def op_not(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    b = V.to_bool_strict(ops[0], path, "value must be a boolean")
+    return seq_strict(ops, path, V.bool_to_variant(~b), allow_null=False)
+
+
+# --- v1 comparison ops (string-coerced eq; numeric-only orderings) --------
+
+def _v1_to_string(o: Column, path: str) -> Column:
+    return V.to_string_strict(o, path, "comparison operand must be stringifiable")
+
+
+def _v1_eq(left: Column, right: Column, path: str) -> Column:
+    """``compare_eq`` (``transform.rs:5480-5493``): null==null true;
+    one-sided null false; else string-coerced equality (1 == "1")."""
+    ln = V.is_absent(left)   # v1 converts missing → null before comparing
+    rn = V.is_absent(right)
+    return (
+        F.when(ln | rn, ln & rn)
+        .otherwise(_v1_to_string(left, path) == _v1_to_string(right, path))
+    )
+
+
+def _v1_compare_op(name, pyop=None, eq=False, negate=False):
+    @register(name)
+    def _op(scope, cur, args, path):
+        ops = _operands(scope, cur, args, path)
+        left, right = ops[0], ops[1]
+        if eq:
+            res = _v1_eq(left, right, path)
+            if negate:
+                res = ~res
+        elif name == "~=":
+            s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
+                rerr("expr_error", "value must be a string", path)
+                .cast("string"))
+            pat = F.when(V.is_string(right), right.try_cast("string")).otherwise(
+                rerr("expr_error", "value must be a string", path)
+                .cast("string"))
+            res = F.rlike(s, pat)
+        else:
+            ln = V.to_number_strict(left, path,
+                                    "comparison operand must be a number")
+            rn = V.to_number_strict(right, path,
+                                    "comparison operand must be a number")
+            res = pyop(ln, rn)
+        return V.bool_to_variant(res)
+    return _op
+
+
+import operator as _operator
+
+_v1_compare_op("==", eq=True)
+_v1_compare_op("!=", eq=True, negate=True)
+_v1_compare_op("<", _operator.lt)
+_v1_compare_op("<=", _operator.le)
+_v1_compare_op(">", _operator.gt)
+_v1_compare_op(">=", _operator.ge)
+_v1_compare_op("~=")
+
+
+# --- type casts -----------------------------------------------------------
+
+@register("string")
+def op_cast_string(scope, cur, args, path):
+    return op_to_string(scope, cur, args, path)
+
+
+@register("int")
+def op_cast_int(scope, cur, args, path):
+    """int / integral float / integer string, else error
+    (``v2_eval.rs:1677-1698``, ``transform.rs:5939-5960``)."""
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    t = V.typeof(o)
+    d = o.try_cast("double")
+    s_parsed = o.try_cast("string").try_cast("long")
+    result = (
+        F.when(t == "BIGINT", o.try_cast("long"))
+        .when(V.is_number(o) & (d == F.floor(d)), d.cast("long"))
+        .when(V.is_string(o) & s_parsed.isNotNull(), s_parsed)
+        .otherwise(rerr("type_cast_failed", "failed to cast to int",
+                        path).cast("long"))
+    )
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+@register("float")
+def op_cast_float(scope, cur, args, path):
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    parsed = o.try_cast("string").try_cast("double")
+    result = (
+        F.when(V.is_number(o), o.try_cast("double"))
+        .when(V.is_string(o) & parsed.isNotNull(), parsed)
+        .otherwise(rerr("type_cast_failed", "failed to cast to float",
+                        path).cast("double"))
+    )
+    return seq_strict(ops, path, result.cast(V.VT))
+
+
+@register("bool")
+def op_cast_bool(scope, cur, args, path):
+    """bool, or "true"/"false" case-insensitively — never "1"
+    (``transform.rs:5984-5994``)."""
+    ops = _operands(scope, cur, args, path)
+    o = ops[0]
+    lowered = F.lower(o.try_cast("string"))
+    result = (
+        F.when(V.is_bool(o), o.try_cast("boolean"))
+        .when(V.is_string(o) & lowered.isin("true", "false"),
+              lowered == "true")
+        .otherwise(rerr("type_cast_failed", "failed to cast to bool",
+                        path).cast("boolean"))
+    )
+    return seq_strict(ops, path, result.cast(V.VT))

@@ -1,0 +1,211 @@
+"""Variant-column helpers: the engine's dynamic value representation.
+
+Every rule-expression value compiles to ONE Spark ``VariantType`` Column
+with the convention:
+
+- **SQL NULL**  = the reference's ``missing`` (path absent)
+- **variant null** = JSON ``null`` (present and null)
+
+This natively carries the reference's tri-state
+(``crates/rulemorph/src/v2_eval.rs:25-49``; spec ``rules_spec_en.md:426-430``)
+through arbitrary Spark expressions: ``F.coalesce`` skips missing,
+higher-order functions propagate it, and ``to_json(struct(...))`` drops
+missing keys from output objects while keeping explicit nulls.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import encode_engine_error
+
+VT = "variant"
+ARR_T = "array<variant>"
+MAP_T = "map<string,variant>"
+
+
+def missing() -> Column:
+    return F.lit(None).cast(VT)
+
+
+def vnull() -> Column:
+    return F.parse_json(F.lit("null"))
+
+
+def lit_variant(py_value) -> Column:
+    """Compile-time JSON literal → variant Column."""
+    return F.parse_json(F.lit(_json.dumps(py_value)))
+
+
+def raise_err(kind: str, message: str, path: str | None = None,
+              code: str | None = None) -> Column:
+    return F.raise_error(F.lit(encode_engine_error(kind, message, path, code)))
+
+
+def typeof(v: Column) -> Column:
+    """Per-row variant type tag (``schema_of_variant``): ``BIGINT``,
+    ``DECIMAL(p,s)``, ``DOUBLE``, ``STRING``, ``BOOLEAN``, ``VOID``,
+    ``ARRAY<VARIANT>``, ``OBJECT<...>``."""
+    return F.schema_of_variant(v)
+
+
+def is_missing(v: Column) -> Column:
+    return v.isNull()
+
+
+def is_vnull(v: Column) -> Column:
+    return F.coalesce(F.is_variant_null(v), F.lit(False))
+
+
+def is_absent(v: Column) -> Column:
+    """missing OR null."""
+    return v.isNull() | is_vnull(v)
+
+
+def is_number(v: Column) -> Column:
+    t = typeof(v)
+    return t.isin("BIGINT", "DOUBLE") | t.startswith("DECIMAL")
+
+
+def is_string(v: Column) -> Column:
+    return typeof(v) == "STRING"
+
+
+def is_bool(v: Column) -> Column:
+    return typeof(v) == "BOOLEAN"
+
+
+def is_array(v: Column) -> Column:
+    return typeof(v).startswith("ARRAY")
+
+
+def is_object(v: Column) -> Column:
+    return typeof(v).startswith("OBJECT")
+
+
+def as_array(v: Column) -> Column:
+    """variant → array<variant> (NULL if not an array / missing / null)."""
+    return F.when(is_array(v), v.try_cast(ARR_T))
+
+
+def as_map(v: Column) -> Column:
+    """variant → map<string,variant> (NULL if not an object)."""
+    return F.when(is_object(v), v.try_cast(MAP_T))
+
+
+def arr_to_variant(a: Column) -> Column:
+    """array<variant> → variant (direct cast, supported by Spark 4)."""
+    return a.cast(VT)
+
+
+def map_to_variant(m: Column) -> Column:
+    """map<string,variant> → variant object.
+
+    Spark has no direct map→variant cast; round-trip through canonical
+    JSON text (``to_json`` drops SQL-NULL map values = missing keys).
+    """
+    return F.parse_json(F.to_json(m))
+
+
+def bool_to_variant(b: Column) -> Column:
+    return b.cast(VT)
+
+
+_LONG_MAX = 9223372036854775807
+
+
+def num_to_variant(d: Column) -> Column:
+    """double → variant with the reference's integral re-emission:
+    ``json_number_from_f64`` (``transform.rs:5846-5859``) re-emits an
+    integral f64 as an integer JSON number."""
+    return (
+        F.when(d.isNull(), F.lit(None).cast(VT))
+        .when((d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
+              d.cast("long").cast(VT))
+        .otherwise(d.cast(VT))
+    )
+
+
+def to_string_strict(v: Column, path: str,
+                     msg: str = "value must be a string, number, or boolean") -> Column:
+    """``value_to_string`` (``transform.rs:5774-5800``): string/number/bool →
+    string with integral-float rendering (``number_to_string``
+    ``transform.rs:5903-5923``); null/object/array → error.
+    Missing input propagates as SQL NULL (callers decide)."""
+    t = typeof(v)
+    d = v.try_cast("double")
+    num_str = F.when(
+        (d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
+        d.cast("long").cast("string"),
+    ).otherwise(d.cast("string"))
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(t == "STRING", v.try_cast("string"))
+        .when(t == "BOOLEAN", v.try_cast("string"))
+        .when(t == "BIGINT", v.try_cast("string"))
+        .when(t.startswith("DECIMAL") | (t == "DOUBLE"), num_str)
+        .otherwise(raise_err("expr_error", msg, path).cast("string"))
+    )
+
+
+def to_number_strict(v: Column, path: str,
+                     msg: str = "value must be a number") -> Column:
+    """``value_to_number``: numbers or numeric strings → double; anything
+    else errors. Missing propagates as SQL NULL."""
+    t = typeof(v)
+    parsed = v.try_cast("string").try_cast("double")
+    return (
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(is_number(v), v.try_cast("double"))
+        .when((t == "STRING") & parsed.isNotNull(), parsed)
+        .otherwise(raise_err("expr_error", msg, path).cast("double"))
+    )
+
+
+def to_bool_strict(v: Column, path: str,
+                   msg: str = "value must be a boolean") -> Column:
+    """Strict boolean: only JSON true/false. Missing → SQL NULL."""
+    return (
+        F.when(v.isNull(), F.lit(None).cast("boolean"))
+        .when(is_bool(v), v.try_cast("boolean"))
+        .otherwise(raise_err("expr_error", msg, path).cast("boolean"))
+    )
+
+
+def get_key(v: Column, key: str | Column) -> Column:
+    """Navigate one object key: missing if absent / not an object."""
+    k = F.lit(key) if isinstance(key, str) else key
+    return F.try_element_at(v.try_cast(MAP_T), k)
+
+
+def get_index(v: Column, index: int) -> Column:
+    """Navigate one array index (0-based): missing if OOB / not an array.
+    Guarded against Spark's negative-index wrap-around in element_at."""
+    if index < 0:
+        return missing()
+    return F.try_element_at(as_array(v), F.lit(index + 1))
+
+
+def navigate(v: Column, tokens) -> Column:
+    """Walk Key/Index path tokens; absent anywhere → missing."""
+    from ..paths import Key
+
+    cur = v
+    for tok in tokens:
+        if isinstance(tok, Key):
+            cur = get_key(cur, tok.name)
+        else:
+            cur = get_index(cur, tok.index)
+    return cur
+
+
+def strict_json(v: Column) -> Column:
+    """Canonical JSON text of a variant for strict (v2) equality.
+
+    ``parse_json`` normalizes object key order, so ``to_json`` text is a
+    canonical form; missing is canonicalized to the same text as null
+    (v2 eq treats missing == null, ``v2_eval.rs:1140-1147``)."""
+    return F.coalesce(F.to_json(v), F.lit("null"))

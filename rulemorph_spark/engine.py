@@ -1,0 +1,287 @@
+"""Batch transform engine: input document → transformed records.
+
+Mirrors the reference CLI lifecycle (``transform.rs:209-361``): parse rule
+→ read input (CSV all-string / JSON with ``records_path``) → per-record
+plan → finalize (filter/sort/offset/limit/wrap) → JSON array out.
+
+Spark mapping:
+- CSV → ``spark.read.csv`` with every column read as string, matching
+  ``record_to_object`` (``transform.rs:943-951``)
+- JSON document → parse once, explode the records array with
+  ``posexplode`` so input order is preserved through the plan
+- per-record rule → one projection + filter (see ``compiler.rule``)
+- finalize.sort → ``orderBy(key, __idx)`` — the input-order tiebreaker
+  makes the sort stable like the reference's ``sort_by`` Vec sort
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler import variant as V
+from .compiler.core import Scope, compile_condition, compile_pipe, \
+    lenient_errors, rule_version
+from .compiler.rule import RuleCompiler
+from .errors import (TransformEngineError, extract_engine_error, RuleError)
+from .expr_ir import parse_condition, parse_expr
+from .model import RuleFile, parse_rule_file
+
+
+def get_spark(app_name: str = "rulemorph-spark",
+              cpus: int | None = None) -> SparkSession:
+    """Engine session defaults: AQE on, LAST_WIN map keys (serde-insert
+    semantics for key_by/from_entries), UTC, modest shuffle width."""
+    import os
+    n = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+# --- input readers ------------------------------------------------------
+
+
+def records_from_json_text(spark: SparkSession, text: str,
+                           records_path: str | None) -> DataFrame:
+    """One JSON document → df(__idx long, __record__ variant).
+
+    ``records_path`` selects an array (→ many records) or an object
+    (→ single record), else error (``transform.rs:902-941``).
+    """
+    doc = json.loads(text)
+    if records_path:
+        from .paths import get_path, parse_path
+        found, doc = get_path(doc, parse_path(records_path))
+        if not found:
+            raise TransformEngineError("invalid_input",
+                                       f"records_path {records_path!r} not "
+                                       f"found", "input.json.records_path")
+    if isinstance(doc, dict):
+        records = [doc]
+    elif isinstance(doc, list):
+        records = doc
+    else:
+        raise TransformEngineError("invalid_input",
+                                   "input must be an object or array",
+                                   "input")
+    rows = [(i, json.dumps(r)) for i, r in enumerate(records)]
+    df = spark.createDataFrame(rows, "__idx__ long, __raw__ string")
+    return df.select("__idx__",
+                     F.parse_json("__raw__").alias("__record__"))
+
+
+def records_from_json_file(spark: SparkSession, path: str,
+                           records_path: str | None) -> DataFrame:
+    """Distributed variant: for large NDJSON/JSON-array files prefer
+    ``spark.read.json``; single-document semantics use wholetext."""
+    with open(path, encoding="utf-8") as fh:
+        return records_from_json_text(spark, fh.read(), records_path)
+
+
+def records_from_csv(spark: SparkSession, path: str, has_header: bool,
+                     delimiter: str, columns: list[str] | None) -> DataFrame:
+    """CSV scan with every value ingested as a string
+    (``transform.rs:798-900``, ``:943-951``)."""
+    if len(delimiter) != 1:
+        raise TransformEngineError("invalid_input",
+                                   "delimiter must be exactly 1 character",
+                                   "input.csv.delimiter")
+    reader = (spark.read
+              .option("header", "true" if has_header else "false")
+              .option("sep", delimiter)
+              .option("inferSchema", "false")
+              .option("mode", "FAILFAST"))
+    df = reader.csv(path)
+    if not has_header:
+        if not columns:
+            raise TransformEngineError("invalid_input",
+                                       "columns required when has_header is "
+                                       "false", "input.csv.columns")
+        if len(columns) != len(df.columns):
+            raise TransformEngineError("invalid_input",
+                                       "columns count mismatch",
+                                       "input.csv.columns")
+        df = df.toDF(*columns)
+    # rows → variant objects; missing CSV cells (short rows) become null
+    obj = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    from pyspark.sql.window import Window
+    df = df.withColumn("__record__", F.parse_json(obj))
+    df = df.withColumn(
+        "__idx__",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+        - 1)
+    return df.select("__idx__", "__record__")
+
+
+# --- finalize -----------------------------------------------------------
+
+
+def apply_finalize(df: DataFrame, rule: RuleFile,
+                   context=None) -> tuple[DataFrame, Any]:
+    """finalize filter/sort/offset/limit on df(__idx__, __json__)
+    (``transform.rs:603-749``); returns (df, wrap_spec)."""
+    fin = rule.finalize
+    if fin is None:
+        return df, None
+    item = F.parse_json(F.col("__json__"))
+    if fin.has_filter:
+        # per-item v2 condition with @item = the output record
+        cond_ir = parse_condition(fin.filter)
+        with rule_version(rule.version), lenient_errors():
+            scope = Scope(input=item, context=(V.lit_variant(context)
+                                               if context is not None
+                                               else None),
+                          item=item, item_index=F.col("__idx__").cast("int"),
+                          pipe=item)
+            cond = compile_condition(cond_ir, scope, "finalize.filter")
+        df = df.filter(F.coalesce(cond, F.lit(False)))
+        item = F.parse_json(F.col("__json__"))
+    if fin.sort is not None:
+        from .paths import parse_path
+        tokens = parse_path(fin.sort.by, error_code="expr_error")
+        key = V.navigate(item, tokens)
+        t = V.typeof(key)
+        ok = V.is_number(key) | (t == "STRING") | (t == "BOOLEAN")
+        key_checked = F.when(ok, key).otherwise(
+            V.raise_err("expr_error",
+                        "finalize.sort key must be number, string, or "
+                        "boolean", "finalize.sort"))
+        num_key = F.when(V.is_number(key_checked),
+                         key_checked.try_cast("double"))
+        str_key = F.when(~V.is_number(key_checked),
+                         key_checked.try_cast("string"))
+        cols = [num_key, str_key]
+        if fin.sort.order == "desc":
+            ordering = [c.desc_nulls_last() for c in cols]
+        elif fin.sort.order == "asc":
+            ordering = [c.asc_nulls_last() for c in cols]
+        else:
+            raise RuleError("invalid_rule", "sort order must be asc|desc",
+                            "finalize.sort.order")
+        # __idx__ tiebreaker = stable sort (reference uses Vec sort_by,
+        # which is stable)
+        df = df.orderBy(*ordering, F.col("__idx__").asc())
+    else:
+        df = df.orderBy(F.col("__idx__").asc())
+    if fin.offset is not None:
+        df = df.offset(int(fin.offset))
+    if fin.limit is not None:
+        df = df.limit(int(fin.limit))
+    return df, (fin.wrap if fin.has_wrap else None)
+
+
+def _apply_wrap(records: list, wrap, rule: RuleFile, spark: SparkSession,
+                context=None):
+    """finalize.wrap: object template whose leaf strings are v2 exprs with
+    @input = the whole output array (``transform.rs:707-749``)."""
+    arr_json = json.dumps(records)
+
+    def eval_leaf(raw):
+        pipe = parse_expr(raw)
+        df = spark.range(1).select(
+            F.parse_json(F.lit(arr_json)).alias("__arr__"))
+        with rule_version(rule.version):
+            scope = Scope(input=F.col("__arr__"),
+                          context=(V.lit_variant(context)
+                                   if context is not None else None))
+            col = compile_pipe(pipe, scope, "finalize.wrap")
+        row = df.select(F.to_json(col).alias("j")).collect()[0]
+        return json.loads(row["j"]) if row["j"] is not None else None
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str):
+            return eval_leaf(node)
+        return node
+
+    try:
+        return walk(wrap)
+    except RuleError as e:
+        raise TransformEngineError("expr_error", str(e), "finalize.wrap")
+
+
+# --- main entry ---------------------------------------------------------
+
+
+def transform(spark: SparkSession, rule_text: str,
+              input_text: str | None = None,
+              input_path: str | None = None,
+              context: Any = None,
+              base_dir: str = ".") -> Any:
+    """Run a full transform; returns the output JSON value (array of
+    records, or the wrap object).  Raises TransformEngineError with
+    reference-compatible {kind, path} on per-record errors.
+    """
+    rule = parse_rule_file(rule_text)
+    try:
+        return _transform_parsed(spark, rule, input_text, input_path,
+                                 context, base_dir)
+    except TransformEngineError:
+        raise
+    except Exception as exc:  # recover typed errors from Spark
+        engine_err = extract_engine_error(exc)
+        if engine_err is not None:
+            raise engine_err from exc
+        raise
+
+
+def _transform_parsed(spark, rule, input_text, input_path, context,
+                      base_dir):
+    fmt = rule.input.format
+    if fmt == "csv":
+        if input_path is None:
+            import tempfile, os
+            tmp = tempfile.NamedTemporaryFile("w", suffix=".csv",
+                                              delete=False)
+            tmp.write(input_text)
+            tmp.close()
+            input_path = tmp.name
+        csv_spec = rule.input.csv
+        has_header = csv_spec.has_header if csv_spec else True
+        delimiter = csv_spec.delimiter if csv_spec else ","
+        columns = ([c.name for c in csv_spec.columns]
+                   if csv_spec and csv_spec.columns else None)
+        df = records_from_csv(spark, input_path, has_header, delimiter,
+                              columns)
+    else:
+        if input_text is None:
+            with open(input_path, encoding="utf-8") as fh:
+                input_text = fh.read()
+        records_path = (rule.input.json.records_path
+                        if rule.input.json else None)
+        df = records_from_json_text(spark, input_text, records_path)
+
+    compiler = RuleCompiler(rule, context=context, base_dir=base_dir)
+    compiled = compiler.compile_record(F.col("__record__"))
+    result = (
+        df.withColumn("__keep__", compiled.keep)
+          .filter(F.col("__keep__"))
+          .withColumn("__json__", compiled.out_json())
+          .select("__idx__", "__json__")
+    )
+    result, wrap = apply_finalize(result, rule, context)
+    rows = result.collect()
+    if rule.finalize is None or rule.finalize.sort is None:
+        rows = sorted(rows, key=lambda r: r["__idx__"])
+    records = [json.loads(r["__json__"]) for r in rows]
+    if wrap is not None:
+        return _apply_wrap(records, wrap, rule, spark, context)
+    return records

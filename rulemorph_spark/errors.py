@@ -1,0 +1,100 @@
+"""Typed errors for the rulemorph-spark engine.
+
+Mirrors the reference's error taxonomy (``crates/rulemorph/src/error.rs``)
+so golden error fixtures can assert ``{kind, path}``.  Runtime errors raised
+from inside Spark expressions are encoded as a JSON payload embedded in the
+``raise_error`` message and re-parsed by :func:`extract_engine_error`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+# Error kinds, mirroring the reference's TransformErrorKind
+# (crates/rulemorph/src/error.rs:115-124).  Internal snake_case codes are
+# normalized to the reference's CamelCase kinds at the error boundary.
+INVALID_INPUT = "InvalidInput"
+INVALID_REF = "InvalidRef"
+MISSING_REQUIRED = "MissingRequired"
+TYPE_CAST_FAILED = "TypeCastFailed"
+EXPR_ERROR = "ExprError"
+ASSERT_FAILED = "AssertionFailed"
+TARGET_ERROR = "InvalidTarget"
+
+_KIND_ALIASES = {
+    "invalid_input": INVALID_INPUT,
+    "invalid_records_path": "InvalidRecordsPath",
+    "invalid_ref": INVALID_REF,
+    "invalid_target": TARGET_ERROR,
+    "target_error": TARGET_ERROR,
+    "missing_required": MISSING_REQUIRED,
+    "type_cast_failed": TYPE_CAST_FAILED,
+    "expr_error": EXPR_ERROR,
+    "assert_failed": ASSERT_FAILED,
+    "unknown_op": EXPR_ERROR,
+    "invalid_args": EXPR_ERROR,
+}
+
+
+def normalize_kind(kind: str) -> str:
+    return _KIND_ALIASES.get(kind, kind)
+
+
+class RuleError(Exception):
+    """Static rule problem (parse/validation time)."""
+
+    def __init__(self, code: str, message: str, path: str | None = None):
+        self.code = code
+        self.path = path
+        super().__init__(f"{code}: {message}" + (f" at {path}" if path else ""))
+
+
+@dataclass
+class TransformEngineError(Exception):
+    """Runtime transform error with reference-compatible kind/path."""
+
+    kind: str
+    message: str
+    path: str | None = None
+    code: str | None = None  # asserts carry a user error code
+
+    def __str__(self) -> str:
+        loc = f" at {self.path}" if self.path else ""
+        return f"{self.kind}: {self.message}{loc}"
+
+
+_MARKER = "RULEMORPH_ERROR:"
+
+
+def encode_engine_error(kind: str, message: str, path: str | None = None,
+                        code: str | None = None) -> str:
+    """Payload for F.raise_error so the driver can recover {kind, path}."""
+    payload = {"kind": normalize_kind(kind), "message": message}
+    if path is not None:
+        payload["path"] = path
+    if code is not None:
+        payload["code"] = code
+    return _MARKER + json.dumps(payload)
+
+
+_PAYLOAD_RE = re.compile(re.escape(_MARKER) + r"(\{.*?\})(?=[\"']|$|\n)")
+
+
+def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
+    """Recover a TransformEngineError from a Spark exception message."""
+    text = str(exc)
+    m = _PAYLOAD_RE.search(text)
+    if not m:
+        return None
+    try:
+        payload = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return None
+    return TransformEngineError(
+        kind=payload.get("kind", EXPR_ERROR),
+        message=payload.get("message", ""),
+        path=payload.get("path"),
+        code=payload.get("code"),
+    )
