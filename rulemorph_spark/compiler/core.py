@@ -97,6 +97,12 @@ class Scope:
 # op name -> fn(scope, cur, args, path) ; populated by the ops modules.
 OPS: dict[str, object] = {}
 
+# ops backed by a pandas UDF — Spark forbids Python UDFs inside higher-
+# order-function lambdas, so these compile without the let-binding wrapper
+UDF_OPS = {"deep_merge", "object_flatten", "object_unflatten",
+           "pick", "omit"}  # pick/omit go through the UDF when paths are
+                            # dynamic (data-driven), so never let-bind them
+
 
 def register(name: str):
     def deco(fn):
@@ -125,23 +131,25 @@ def compile_ref(ref: Ref, scope: Scope, path: str) -> Column:
             return scope.item
         if ref.path == "index":
             return scope.item_index.cast("long").cast(V.VT)
-        rest = ref.path
-        if rest == "value":
-            return scope.item
-        if rest.startswith("value."):
-            rest = rest[len("value."):]
-        return V.navigate(scope.item, parse_path(rest))
+        # a leading "value" token addresses the item itself
+        # (eval_v2_ref, v2_eval.rs:335-354; v1 eval_ref transform.rs:1262)
+        tokens = parse_path(ref.path)
+        from ..paths import Key as _Key
+        if tokens and tokens[0] == _Key("value"):
+            tokens = tokens[1:]
+        return V.navigate(scope.item, tokens) if tokens else scope.item
     elif ref.namespace == "acc":
         if scope.acc is None:
             raise RuleError("expr_error",
                             "@acc is only available in reduce/fold operations",
                             path)
-        if ref.path in ("", "value"):
+        if ref.path == "":
             return scope.acc
-        rest = ref.path
-        if rest.startswith("value."):
-            rest = rest[len("value."):]
-        return V.navigate(scope.acc, parse_path(rest))
+        tokens = parse_path(ref.path)
+        from ..paths import Key as _Key
+        if tokens and tokens[0] == _Key("value"):
+            tokens = tokens[1:]
+        return V.navigate(scope.acc, tokens) if tokens else scope.acc
     elif ref.namespace == "local":
         name = ref.local_name
         if name not in scope.locals:
@@ -162,9 +170,9 @@ def compile_pipe(pipe: Pipe, scope: Scope, path: str = "expr") -> Column:
     elif isinstance(start, StartRef):
         cur = compile_ref(start.ref, scope, path)
     elif isinstance(start, StartPipeValue):
-        if scope.pipe is None:
-            raise RuleError("expr_error", "$ is not available here", path)
-        cur = scope.pipe
+        # a `$` start outside a pipe context evaluates to missing
+        # (V2EvalContext::new() has no pipe value)
+        cur = scope.pipe if scope.pipe is not None else V.missing()
     else:  # pragma: no cover
         raise RuleError("expr_error", "invalid pipe start", path)
 
@@ -183,7 +191,9 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
             raise RuleError("unknown_op", f"unknown op: {step.op}", path)
         lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
         n = len(step.args)
-        if n < lo or (hi is not None and n > hi):
+        # the pipe value is an implicit extra operand, so v1-converted ops
+        # may carry one fewer explicit arg than the v2 range
+        if n < lo - 1 or (hi is not None and n > hi):
             raise RuleError(
                 "invalid_args",
                 f"{step.op} expects between {lo} and {hi if hi is not None else 'inf'} args, got {n}",
@@ -191,7 +201,13 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
         fn = OPS.get(op)
         if fn is None:
             raise RuleError("unknown_op", f"op not implemented: {op}", path)
-        return fn(scope, cur, list(step.args), path), scope
+        # let-bind the pipe value: the op references it many times but the
+        # incoming tree is embedded exactly once (keeps analysis linear)
+        if op in UDF_OPS:
+            return fn(scope, cur, list(step.args), path), scope
+        result = V.let(cur,
+                       lambda x: fn(scope, x, list(step.args), path))
+        return result, scope
     if isinstance(step, LetStep):
         new_locals = dict(scope.locals)
         pipe_scope = scope.child(pipe=cur)
@@ -200,17 +216,24 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
             pipe_scope = pipe_scope.child(locals=dict(new_locals))
         return cur, scope.child(locals=new_locals)
     if isinstance(step, IfStep):
-        pipe_scope = scope.child(pipe=cur)
-        cond = compile_condition(step.cond, pipe_scope, f"{path}.if")
-        then_c = compile_pipe(step.then_branch, pipe_scope, f"{path}.then")
-        if step.else_branch is not None:
-            else_c = compile_pipe(step.else_branch, pipe_scope, f"{path}.else")
-        else:
-            else_c = cur  # absent else: pipe value unchanged (v2_eval.rs:916-953)
-        return F.when(F.coalesce(cond, F.lit(False)), then_c).otherwise(else_c), scope
+        def build_if(x):
+            pipe_scope = scope.child(pipe=x)
+            cond = compile_condition(step.cond, pipe_scope, f"{path}.if")
+            then_c = compile_pipe(step.then_branch, pipe_scope,
+                                  f"{path}.then")
+            if step.else_branch is not None:
+                else_c = compile_pipe(step.else_branch, pipe_scope,
+                                      f"{path}.else")
+            else:
+                # absent else: pipe value unchanged (v2_eval.rs:916-953)
+                else_c = x
+            return F.when(F.coalesce(cond, F.lit(False)),
+                          then_c).otherwise(else_c)
+        return V.let(cur, build_if), scope
     if isinstance(step, MapStep):
         from .ops_array import compile_map_step
-        return compile_map_step(step, cur, scope, path), scope
+        return V.let(cur, lambda x: compile_map_step(step, x, scope,
+                                                     path)), scope
     if isinstance(step, RefStep):
         return compile_ref(step.ref, scope.child(pipe=cur), path), scope
     raise RuleError("expr_error", f"unknown step type {type(step).__name__}", path)

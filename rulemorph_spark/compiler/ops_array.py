@@ -161,16 +161,22 @@ def _int_arg(scope, cur, arg: Pipe, path: str) -> Column:
     return _as_i64(value, path, "count must be an integer")
 
 
+def _clamped_count(n: Column, size: Column) -> Column:
+    """saturate n to [-size, size] — overflow-safe like the reference's
+    take/drop (``tests/array_ops_overflow_32bit.rs``); avoids ANSI
+    abs(i64::MIN) overflow."""
+    return F.greatest(F.least(n, size), -size)
+
+
 @register("take")
 def op_take(scope, cur, args, path):
     """take n from head; negative n takes from tail (``transform.rs:3272``)."""
     arr = _coerce_array(cur, path)
     n = _int_arg(scope, cur, args[0], path)
     size = F.size(arr).cast("long")
-    head = F.slice(arr, F.lit(1), F.least(n, size).cast("int"))
-    tail_start = F.greatest(size - F.abs(n) + 1, F.lit(1).cast("long"))
-    tail = F.slice(arr, tail_start.cast("int"),
-                   F.least(F.abs(n), size).cast("int"))
+    nc = _clamped_count(n, size)
+    head = F.slice(arr, F.lit(1), nc.cast("int"))
+    tail = F.slice(arr, (size + nc + 1).cast("int"), (-nc).cast("int"))
     return V.arr_to_variant(F.when(n >= 0, head).otherwise(tail))
 
 
@@ -179,11 +185,10 @@ def op_drop(scope, cur, args, path):
     arr = _coerce_array(cur, path)
     n = _int_arg(scope, cur, args[0], path)
     size = F.size(arr).cast("long")
-    head_dropped = F.slice(arr, (F.least(n, size) + 1).cast("int"),
-                           F.greatest(size - n, F.lit(0).cast("long")).cast("int"))
-    tail_dropped = F.slice(arr, F.lit(1),
-                           F.greatest(size - F.abs(n),
-                                      F.lit(0).cast("long")).cast("int"))
+    nc = _clamped_count(n, size)
+    head_dropped = F.slice(arr, (nc + 1).cast("int"),
+                           (size - nc).cast("int"))
+    tail_dropped = F.slice(arr, F.lit(1), (size + nc).cast("int"))
     return V.arr_to_variant(F.when(n >= 0, head_dropped).otherwise(tail_dropped))
 
 

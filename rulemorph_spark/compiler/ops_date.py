@@ -120,7 +120,9 @@ _DEFAULT_NAIVE = [
 ]
 # RFC3339 variants (chrono accepts 'Z' and fractional seconds)
 _RFC3339 = ["%Y-%m-%dT%H:%M:%S%:z", "%Y-%m-%dT%H:%M:%S%.f%:z"]
-_RFC2822_SPARK = ["EEE, d MMM yyyy HH:mm:ss xx", "d MMM yyyy HH:mm:ss xx"]
+# RFC2822: Spark forbids 'E' in parse patterns, so the optional weekday
+# prefix is stripped before parsing "d MMM yyyy HH:mm:ss xx"
+_RFC2822_SPARK = ["d MMM yyyy HH:mm:ss xx"]
 
 
 def _lit_str_arg(arg: Pipe, path: str, what: str):
@@ -173,7 +175,7 @@ def _try_parse(value: Column, chrono_fmt: str, path: str,
             off = _offset_str(tz_seconds or 0)
             cands.append(F.to_utc_timestamp(naive, off))
         else:
-            d = F.try_to_date(value, F.lit(spark_fmt))
+            d = F.call_function("try_to_date", value, F.lit(spark_fmt))
             naive = d.cast("timestamp")
             off = _offset_str(tz_seconds or 0)
             cands.append(F.to_utc_timestamp(naive, off))
@@ -195,9 +197,10 @@ def parse_datetime_utc(value: Column, formats: list[str] | None,
             c = _try_parse(value, f, path, tz_seconds)
             cands.append(c)
             offset_cands.append((c, _extract_offset_seconds(value)))
-        # RFC2822 (spark patterns directly)
+        # RFC2822 (spark patterns directly, weekday prefix stripped)
+        no_weekday = F.regexp_replace(value, r"^[A-Za-z]{3},\s*", "")
         for sf in _RFC2822_SPARK:
-            c = F.try_to_timestamp(value, F.lit(sf))
+            c = F.try_to_timestamp(no_weekday, F.lit(sf))
             cands.append(c)
             offset_cands.append((c, _extract_offset_seconds(value)))
         for f in _DEFAULT_NAIVE:

@@ -237,8 +237,27 @@ def _pick_tree(base: Column, token_paths, path) -> Column:
     return _build_object(fields)
 
 
+def _args_all_literal(args) -> bool:
+    return all(_literal_or_none(a) is not None for a in args)
+
+
+def _paths_need_udf(args, path, *, allow_terminal_index: bool) -> bool:
+    """Dynamic paths, or literal paths with array indexes, take the
+    python slow path (Column reconstruction handles object keys only)."""
+    if not _args_all_literal(args):
+        return True
+    try:
+        token_paths = _paths_from_args(args, path,
+                                       allow_terminal_index=allow_terminal_index)
+    except RuleError:
+        return True  # surface the reference-shaped error from the UDF
+    return any(isinstance(tok, Index) for t in token_paths for tok in t)
+
+
 @register("pick")
 def op_pick(scope, cur, args, path):
+    if _paths_need_udf(args, path, allow_terminal_index=True):
+        return _pick_omit_udf(scope, cur, args, path, pick=True)
     ops = _operands(scope, cur, args, path)
     base = ops[0]
     token_paths = _paths_from_args(args, path, allow_terminal_index=True)
@@ -271,12 +290,14 @@ def _omit_tree(base_map: Column, token_paths, path) -> Column:
             rewritten = V.map_to_variant(_omit_tree(child_obj, rests, path))
             return F.when((k == key) & child_obj.isNotNull(), rewritten) \
                     .otherwise(v)
-        result = F.transform_values(result, rewrite)
+        result = F.transform_values(result, lambda k, v, fn=rewrite: fn(k, v))
     return result
 
 
 @register("omit")
 def op_omit(scope, cur, args, path):
+    if _paths_need_udf(args, path, allow_terminal_index=False):
+        return _pick_omit_udf(scope, cur, args, path, pick=False)
     ops = _operands(scope, cur, args, path)
     base = ops[0]
     token_paths = _paths_from_args(args, path, allow_terminal_index=True)
@@ -292,6 +313,152 @@ def op_omit(scope, cur, args, path):
               rerr("expr_error", "expr arg must be object", path).cast(V.VT))
         .otherwise(omitted)
     )
+
+
+def _py_parse_paths(values, path, *, allow_terminal_index: bool):
+    """``eval_json_paths_arg`` (``transform.rs:4964-5040``) in Python."""
+    from ..paths import Index as PIndex
+    from ..paths import parse_path as pp
+    raw: list[str] = []
+    for v in values:
+        if isinstance(v, str):
+            raw.append(v)
+        elif isinstance(v, list):
+            for item in v:
+                if not isinstance(item, str):
+                    raise _py_err("expr_error",
+                                  "paths must be a string or array of "
+                                  "strings", path)
+                raw.append(item)
+        else:
+            raise _py_err("expr_error",
+                          "paths must be a string or array of strings", path)
+    token_paths = []
+    for p in raw:
+        try:
+            tokens = pp(p, error_code="expr_error")
+        except RuleError as e:
+            raise _py_err("expr_error", str(e), path)
+        if not allow_terminal_index and tokens and \
+                isinstance(tokens[-1], PIndex):
+            raise _py_err("expr_error",
+                          "path must not end with array index", path)
+        if tokens in token_paths:
+            continue
+        for existing in token_paths:
+            shorter, longer = sorted((existing, tokens), key=len)
+            if longer[:len(shorter)] == shorter:
+                raise _py_err("expr_error",
+                              "path conflicts with another path", path)
+        token_paths.append(tokens)
+    return token_paths
+
+
+def _py_set_path_with_indexes(root, tokens, value, path):
+    from ..paths import Index as PIndex
+    from ..paths import Key as PKey
+    cur = root
+    for i, tok in enumerate(tokens[:-1]):
+        nxt_tok = tokens[i + 1]
+        if isinstance(tok, PKey):
+            if not isinstance(cur, dict):
+                raise _py_err("expr_error",
+                              "intermediate path is not an object", path)
+            if tok.name not in cur:
+                cur[tok.name] = [] if isinstance(nxt_tok, PIndex) else {}
+            cur = cur[tok.name]
+        else:
+            if not isinstance(cur, list):
+                raise _py_err("expr_error",
+                              "intermediate path is not an array", path)
+            while len(cur) <= tok.index:
+                cur.append({} if isinstance(nxt_tok, PKey) else [])
+            cur = cur[tok.index]
+    last = tokens[-1]
+    if isinstance(last, PKey):
+        if not isinstance(cur, dict):
+            raise _py_err("expr_error",
+                          "intermediate path is not an object", path)
+        cur[last.name] = value
+    else:
+        if not isinstance(cur, list):
+            raise _py_err("expr_error",
+                          "intermediate path is not an array", path)
+        while len(cur) <= last.index:
+            cur.append(None)
+        cur[last.index] = value
+
+
+def _py_get_path(value, tokens):
+    from ..paths import get_path as gp
+    return gp(value, tokens)
+
+
+def _py_remove_path(value, tokens):
+    from ..paths import Index as PIndex
+    from ..paths import Key as PKey
+    cur = value
+    for tok in tokens[:-1]:
+        if isinstance(tok, PKey) and isinstance(cur, dict):
+            cur = cur.get(tok.name)
+        elif isinstance(tok, PIndex) and isinstance(cur, list) \
+                and 0 <= tok.index < len(cur):
+            cur = cur[tok.index]
+        else:
+            return
+    last = tokens[-1]
+    if isinstance(last, PKey) and isinstance(cur, dict):
+        cur.pop(last.name, None)
+    elif isinstance(last, PIndex) and isinstance(cur, list) \
+            and 0 <= last.index < len(cur):
+        cur.pop(last.index)
+
+
+def _pick_omit_udf(scope, cur, args, path, *, pick: bool):
+    """Dynamic pick/omit (paths from data, e.g. @context.paths) —
+    pandas-UDF slow path mirroring ``transform.rs:4476-4593``."""
+    ops = _operands(scope, cur, args, path)
+
+    def run(parts):
+        base = parts[0]
+        if base == _MISSING_SENTINEL:
+            return None
+        if base is None:
+            raise _py_err("expr_error", "expr arg must not be null", path)
+        if not isinstance(base, dict):
+            raise _py_err("expr_error", "expr arg must be object", path)
+        raw_paths = []
+        for p in parts[1:]:
+            if p == _MISSING_SENTINEL:
+                return None
+            if p is None:
+                raise _py_err("expr_error", "expr arg must not be null", path)
+            raw_paths.append(p)
+        token_paths = _py_parse_paths(raw_paths, path,
+                                      allow_terminal_index=pick)
+        if pick:
+            out = {}
+            for tokens in token_paths:
+                found, v = _py_get_path(base, tokens)
+                if found:
+                    _py_set_path_with_indexes(out, tokens, v, path)
+            return _json.dumps(out)
+        for tokens in token_paths:
+            _py_remove_path(base, tokens)
+        return _json.dumps(base)
+
+    packed = F.to_json(F.array(*[
+        F.coalesce(F.to_json(o), F.lit(_json.dumps(_MISSING_SENTINEL)))
+        for o in ops
+    ]).cast("array<string>"))
+
+    def outer(texts):
+        return run([_json.loads(t) for t in texts])
+
+    udf = _json_udf("pick_omit", outer)
+    result = udf(packed)
+    return F.when(result.isNull(), F.lit(None).cast(V.VT)).otherwise(
+        F.parse_json(result))
 
 
 def _obj_unary(scope, cur, args, path, fn):
@@ -397,19 +564,30 @@ def op_from_entries(scope, cur, args, path):
 
 
 def _make_object_flatten(path):
+    """``flatten_object`` (``transform.rs:5077-5143``): dotted keys are
+    bracket-quoted in the flat path; bracket/empty keys error; empty
+    objects stay as ``{}`` leaves."""
+    def seg(prefix, k):
+        if k == "":
+            raise _py_err("expr_error",
+                          "object_flatten does not support empty keys", path)
+        if "[" in k or "]" in k:
+            raise _py_err(
+                "expr_error",
+                "object_flatten does not support keys with '[' or ']'", path)
+        if "." in k:
+            escaped = k.replace("\\", "\\\\").replace('"', '\\"')
+            return prefix + f'["{escaped}"]'
+        return f"{prefix}.{k}" if prefix else k
+
     def flatten(obj):
         if not isinstance(obj, dict):
             raise _py_err("expr_error", "expr arg must be object", path)
         out = {}
         def walk(prefix, m):
             for k, v in m.items():
-                if k == "" or "[" in k or "]" in k or "." in k:
-                    raise _py_err(
-                        "expr_error",
-                        "object keys must not contain dots or brackets",
-                        path)
-                p = f"{prefix}.{k}" if prefix else k
-                if isinstance(v, dict):
+                p = seg(prefix, k)
+                if isinstance(v, dict) and v:
                     walk(p, v)
                 else:
                     out[p] = v

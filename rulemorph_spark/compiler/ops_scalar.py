@@ -156,8 +156,8 @@ def _replace_literal_first(value, pattern, replacement):
 def _replace_regex_first(value, pattern, replacement):
     # first-match splice: locate, re-replace just the matched slice so $n
     # group references still resolve (Rust regex.replace(first)).
-    pos = F.regexp_instr(value, pattern)  # 1-based, 0 = no match
-    matched = F.regexp_extract(value, pattern, 0)
+    pos = F.call_function("regexp_instr", value, pattern)  # 1-based, 0=miss
+    matched = F.call_function("regexp_extract", value, pattern, F.lit(0))
     head = F.substring(value, F.lit(1), pos - 1)
     tail = F.substring(value, pos + F.length(matched), F.length(value))
     replaced = F.regexp_replace(matched, pattern, replacement)
@@ -304,8 +304,8 @@ def op_to_base(scope, cur, args, path):
     base = F.when((base < 2) | (base > 36), rerr(
         "expr_error", "base must be between 2 and 36",
         path).cast("long")).otherwise(base)
-    digits = F.lower(F.conv(F.abs(number).cast("string"), F.lit(10),
-                            base.cast("int")))
+    digits = F.lower(F.call_function("conv", F.abs(number).cast("string"),
+                                     F.lit(10), base.cast("int")))
     result = F.when(number < 0, F.concat(F.lit("-"), digits)).otherwise(digits)
     return seq_strict(ops, path, result.cast(V.VT))
 

@@ -1,40 +1,41 @@
 """Rule compiler: ``RuleFile`` → a DataFrame transformation.
 
 The reference interprets rules per record (``transform.rs:363-531``); here
-the whole rule becomes ONE Spark projection:
+the whole rule becomes a short chain of Spark projections:
 
-- every mapping compiles to a variant Column (SQL NULL = key omitted)
-- ``@out`` references resolve to previously compiled mapping Columns
-  directly (no re-evaluation — the reference's validator guarantees
-  acyclicity, ``v2_validator.rs:958-1007``)
-- ``record_when`` / step ``record_when`` become a single boolean keep
-  Column → one ``df.filter``
+- every mapping compiles to a variant Column and is **materialized** as a
+  real column (one narrow ``select`` each) — ``@out`` references then
+  resolve to cheap attribute references instead of re-embedding the
+  producing expression (the reference's validator guarantees acyclicity,
+  ``v2_validator.rs:958-1007``, so mapping order is a valid projection
+  order)
+- ``record_when`` / step ``record_when`` fold into one boolean keep
+  column → a single ``df.filter``
 - ``branch`` compiles the referenced rule files up front and routes with
   ``F.when`` (static dispatch of the closed rule set)
 - output objects assemble via ``to_json(struct(...))``, which drops
-  missing (SQL NULL) keys and keeps explicit nulls — the tri-state
-  collapses exactly at the output boundary
+  missing (SQL NULL) keys and keeps explicit nulls — the missing/null
+  tri-state collapses exactly at the output boundary
 
-Result: Catalyst sees one wide projection + one filter per rule, fully
-whole-stage-codegen-able, instead of a per-record interpreter loop.
+Catalyst's CollapseProject keeps multi-referenced non-cheap columns
+materialized, so the optimized plan stays one codegen stage per rule
+without re-inlining the trees.
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import RuleError
-from ..expr_ir import (is_v2_expr, parse_condition, parse_expr,
-                       v1_expr_to_pipe)
+from ..expr_ir import is_v2_expr, parse_condition, parse_expr, v1_expr_to_pipe
 from ..model import Mapping, RuleFile, load_rule_file
 from ..paths import Key, parse_path
 from . import variant as V
 from .core import (Scope, compile_condition, compile_pipe, lenient_errors,
-                   rule_version)
+                   rerr, rule_version)
 
 # ensure op modules register themselves
 from . import ops_scalar  # noqa: F401
@@ -44,8 +45,22 @@ from . import ops_lookup  # noqa: F401
 from . import ops_date  # noqa: F401
 
 
+class Builder:
+    """Accumulates materialized columns onto a DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._n = 0
+
+    def add(self, col: Column, tag: str = "m") -> Column:
+        name = f"__{tag}{self._n}__"
+        self._n += 1
+        self.df = self.df.select("*", col.alias(name))
+        return F.col(name)
+
+
 class OutTree:
-    """Static tree of output targets → compiled Columns."""
+    """Static tree of output targets → materialized Columns."""
 
     def __init__(self):
         self.children: dict[str, "OutTree | Column"] = {}
@@ -68,16 +83,7 @@ class OutTree:
                             f"target {'.'.join(tokens)!r} conflicts", path)
         node.children[leaf] = col
 
-    def get(self, tokens: list[str]):
-        node = self
-        for t in tokens:
-            if not isinstance(node, OutTree):
-                return None
-            node = node.children.get(t)
-        return node
-
     def presence(self) -> Column:
-        """true when any leaf is present (non-missing)."""
         parts = []
         for child in self.children.values():
             if isinstance(child, OutTree):
@@ -90,7 +96,6 @@ class OutTree:
         return result
 
     def to_struct_json(self) -> Column:
-        """JSON text of the output object (missing keys dropped)."""
         if not self.children:
             return F.lit("{}")
         return F.to_json(self.to_struct())
@@ -99,7 +104,7 @@ class OutTree:
         fields = []
         for name, child in self.children.items():
             if isinstance(child, OutTree):
-                # a sub-object materializes only when a child is present
+                # sub-objects materialize only when a child is present
                 # (set_path creates intermediates lazily, transform.rs:6075+)
                 sub = F.when(child.presence(), child.to_struct())
                 fields.append(sub.alias(name))
@@ -114,8 +119,8 @@ class OutTree:
 
     def merged_with(self, other: "OutTree", cond: Column,
                     deep: bool) -> "OutTree":
-        """Static merge: rows where ``cond`` take other's keys (deep-merged
-        into self); other rows keep self."""
+        """Static tree merge: rows where ``cond`` holds take ``other``'s
+        keys deep-merged over self (``transform.rs:533-564``)."""
         result = OutTree()
         keys = list(self.children.keys()) + [
             k for k in other.children if k not in self.children]
@@ -126,27 +131,17 @@ class OutTree:
                 result.children[k] = a
             elif a is None:
                 if isinstance(b, OutTree):
-                    gated = _gate_tree(b, cond)
-                    result.children[k] = gated
+                    result.children[k] = _gate_tree(b, cond)
                 else:
                     result.children[k] = F.when(cond, b)
+            elif deep and isinstance(a, OutTree) and isinstance(b, OutTree):
+                result.children[k] = a.merged_with(b, cond, deep)
             else:
-                if deep and isinstance(a, OutTree) and isinstance(b, OutTree):
-                    result.children[k] = a.merged_with(b, cond, deep)
-                else:
-                    if isinstance(a, OutTree) or isinstance(b, OutTree):
-                        av = a.to_variant() if isinstance(a, OutTree) else a
-                        bv = b.to_variant() if isinstance(b, OutTree) else b
-                        result.children[k] = F.when(cond, bv).otherwise(av)
-                    else:
-                        result.children[k] = F.when(cond, b).otherwise(a)
+                av = a.to_variant() if isinstance(a, OutTree) else a
+                bv = b.to_variant() if isinstance(b, OutTree) else b
+                result.children[k] = F.when(cond & bv.isNotNull(), bv) \
+                                      .otherwise(av)
         return result
-
-    def copy(self) -> "OutTree":
-        t = OutTree()
-        for k, v in self.children.items():
-            t.children[k] = v.copy() if isinstance(v, OutTree) else v
-        return t
 
 
 def _gate_tree(tree: OutTree, cond: Column) -> OutTree:
@@ -159,14 +154,13 @@ def _gate_tree(tree: OutTree, cond: Column) -> OutTree:
     return g
 
 
-@dataclass
 class CompiledRecordRule:
-    """Per-record compilation result."""
-
-    keep: Column          # boolean: record passes record_when chain
-    out_tree: OutTree     # output object tree
-    returned: Column      # branch return-flag
-    returned_out: Column  # variant output for returned rows
+    def __init__(self, keep: Column, out_tree: OutTree, returned: Column,
+                 returned_out: Column):
+        self.keep = keep
+        self.out_tree = out_tree
+        self.returned = returned
+        self.returned_out = returned_out
 
     def out_json(self) -> Column:
         normal = self.out_tree.to_struct_json()
@@ -213,7 +207,6 @@ class RuleCompiler:
 
     def _compile_mapping_value(self, mapping: Mapping, scope: Scope,
                                path: str) -> Column:
-        from .core import rerr
         if mapping.source is not None:
             value = self._resolve_source(mapping.source, scope, path)
         elif mapping.has_value:
@@ -241,24 +234,26 @@ class RuleCompiler:
         else:
             on_null = V.vnull()
 
-        casted = value
-        if mapping.value_type is not None:
-            casted = self._cast(value, mapping.value_type, f"{path}.type")
+        def finish(v):
+            casted = v
+            if mapping.value_type is not None:
+                casted = self._cast(v, mapping.value_type, f"{path}.type")
+            return (
+                F.when(v.isNull(), on_missing)
+                .when(V.is_vnull(v), on_null)
+                .otherwise(casted)
+            )
 
-        return (
-            F.when(value.isNull(), on_missing)
-            .when(V.is_vnull(value), on_null)
-            .otherwise(casted)
-        )
+        return V.let(value, finish)
 
     def _cast(self, value: Column, type_name: str, path: str) -> Column:
-        from .core import rerr
         if type_name not in ("string", "int", "float", "bool"):
             raise RuleError("type_cast_failed",
                             "type must be string|int|float|bool", path)
         t = V.typeof(value)
         if type_name == "string":
-            return V.to_string_strict(value, path).cast(V.VT)
+            return V.to_string_strict(
+                value, path, "failed to cast to string").cast(V.VT)
         if type_name == "int":
             d = value.try_cast("double")
             s_parsed = value.try_cast("string").try_cast("long")
@@ -273,10 +268,13 @@ class RuleCompiler:
             )
         if type_name == "float":
             parsed = value.try_cast("string").try_cast("double")
+            # JSON has no NaN/Infinity — a string parsing to one is a cast
+            # failure (serde from_f64 → None, transform.rs:5962-5981)
+            finite = parsed.isNotNull() & ~F.isnan(parsed) & \
+                (F.abs(parsed) != F.lit(float("inf")))
             return (
                 F.when(V.is_number(value), value.try_cast("double").cast(V.VT))
-                .when(V.is_string(value) & parsed.isNotNull(),
-                      parsed.cast(V.VT))
+                .when(V.is_string(value) & finite, parsed.cast(V.VT))
                 .otherwise(rerr("type_cast_failed", "failed to cast to float",
                                 path).cast(V.VT))
             )
@@ -292,7 +290,7 @@ class RuleCompiler:
     def _resolve_source(self, source: str, scope: Scope,
                         path: str) -> Column:
         """``resolve_source`` (``transform.rs:1144-1175``): namespace-
-        optional dot path; bare single key means input.<key>."""
+        optional dot path; a bare single key means ``input.<key>``."""
         text = source
         if text.startswith("input."):
             ns, rest = "input", text[len("input."):]
@@ -319,11 +317,13 @@ class RuleCompiler:
 
     # -- record-level compilation ---------------------------------------
 
-    def compile_record(self, input_col: Column) -> CompiledRecordRule:
+    def compile(self, builder: Builder, input_col: Column) \
+            -> CompiledRecordRule:
         with rule_version(self.rule.version):
-            return self._compile_record_inner(input_col)
+            return self._compile_inner(builder, input_col)
 
-    def _compile_record_inner(self, input_col: Column) -> CompiledRecordRule:
+    def _compile_inner(self, builder: Builder,
+                       input_col: Column) -> CompiledRecordRule:
         context_col = (V.lit_variant(self.context)
                        if self.context is not None else None)
         out_tree = OutTree()
@@ -333,22 +333,15 @@ class RuleCompiler:
 
         def scope():
             return Scope(input=input_col, context=context_col,
-                         out=out_tree.to_variant() if out_tree.children
-                         else V.lit_variant({}),
-                         locals={})
-
-        def scope_with_out_refs():
-            """Scope whose @out resolves through the static tree."""
-            s = scope()
-            return s
+                         out=out_tree.to_variant(), locals={})
 
         if self.rule.has_record_when:
             cond = self._compile_when(self.rule.record_when, scope(),
                                       "record_when")
-            keep = F.coalesce(cond, F.lit(False))
+            keep = builder.add(F.coalesce(cond, F.lit(False)), "k")
 
         def apply_mappings(mappings, base_path):
-            nonlocal out_tree
+            nonlocal keep
             for i, m in enumerate(mappings):
                 mpath = f"{base_path}[{i}]"
                 tokens = parse_path(m.target, allow_index=False,
@@ -356,13 +349,14 @@ class RuleCompiler:
                 names = [t.name for t in tokens if isinstance(t, Key)]
                 s = scope()
                 value = self._compile_mapping_value(m, s, mpath)
-                # guard: skipped records / when-false / return-taken rows
-                # never evaluate (and never error)
+                # guard: filtered records / when-false / returned rows
+                # never evaluate the value (and never raise)
                 gate = keep & ~returned
                 if m.has_when:
                     wcond = self._compile_when(m.when, s, f"{mpath}.when")
                     gate = gate & F.coalesce(wcond, F.lit(False))
-                out_tree.set(names, F.when(gate, value), mpath)
+                materialized = builder.add(F.when(gate, value), "m")
+                out_tree.set(names, materialized, mpath)
 
         if self.rule.steps is not None:
             for si, step in enumerate(self.rule.steps):
@@ -372,10 +366,10 @@ class RuleCompiler:
                 if step.has_record_when:
                     cond = self._compile_when(step.record_when, scope(),
                                               f"{spath}.record_when")
-                    keep = keep & (returned |
-                                   F.coalesce(cond, F.lit(False)))
+                    keep = builder.add(
+                        keep & (returned | F.coalesce(cond, F.lit(False))),
+                        "k")
                 if step.asserts is not None:
-                    from .core import rerr as _rerr
                     for ai, a in enumerate(step.asserts):
                         apath = f"{spath}.asserts[{ai}]"
                         cond = self._compile_when(a.when, scope(), apath)
@@ -385,12 +379,13 @@ class RuleCompiler:
                             V.raise_err("assert_failed", a.error.message,
                                         apath, a.error.code).cast("boolean")
                         ).otherwise(F.lit(True))
-                        keep = keep & guard
+                        keep = builder.add(keep & guard, "k")
                 if step.branch is not None:
                     keep, returned, returned_out, out_tree = \
-                        self._compile_branch(step.branch, spath, scope,
-                                             keep, returned, returned_out,
-                                             out_tree, input_col, context_col)
+                        self._compile_branch(builder, step.branch, spath,
+                                             scope, keep, returned,
+                                             returned_out, out_tree,
+                                             input_col)
         else:
             apply_mappings(self.rule.mappings, "mappings")
 
@@ -398,56 +393,114 @@ class RuleCompiler:
                                   returned=returned,
                                   returned_out=returned_out)
 
-    def _compile_branch(self, branch, spath, scope_fn, keep, returned,
-                        returned_out, out_tree, input_col, context_col):
-        """branch step (``transform.rs:491-564``): route the record through
-        another rule file; merge its output or return it."""
+    def _compile_branch(self, builder: Builder, branch, spath, scope_fn,
+                        keep, returned, returned_out, out_tree, input_col):
+        """branch step (``transform.rs:491-527``): the referenced rule runs
+        with **@input = the current @out** (``transform.rs:509``) and its
+        own per-record finalize (``transform.rs:288-308``); the result is
+        deep-merged into the output or returned outright."""
         cond = self._compile_when(branch.when, scope_fn(), f"{spath}.branch")
-        cond = F.coalesce(cond, F.lit(False))
+        cond = builder.add(F.coalesce(cond, F.lit(False)), "b")
+        branch_input = builder.add(out_tree.to_variant(), "bi")
 
         def compile_target(rel_path):
             if rel_path is None:
                 return None
-            full = os.path.join(self.base_dir, rel_path)
+            full = rel_path if os.path.isabs(rel_path) \
+                else os.path.join(self.base_dir, rel_path)
             sub_rule = load_rule_file(full)
+            # nested branch paths resolve relative to the referenced
+            # rule file's directory (transform.rs:566-601)
             sub = RuleCompiler(sub_rule, context=self.context,
-                               base_dir=self.base_dir)
-            # branch rules see the same @input; @out starts fresh
-            return sub.compile_record(input_col)
+                               base_dir=os.path.dirname(full))
+            compiled = sub.compile(builder, branch_input)
+            if sub_rule.finalize is not None and not branch.return_:
+                raise RuleError(
+                    "invalid_rule",
+                    "branch rules with finalize require return: true",
+                    spath)
+            out_col, sub_keep = self._apply_record_finalize(
+                builder, sub_rule, compiled)
+            return compiled, out_col, sub_keep
 
         then_c = compile_target(branch.then)
         else_c = compile_target(branch.else_)
 
         active = keep & ~returned
-        for taken, compiled in ((cond, then_c), (~cond, else_c)):
-            if compiled is None:
+        for taken, target in ((cond, then_c), (~cond, else_c)):
+            if target is None:
                 continue
-            gate = active & taken & compiled.keep
+            compiled, out_col, sub_keep = target
+            gate = active & taken & sub_keep
             if branch.return_:
-                branch_out = compiled.out_json()
-                returned_out = F.when(gate & ~returned,
-                                      F.parse_json(branch_out)) \
-                                .otherwise(returned_out)
-                returned = returned | (active & taken & compiled.keep)
-                # records not kept by the branch rule are dropped
-                keep = keep & (~(active & taken) | compiled.keep)
+                returned_out = builder.add(
+                    F.when(gate & ~returned, out_col)
+                    .otherwise(returned_out), "r")
+                returned = builder.add(returned | gate, "rf")
             else:
                 out_tree = out_tree.merged_with(compiled.out_tree, gate,
                                                 deep=True)
-                keep = keep & (~(active & taken) | compiled.keep)
+            keep = builder.add(keep & (~(active & taken) | sub_keep), "k")
         return keep, returned, returned_out, out_tree
 
+    def _apply_record_finalize(self, builder: Builder, sub_rule: RuleFile,
+                               compiled: CompiledRecordRule):
+        """Per-record finalize for a branch-referenced rule
+        (``transform.rs:288-308``): the single output record becomes a
+        singleton array; filter/sort checks/wrap apply to it.
 
-def compile_rule_to_dataframe(rule: RuleFile, df: DataFrame,
-                              record_col: str = "__record__",
-                              context=None,
-                              base_dir: str = ".") -> DataFrame:
-    """df(record variant, __idx long) → df(__idx, __json string)."""
-    compiler = RuleCompiler(rule, context=context, base_dir=base_dir)
-    compiled = compiler.compile_record(F.col(record_col))
-    result = (
-        df.withColumn("__keep__", compiled.keep)
-        .filter(F.col("__keep__"))
-        .withColumn("__json__", compiled.out_json())
-    )
-    return result
+        Returns (output_variant_col, keep_col).
+        """
+        out_v = F.parse_json(compiled.out_json())
+        keep = compiled.keep
+        fin = sub_rule.finalize
+        if fin is None:
+            return builder.add(out_v, "bo"), keep
+        from .core import lenient_errors as _lenient
+        from ..expr_ir import parse_condition as _pc
+        with rule_version(sub_rule.version):
+            if fin.has_filter:
+                arr = F.array(out_v).cast(V.VT)
+                scope = Scope(input=out_v, context=(
+                    V.lit_variant(self.context)
+                    if self.context is not None else None),
+                    out=arr, item=out_v, item_index=F.lit(0), pipe=out_v)
+                with _lenient():
+                    cond = compile_condition(_pc(fin.filter), scope,
+                                             "finalize.filter")
+                keep = keep & F.coalesce(cond, F.lit(False))
+            if fin.sort is not None:
+                tokens = parse_path(fin.sort.by, error_code="expr_error")
+                skey = V.navigate(out_v, tokens)
+                keep = keep & F.when(
+                    skey.isNull(),
+                    V.raise_err("invalid_ref",
+                                "finalize.sort.by path not found",
+                                "finalize.sort.by").cast("boolean")
+                ).otherwise(F.lit(True))
+            if fin.offset or (fin.limit is not None and fin.limit < 1):
+                keep = keep & F.lit(False)
+            if fin.has_wrap:
+                arr = F.when(keep, F.array(out_v)).otherwise(F.array()) \
+                       .cast(V.VT)
+                out_v = self._compile_wrap_template(fin.wrap, arr,
+                                                    "finalize.wrap")
+        return builder.add(out_v, "bo"), keep
+
+    def _compile_wrap_template(self, wrap, arr_col: Column,
+                               path: str) -> Column:
+        """wrap template → variant Column (objects nest, leaves are v2
+        exprs over @input/@out = the records array)."""
+        if isinstance(wrap, dict):
+            fields = []
+            for k, v in wrap.items():
+                fields.append(
+                    self._compile_wrap_template(v, arr_col,
+                                                f"{path}.{k}").alias(k))
+            return F.parse_json(F.to_json(F.struct(*fields)))
+        pipe = parse_expr(wrap)
+        scope = Scope(input=arr_col, out=arr_col,
+                      context=(V.lit_variant(self.context)
+                               if self.context is not None else None))
+        value = compile_pipe(pipe, scope, path)
+        return F.coalesce(value, V.vnull())

@@ -202,6 +202,32 @@ def navigate(v: Column, tokens) -> Column:
     return cur
 
 
+def let(col: Column, fn) -> Column:
+    """Pure-expression let-binding: embed ``col`` ONCE, give ``fn`` a
+    lambda variable to reference freely.
+
+    Ops dispatch on operand type, so a naive compile references each
+    operand 5-10×; over a pipe of S steps that multiplies to k^S tree
+    nodes and OOMs the driver during analysis.  Binding through a
+    single-element ``transform`` lambda keeps the tree linear while
+    preserving per-row laziness of error branches.
+    """
+    return F.try_element_at(F.transform(F.array(col), fn), F.lit(1))
+
+
+def let_many(cols: list[Column], fn) -> Column:
+    """let() for several operands at once (bound via one struct)."""
+    if not cols:
+        return fn()
+    if len(cols) == 1:
+        return let(cols[0], fn)
+    s = F.struct(*[c.alias(f"_b{i}") for i, c in enumerate(cols)])
+    return F.try_element_at(
+        F.transform(F.array(s),
+                    lambda b: fn(*[b[f"_b{i}"] for i in range(len(cols))])),
+        F.lit(1))
+
+
 def strict_json(v: Column) -> Column:
     """Canonical JSON text of a variant for strict (v2) equality.
 

@@ -157,10 +157,16 @@ def apply_finalize(df: DataFrame, rule: RuleFile,
         key = V.navigate(item, tokens)
         t = V.typeof(key)
         ok = V.is_number(key) | (t == "STRING") | (t == "BOOLEAN")
-        key_checked = F.when(ok, key).otherwise(
-            V.raise_err("expr_error",
-                        "finalize.sort key must be number, string, or "
-                        "boolean", "finalize.sort"))
+        # absent key is a hard error (transform.rs:663-669)
+        key_checked = (
+            F.when(key.isNull(),
+                   V.raise_err("invalid_ref",
+                               "finalize.sort.by path not found",
+                               "finalize.sort.by"))
+            .when(~ok, V.raise_err("expr_error",
+                                   "sort key must be string/number/bool",
+                                   "finalize.sort.by"))
+            .otherwise(key))
         num_key = F.when(V.is_number(key_checked),
                          key_checked.try_cast("double"))
         str_key = F.when(~V.is_number(key_checked),
@@ -187,35 +193,31 @@ def apply_finalize(df: DataFrame, rule: RuleFile,
 
 def _apply_wrap(records: list, wrap, rule: RuleFile, spark: SparkSession,
                 context=None):
-    """finalize.wrap: object template whose leaf strings are v2 exprs with
-    @input = the whole output array (``transform.rs:707-749``)."""
+    """finalize.wrap: object template — objects nest, every other node is
+    a v2 expr evaluated with both @input and @out bound to the whole
+    output array; missing → null (``transform.rs:707-749``)."""
     arr_json = json.dumps(records)
+    df = spark.range(1).select(F.parse_json(F.lit(arr_json)).alias("__arr__"))
 
-    def eval_leaf(raw):
+    def eval_leaf(raw, path):
         pipe = parse_expr(raw)
-        df = spark.range(1).select(
-            F.parse_json(F.lit(arr_json)).alias("__arr__"))
         with rule_version(rule.version):
-            scope = Scope(input=F.col("__arr__"),
+            scope = Scope(input=F.col("__arr__"), out=F.col("__arr__"),
                           context=(V.lit_variant(context)
                                    if context is not None else None))
-            col = compile_pipe(pipe, scope, "finalize.wrap")
+            col = compile_pipe(pipe, scope, path)
         row = df.select(F.to_json(col).alias("j")).collect()[0]
         return json.loads(row["j"]) if row["j"] is not None else None
 
-    def walk(node):
+    def walk(node, path):
         if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, list):
-            return [walk(v) for v in node]
-        if isinstance(node, str):
-            return eval_leaf(node)
-        return node
+            return {k: walk(v, f"{path}.{k}") for k, v in node.items()}
+        return eval_leaf(node, path)
 
     try:
-        return walk(wrap)
+        return walk(wrap, "finalize.wrap")
     except RuleError as e:
-        raise TransformEngineError("expr_error", str(e), "finalize.wrap")
+        raise TransformEngineError("ExprError", str(e), "finalize.wrap")
 
 
 # --- main entry ---------------------------------------------------------
@@ -269,13 +271,16 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
                         if rule.input.json else None)
         df = records_from_json_text(spark, input_text, records_path)
 
+    from .compiler.rule import Builder
     compiler = RuleCompiler(rule, context=context, base_dir=base_dir)
-    compiled = compiler.compile_record(F.col("__record__"))
+    builder = Builder(df)
+    compiled = compiler.compile(builder, F.col("__record__"))
     result = (
-        df.withColumn("__keep__", compiled.keep)
-          .filter(F.col("__keep__"))
-          .withColumn("__json__", compiled.out_json())
-          .select("__idx__", "__json__")
+        builder.df
+        .withColumn("__keep__", compiled.keep)
+        .filter(F.col("__keep__"))
+        .withColumn("__json__", compiled.out_json())
+        .select("__idx__", "__json__")
     )
     result, wrap = apply_finalize(result, rule, context)
     rows = result.collect()

@@ -79,17 +79,40 @@ def encode_engine_error(kind: str, message: str, path: str | None = None,
     return _MARKER + json.dumps(payload)
 
 
-_PAYLOAD_RE = re.compile(re.escape(_MARKER) + r"(\{.*?\})(?=[\"']|$|\n)")
-
-
 def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
     """Recover a TransformEngineError from a Spark exception message."""
     text = str(exc)
-    m = _PAYLOAD_RE.search(text)
-    if not m:
+    start = text.find(_MARKER)
+    if start < 0:
+        return None
+    i = start + len(_MARKER)
+    if i >= len(text) or text[i] != "{":
+        return None
+    depth, in_str, esc = 0, False, False
+    end = None
+    for j in range(i, len(text)):
+        c = text[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                end = j + 1
+                break
+    if end is None:
         return None
     try:
-        payload = json.loads(m.group(1))
+        payload = json.loads(text[i:end])
     except json.JSONDecodeError:
         return None
     return TransformEngineError(
