@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Includes ``rule_engine_lookup``: the Spark engine running the reference's
+own perf workload shape (records × lookup_first/lookup into 100-user /
+100-tag contexts — ``crates/rulemorph/tests/performance.rs:32-97``,
+``benches/transform_bench.rs:98-131``) so BENCH anchors to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from rulemorph_spark.engine import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("rulemorph-bench", cpus=cpus)
+
+    headline = [
+        "q_agg_pricing_summary",   # flagship group-by aggregation
+        "q_lookup_first",          # broadcast-join lookup
+        "q_lookup_all",            # join + collect_list
+        "q_steps_pipeline",        # multi-step expression pipeline
+        "q_window_rank",           # window functions
+        "q_array_zip_with",        # HOF array ops over collected arrays
+        "q_text_tokens",           # text analysis scan
+        "q_dedup_exact",           # hash-shuffle dedup
+        "q_minhash_signature",     # MinHash signatures
+        "q_embedding_topk",        # brute-force ANN
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session on a trivial action
+    spark.range(1000).count()
+
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+_LOOKUP_RULE = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "id"
+    source: "id"
+  - target: "user_name"
+    expr:
+      - lookup_first: ["@context.users", "id", "@input.user_id", "name"]
+      - coalesce: ["N/A"]
+  - target: "tags"
+    expr:
+      - lookup: ["@context.tags", "id", "@input.tag_id", "value"]
+"""
+
+
+def _rule_engine_lookup(spark, n_records: int = 10000, n_users: int = 100,
+                        n_tags: int = 100) -> float:
+    """The reference's perf_lookup_transform workload
+    (``tests/performance.rs:62-97``) through the compiled rule engine."""
+    import json as _json
+
+    from rulemorph_spark.compiler.rule import Builder, RuleCompiler
+    from rulemorph_spark.model import parse_rule_file
+
+    context = {
+        "users": [{"id": i, "name": f"user{i}", "role": "member"}
+                  for i in range(n_users)],
+        "tags": [{"id": f"t{i}", "value": f"tag-{i}"}
+                 for i in range(n_tags)],
+    }
+    records = spark.range(n_records).select(
+        F.col("id").alias("__idx__"),
+        F.parse_json(F.concat(
+            F.lit('{"id": '), F.col("id").cast("string"),
+            F.lit(', "user_id": '), (F.col("id") % (n_users + 10))
+            .cast("string"),
+            F.lit(', "tag_id": "t'), (F.col("id") % (n_tags + 10))
+            .cast("string"), F.lit('"}'),
+        )).alias("__record__"))
+
+    rule = parse_rule_file(_LOOKUP_RULE)
+    t0 = time.perf_counter()
+    builder = Builder(records)
+    compiled = RuleCompiler(rule, context=context).compile(
+        builder, F.col("__record__"))
+    out = (builder.df.withColumn("__keep__", compiled.keep)
+           .filter("__keep__").select(compiled.out_json().alias("j")))
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

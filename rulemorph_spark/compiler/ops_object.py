@@ -284,13 +284,18 @@ def _omit_tree(base_map: Column, token_paths, path) -> Column:
     if top_removed:
         names = F.array(*[F.lit(n) for n in top_removed])
         result = F.map_filter(result, lambda k, v: ~F.array_contains(names, k))
-    for key, rests in nested.items():
-        def rewrite(k, v, key=key, rests=rests):
+    def rewriter(key, rests):
+        # factory, not default-arg lambda: pyspark counts default params
+        # as extra HOF lambda variables
+        def rewrite(k, v):
             child_obj = V.as_map(v)
             rewritten = V.map_to_variant(_omit_tree(child_obj, rests, path))
             return F.when((k == key) & child_obj.isNotNull(), rewritten) \
                     .otherwise(v)
-        result = F.transform_values(result, lambda k, v, fn=rewrite: fn(k, v))
+        return rewrite
+
+    for key, rests in nested.items():
+        result = F.transform_values(result, rewriter(key, rests))
     return result
 
 

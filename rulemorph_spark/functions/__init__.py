@@ -1,0 +1,18 @@
+"""Typed-column operator library — the 100 TB scale path.
+
+The rule engine (``rulemorph_spark.compiler``) interprets dynamic JSON
+records through variant columns; this package re-expresses every operator
+family over **typed** DataFrame columns, where Catalyst gets full
+predicate pushdown, column pruning and whole-stage codegen.  The TPC-H
+query surface (``__spark_entry__.py``) and ``bench.py`` build on these.
+"""
+
+from .scalar import (number_to_string, pad_end, pad_start, replace_first,
+                     round_half_away, strict_bool, strict_int, to_base)
+from .relational import lookup_all, lookup_first, stable_sort
+
+__all__ = [
+    "number_to_string", "replace_first", "pad_start", "pad_end",
+    "round_half_away", "to_base", "strict_int", "strict_bool",
+    "lookup_first", "lookup_all", "stable_sort",
+]

@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB):
+- exact dedup is one hash-shuffle on the fingerprint — the minimum
+  possible; AQE handles skewed hot fingerprints
+- MinHash signatures are computed in a single narrow projection (no
+  shuffle); LSH banding turns the O(n²) pair problem into
+  groupBy(band_key) — only candidate buckets are joined
+- md5 is the hash primitive throughout: deterministic, available in
+  every engine (so DuckDB oracles can replay the exact computation),
+  and uniformly distributed per band seed
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def dedup_exact(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per key: one shuffle, map-side partial
+    aggregation via min()."""
+    keep = (df.select(key.alias("__k__"), F.col(id_col))
+            .groupBy("__k__").agg(F.min(id_col).alias(id_col))
+            .drop("__k__"))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """word n-gram shingles of the normalized text."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(grams)
+
+
+def minhash_signature(text: Column, num_hashes: int = 8,
+                      shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of hex-string minima.
+
+    min over shingles of ``md5(seed || shingle)`` — the minimum of a
+    uniform hash is a valid MinHash permutation; hex-string ordering
+    equals numeric ordering for fixed-width hex, so the whole signature
+    stays engine-portable text.
+    """
+    grams = shingles(text, shingle_n)
+
+    def hasher(seed: int):
+        # NB: factory, not a default-arg lambda — pyspark counts default
+        # params as extra HOF lambda variables
+        return lambda g: F.md5(F.concat(F.lit(f"{seed}:"), g))
+
+    sigs = [F.array_min(F.transform(grams, hasher(seed)))
+            for seed in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """band key array: md5 of each band's concatenated signature slice."""
+    keys = [
+        F.md5(F.concat_ws(
+            "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 8, bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    explode(band_keys) → self-join per band bucket → distinct pairs.
+    The join key is (band_index, band_hash), so only same-bucket rows
+    meet; bucket sizes are the skew knob (raise ``bands`` to shrink
+    buckets at higher recall cost).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = (df.select(F.col(id_col), sig.alias("__sig__"))
+              .select(id_col,
+                      F.posexplode(lsh_band_keys(F.col("__sig__"), bands,
+                                                 rows_per_band))
+                      .alias("band", "band_key")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.band_key") == F.col("b.band_key")) &
+                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """word n-gram Jaccard similarity of two texts."""
+    ga = F.array_distinct(shingles(text_a, n))
+    gb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(ga) + F.size(gb) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double"))
+
+
+def simhash64(text: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens: each word votes its md5-derived bits.
+
+    ``bits`` ≤ 16 keeps the per-bit vote loop a fixed-size expression;
+    near-duplicates differ in few bits (Hamming ball query via
+    band-substring grouping, same trick as LSH).
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    # 16-bit hash per word from the first 4 hex chars of md5
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10)
+        .cast("long"))
+    def voter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.call_function("shiftright", h, F.lit(b))
+            .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        bit_cols.append(F.when(vote > 0,
+                               F.lit(1 << b)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def dedup_embedding_cosine(df: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.95,
+                           bucket_dims: int = 4) -> DataFrame:
+    """Near-dup pairs by embedding cosine, bucketed by sign-pattern LSH.
+
+    Random-hyperplane LSH approximated by the sign pattern of the first
+    ``bucket_dims`` components (deterministic, engine-portable); cosine
+    is computed only inside buckets.
+    """
+    sign_key = F.concat_ws("", *[
+        (F.element_at(F.col(vec_col), i + 1) >= 0).cast("int").cast("string")
+        for i in range(bucket_dims)
+    ])
+    keyed = df.select(F.col(id_col), F.col(vec_col),
+                      sign_key.alias("__bucket__"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pair = a.join(b, (F.col("a.__bucket__") == F.col("b.__bucket__")) &
+                  (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (pair.select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cosine over two float arrays — zip_with + aggregate, JVM-side."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(
+        b, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (na * nb))

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, with decode/feature steps as Arrow-batched ``mapInPandas``.
+
+The Spark-side contract is real and tested — schemas, batch iteration,
+partition-preserving shape; the codec calls themselves are stubbed
+behind ``DecodeUnavailable`` (no image/audio libraries in this
+container) with a deterministic fake for tests.  Swapping in Pillow /
+torchaudio is a one-function change inside the pandas iterator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),     # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),   # opaque bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sha1", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised when a real codec is required but not installed."""
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for the codec layer (STUB).
+
+    Real implementation: Pillow for images, soundfile/torchaudio for
+    audio, pyav frame sampling for video — replace this function only.
+    """
+    h = hashlib.sha1(payload or b"").hexdigest()
+    seed = int(h[:8], 16)
+    if kind == "image":
+        return {"width": 64 + seed % 1024, "height": 64 + (seed >> 10) % 1024,
+                "duration_ms": None}
+    if kind in ("audio", "video"):
+        return {"width": None, "height": None,
+                "duration_ms": 1000 + seed % 600000}
+    raise DecodeUnavailable(f"unknown media kind: {kind}")
+
+
+def extract_features(df: DataFrame, *, use_stub: bool = True) -> DataFrame:
+    """Decode/probe each media payload → typed feature rows.
+
+    ``mapInPandas`` keeps Arrow batches columnar end-to-end; partitioning
+    is preserved (no shuffle), so a 100 TB media table processes as a
+    pure map stage.
+    """
+    if not use_stub:
+        raise DecodeUnavailable(
+            "real codecs are not installed in this environment")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] if row["payload"] is not None else b""
+                d = _fake_decode(bytes(payload), row["kind"])
+                feats.append({
+                    "media_id": row["media_id"],
+                    "kind": row["kind"],
+                    "n_bytes": len(payload),
+                    "sha1": hashlib.sha1(bytes(payload)).hexdigest(),
+                    "width": d["width"],
+                    "height": d["height"],
+                    "duration_ms": d["duration_ms"],
+                })
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan video frame-sampling: one row per (media_id, frame_ts).
+
+    The expensive decode happens downstream per planned frame; planning
+    itself is a pure projection + explode (scales linearly).
+    """
+    feats = extract_features(df)
+    ts = F.sequence(F.lit(0),
+                    F.coalesce(F.col("duration_ms"), F.lit(0)),
+                    F.lit(every_ms))
+    return (feats.filter(F.col("kind") == "video")
+            .select("media_id", F.explode(ts).alias("frame_ts_ms")))
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append((i, kind, f"application/x-{kind}", payload,
+                     {"src": f"synthetic://{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,101 @@
+"""Text-analysis operators over a document corpus.
+
+All pure JVM expressions (regex + built-ins): one narrow projection over
+the corpus, no shuffle, linear scale-out.  Deterministic across engines —
+each is mirrored by an ANSI-SQL oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a small embedded stopword list (shared with the SQL oracles)
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as"]
+
+WORD_SPLIT_RE = r"\s+"
+# BPE-ish sub-token pattern: letter runs, digit runs, or single
+# non-alphanumeric glyphs — a public approximation of GPT-2's splitter
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, WORD_SPLIT_RE)))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp_count — one pass, no UDF."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    stops = F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.size(stops).cast("double") / F.size(words).cast("double"))
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.split(F.trim(text), WORD_SPLIT_RE)
+    total = F.aggregate(words, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(words).cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + punctuation sanity.  A cheap first-pass filter for pretraining
+    corpora (C4-style heuristics, public recipe)."""
+    n_chars = char_count(text)
+    n_words = word_count(text)
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    punct_ratio = F.when(n_chars == 0, F.lit(1.0)).otherwise(
+        punct.cast("double") / n_chars.cast("double"))
+    length_ok = ((n_words >= 5) & (n_words <= 100000)).cast("double")
+    stop_ok = (stopword_ratio(text) > 0.01).cast("double")
+    punct_ok = (punct_ratio < 0.3).cast("double")
+    return (length_ok + stop_ok + punct_ok) / F.lit(3.0)
+
+
+def lang_id_en(text: Column) -> Column:
+    """Tiny language-ID heuristic: English stopword hit-rate + ASCII
+    ratio.  Returns 'en' / 'other' — the n-gram profile extension slots
+    in the same shape."""
+    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    ascii_chars = F.regexp_count(text, F.lit(r"[\x00-\x7F]"))
+    ascii_ratio = F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        ascii_chars.cast("double") / F.length(text).cast("double"))
+    return F.when((stop_hits >= 1) & (ascii_ratio > 0.9),
+                  F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text: Column, prefix_words: int = 8) -> Column:
+    """Document fingerprint: md5 of the normalized leading words — the
+    exact-dedup key that survives whitespace/case jitter."""
+    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    head = F.slice(words, 1, prefix_words)
+    return F.md5(F.array_join(head, " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass projection adding all text-analysis columns."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(t).alias("n_chars_computed"),
+        word_count(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id_en(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )
