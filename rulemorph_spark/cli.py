@@ -1,0 +1,193 @@
+"""CLI: ``validate / preflight / transform / generate``.
+
+Mirrors the reference CLI surface and exit-code convention
+(``crates/rulemorph_cli/src/main.rs:152-310``): 0 = ok, 1 = I/O error,
+2 = validation errors, 3 = transform errors.  ``transform --ndjson``
+streams one JSON object per line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_text(path: str) -> str:
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()
+
+
+def _emit_validation_errors(errors, error_format: str):
+    if error_format == "json":
+        payload = [{"code": e.code, "message": e.message, "path": e.path}
+                   for e in errors]
+        print(json.dumps(payload), file=sys.stderr)
+    else:
+        for e in errors:
+            loc = f" at {e.path}" if e.path else ""
+            print(f"error[{e.code}]: {e.message}{loc}", file=sys.stderr)
+
+
+def _emit_transform_error(err, error_format: str):
+    if error_format == "json":
+        print(json.dumps({"kind": err.kind, "message": err.message,
+                          "path": err.path}), file=sys.stderr)
+    else:
+        print(f"error[{err.kind}]: {err}", file=sys.stderr)
+
+
+def cmd_validate(args) -> int:
+    from .model import parse_rule_file
+    from .validator import validate_rule
+    from .errors import RuleError
+    try:
+        rule = parse_rule_file(_load_text(args.rules))
+    except OSError as e:
+        print(f"failed to read rules: {e}", file=sys.stderr)
+        return 1
+    except RuleError as e:
+        print(f"failed to parse rules: {e}", file=sys.stderr)
+        return 2
+    errors = validate_rule(rule)
+    if errors:
+        _emit_validation_errors(errors, args.error_format)
+        return 2
+    return 0
+
+
+def _run_transform(args, *, discard: bool) -> int:
+    from .engine import get_spark, transform
+    from .errors import RuleError, TransformEngineError
+    try:
+        rule_text = _load_text(args.rules)
+        input_text = _load_text(args.input)
+        context = (json.loads(_load_text(args.context))
+                   if args.context else None)
+    except OSError as e:
+        print(f"failed to read input: {e}", file=sys.stderr)
+        return 1
+
+    if getattr(args, "validate", False):
+        from .model import parse_rule_file
+        from .validator import validate_rule
+        errors = validate_rule(parse_rule_file(rule_text))
+        if errors:
+            _emit_validation_errors(errors, args.error_format)
+            return 2
+
+    base_dir = os.path.dirname(os.path.abspath(args.rules))
+    spark = get_spark("rulemorph-cli")
+    try:
+        output = transform(spark, rule_text, input_text=input_text,
+                           input_path=args.input, context=context,
+                           base_dir=base_dir)
+    except TransformEngineError as e:
+        _emit_transform_error(e, args.error_format)
+        return 3
+    except RuleError as e:
+        _emit_validation_errors([e], args.error_format)
+        return 2
+
+    if discard:
+        return 0
+
+    if getattr(args, "ndjson", False):
+        if not isinstance(output, list):
+            print("ndjson output requires an array result", file=sys.stderr)
+            return 1
+        lines = "\n".join(json.dumps(r, separators=(",", ":"))
+                          for r in output)
+        text = lines + ("\n" if lines else "")
+    else:
+        text = json.dumps(output, separators=(",", ":")) + "\n"
+
+    if args.output:
+        parent = os.path.dirname(args.output)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def cmd_preflight(args) -> int:
+    """Run the whole transform on real input, discard the output, surface
+    the first error (``transform.rs:310-361``)."""
+    return _run_transform(args, discard=True)
+
+
+def cmd_transform(args) -> int:
+    return _run_transform(args, discard=False)
+
+
+def cmd_generate(args) -> int:
+    from .dto import generate_dto
+    from .errors import RuleError
+    from .model import parse_rule_file
+    try:
+        rule = parse_rule_file(_load_text(args.rules))
+        text = generate_dto(rule, args.lang, args.name)
+    except OSError as e:
+        print(f"failed to read rules: {e}", file=sys.stderr)
+        return 1
+    except RuleError as e:
+        print(f"dto error: {e}", file=sys.stderr)
+        return 2
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rulemorph-spark",
+        description="Transform CSV/JSON data using YAML rules on Spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("validate")
+    p.add_argument("-r", "--rules", required=True)
+    p.add_argument("-e", "--error-format", default="text",
+                   choices=["text", "json"])
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("preflight")
+    p.add_argument("-r", "--rules", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-c", "--context")
+    p.add_argument("-e", "--error-format", default="text",
+                   choices=["text", "json"])
+    p.set_defaults(fn=cmd_preflight)
+
+    p = sub.add_parser("transform")
+    p.add_argument("-r", "--rules", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-c", "--context")
+    p.add_argument("-o", "--output")
+    p.add_argument("--ndjson", action="store_true")
+    p.add_argument("-v", "--validate", action="store_true")
+    p.add_argument("-e", "--error-format", default="text",
+                   choices=["text", "json"])
+    p.set_defaults(fn=cmd_transform)
+
+    p = sub.add_parser("generate")
+    p.add_argument("-r", "--rules", required=True)
+    p.add_argument("-l", "--lang", required=True,
+                   choices=["rust", "typescript", "python", "go", "java",
+                            "kotlin", "swift"])
+    p.add_argument("-n", "--name")
+    p.add_argument("-o", "--output")
+    p.set_defaults(fn=cmd_generate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

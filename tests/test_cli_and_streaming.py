@@ -1,0 +1,121 @@
+"""CLI black-box tests (exit-code convention 0/1/2/3,
+``rulemorph_cli/tests/cli.rs`` model) and streaming-mode tests
+(``transform_stream`` parity: same plan, finalize rejected)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+FIXTURES = "/root/reference/crates/rulemorph/tests/fixtures"
+
+RULE_SIMPLE = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "id"
+    source: "id"
+  - target: "upper"
+    expr: ["@input.name", "uppercase"]
+"""
+
+RULE_FINALIZE = RULE_SIMPLE + """
+finalize:
+  limit: 1
+"""
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo")
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    with tempfile.TemporaryDirectory() as d:
+        rule = os.path.join(d, "rules.yaml")
+        with open(rule, "w") as fh:
+            fh.write(RULE_SIMPLE)
+        inp = os.path.join(d, "input.json")
+        with open(inp, "w") as fh:
+            json.dump([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}], fh)
+        yield d
+
+
+def test_cli_validate_ok(workdir):
+    r = _run_cli("validate", "-r", f"{workdir}/rules.yaml")
+    assert r.returncode == 0, r.stderr
+
+
+def test_cli_validate_error(workdir):
+    bad = os.path.join(workdir, "bad.yaml")
+    with open(bad, "w") as fh:
+        fh.write("version: 2\ninput:\n  format: json\n  json: {}\n"
+                 "mappings:\n  - target: x\n    expr: [\"@input.a\","
+                 " \"bogus_op\"]\n")
+    r = _run_cli("validate", "-r", bad, "-e", "json")
+    assert r.returncode == 2
+    assert "UnknownOp" in r.stderr
+
+
+def test_cli_transform_and_ndjson(workdir):
+    r = _run_cli("transform", "-r", f"{workdir}/rules.yaml",
+                 "-i", f"{workdir}/input.json")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout) == [{"id": 1, "upper": "A"},
+                                    {"id": 2, "upper": "B"}]
+    r2 = _run_cli("transform", "-r", f"{workdir}/rules.yaml",
+                  "-i", f"{workdir}/input.json", "--ndjson")
+    lines = [json.loads(l) for l in r2.stdout.splitlines()]
+    assert lines == [{"id": 1, "upper": "A"}, {"id": 2, "upper": "B"}]
+
+
+def test_cli_generate(workdir):
+    r = _run_cli("generate", "-r", f"{workdir}/rules.yaml",
+                 "-l", "typescript")
+    assert r.returncode == 0
+    assert "export interface Record" in r.stdout
+
+
+def test_cli_missing_file():
+    r = _run_cli("validate", "-r", "/nonexistent/rules.yaml")
+    assert r.returncode == 1
+
+
+def test_streaming_rejects_finalize(spark):
+    from rulemorph_spark.errors import TransformEngineError
+    from rulemorph_spark.streaming import transform_stream
+    src = spark.readStream.format("rate").load() \
+        .selectExpr("CAST(value AS STRING) AS value")
+    with pytest.raises(TransformEngineError):
+        transform_stream(RULE_FINALIZE, src)
+
+
+def test_streaming_file_pipeline(spark):
+    from rulemorph_spark.streaming import transform_stream_files
+    with tempfile.TemporaryDirectory() as d:
+        in_dir = os.path.join(d, "in")
+        out_dir = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "part1.ndjson"), "w") as fh:
+            fh.write('{"id": 1, "name": "x"}\n{"id": 2, "name": "y"}\n')
+        q = transform_stream_files(spark, RULE_SIMPLE, in_dir, out_dir,
+                                   ckpt)
+        q.awaitTermination(120)
+        rows = []
+        for fn in os.listdir(out_dir):
+            if fn.endswith(".txt"):
+                with open(os.path.join(out_dir, fn)) as fh:
+                    rows += [json.loads(l) for l in fh
+                             if l.strip()]
+        rows.sort(key=lambda r: r["id"])
+        assert rows == [{"id": 1, "upper": "X"}, {"id": 2, "upper": "Y"}]
