@@ -455,21 +455,32 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signature(spark, sf_dir):
-    """MinHash signatures (md5-based, engine-portable) per document."""
-    from rulemorph_spark.llm.dedup import minhash_signature
+    """MinHash signatures (md5-based, engine-portable) per document.
+    Shingles materialize in their own projection so the per-seed minima
+    don't re-tokenize the text."""
+    from rulemorph_spark.llm.dedup import minhash_from_shingles, shingles
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
-    return d.select("doc_id", F.to_json(sig).alias("sig_json"))
+    grams = d.select("doc_id",
+                     shingles(F.col("text"), 3).alias("__grams__"))
+    sig = minhash_from_shingles(F.col("__grams__"), num_hashes=4)
+    return grams.select("doc_id", F.to_json(sig).alias("sig_json"))
 
 
 def q_lsh_band_buckets(spark, sf_dir):
     """LSH banding: bucket sizes per band key (candidate generation)."""
-    from rulemorph_spark.llm.dedup import lsh_band_keys, minhash_signature
+    from rulemorph_spark.llm.dedup import (lsh_band_keys,
+                                           minhash_from_shingles, shingles)
     d = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
-    banded = d.select(
+    grams = d.select("doc_id",
+                     shingles(F.col("text"), 3).alias("__grams__"))
+    sig_df = grams.select(
         "doc_id",
-        F.posexplode(lsh_band_keys(sig, bands=2, rows_per_band=2))
+        minhash_from_shingles(F.col("__grams__"), num_hashes=4)
+        .alias("__sig__"))
+    banded = sig_df.select(
+        "doc_id",
+        F.posexplode(lsh_band_keys(F.col("__sig__"), bands=2,
+                                   rows_per_band=2))
         .alias("band", "band_key"))
     return (banded.groupBy("band", "band_key")
             .agg(F.count("*").alias("bucket_size"),

@@ -47,8 +47,16 @@ def minhash_signature(text: Column, num_hashes: int = 8,
     equals numeric ordering for fixed-width hex, so the whole signature
     stays engine-portable text.
     """
-    grams = shingles(text, shingle_n)
+    return minhash_from_shingles(shingles(text, shingle_n), num_hashes)
 
+
+def minhash_from_shingles(grams: Column, num_hashes: int = 8) -> Column:
+    """Signature from a precomputed shingle array.
+
+    Callers should materialize the shingle column once (a `select` stage)
+    before fanning out to the per-seed minima — otherwise every seed
+    re-tokenizes the text (HOF subtrees are not CSE'd by Catalyst).
+    """
     def hasher(seed: int):
         # NB: factory, not a default-arg lambda — pyspark counts default
         # params as extra HOF lambda variables
@@ -80,12 +88,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     buckets at higher recall cost).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = (df.select(F.col(id_col), sig.alias("__sig__"))
-              .select(id_col,
-                      F.posexplode(lsh_band_keys(F.col("__sig__"), bands,
-                                                 rows_per_band))
-                      .alias("band", "band_key")))
+    # materialize shingles, then the signature, in separate narrow
+    # projections so each is computed once per row
+    grams_df = df.select(F.col(id_col),
+                         shingles(F.col(text_col), shingle_n)
+                         .alias("__grams__"))
+    sig_df = grams_df.select(
+        id_col, minhash_from_shingles(F.col("__grams__"), num_hashes)
+        .alias("__sig__"))
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(lsh_band_keys(F.col("__sig__"), bands, rows_per_band))
+        .alias("band", "band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
