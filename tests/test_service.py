@@ -1,0 +1,221 @@
+"""Endpoint-engine + MCP tests (``endpoint_engine.rs:3646-4520`` and
+``rulemorph_mcp/tests/stdio.rs`` models): path matching, @input shape,
+step pipelines, network calls with retry/select, catch routing, reply."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from rulemorph_spark.service.endpoint import EndpointEngine, EndpointError
+from rulemorph_spark.service.mcp import McpServer, analyze_input
+
+ENDPOINT_YAML = """
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /users/{id}
+    input:
+      - target: "user_id"
+        source: "input.path.id"
+        type: int
+      - target: "verbose"
+        expr: ["@input.query.verbose", {coalesce: ["lit:false"]}]
+    steps:
+      - rule: enrich.yaml
+      - rule: fetch.yaml
+        when: { eq: ["@input.verbose", "true"] }
+    reply:
+      status: 200
+      body: "@input"
+  - method: POST
+    path: /echo
+    steps: []
+    reply:
+      status: 201
+      headers: { "x-engine": "rulemorph-spark" }
+      body: "@input.body"
+    catch:
+      default: error_handler.yaml
+"""
+
+ENRICH_YAML = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "user_id"
+    source: "input.user_id"
+  - target: "verbose"
+    source: "input.verbose"
+  - target: "label"
+    expr: ["@input.user_id", "to_string", {concat: ["-label"]}]
+"""
+
+FETCH_YAML = """
+version: 2
+type: network
+request:
+  method: GET
+  url:
+    - "lit:http://upstream/users/"
+    - concat: ["@input.user_id"]
+timeout: 500ms
+select: data.name
+retry:
+  max: 2
+  backoff: fixed
+  initial_delay: 1ms
+"""
+
+ERROR_HANDLER_YAML = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "status"
+    value: 400
+  - target: "error_kind"
+    source: "context.error.kind"
+"""
+
+
+@pytest.fixture(scope="module")
+def engine_dir():
+    with tempfile.TemporaryDirectory() as d:
+        for name, text in [("endpoint.yaml", ENDPOINT_YAML),
+                           ("enrich.yaml", ENRICH_YAML),
+                           ("fetch.yaml", FETCH_YAML),
+                           ("error_handler.yaml", ERROR_HANDLER_YAML)]:
+            with open(os.path.join(d, name), "w") as fh:
+                fh.write(text)
+        yield d
+
+
+def _fake_http_factory(log):
+    def fake_http(method, url, headers, body, timeout_s):
+        log.append((method, url, body))
+        if url.endswith("/users/42"):
+            return 200, {"data": {"name": "answer"}}
+        return 404, None
+    return fake_http
+
+
+def test_endpoint_basic_pipeline(spark, engine_dir):
+    log = []
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml",
+                         http_opener=_fake_http_factory(log))
+    status, headers, body = eng.handle_request(
+        "GET", "/users/7", query={}, headers={})
+    assert status == 200
+    # enrich ran; fetch skipped (verbose != "true"); reply body = @input
+    assert body == {"user_id": 7, "verbose": "false", "label": "7-label"}
+    assert log == []
+
+
+def test_endpoint_network_step_with_select(spark, engine_dir):
+    log = []
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml",
+                         http_opener=_fake_http_factory(log))
+    status, _, body = eng.handle_request(
+        "GET", "/users/42", query={"verbose": "true"}, headers={})
+    assert status == 200
+    assert body == "answer"  # select: data.name extracted the field
+    assert log[0][1] == "http://upstream/users/42"
+
+
+def test_endpoint_network_retry_and_catch(spark, engine_dir):
+    calls = []
+
+    def failing_http(method, url, headers, body, timeout_s):
+        calls.append(url)
+        return 503, None
+
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml",
+                         http_opener=failing_http)
+    status, _, body = eng.handle_request(
+        "GET", "/users/42", query={"verbose": "true"}, headers={})
+    # retries max=2 → 3 attempts, then the un-caught error bubbles to 500
+    assert len(calls) == 3
+    assert status == 500
+    assert body["kind"] == "HttpStatus"
+    assert body["status"] == 503
+
+
+def test_endpoint_post_echo_and_headers(spark, engine_dir):
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
+    status, headers, body = eng.handle_request(
+        "POST", "/echo", headers={"Content-Type": "application/json"},
+        body_text='{"hello": [1, 2]}')
+    assert status == 201
+    assert headers["x-engine"] == "rulemorph-spark"
+    assert body == {"hello": [1, 2]}
+
+
+def test_endpoint_catch_invalid_body(spark, engine_dir):
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
+    status, _, body = eng.handle_request(
+        "POST", "/echo", body_text="{not json")
+    # endpoint catch → error_handler.yaml decides status + payload
+    assert status == 400
+    assert body["error_kind"] == "Invalid"
+
+
+def test_endpoint_duplicate_query_key(spark, engine_dir):
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
+    status, _, body = eng.handle_request(
+        "GET", "/users/1", query=[("a", "1"), ("a", "2")])
+    assert status == 500
+    assert body["kind"] == "Invalid"
+
+
+def test_endpoint_404(spark, engine_dir):
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
+    status, _, _ = eng.handle_request("GET", "/nope")
+    assert status == 404
+
+
+def test_mcp_protocol(spark):
+    server = McpServer(spark)
+    init = server.handle({"jsonrpc": "2.0", "id": 1,
+                          "method": "initialize", "params": {}})
+    assert init["result"]["serverInfo"]["name"] == "rulemorph-spark"
+    tools = server.handle({"jsonrpc": "2.0", "id": 2,
+                           "method": "tools/list"})
+    names = {t["name"] for t in tools["result"]["tools"]}
+    assert names == {"transform", "validate_rules", "generate_dto",
+                     "analyze_input"}
+
+    rules = ("version: 2\ninput:\n  format: json\n  json: {}\n"
+             "mappings:\n  - target: up\n    expr: [\"@input.s\","
+             " \"uppercase\"]\n")
+    call = server.handle({
+        "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+        "params": {"name": "transform",
+                   "arguments": {"rules": rules,
+                                 "input": '[{"s": "hi"}]'}}})
+    out = json.loads(call["result"]["content"][0]["text"])
+    assert out == [{"up": "HI"}]
+
+    bad = server.handle({
+        "jsonrpc": "2.0", "id": 4, "method": "tools/call",
+        "params": {"name": "validate_rules",
+                   "arguments": {"rules": rules.replace("uppercase",
+                                                        "nope_op")}}})
+    payload = json.loads(bad["result"]["content"][0]["text"])
+    assert payload["valid"] is False
+    assert payload["errors"][0]["code"] == "UnknownOp"
+
+
+def test_analyze_input():
+    result = analyze_input('[{"a": 1, "b": {"c": "x"}}, {"a": null}]')
+    assert result["records"] == 2
+    paths = {f["path"]: f["types"] for f in result["fields"]}
+    assert paths["a"] == ["int", "null"]
+    assert paths["b.c"] == ["string"]
