@@ -28,7 +28,18 @@ _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
               "it", "that", "for", "on", "with", "as"]
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Session confs the queries rely on, set idempotently at runtime so
+    any driver-provided session works: nanosecond-parquet reads (the
+    events table), UTC rendering (DuckDB comparisons), serde-style map
+    key dedup."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prepare(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
