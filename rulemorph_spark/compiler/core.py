@@ -87,6 +87,9 @@ class Scope:
     acc: Column | None = None
     pipe: Column | None = None
     locals: dict[str, Column] = field(default_factory=dict)
+    # the plain-Python context document, when known at compile time —
+    # lets ops precompute (e.g. lookup hash maps from context arrays)
+    context_value: object = None
 
     def child(self, **kw) -> "Scope":
         if "locals" not in kw:
@@ -102,6 +105,14 @@ OPS: dict[str, object] = {}
 UDF_OPS = {"deep_merge", "object_flatten", "object_unflatten",
            "pick", "omit"}  # pick/omit go through the UDF when paths are
                             # dynamic (data-driven), so never let-bind them
+
+_op_state = threading.local()
+_op_state.current = None
+
+
+def current_opstep():
+    """The OpStep being compiled (for ops that inspect argument IR)."""
+    return getattr(_op_state, "current", None)
 
 
 def register(name: str):
@@ -201,13 +212,19 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
         fn = OPS.get(op)
         if fn is None:
             raise RuleError("unknown_op", f"op not implemented: {op}", path)
-        # let-bind the pipe value: the op references it many times but the
-        # incoming tree is embedded exactly once (keeps analysis linear)
-        if op in UDF_OPS:
-            return fn(scope, cur, list(step.args), path), scope
-        result = V.let(cur,
-                       lambda x: fn(scope, x, list(step.args), path))
-        return result, scope
+        # expose the raw step to ops that inspect argument IR (lookup
+        # fast paths read origin_first_arg)
+        _op_state.current = step
+        try:
+            # let-bind the pipe value: the op references it many times but
+            # the incoming tree is embedded exactly once (linear analysis)
+            if op in UDF_OPS:
+                return fn(scope, cur, list(step.args), path), scope
+            result = V.let(cur,
+                           lambda x: fn(scope, x, list(step.args), path))
+            return result, scope
+        finally:
+            _op_state.current = None
     if isinstance(step, LetStep):
         new_locals = dict(scope.locals)
         pipe_scope = scope.child(pipe=cur)

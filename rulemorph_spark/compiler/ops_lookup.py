@@ -35,6 +35,66 @@ def _literal_str(arg: Pipe):
     return None
 
 
+def _context_collection(arg: Pipe, scope: Scope):
+    """The plain-Python list behind an ``@context.<path>`` argument, when
+    the context document is known at compile time."""
+    from ..expr_ir import StartRef
+    if scope.context_value is None:
+        return None
+    if not (isinstance(arg.start, StartRef) and not arg.steps):
+        return None
+    ref = arg.start.ref
+    if ref.namespace != "context":
+        return None
+    from ..paths import get_path
+    found, value = get_path(scope.context_value,
+                            parse_path(ref.path) if ref.path else [])
+    if found and isinstance(value, list):
+        return value
+    return None
+
+
+def _py_value_to_string(v):
+    """``value_to_string_optional`` (``transform.rs:5890-5897``)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 9.2e18:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return None
+
+
+def _prebuilt_lookup_maps(collection: list, key_tokens, out_tokens):
+    """Precompute {stringified key → matches} from a literal context
+    array: turns the reference's per-record O(n·m) linear probe
+    (``transform.rs:2851-2876``) into one hash probe per record."""
+    from ..paths import get_path
+    first: dict[str, object] = {}
+    all_: dict[str, list] = {}
+    for item in collection:
+        found, kv = get_path(item, key_tokens)
+        if not found:
+            continue
+        key = _py_value_to_string(kv)
+        if key is None:
+            continue
+        if out_tokens is not None:
+            sel_found, selected = get_path(item, out_tokens)
+            if not sel_found:
+                continue
+        else:
+            selected = item
+        if key not in first:
+            first[key] = selected
+        all_.setdefault(key, []).append(selected)
+    return first, all_
+
+
 def _v1_match_key(item: Column, key_tokens, path: str) -> Column:
     """stringified item key at path; NULL when absent/unstringifiable."""
     kv = V.navigate(item, key_tokens)
@@ -71,12 +131,38 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
         key_tokens = parse_path(key_lit, error_code="expr_error")
         out_tokens = (parse_path(out_lit, error_code="expr_error")
                       if out_lit is not None else None)
+        from .core import current_opstep
+        step = current_opstep()
+        origin = step.origin_first_arg if step is not None else None
+        py_collection = (_context_collection(origin, scope)
+                         if origin is not None else None)
+        if py_collection is not None:
+            first_map, all_map = _prebuilt_lookup_maps(
+                py_collection, key_tokens, out_tokens)
+            return _map_lookup(first_map if first_only else all_map,
+                               V.to_string_strict(match_value, path),
+                               match_value, path, v1=True)
         return _v1_lookup(collection, key_tokens, match_value, out_tokens,
                           path, first_only)
 
     # v2 keyword form (v2_eval.rs:2653-2780): arg-count decides where
     # from/match_key/match_value/get sit; 3 args disambiguate per row on
     # whether args[0] is an array.
+    # Fast path: explicit @context-literal collections + literal
+    # match_key/get compile to an O(1) hash-map probe.
+    if n >= 3:
+        py_collection = _context_collection(args[0], scope)
+        key_lit = _literal_str(args[1])
+        get_lit = _literal_str(args[3]) if n == 4 else None
+        if py_collection is not None and key_lit is not None and \
+                (n == 3 or get_lit is not None):
+            first_map, all_map = _v2_prebuilt_maps(
+                py_collection, key_lit, get_lit)
+            match_value = compile_pipe(args[2], pipe_scope,
+                                       f"{path}.args[2]")
+            return _map_lookup(first_map if first_only else all_map,
+                               V.strict_json(match_value), match_value,
+                               path, v1=False, empty_when_none=not first_only)
     compiled = [compile_pipe(a, pipe_scope, f"{path}.args[{i}]")
                 for i, a in enumerate(args)]
     if n == 2:
@@ -93,6 +179,66 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
                           path, first_only)
     return F.when(V.is_array(compiled[0]), explicit).otherwise(
         F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(implicit))
+
+
+def _py_strict_json(v) -> str:
+    """Canonical JSON matching ``V.strict_json``'s variant rendering:
+    sorted object keys, integral floats as ints, compact separators."""
+    import json as _json
+
+    def canon(x):
+        if isinstance(x, float) and x == int(x) and abs(x) < 9.2e18:
+            return int(x)
+        if isinstance(x, dict):
+            return {k: canon(val) for k, val in sorted(x.items())}
+        if isinstance(x, list):
+            return [canon(val) for val in x]
+        return x
+
+    return _json.dumps(canon(v), separators=(",", ":"), ensure_ascii=False,
+                       sort_keys=True)
+
+
+def _v2_prebuilt_maps(collection: list, match_key: str, get_field):
+    """v2 lookup maps: strict-equality field match (compare_values_eq),
+    keyed by the canonical JSON of the field value."""
+    first: dict[str, object] = {}
+    all_: dict[str, list] = {}
+    for item in collection:
+        if not isinstance(item, dict) or match_key not in item:
+            continue
+        key = _py_strict_json(item[match_key])
+        if get_field is not None:
+            if get_field not in item:
+                continue
+            selected = item[get_field]
+        else:
+            selected = item
+        if key not in first:
+            first[key] = selected
+        all_.setdefault(key, []).append(selected)
+    return first, all_
+
+
+def _map_lookup(table: dict, key_col: Column, match_value: Column,
+                path: str, *, v1: bool,
+                empty_when_none: bool = False) -> Column:
+    """Compiled hash probe: one variant object literal, one get_key."""
+    import json as _json
+    obj = V.lit_variant(table) if table else V.lit_variant({})
+    probe = V.get_key(obj, F.coalesce(key_col, F.lit("\x00")))
+    if empty_when_none:
+        probe = F.coalesce(probe, V.lit_variant([]))
+    result = (
+        F.when(match_value.isNull(), F.lit(None).cast(V.VT))
+        .otherwise(probe)
+    )
+    if v1:
+        result = F.when(
+            V.is_vnull(match_value),
+            rerr("expr_error", "lookup match_value must not be null",
+                 path).cast(V.VT)).otherwise(result)
+    return result
 
 
 def _v1_lookup(collection: Column, key_tokens, match_value: Column,

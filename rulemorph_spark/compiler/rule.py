@@ -333,7 +333,8 @@ class RuleCompiler:
 
         def scope():
             return Scope(input=input_col, context=context_col,
-                         out=out_tree.to_variant(), locals={})
+                         out=out_tree.to_variant(), locals={},
+                         context_value=self.context)
 
         if self.rule.has_record_when:
             cond = self._compile_when(self.rule.record_when, scope(),

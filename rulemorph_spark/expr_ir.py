@@ -75,6 +75,10 @@ Start = StartLiteral | StartRef | StartPipeValue
 class OpStep:
     op: str
     args: tuple["Pipe", ...] = ()
+    # v1 standalone ops hoist their first argument into the pipe start;
+    # the original IR is kept so ops can recognize compile-time-constant
+    # operands (e.g. @context collections for lookup fast paths)
+    origin_first_arg: "Pipe | None" = None
 
 
 @dataclass(frozen=True)
@@ -343,11 +347,11 @@ def _v1_standalone(self: Pipe) -> Pipe:
     step = self.steps[0]
     assert isinstance(step, OpStep)
     first, *rest = step.args
+    op = OpStep(step.op, tuple(rest), origin_first_arg=first)
     if first.steps:
         # first arg is itself a pipe: start from it, then apply op to it
-        return Pipe(start=first.start,
-                    steps=first.steps + (OpStep(step.op, tuple(rest)),))
-    return Pipe(start=first.start, steps=(OpStep(step.op, tuple(rest)),))
+        return Pipe(start=first.start, steps=first.steps + (op,))
+    return Pipe(start=first.start, steps=(op,))
 
 
 Pipe._v1_standalone = _v1_standalone
