@@ -528,6 +528,63 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", simhash64(F.col("text"), 16).alias("simhash"))
 
 
+def q_json_props_variant(spark, sf_dir):
+    """dynamic JSON columns as VariantType — the engine's record
+    representation applied to a typed table (events.props)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (e.select("event_id",
+                     F.variant_get(v, "$.k", "long").alias("k"))
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.sum("k").alias("sum_k"),
+                           F.min("k").alias("min_k"),
+                           F.max("k").alias("max_k")))
+
+
+def q_object_merge(spark, sf_dir):
+    """merge/entries-style object ops over struct columns → JSON."""
+    c = _t(spark, sf_dir, "customer")
+    base = F.struct(F.col("c_custkey").alias("id"),
+                    F.col("c_mktsegment").alias("segment"))
+    override = F.struct(F.col("c_name").alias("name"),
+                        F.lit("v2").alias("segment"))
+    merged = F.struct(base["id"].alias("id"),
+                      override["segment"].alias("segment"),
+                      override["name"].alias("name"))
+    return c.select("c_custkey", F.to_json(merged).alias("merged_json"))
+
+
+def q_set_ops(spark, sf_dir):
+    """intersect/except across datasets (Spark-native set operators)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000.0).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    inter = a.intersect(b).withColumn("op", F.lit("both"))
+    only_a = a.subtract(b).withColumn("op", F.lit("high_only"))
+    return inter.unionAll(only_a)
+
+
+def q_rollup_agg(spark, sf_dir):
+    """rollup aggregation (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("qty")))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: probe 2 of 8 coarse cells."""
+    from rulemorph_spark.llm.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = (e.filter(F.col("vec_id") < 8)
+                 .select(F.col("vec_id").alias("cell"),
+                         F.col("embedding").alias("cvec")))
+    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
+    return ivf_topk(e, queries_df, centroids, "vec_id", "embedding",
+                    k=3, nprobe=2)
+
+
 def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via sign-pattern LSH buckets + cosine."""
     from rulemorph_spark.llm.dedup import dedup_embedding_cosine
@@ -582,6 +639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_topk": q_embedding_topk,
         "q_simhash": q_simhash,
         "q_embedding_cluster_dedup": q_embedding_cluster_dedup,
+        # variant / set ops / rollup / IVF
+        "q_json_props_variant": q_json_props_variant,
+        "q_object_merge": q_object_merge,
+        "q_set_ops": q_set_ops,
+        "q_rollup_agg": q_rollup_agg,
+        "q_ivf_topk": q_ivf_topk,
     }
 
 
@@ -924,9 +987,92 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
+        "q_json_props_variant": """
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+        """,
+        "q_object_merge": """
+            SELECT c_custkey,
+                   to_json(struct_pack(id := c_custkey, segment := 'v2',
+                                       name := c_name)) AS merged_json
+            FROM customer
+        """,
+        "q_set_ops": """
+            WITH a AS (SELECT o_custkey FROM orders
+                       WHERE o_totalprice > 100000.0),
+                 b AS (SELECT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F')
+            SELECT o_custkey, 'both' AS op
+            FROM (SELECT o_custkey FROM a INTERSECT
+                  SELECT o_custkey FROM b)
+            UNION ALL
+            SELECT o_custkey, 'high_only' AS op
+            FROM (SELECT o_custkey FROM a EXCEPT
+                  SELECT o_custkey FROM b)
+        """,
+        "q_rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_ivf_topk": _ivf_oracle(),
         # q_simhash / q_embedding_cluster_dedup: rows-only (bit packing /
         # float bucketing are not portably expressible in DuckDB SQL)
     }
+
+
+_COS_SQL = """ROUND(
+  list_sum(list_transform(list_zip({a}, {b}),
+    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a},
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform({b},
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+
+def _ivf_oracle() -> str:
+    cos_ac = _COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos_qc = _COS_SQL.format(a="q.qv", b="c.cvec")
+    cos_cand = _COS_SQL.format(a="cand.embedding", b="cand.qv")
+    return f"""
+        WITH centroids AS (
+          SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+          WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ac} DESC, c.cell ASC) AS r
+            FROM embeddings e CROSS JOIN centroids c)
+          WHERE r = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id >= 8 AND vec_id < 11),
+        probes AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {cos_qc} DESC, c.cell ASC) AS r
+            FROM q CROSS JOIN centroids c)
+          WHERE r <= 2),
+        cand AS (
+          SELECT p.query_id, p.qv, a.vec_id, a.embedding
+          FROM assigned a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, neighbor, cosine, rank FROM (
+          SELECT cand.query_id, cand.vec_id AS neighbor,
+                 {cos_cand} AS cosine,
+                 CAST(row_number() OVER (PARTITION BY cand.query_id
+                      ORDER BY {cos_cand} DESC, cand.vec_id ASC)
+                      AS INTEGER) AS rank
+          FROM cand)
+        WHERE rank <= 3
+    """
 
 
 def _sql_stop_list() -> str:
