@@ -72,8 +72,9 @@ def main():
     }))
 
 
+# the reference's PERF_RULES verbatim shape (tests/performance.rs:6-30)
 _LOOKUP_RULE = """
-version: 2
+version: 1
 input:
   format: json
   json: {}
@@ -82,11 +83,20 @@ mappings:
     source: "id"
   - target: "user_name"
     expr:
-      - lookup_first: ["@context.users", "id", "@input.user_id", "name"]
-      - coalesce: ["N/A"]
+      op: "lookup_first"
+      args:
+        - { ref: "context.users" }
+        - "id"
+        - { ref: "input.user_id" }
+        - "name"
   - target: "tags"
     expr:
-      - lookup: ["@context.tags", "id", "@input.tag_id", "value"]
+      op: "lookup"
+      args:
+        - { ref: "context.tags" }
+        - "id"
+        - { ref: "input.tag_id" }
+        - "value"
 """
 
 
