@@ -117,10 +117,15 @@ class EndpointEngine:
     """Load endpoint.yaml + referenced rules; serve requests in-process."""
 
     def __init__(self, spark, endpoint_file: str,
-                 http_opener=None):
+                 http_opener=None, trace_dir: str | None = None):
         self.spark = spark
         self.base_dir = os.path.dirname(os.path.abspath(endpoint_file))
         self._http = http_opener or _default_http
+        if trace_dir is not None:
+            from .trace import TraceStore
+            self.trace_store = TraceStore(trace_dir)
+        else:
+            self.trace_store = None
         with open(endpoint_file, encoding="utf-8") as fh:
             doc = yaml.safe_load(fh)
         if doc.get("type") != "endpoint":
@@ -156,15 +161,23 @@ class EndpointEngine:
         if endpoint is None:
             return 404, {"content-type": "application/json"}, {
                 "error": "no matching endpoint"}
+        trace = None
+        if self.trace_store is not None:
+            from .trace import RequestTrace
+            trace = RequestTrace(endpoint=endpoint.path, method=method,
+                                 path=path)
         try:
             request_input = self._build_input(method, params, query or [],
                                               headers or {}, body_text)
-            return self._execute(endpoint, request_input)
+            result = self._execute(endpoint, request_input, trace)
         except EndpointError as err:
             handled = self._route_catch(endpoint.catch, err, None)
-            if handled is not None:
-                return handled
-            return 500, {"content-type": "application/json"}, err.to_json()
+            result = handled if handled is not None else (
+                500, {"content-type": "application/json"}, err.to_json())
+        if trace is not None:
+            trace.status = result[0]
+            self.trace_store.write(trace)
+        return result
 
     def _match(self, method: str, path: str):
         for e in self.endpoints:
@@ -202,11 +215,13 @@ class EndpointEngine:
 
     # ------------------------------------------------------------------
 
-    def _execute(self, endpoint: EndpointDef, request_input):
+    def _execute(self, endpoint: EndpointDef, request_input, trace=None):
         current = request_input
         if endpoint.input is not None:
-            current = self._apply_mappings_rule(endpoint.input, current,
-                                                None)
+            def run_input(cur=current):
+                return self._apply_mappings_rule(endpoint.input, cur, None)
+            current = (trace.record("input", "input", current, run_input)
+                       if trace is not None else run_input())
         for step in endpoint.steps:
             if step.when is not None and not self._eval_when(
                     step.when, current):
@@ -216,13 +231,20 @@ class EndpointEngine:
                 params = self._eval_with(step.with_, current)
                 context = {"params": params}
             try:
-                current = self._run_rule_file(step.rule, current, context)
+                def run_step(cur=current, ctx=context, rule=step.rule):
+                    return self._run_rule_file(rule, cur, ctx)
+                current = (trace.record(step.rule, "step", current,
+                                        run_step)
+                           if trace is not None else run_step())
             except EndpointError as err:
                 handled = self._route_catch(step.catch, err, current)
                 if handled is None:
                     raise
                 return handled
-        return self._reply(endpoint, current)
+        reply = self._reply(endpoint, current)
+        if trace is not None:
+            trace.record("reply", "reply", current, lambda: reply[2])
+        return reply
 
     def _reply(self, endpoint: EndpointDef, final):
         status = self._eval_expr(endpoint.reply_status, final)

@@ -1,0 +1,166 @@
+"""Execution tracing + API dependency graph.
+
+- Per-request traces (``endpoint_engine.rs:594-692``, ``trace_store.rs``):
+  one JSON document per handled request with per-step inputs/outputs and
+  millisecond timings, written under a data dir for UI consumption.
+- Static API graph (``rulemorph_server/src/api_graph.rs:80+``): the
+  endpoint → rule → network/branch reference DAG, from file analysis
+  only (no execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import yaml
+
+
+@dataclass
+class StepTrace:
+    name: str
+    kind: str          # input|step|network|reply|catch
+    input: object = None
+    output: object = None
+    elapsed_ms: float = 0.0
+    error: object = None
+
+
+@dataclass
+class RequestTrace:
+    endpoint: str
+    method: str
+    path: str
+    started_at: float = field(default_factory=time.time)
+    steps: list[StepTrace] = field(default_factory=list)
+    status: int | None = None
+
+    def record(self, name: str, kind: str, input_value, fn):
+        t0 = time.perf_counter()
+        try:
+            output = fn()
+        except Exception as e:
+            self.steps.append(StepTrace(
+                name, kind, input_value, None,
+                (time.perf_counter() - t0) * 1000, str(e)))
+            raise
+        self.steps.append(StepTrace(
+            name, kind, input_value, output,
+            (time.perf_counter() - t0) * 1000))
+        return output
+
+    def to_json(self):
+        return {
+            "trace_id": str(uuid.uuid4()),
+            "endpoint": self.endpoint,
+            "method": self.method,
+            "path": self.path,
+            "started_at": self.started_at,
+            "status": self.status,
+            "total_ms": round(sum(s.elapsed_ms for s in self.steps), 3),
+            "steps": [{
+                "name": s.name, "kind": s.kind, "input": s.input,
+                "output": s.output, "elapsed_ms": round(s.elapsed_ms, 3),
+                "error": s.error,
+            } for s in self.steps],
+        }
+
+
+class TraceStore:
+    """Append-only trace files under a data dir (one JSON per request)."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+        os.makedirs(data_dir, exist_ok=True)
+
+    def write(self, trace: RequestTrace) -> str:
+        doc = trace.to_json()
+        path = os.path.join(self.data_dir, f"trace-{doc['trace_id']}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        return path
+
+    def list(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.data_dir)):
+            if fn.startswith("trace-") and fn.endswith(".json"):
+                with open(os.path.join(self.data_dir, fn),
+                          encoding="utf-8") as fh:
+                    out.append(json.load(fh))
+        return out
+
+
+def build_api_graph(endpoint_file: str) -> dict:
+    """Static endpoint → rule → (branch | network) dependency graph.
+
+    Nodes: ``endpoint:<METHOD> <path>``, ``rule:<file>``,
+    ``network:<file>``; edges carry the reference kind (step, catch,
+    branch, body_rule).
+    """
+    base_dir = os.path.dirname(os.path.abspath(endpoint_file))
+    nodes: dict[str, dict] = {}
+    edges: list[dict] = []
+    seen: set[str] = set()
+
+    def add_node(node_id: str, kind: str):
+        nodes.setdefault(node_id, {"id": node_id, "kind": kind})
+
+    def walk_rule(rel_path: str, rel_base: str):
+        full = os.path.normpath(rel_path if os.path.isabs(rel_path)
+                                else os.path.join(rel_base, rel_path))
+        rel = os.path.relpath(full, base_dir)
+        if full in seen:
+            return rel, None
+        seen.add(full)
+        try:
+            with open(full, encoding="utf-8") as fh:
+                doc = yaml.safe_load(fh)
+        except OSError:
+            add_node(f"missing:{rel}", "missing")
+            return rel, None
+        kind = "network" if doc.get("type") == "network" else "rule"
+        add_node(f"{kind}:{rel}", kind)
+        if kind == "network":
+            body_rule = doc.get("body_rule")
+            if body_rule:
+                sub_rel, _ = walk_rule(body_rule, os.path.dirname(full))
+                edges.append({"from": f"network:{rel}",
+                              "to": f"rule:{sub_rel}",
+                              "kind": "body_rule"})
+            for target in (doc.get("catch") or {}).values():
+                sub_rel, _ = walk_rule(target, os.path.dirname(full))
+                edges.append({"from": f"network:{rel}",
+                              "to": f"rule:{sub_rel}", "kind": "catch"})
+        else:
+            for step in doc.get("steps") or []:
+                branch = step.get("branch") if isinstance(step, dict) \
+                    else None
+                if branch:
+                    for key in ("then", "else"):
+                        tgt = branch.get(key)
+                        if tgt:
+                            sub_rel, _ = walk_rule(tgt,
+                                                   os.path.dirname(full))
+                            edges.append({"from": f"rule:{rel}",
+                                          "to": f"rule:{sub_rel}",
+                                          "kind": "branch"})
+        return rel, kind
+
+    with open(endpoint_file, encoding="utf-8") as fh:
+        doc = yaml.safe_load(fh)
+    for e in doc.get("endpoints", []):
+        ep_id = f"endpoint:{e['method'].upper()} {e['path']}"
+        add_node(ep_id, "endpoint")
+        for step in e.get("steps", []):
+            rel, kind = walk_rule(step["rule"], base_dir)
+            edges.append({"from": ep_id,
+                          "to": f"{kind or 'rule'}:{rel}", "kind": "step"})
+        for target in (e.get("catch") or {}).values():
+            rel, kind = walk_rule(target, base_dir)
+            edges.append({"from": ep_id,
+                          "to": f"{kind or 'rule'}:{rel}", "kind": "catch"})
+    return {"nodes": sorted(nodes.values(), key=lambda n: n["id"]),
+            "edges": edges}

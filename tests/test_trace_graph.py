@@ -1,0 +1,122 @@
+"""Execution-trace store + static API graph tests
+(``endpoint_engine.rs:594-692`` / ``api_graph.rs`` models)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from rulemorph_spark.service.endpoint import EndpointEngine
+from rulemorph_spark.service.trace import build_api_graph
+
+ENDPOINT_YAML = """
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /things/{id}
+    steps:
+      - rule: step1.yaml
+      - rule: net1.yaml
+    reply:
+      status: 200
+      body: "@input"
+    catch:
+      default: handler.yaml
+"""
+
+STEP1 = """
+version: 2
+input:
+  format: json
+  json: {}
+steps:
+  - mappings:
+      - target: "id"
+        source: "input.path.id"
+        type: int
+  - branch:
+      when: { gte: ["@out.id", 0] }
+      then: sub.yaml
+"""
+
+SUB = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "tag"
+    value: "sub"
+"""
+
+NET1 = """
+version: 2
+type: network
+request:
+  method: GET
+  url: "lit:http://up/x"
+timeout: 1s
+catch:
+  5xx: handler.yaml
+"""
+
+HANDLER = """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "handled"
+    value: true
+"""
+
+
+@pytest.fixture(scope="module")
+def svc_dir():
+    with tempfile.TemporaryDirectory() as d:
+        for name, text in [("endpoint.yaml", ENDPOINT_YAML),
+                           ("step1.yaml", STEP1), ("sub.yaml", SUB),
+                           ("net1.yaml", NET1), ("handler.yaml", HANDLER)]:
+            with open(os.path.join(d, name), "w") as fh:
+                fh.write(text)
+        yield d
+
+
+def test_api_graph(svc_dir):
+    graph = build_api_graph(f"{svc_dir}/endpoint.yaml")
+    ids = {n["id"] for n in graph["nodes"]}
+    assert "endpoint:GET /things/{id}" in ids
+    assert "rule:step1.yaml" in ids
+    assert "network:net1.yaml" in ids
+    assert "rule:sub.yaml" in ids
+    kinds = {(e["from"], e["to"], e["kind"]) for e in graph["edges"]}
+    assert ("endpoint:GET /things/{id}", "rule:step1.yaml",
+            "step") in kinds
+    assert ("rule:step1.yaml", "rule:sub.yaml", "branch") in kinds
+    assert ("network:net1.yaml", "rule:handler.yaml", "catch") in kinds
+    assert ("endpoint:GET /things/{id}", "rule:handler.yaml",
+            "catch") in kinds
+
+
+def test_request_tracing(spark, svc_dir):
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        status, _, _ = eng.handle_request("GET", "/things/5")
+        assert status == 200
+        traces = eng.trace_store.list()
+        assert len(traces) == 1
+        t = traces[0]
+        assert t["status"] == 200
+        assert t["endpoint"] == "/things/{id}"
+        step_names = [s["name"] for s in t["steps"]]
+        assert step_names == ["step1.yaml", "net1.yaml", "reply"]
+        assert all(s["elapsed_ms"] >= 0 for s in t["steps"])
+        # the branch output merged through step1
+        assert t["steps"][0]["output"]["tag"] == "sub"
