@@ -77,18 +77,25 @@ def _run_transform(args, *, discard: bool) -> int:
             _emit_validation_errors(errors, args.error_format)
             return 2
 
+    from .engine import transform_with_warnings
     base_dir = os.path.dirname(os.path.abspath(args.rules))
     spark = get_spark("rulemorph-cli")
     try:
-        output = transform(spark, rule_text, input_text=input_text,
-                           input_path=args.input, context=context,
-                           base_dir=base_dir)
+        output, warnings = transform_with_warnings(
+            spark, rule_text, input_text=input_text,
+            input_path=args.input, context=context, base_dir=base_dir)
     except TransformEngineError as e:
         _emit_transform_error(e, args.error_format)
         return 3
     except RuleError as e:
         _emit_validation_errors([e], args.error_format)
         return 2
+    for w in warnings:
+        if args.error_format == "json":
+            print(json.dumps({"warning": w}), file=sys.stderr)
+        else:
+            print(f"warning[{w['kind']}]: {w['message']} at {w['path']} "
+                  f"({w['records']} records)", file=sys.stderr)
 
     if discard:
         return 0

@@ -156,11 +156,16 @@ def _gate_tree(tree: OutTree, cond: Column) -> OutTree:
 
 class CompiledRecordRule:
     def __init__(self, keep: Column, out_tree: OutTree, returned: Column,
-                 returned_out: Column):
+                 returned_out: Column,
+                 warn_flags: list[tuple[str, Column]] | None = None):
         self.keep = keep
         self.out_tree = out_tree
         self.returned = returned
         self.returned_out = returned_out
+        # (rule path, boolean Column) — true on rows whose when/record_when
+        # evaluation failed (reference converts those errors to warnings,
+        # transform.rs:1041-1091)
+        self.warn_flags = warn_flags or []
 
     def out_json(self) -> Column:
         normal = self.out_tree.to_struct_json()
@@ -330,6 +335,7 @@ class RuleCompiler:
         keep = F.lit(True)
         returned = F.lit(False)
         returned_out = F.lit(None).cast(V.VT)
+        warn_flags: list[tuple[str, Column]] = []
 
         def scope():
             return Scope(input=input_col, context=context_col,
@@ -337,8 +343,10 @@ class RuleCompiler:
                          context_value=self.context)
 
         if self.rule.has_record_when:
-            cond = self._compile_when(self.rule.record_when, scope(),
-                                      "record_when")
+            cond = builder.add(
+                self._compile_when(self.rule.record_when, scope(),
+                                   "record_when"), "w")
+            warn_flags.append(("record_when", cond.isNull()))
             keep = builder.add(F.coalesce(cond, F.lit(False)), "k")
 
         def apply_mappings(mappings, base_path):
@@ -354,7 +362,10 @@ class RuleCompiler:
                 # never evaluate the value (and never raise)
                 gate = keep & ~returned
                 if m.has_when:
-                    wcond = self._compile_when(m.when, s, f"{mpath}.when")
+                    wcond = builder.add(
+                        self._compile_when(m.when, s, f"{mpath}.when"), "w")
+                    warn_flags.append(
+                        (f"{mpath}.when", keep & wcond.isNull()))
                     gate = gate & F.coalesce(wcond, F.lit(False))
                 materialized = builder.add(F.when(gate, value), "m")
                 out_tree.set(names, materialized, mpath)
@@ -365,8 +376,11 @@ class RuleCompiler:
                 if step.mappings is not None:
                     apply_mappings(step.mappings, f"{spath}.mappings")
                 if step.has_record_when:
-                    cond = self._compile_when(step.record_when, scope(),
-                                              f"{spath}.record_when")
+                    cond = builder.add(
+                        self._compile_when(step.record_when, scope(),
+                                           f"{spath}.record_when"), "w")
+                    warn_flags.append(
+                        (f"{spath}.record_when", keep & cond.isNull()))
                     keep = builder.add(
                         keep & (returned | F.coalesce(cond, F.lit(False))),
                         "k")
@@ -392,7 +406,8 @@ class RuleCompiler:
 
         return CompiledRecordRule(keep=keep, out_tree=out_tree,
                                   returned=returned,
-                                  returned_out=returned_out)
+                                  returned_out=returned_out,
+                                  warn_flags=warn_flags)
 
     def _compile_branch(self, builder: Builder, branch, spath, scope_fn,
                         keep, returned, returned_out, out_tree, input_col):

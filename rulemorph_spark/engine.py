@@ -233,10 +233,28 @@ def transform(spark: SparkSession, rule_text: str,
     records, or the wrap object).  Raises TransformEngineError with
     reference-compatible {kind, path} on per-record errors.
     """
+    out, _ = transform_with_warnings(spark, rule_text,
+                                     input_text=input_text,
+                                     input_path=input_path,
+                                     context=context, base_dir=base_dir,
+                                     collect_warnings=False)
+    return out
+
+
+def transform_with_warnings(spark: SparkSession, rule_text: str,
+                            input_text: str | None = None,
+                            input_path: str | None = None,
+                            context: Any = None, base_dir: str = ".",
+                            collect_warnings: bool = True):
+    """transform + the per-record warning channel
+    (``transform_with_warnings``, ``transform.rs:209-249``): warnings
+    are {path, count} aggregates of when/record_when evaluation
+    failures (the reference's error-to-warning conversion)."""
     rule = parse_rule_file(rule_text)
     try:
         return _transform_parsed(spark, rule, input_text, input_path,
-                                 context, base_dir)
+                                 context, base_dir,
+                                 collect_warnings=collect_warnings)
     except TransformEngineError:
         raise
     except Exception as exc:  # recover typed errors from Spark
@@ -247,7 +265,7 @@ def transform(spark: SparkSession, rule_text: str,
 
 
 def _transform_parsed(spark, rule, input_text, input_path, context,
-                      base_dir):
+                      base_dir, collect_warnings=False):
     fmt = rule.input.format
     if fmt == "csv":
         if input_path is None:
@@ -276,6 +294,20 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
     compiler = RuleCompiler(rule, context=context, base_dir=base_dir)
     builder = Builder(df)
     compiled = compiler.compile(builder, F.col("__record__"))
+    warnings: list[dict] = []
+    if collect_warnings and compiled.warn_flags:
+        agg = builder.df.agg(*[
+            F.sum(flag.cast("long")).alias(f"w{i}")
+            for i, (_, flag) in enumerate(compiled.warn_flags)
+        ]).collect()[0]
+        for i, (path, _) in enumerate(compiled.warn_flags):
+            n = agg[f"w{i}"] or 0
+            if n:
+                warnings.append({
+                    "kind": "ExprError",
+                    "message": "when/record_when evaluation failed "
+                               "(treated as false)",
+                    "path": path, "records": int(n)})
     result = (
         builder.df
         .withColumn("__keep__", compiled.keep)
@@ -289,5 +321,5 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
         rows = sorted(rows, key=lambda r: r["__idx__"])
     records = [json.loads(r["__json__"]) for r in rows]
     if wrap is not None:
-        return _apply_wrap(records, wrap, rule, spark, context)
-    return records
+        return _apply_wrap(records, wrap, rule, spark, context), warnings
+    return records, warnings
