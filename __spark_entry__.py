@@ -8,7 +8,8 @@ gives the DuckDB-equivalent ANSI SQL for the correctness gate.
 Determinism rules used throughout:
 - aggregates over doubles go through DECIMAL(18,2) (order-independent
   exact sums — a distributed Spark sum and DuckDB's serial sum would
-  otherwise differ in final ulps)
+  otherwise differ in final ulps), then cast to DOUBLE for a
+  normalization-free comparison representation
 - per-row double arithmetic is identical IEEE work in both engines
 - ranking ties always break on an id column
 - array results serialize via to_json for canonical comparison
@@ -166,7 +167,7 @@ def q_finalize_wrap(spark, sf_dir):
     return o.agg(
         F.count("*").alias("total"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").alias("sum_price"),
+        .cast("double").alias("sum_price"),
         F.min("o_orderkey").alias("first_key"),
         F.max("o_orderkey").alias("last_key"))
 
@@ -301,12 +302,12 @@ def q_agg_pricing_summary(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)")
+            .agg(F.sum(dec("l_quantity")).cast("double")
                  .alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,2)")
+                 F.sum(dec("l_extendedprice")).cast("double")
                  .alias("sum_base_price"),
                  F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                       - dec("l_discount"))).cast("decimal(38,4)")
+                       - dec("l_discount"))).cast("double")
                  .alias("sum_disc_price"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
@@ -570,7 +571,7 @@ def q_rollup_agg(spark, sf_dir):
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("qty")))
+                 .cast("double").alias("qty")))
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -719,7 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "q_finalize_wrap": """
             SELECT COUNT(*) AS total,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS sum_price,
+                        AS DOUBLE) AS sum_price,
                    MIN(o_orderkey) AS first_key,
                    MAX(o_orderkey) AS last_key
             FROM orders
@@ -810,13 +811,13 @@ def oracle_sql() -> dict[str, str]:
         "q_agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(38,2)) AS sum_qty,
+                        AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        AS DECIMAL(38,2)) AS sum_base_price,
+                        AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                             (CAST(1 AS DECIMAL(18,2)) -
                              CAST(l_discount AS DECIMAL(18,2))))
-                        AS DECIMAL(38,4)) AS sum_disc_price,
+                        AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1016,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(38,2)) AS qty
+                        AS DOUBLE) AS qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
