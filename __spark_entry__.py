@@ -586,6 +586,18 @@ def q_ivf_topk(spark, sf_dir):
                     k=3, nprobe=2)
 
 
+def q_events_time_window(spark, sf_dir):
+    """event-time tumbling-window aggregation (the batch shape of the
+    streaming windowed agg; events.ts is nanosecond-epoch)."""
+    e = _t(spark, sf_dir, "events")
+    minute = (F.col("ts") / F.lit(60_000_000_000)).cast("long")
+    return (e.groupBy(minute.alias("minute_bucket"),
+                      F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value")))
+
+
 def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via sign-pattern LSH buckets + cosine."""
     from rulemorph_spark.llm.dedup import dedup_embedding_cosine
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_rollup_agg": q_rollup_agg,
         "q_ivf_topk": q_ivf_topk,
+        "q_events_time_window": q_events_time_window,
     }
 
 
@@ -1022,6 +1035,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_ivf_topk": _ivf_oracle(),
+        "q_events_time_window": """
+            SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT)
+                       AS minute_bucket,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         # q_simhash / q_embedding_cluster_dedup: rows-only (bit packing /
         # float bucketing are not portably expressible in DuckDB SQL)
     }
