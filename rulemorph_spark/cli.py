@@ -21,12 +21,18 @@ def _load_text(path: str) -> str:
 
 def _emit_validation_errors(errors, error_format: str):
     if error_format == "json":
-        payload = [{"code": e.code, "message": e.message, "path": e.path}
-                   for e in errors]
+        payload = []
+        for e in errors:
+            obj = {"code": e.code, "message": e.message, "path": e.path}
+            if e.line is not None:
+                obj["line"], obj["column"] = e.line, e.column
+            payload.append(obj)
         print(json.dumps(payload), file=sys.stderr)
     else:
         for e in errors:
             loc = f" at {e.path}" if e.path else ""
+            if e.line is not None:
+                loc += f" (line {e.line}, col {e.column})"
             print(f"error[{e.code}]: {e.message}{loc}", file=sys.stderr)
 
 
@@ -40,17 +46,18 @@ def _emit_transform_error(err, error_format: str):
 
 def cmd_validate(args) -> int:
     from .model import parse_rule_file
-    from .validator import validate_rule
+    from .validator import validate_rule_source
     from .errors import RuleError
     try:
-        rule = parse_rule_file(_load_text(args.rules))
+        rule_text = _load_text(args.rules)
+        rule = parse_rule_file(rule_text)
     except OSError as e:
         print(f"failed to read rules: {e}", file=sys.stderr)
         return 1
     except RuleError as e:
         print(f"failed to parse rules: {e}", file=sys.stderr)
         return 2
-    errors = validate_rule(rule)
+    errors = validate_rule_source(rule, rule_text)
     if errors:
         _emit_validation_errors(errors, args.error_format)
         return 2

@@ -118,13 +118,16 @@ class McpServer:
             return json.dumps(result)
         if name == "validate_rules":
             from ..model import parse_rule_file
-            from ..validator import validate_rule
-            errors = validate_rule(parse_rule_file(args["rules"]))
-            return json.dumps({
-                "valid": not errors,
-                "errors": [{"code": e.code, "message": e.message,
-                            "path": e.path} for e in errors],
-            })
+            from ..validator import validate_rule_source
+            errors = validate_rule_source(parse_rule_file(args["rules"]),
+                                          args["rules"])
+            out = []
+            for e in errors:
+                obj = {"code": e.code, "message": e.message, "path": e.path}
+                if e.line is not None:
+                    obj["line"], obj["column"] = e.line, e.column
+                out.append(obj)
+            return json.dumps({"valid": not errors, "errors": out})
         if name == "generate_dto":
             from ..dto import generate_dto
             from ..model import parse_rule_file

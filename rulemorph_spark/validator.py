@@ -24,6 +24,10 @@ class ValidationError:
     code: str
     message: str
     path: str | None = None
+    # YAML source position of `path`, when validating from source text
+    # (reference: locator.rs attribution in v2_validator.rs:196-204)
+    line: int | None = None
+    column: int | None = None
 
 
 # ops that statically never return a boolean (for when-type checks)
@@ -420,3 +424,18 @@ class Validator:
 
 def validate_rule(rule: RuleFile) -> list[ValidationError]:
     return Validator(rule).validate()
+
+
+def validate_rule_source(rule: RuleFile,
+                         source: str) -> list[ValidationError]:
+    """Validate with YAML line/column attribution on each error
+    (reference: ``validate_rule_file_with_source``, validator.rs:18-21).
+    """
+    from .locator import YamlLocator
+    locator = YamlLocator(source)
+    errors = Validator(rule).validate()
+    for e in errors:
+        loc = locator.location_for(e.path)
+        if loc is not None:
+            e.line, e.column = loc
+    return errors
