@@ -118,16 +118,24 @@ class McpServer:
             return json.dumps(result)
         if name == "validate_rules":
             from ..model import parse_rule_file
-            from ..validator import validate_rule_source
-            errors = validate_rule_source(parse_rule_file(args["rules"]),
-                                          args["rules"])
+            from ..validator import (collect_rule_warnings,
+                                     validate_rule_source)
+            rule = parse_rule_file(args["rules"])
+            errors = validate_rule_source(rule, args["rules"])
             out = []
             for e in errors:
                 obj = {"code": e.code, "message": e.message, "path": e.path}
                 if e.line is not None:
                     obj["line"], obj["column"] = e.line, e.column
                 out.append(obj)
-            return json.dumps({"valid": not errors, "errors": out})
+            result = {"valid": not errors, "errors": out}
+            if not errors:
+                warnings = collect_rule_warnings(rule)
+                if warnings:
+                    result["warnings"] = [
+                        {"code": w.code, "message": w.message,
+                         "path": w.path} for w in warnings]
+            return json.dumps(result)
         if name == "generate_dto":
             from ..dto import generate_dto
             from ..model import parse_rule_file

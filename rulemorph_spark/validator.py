@@ -426,6 +426,93 @@ def validate_rule(rule: RuleFile) -> list[ValidationError]:
     return Validator(rule).validate()
 
 
+@dataclass
+class RuleWarning:
+    """Non-fatal lint finding (reference: rulemorph_mcp/src/main.rs:4617
+    ``RuleWarning`` + ``collect_rule_warnings``:4623-4705)."""
+    code: str
+    message: str
+    path: str | None = None
+
+
+_DATE_FORMAT_MSG = ("date_format without input_format relies on heuristic "
+                    "parsing; consider providing input_format.")
+_TO_UNIXTIME_MSG = ("to_unixtime relies on heuristic date parsing; consider "
+                    "normalizing with date_format + input_format.")
+
+
+def _looks_like_timezone(v) -> bool:
+    if not isinstance(v, str):
+        return False
+    if v.lower() == "utc" or v == "Z":
+        return True
+    return v[:1] in ("+", "-")
+
+
+def _op_warnings(node: dict, path: str, chain_step: bool,
+                 out: list[RuleWarning]) -> None:
+    op = node.get("op")
+    args = node.get("args") or []
+    if not isinstance(args, list):
+        args = [args]
+    if op == "date_format":
+        # as a chain step the piped value occupies arg slot 0, so the
+        # input_format position shifts from args[2] to args[1]
+        idx = 1 if chain_step else 2
+        if len(args) <= idx:
+            out.append(RuleWarning("date_format_missing_input_format",
+                                   _DATE_FORMAT_MSG, f"{path}.args"))
+        elif _looks_like_timezone(args[idx]):
+            out.append(RuleWarning("date_format_missing_input_format",
+                                   _DATE_FORMAT_MSG, f"{path}.args[{idx}]"))
+    elif op == "to_unixtime":
+        out.append(RuleWarning("to_unixtime_auto_parse",
+                               _TO_UNIXTIME_MSG, path))
+    for i, a in enumerate(args):
+        _expr_warnings(a, f"{path}.args[{i}]", out)
+
+
+def _expr_warnings(node, path: str, out: list[RuleWarning]) -> None:
+    # v1 explicit forms only ({ref}/{op,args}/{chain}); plain scalars,
+    # lists (v2 pipes) and other shapes are literals for this walk,
+    # matching the reference's untagged Expr deserialization order
+    if not isinstance(node, dict):
+        return
+    if "ref" in node:
+        return
+    if "op" in node:
+        _op_warnings(node, path, chain_step=False, out=out)
+        return
+    if "chain" in node:
+        steps = node.get("chain")
+        if not isinstance(steps, list):
+            return
+        for i, step in enumerate(steps):
+            spath = f"{path}.chain[{i}]"
+            if (i > 0 and isinstance(step, dict) and "op" in step
+                    and "ref" not in step):
+                _op_warnings(step, spath, chain_step=True, out=out)
+            else:
+                _expr_warnings(step, spath, out)
+
+
+def collect_rule_warnings(rule: RuleFile) -> list[RuleWarning]:
+    """Heuristic-parsing lint over v1 expressions: ``date_format``
+    without an explicit input_format and ``to_unixtime`` auto-parsing.
+    Walks record_when and top-level mappings only (as the reference
+    does)."""
+    out: list[RuleWarning] = []
+    if rule.has_record_when:
+        _expr_warnings(rule.record_when, "record_when", out)
+    for i, m in enumerate(rule.mappings or []):
+        base = f"mappings[{i}]"
+        if m.has_expr:
+            _expr_warnings(m.expr, f"{base}.expr", out)
+        if m.has_when:
+            _expr_warnings(m.when, f"{base}.when", out)
+    return out
+
+
 def validate_rule_source(rule: RuleFile,
                          source: str) -> list[ValidationError]:
     """Validate with YAML line/column attribution on each error

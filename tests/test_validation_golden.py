@@ -117,3 +117,50 @@ def test_yaml_locator_quoted_key_and_block():
     # point there, so this is harmless
     assert loc.location_for("a.blk.not") == (4, 5)
     assert loc.location_for("a.after") == (5, 3)
+
+
+# -- rule warnings (rulemorph_mcp collect_rule_warnings parity) --------
+
+def test_rule_warnings_date_format_and_to_unixtime():
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 1\n"
+        "input: {format: json, json: {}}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr:\n"
+        "      op: date_format\n"
+        "      args: [{ref: input.d}, \"%Y\"]\n"   # no input_format
+        "  - target: b\n"
+        "    expr:\n"
+        "      op: to_unixtime\n"
+        "      args: [{ref: input.d}]\n"
+        "  - target: c\n"
+        "    expr:\n"
+        "      chain:\n"
+        "        - {ref: input.d}\n"
+        "        - {op: date_format, args: [\"%Y\", \"utc\"]}\n"
+    )
+    got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
+    assert got == [
+        ("date_format_missing_input_format", "mappings[0].expr.args"),
+        ("to_unixtime_auto_parse", "mappings[1].expr"),
+        # chain step: input_format slot is args[1]; "utc" there means it
+        # was given a timezone, not an input format
+        ("date_format_missing_input_format",
+         "mappings[2].expr.chain[1].args[1]"),
+    ]
+
+
+def test_rule_warnings_clean_when_input_format_given():
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 1\n"
+        "input: {format: json, json: {}}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr:\n"
+        "      op: date_format\n"
+        "      args: [{ref: input.d}, \"%Y\", \"%d/%m/%Y\"]\n"
+    )
+    assert collect_rule_warnings(rule) == []
