@@ -496,20 +496,94 @@ def _expr_warnings(node, path: str, out: list[RuleWarning]) -> None:
                 _expr_warnings(step, spath, out)
 
 
+_PIPE_LITERAL_MSG = (
+    "pipe starts with an op-shaped object but has more elements, so the "
+    "object is a literal value, not an op call; make it the only "
+    "element or pipe from a value first.")
+
+
+def _v2_pipe_warnings(node, path: str, out: list[RuleWarning]) -> None:
+    """Lint a v2 expr position for the literal-object-start footgun."""
+    from .expr_ir import _looks_like_step
+    if isinstance(node, dict):
+        _v2_step_warnings(node, path, out)
+        return
+    if not isinstance(node, list) or not node:
+        return
+    if len(node) > 1 and _looks_like_step(node[0]):
+        out.append(RuleWarning("v2_pipe_literal_object_start",
+                               _PIPE_LITERAL_MSG, path))
+    for i, el in enumerate(node):
+        if i == 0 and len(node) > 1:
+            continue  # start position: literal/ref, not a step
+        _v2_step_warnings(el, f"{path}[{i}]", out)
+
+
+def _v2_step_warnings(step, path: str, out: list[RuleWarning]) -> None:
+    if not isinstance(step, dict):
+        return
+    if isinstance(step.get("op"), str):
+        args = step.get("args")
+        if isinstance(args, list):
+            for i, a in enumerate(args):
+                _v2_pipe_warnings(a, f"{path}.args[{i}]", out)
+        return
+    if isinstance(step.get("let"), dict):
+        for k, v in step["let"].items():
+            _v2_pipe_warnings(v, f"{path}.let.{k}", out)
+        return
+    if "if" in step:
+        iv = step["if"]
+        if isinstance(iv, dict) and ("cond" in iv or "then" in iv):
+            parts = (iv.get("cond"), iv.get("then"), iv.get("else"))
+        else:
+            parts = (iv, step.get("then"), step.get("else"))
+        for sub, lbl in zip(parts, ("cond", "then", "else")):
+            if sub is not None:
+                _v2_pipe_warnings(sub, f"{path}.{lbl}", out)
+        return
+    if isinstance(step.get("map"), list):
+        for i, s in enumerate(step["map"]):
+            _v2_step_warnings(s, f"{path}.map[{i}]", out)
+        return
+    if len(step) == 1:
+        (k, v), = step.items()
+        if isinstance(v, list):
+            for i, a in enumerate(v):
+                _v2_pipe_warnings(a, f"{path}.{k}[{i}]", out)
+        else:
+            _v2_pipe_warnings(v, f"{path}.{k}", out)
+
+
 def collect_rule_warnings(rule: RuleFile) -> list[RuleWarning]:
-    """Heuristic-parsing lint over v1 expressions: ``date_format``
-    without an explicit input_format and ``to_unixtime`` auto-parsing.
-    Walks record_when and top-level mappings only (as the reference
-    does)."""
+    """Heuristic-parsing lint over v1 expressions (``date_format``
+    without an explicit input_format, ``to_unixtime`` auto-parsing —
+    walks record_when and top-level mappings only, as the reference
+    does), plus an extension lint for v2 rules: the literal-object-
+    start pipe footgun."""
     out: list[RuleWarning] = []
     if rule.has_record_when:
         _expr_warnings(rule.record_when, "record_when", out)
+        if rule.version == 2:
+            _v2_pipe_warnings(rule.record_when, "record_when", out)
     for i, m in enumerate(rule.mappings or []):
         base = f"mappings[{i}]"
         if m.has_expr:
             _expr_warnings(m.expr, f"{base}.expr", out)
+            if rule.version == 2:
+                _v2_pipe_warnings(m.expr, f"{base}.expr", out)
         if m.has_when:
             _expr_warnings(m.when, f"{base}.when", out)
+            if rule.version == 2:
+                _v2_pipe_warnings(m.when, f"{base}.when", out)
+    if rule.version == 2:
+        for si, step in enumerate(rule.steps or []):
+            for mi, m in enumerate(step.mappings or []):
+                base = f"steps[{si}].mappings[{mi}]"
+                if m.has_expr:
+                    _v2_pipe_warnings(m.expr, f"{base}.expr", out)
+                if m.has_when:
+                    _v2_pipe_warnings(m.when, f"{base}.when", out)
     return out
 
 

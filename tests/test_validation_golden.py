@@ -164,3 +164,40 @@ def test_rule_warnings_clean_when_input_format_given():
         "      args: [{ref: input.d}, \"%Y\", \"%d/%m/%Y\"]\n"
     )
     assert collect_rule_warnings(rule) == []
+
+
+def test_v2_literal_object_start_footgun_warning():
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 2\n"
+        "input: {format: json}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr:\n"
+        "      - {lookup_first: [\"@context.m\", code]}\n"
+        "      - {coalesce: [0]}\n"
+        "  - target: b\n"
+        "    expr: [{lookup_first: [\"@context.m\", code]}]\n"
+        "  - target: c\n"
+        "    expr: [\"@input.x\", {coalesce: [0]}]\n"
+    )
+    got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
+    assert got == [("v2_pipe_literal_object_start", "mappings[0].expr")]
+
+
+def test_v2_footgun_warning_in_steps_and_nested_args():
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 2\n"
+        "input: {format: json}\n"
+        "steps:\n"
+        "  - mappings:\n"
+        "      - target: a\n"
+        "        expr:\n"
+        "          - \"@input.xs\"\n"
+        "          - map:\n"
+        "              - {op: concat, args: [[{trim: []}, {upper: []}]]}\n"
+    )
+    got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
+    assert got == [("v2_pipe_literal_object_start",
+                    "steps[0].mappings[0].expr[1].map[0].args[0]")]
