@@ -598,6 +598,36 @@ def q_events_time_window(spark, sf_dir):
                  .cast("double").alias("sum_value")))
 
 
+_TYPED_TABLE_RULE = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.l_quantity", 10]}
+mappings:
+  - target: okey
+    source: l_orderkey
+  - target: net
+    expr:
+      - "@input.l_discount"
+      - coalesce: [0]
+      - multiply: ["@input.l_extendedprice"]
+      - round: [2]
+  - target: flag_status
+    expr: ["@input.l_returnflag", {concat: ["-", "@input.l_linestatus"]}]
+  - target: qty_int
+    source: l_quantity
+    type: int
+"""
+
+
+def q_rule_typed_transform(spark, sf_dir):
+    """The rule engine's typed fast path over a parquet table
+    (compiler/typed.py): rule semantics compiled onto native columns —
+    no variant ops in-plan, record_when pushed to the scan."""
+    from rulemorph_spark.engine import transform_table
+    li = _t(spark, sf_dir, "lineitem")
+    return transform_table(li, _TYPED_TABLE_RULE, mode="typed")
+
+
 def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via sign-pattern LSH buckets + cosine."""
     from rulemorph_spark.llm.dedup import dedup_embedding_cosine
@@ -659,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_agg": q_rollup_agg,
         "q_ivf_topk": q_ivf_topk,
         "q_events_time_window": q_events_time_window,
+        "q_rule_typed_transform": q_rule_typed_transform,
     }
 
 
@@ -1035,6 +1066,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_ivf_topk": _ivf_oracle(),
+        "q_rule_typed_transform": """
+            SELECT l_orderkey AS okey,
+                   floor(l_extendedprice * COALESCE(l_discount, 0)
+                         * 100 + 0.5) / 100 AS net,
+                   l_returnflag || '-' || l_linestatus AS flag_status,
+                   CAST(l_quantity AS BIGINT) AS qty_int
+            FROM lineitem WHERE l_quantity >= 10
+        """,
         "q_events_time_window": """
             SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT)
                        AS minute_bucket,

@@ -61,6 +61,8 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
+    timings["rule_engine_typed"] = round(
+        _rule_engine_typed(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -132,6 +134,40 @@ def _rule_engine_lookup(spark, n_records: int = 10000, n_users: int = 100,
         builder, F.col("__record__"))
     out = (builder.df.withColumn("__keep__", compiled.keep)
            .filter("__keep__").select(compiled.out_json().alias("j")))
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+_TYPED_RULE = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.l_quantity", 10]}
+mappings:
+  - target: okey
+    source: l_orderkey
+  - target: net
+    expr:
+      - "@input.l_discount"
+      - coalesce: [0]
+      - multiply: ["@input.l_extendedprice"]
+      - round: [2]
+  - target: flag_status
+    expr: ["@input.l_returnflag", {concat: ["-", "@input.l_linestatus"]}]
+  - target: qty_int
+    source: l_quantity
+    type: int
+"""
+
+
+def _rule_engine_typed(spark, sf_dir: str) -> float:
+    """The reference's transform_simple workload shape
+    (``benches/transform_bench.rs:86-96``) over a typed parquet table
+    through the typed fast-path compiler (zero variant ops in-plan)."""
+    from rulemorph_spark.engine import transform_table
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t0 = time.perf_counter()
+    out = transform_table(df, _TYPED_RULE, mode="typed")
     out.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 

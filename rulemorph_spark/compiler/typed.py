@@ -1,0 +1,902 @@
+"""Typed fast-path rule compiler for statically-schemaed input.
+
+The general engine represents every value as a ``variant`` Column and
+dispatches op semantics per row on ``schema_of_variant`` tags.  When the
+input is a typed table (parquet/DataFrame), the schema is known at
+compile time, so this module compiles the same rule semantics directly
+onto native typed Columns:
+
+- **missing vs null becomes static**: a reference to a field absent from
+  the schema is *missing at compile time* (``TVal.missing``); a runtime
+  SQL NULL in a typed column is the reference's JSON null.  The
+  missing-propagates / null-errors operand protocol
+  (``transform.rs:1996-2135``) therefore compiles to constant folding
+  plus one NULL guard, not a per-row type dispatch.
+- ops whose semantics depend on the value type (``to_string`` integral
+  rendering, numeric coercion, strict equality) branch at compile time
+  on the static dtype — the generated plan stays inside whole-stage
+  codegen with no variant decoding.
+
+Coverage is the high-traffic scalar subset (refs, literals, let/if,
+arithmetic, comparisons, logical, coalesce, casts, basic string ops,
+v2 conditions).  Anything else raises :class:`TypedFallback` and the
+caller reruns through the variant engine via ``to_variant_object``
+(`engine.transform_table`), so the fast path never changes semantics —
+it only narrows when it provably matches.
+
+Typed-output contract: targets become native columns; because a table
+column cannot distinguish absent-key from null, *gated-off / missing
+outputs surface as SQL NULL* (the JSON output contract drops them).
+Only v2 rules take this path (v1's integral re-emission is a JSON
+rendering rule with no typed-column equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import RuleError
+from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
+                       IfStep, LetStep, OpStep, Pipe, Ref, RefStep,
+                       StartLiteral, StartPipeValue, StartRef)
+from ..paths import Index, Key, parse_path
+from ..registry import OP_ALIASES
+from . import variant as V
+from .core import lenient_errors, lenient_on
+
+_LONG_MAX = (1 << 63) - 1
+
+
+class TypedFallback(Exception):
+    """The expression needs the general variant engine."""
+
+
+@dataclass(frozen=True)
+class TVal:
+    """A typed value: Column + static Spark type.
+
+    ``missing=True`` marks the reference's *missing* (path statically
+    absent); then ``col`` is a NULL literal.  A runtime NULL in a
+    non-missing TVal is JSON null.
+    """
+    col: Column
+    dtype: T.DataType
+    missing: bool = False
+
+
+def _missing() -> TVal:
+    return TVal(F.lit(None), T.NullType(), missing=True)
+
+
+def _tnull() -> TVal:
+    return TVal(F.lit(None), T.NullType())
+
+
+_INT_T = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUM_T = _INT_T + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _is_int(dt) -> bool:
+    return isinstance(dt, _INT_T)
+
+
+def _is_num(dt) -> bool:
+    return isinstance(dt, _NUM_T)
+
+
+def _is_str(dt) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _is_bool(dt) -> bool:
+    return isinstance(dt, T.BooleanType)
+
+
+def _is_null(dt) -> bool:
+    return isinstance(dt, T.NullType)
+
+
+def _terr(dtype, kind: str, message: str, path: str) -> Column:
+    """Typed error column: raise in strict mode, NULL in lenient."""
+    if lenient_on():
+        return F.lit(None).cast(dtype)
+    return V.raise_err(kind, message, path, None).cast(dtype)
+
+
+def _isnull(v: TVal) -> Column:
+    """Runtime JSON-null test (missing handled statically by callers)."""
+    if _is_null(v.dtype):
+        return F.lit(not v.missing)
+    return v.col.isNull()
+
+
+def _seq(operands: list[TVal], path: str, col: Column, dtype,
+         *, allow_null: bool = False) -> TVal:
+    """Missing-propagates / null-errors operand protocol, typed."""
+    if any(o.missing for o in operands):
+        return _missing()
+    if not allow_null:
+        for o in reversed(operands):
+            col = F.when(_isnull(o),
+                         _terr(dtype, "expr_error",
+                               "expr arg must not be null", path)
+                         ).otherwise(col)
+    return TVal(col, dtype)
+
+
+# --- static coercions ---------------------------------------------------
+
+def t_str(v: TVal, path: str,
+          msg: str = "value must be a string, number, or boolean") -> Column:
+    """``value_to_string`` with compile-time dispatch
+    (``transform.rs:5774-5800``, integral rendering ``:5903-5923``)."""
+    dt = v.dtype
+    if _is_str(dt):
+        return v.col
+    if _is_bool(dt) or _is_int(dt):
+        return v.col.cast("string")
+    if _is_num(dt):
+        d = v.col.cast("double")
+        return F.when(
+            (d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
+            d.cast("long").cast("string")).otherwise(d.cast("string"))
+    if _is_null(dt):
+        return F.lit(None).cast("string")
+    return _terr("string", "expr_error", msg, path)
+
+
+def t_num(v: TVal, path: str,
+          msg: str = "value must be a number") -> Column:
+    """``value_to_number``: number or numeric string → double."""
+    dt = v.dtype
+    if _is_num(dt):
+        return v.col.cast("double")
+    if _is_str(dt):
+        parsed = v.col.try_cast("double")
+        return (F.when(v.col.isNull(), F.lit(None).cast("double"))
+                .when(parsed.isNotNull(), parsed)
+                .otherwise(_terr("double", "expr_error", msg, path)))
+    if _is_null(dt):
+        return F.lit(None).cast("double")
+    return _terr("double", "expr_error", msg, path)
+
+
+def t_bool(v: TVal, path: str,
+           msg: str = "value must be a boolean") -> Column:
+    if _is_bool(v.dtype):
+        return v.col
+    if _is_null(v.dtype):
+        return F.lit(None).cast("boolean")
+    return _terr("boolean", "expr_error", msg, path)
+
+
+def _json_num_repr(v: TVal) -> Column:
+    """The number's canonical JSON text, for v2 strict equality: matches
+    how the variant bridge renders each static type (BIGINT → ``1``,
+    DOUBLE → ``1.0``, DECIMAL → normalized shortest)."""
+    dt = v.dtype
+    if _is_int(dt):
+        return v.col.cast("string")
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return v.col.cast("double").cast("string")
+    # decimal: to_variant_object normalizes (1.00 → "1", 1.50 → "1.5")
+    d = v.col.cast("double")
+    return F.when(
+        (d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
+        d.cast("long").cast("string")).otherwise(d.cast("string"))
+
+
+def _unify(dts: list[T.DataType]) -> T.DataType | None:
+    """Result type for branch/coalesce merges; None = not representable."""
+    non_null = [dt for dt in dts if not _is_null(dt)]
+    if not non_null:
+        return T.NullType()
+    if all(_is_str(dt) for dt in non_null):
+        return T.StringType()
+    if all(_is_bool(dt) for dt in non_null):
+        return T.BooleanType()
+    if all(_is_num(dt) for dt in non_null):
+        if all(_is_int(dt) for dt in non_null):
+            return T.LongType()
+        return T.DoubleType()
+    if all(dt == non_null[0] for dt in non_null):
+        return non_null[0]
+    return None
+
+
+def _cast_to(v: TVal, dt: T.DataType) -> Column:
+    if _is_null(v.dtype):
+        return F.lit(None).cast(dt)
+    if v.dtype == dt:
+        return v.col
+    return v.col.cast(dt)
+
+
+# --- scope & refs -------------------------------------------------------
+
+@dataclass
+class TScope:
+    """Compile-time environment for the typed path."""
+    schema: T.StructType
+    context_value: object = None
+    has_context: bool = False
+    out: "dict[str, object] | None" = None  # name → TVal | subtree dict
+    pipe: TVal | None = None
+    locals: dict[str, TVal] = field(default_factory=dict)
+
+    def child(self, **kw) -> "TScope":
+        if "locals" not in kw:
+            kw["locals"] = dict(self.locals)
+        return replace(self, **kw)
+
+
+def _py_literal(value, path: str) -> TVal:
+    if value is None:
+        return _tnull()
+    if isinstance(value, bool):
+        return TVal(F.lit(value), T.BooleanType())
+    if isinstance(value, int):
+        return TVal(F.lit(value).cast("long"), T.LongType())
+    if isinstance(value, float):
+        return TVal(F.lit(value), T.DoubleType())
+    if isinstance(value, str):
+        return TVal(F.lit(value), T.StringType())
+    raise TypedFallback(f"container literal at {path}")
+
+
+def _navigate_schema(schema: T.StructType, tokens) -> tuple[Column, T.DataType] | None:
+    """Walk key tokens over the input schema; None = statically missing."""
+    col = None
+    dt: T.DataType = schema
+    for tok in tokens:
+        if not isinstance(tok, Key):
+            raise TypedFallback("array index navigation")
+        if not isinstance(dt, T.StructType):
+            return None
+        sub = next((f for f in dt.fields if f.name == tok.name), None)
+        if sub is None:
+            return None
+        col = F.col(tok.name) if col is None else col.getField(tok.name)
+        dt = sub.dataType
+    if col is None:  # empty path: whole record
+        raise TypedFallback("whole-record reference")
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType,
+                       T.VariantType, T.BinaryType)):
+        raise TypedFallback("non-scalar input field")
+    return col, dt
+
+
+def _navigate_py(value, tokens):
+    """Walk a compile-time Python document; _MISS = absent."""
+    cur = value
+    for tok in tokens:
+        if isinstance(tok, Key):
+            if not isinstance(cur, dict) or tok.name not in cur:
+                return _MISS
+            cur = cur[tok.name]
+        elif isinstance(tok, Index):
+            if not isinstance(cur, list) or not (
+                    -len(cur) <= tok.value < len(cur)):
+                return _MISS
+            cur = cur[tok.value]
+    return cur
+
+
+_MISS = object()
+
+
+def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
+    if ref.namespace == "input":
+        if ref.path == "":
+            raise TypedFallback("whole-record reference")
+        nav = _navigate_schema(scope.schema, parse_path(ref.path))
+        if nav is None:
+            return _missing()
+        return TVal(*nav)
+    if ref.namespace == "context":
+        if not scope.has_context:
+            return _missing()
+        value = _navigate_py(scope.context_value,
+                             parse_path(ref.path) if ref.path else [])
+        if value is _MISS:
+            return _missing()
+        return _py_literal(value, path)
+    if ref.namespace == "out":
+        if scope.out is None:
+            return _missing()
+        node: object = scope.out
+        for tok in (parse_path(ref.path) if ref.path else []):
+            if not isinstance(tok, Key) or not isinstance(node, dict) \
+                    or tok.name not in node:
+                return _missing()
+            node = node[tok.name]
+        if isinstance(node, dict):
+            raise TypedFallback("object-valued @out reference")
+        return node
+    if ref.namespace == "local":
+        name = ref.local_name
+        if name not in scope.locals:
+            raise RuleError("expr_error",
+                            f"undefined variable: @{name}", path)
+        return scope.locals[name]
+    raise TypedFallback(f"@{ref.namespace} in typed mode")
+
+
+# --- pipe compilation ---------------------------------------------------
+
+def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
+    start = pipe.start
+    if isinstance(start, StartLiteral):
+        cur = _py_literal(start.value, path)
+    elif isinstance(start, StartRef):
+        cur = compile_tref(start.ref, scope, path)
+    elif isinstance(start, StartPipeValue):
+        cur = scope.pipe if scope.pipe is not None else _missing()
+    else:  # pragma: no cover
+        raise RuleError("expr_error", "invalid pipe start", path)
+    scope = scope.child()
+    for i, step in enumerate(pipe.steps):
+        cur, scope = compile_tstep(step, cur, scope, f"{path}[{i}]")
+    return cur
+
+
+def compile_tstep(step, cur: TVal, scope: TScope, path: str):
+    if isinstance(step, OpStep):
+        op = OP_ALIASES.get(step.op, step.op)
+        fn = T_OPS.get(op)
+        if fn is None:
+            raise TypedFallback(f"op {step.op} not in typed subset")
+        return fn(scope, cur, list(step.args), path), scope
+    if isinstance(step, LetStep):
+        new_locals = dict(scope.locals)
+        pipe_scope = scope.child(pipe=cur)
+        for name, expr in step.bindings:
+            new_locals[name] = compile_tpipe(expr, pipe_scope,
+                                             f"{path}.let.{name}")
+            pipe_scope = pipe_scope.child(locals=dict(new_locals))
+        return cur, scope.child(locals=new_locals)
+    if isinstance(step, IfStep):
+        pipe_scope = scope.child(pipe=cur)
+        cond = compile_tcondition(step.cond, pipe_scope, f"{path}.if")
+        then_v = compile_tpipe(step.then_branch, pipe_scope, f"{path}.then")
+        else_v = (compile_tpipe(step.else_branch, pipe_scope, f"{path}.else")
+                  if step.else_branch is not None else cur)
+        dt = _unify([then_v.dtype, else_v.dtype])
+        if dt is None:
+            raise TypedFallback("if branches with incompatible types")
+        col = F.when(F.coalesce(cond, F.lit(False)),
+                     _cast_to(then_v, dt)).otherwise(_cast_to(else_v, dt))
+        return TVal(col, dt, missing=then_v.missing and else_v.missing), scope
+    if isinstance(step, RefStep):
+        return compile_tref(step.ref, scope.child(pipe=cur), path), scope
+    raise TypedFallback(f"step {type(step).__name__} in typed mode")
+
+
+# --- conditions ---------------------------------------------------------
+
+def compile_tcondition(cond: Condition, scope: TScope,
+                       path: str = "when") -> Column:
+    if isinstance(cond, CondAll):
+        result = F.lit(True)
+        for c in cond.conditions:
+            result = result & compile_tcondition(c, scope, path)
+        return result
+    if isinstance(cond, CondAny):
+        result = F.lit(False)
+        for c in cond.conditions:
+            result = result | compile_tcondition(c, scope, path)
+        return result
+    if isinstance(cond, CondCompare):
+        args = [compile_tpipe(a, scope, f"{path}.{cond.op}[{i}]")
+                for i, a in enumerate(cond.args)]
+        if len(args) != 2:
+            if len(args) == 1 and scope.pipe is not None:
+                args = [scope.pipe, args[0]]
+            else:
+                raise RuleError("invalid_args",
+                                f"{cond.op} requires 2 arguments", path)
+        return _t_compare(cond.op, args[0], args[1], path)
+    if isinstance(cond, CondExpr):
+        v = compile_tpipe(cond.expr, scope, path)
+        if v.missing or _is_null(v.dtype):
+            return F.lit(False)
+        if _is_bool(v.dtype):
+            return F.coalesce(v.col, F.lit(False))
+        return _terr("boolean", "expr_error",
+                     "when/record_when must evaluate to boolean", path)
+    raise RuleError("expr_error", "unknown condition", path)
+
+
+def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
+    ln, rn = _isnull(left) | F.lit(left.missing), \
+        _isnull(right) | F.lit(right.missing)
+    if op in ("eq", "ne"):
+        # v2 strict equality: missing ≡ null (null == null is true);
+        # cross-type → unequal (v2_eval.rs:1048-1100; the variant path
+        # compares canonical JSON text, mirrored here per static type).
+        # eqNullSafe has exactly the null≡null semantics AND pushes to
+        # parquet as an EqualNullSafe filter.
+        if _is_num(left.dtype) and _is_num(right.dtype):
+            if _is_int(left.dtype) and _is_int(right.dtype):
+                eq = left.col.eqNullSafe(right.col)
+            else:
+                eq = _json_num_repr(left).eqNullSafe(_json_num_repr(right))
+        elif (_is_str(left.dtype) and _is_str(right.dtype)) or \
+                (_is_bool(left.dtype) and _is_bool(right.dtype)):
+            eq = left.col.eqNullSafe(right.col)
+        else:
+            eq = ln & rn  # cross-type / null: equal only when both null
+        return eq if op == "eq" else ~eq
+    if op == "match":
+        if not (_is_str(left.dtype) and _is_str(right.dtype)):
+            return _terr("boolean", "expr_error",
+                         "match operand must be a string", path)
+        return F.coalesce(F.rlike(left.col, right.col), F.lit(False))
+    # orderings: numeric first, then both-string lexicographic
+    import operator
+    pyop = {"gt": operator.gt, "gte": operator.ge,
+            "lt": operator.lt, "lte": operator.le}[op]
+    if _is_num(left.dtype) and _is_num(right.dtype):
+        res = pyop(left.col.cast("double"), right.col.cast("double"))
+    elif _is_str(left.dtype) and _is_str(right.dtype):
+        # numeric strings compare numerically when BOTH parse
+        ld, rd = left.col.try_cast("double"), right.col.try_cast("double")
+        num_ok = ld.isNotNull() & rd.isNotNull()
+        res = F.when(num_ok, pyop(ld, rd)).otherwise(
+            pyop(left.col, right.col))
+    elif (_is_num(left.dtype) and _is_str(right.dtype)) or \
+            (_is_str(left.dtype) and _is_num(right.dtype)):
+        sv, nv = (left, right) if _is_str(left.dtype) else (right, left)
+        sd = sv.col.try_cast("double")
+        both = F.when(sd.isNotNull(), sd)
+        lc = both if _is_str(left.dtype) else left.col.cast("double")
+        rc = both if _is_str(right.dtype) else right.col.cast("double")
+        res = F.when(sd.isNotNull(), pyop(lc, rc)).otherwise(
+            _terr("boolean", "expr_error",
+                  "comparison operands must be numbers or strings", path))
+    else:
+        res = _terr("boolean", "expr_error",
+                    "comparison operands must be numbers or strings", path)
+    return F.when(ln | rn, _terr("boolean", "expr_error",
+                                 "comparison operands must be numbers or "
+                                 "strings", path)).otherwise(res)
+
+
+# --- ops ----------------------------------------------------------------
+
+T_OPS: dict[str, object] = {}
+
+
+def _treg(name: str):
+    def deco(fn):
+        T_OPS[name] = fn
+        return fn
+    return deco
+
+
+def _toperands(scope: TScope, cur: TVal, args, path: str) -> list[TVal]:
+    pipe_scope = scope.child(pipe=cur)
+    return [cur] + [compile_tpipe(a, pipe_scope, f"{path}.args[{i + 1}]")
+                    for i, a in enumerate(args)]
+
+
+@_treg("concat")
+def t_concat(scope, cur, args, path):
+    ops = _toperands(scope, cur, args, path)
+    parts = [t_str(o, path, "concat parts must be stringifiable")
+             for o in ops]
+    return _seq(ops, path, F.concat(*parts), T.StringType())
+
+
+@_treg("coalesce")
+def t_coalesce(scope, cur, args, path):
+    ops = _toperands(scope, cur, args, path)
+    live = [o for o in ops if not o.missing and not _is_null(o.dtype)]
+    dt = _unify([o.dtype for o in live])
+    if dt is None:
+        raise TypedFallback("coalesce over mixed types")
+    if not live:
+        return _missing()
+    return TVal(F.coalesce(*[_cast_to(o, dt) for o in live]), dt)
+
+
+def _t_unary_string(scope, cur, args, path, fn):
+    ops = _toperands(scope, cur, args, path)
+    if not _is_str(ops[0].dtype) and not _is_null(ops[0].dtype):
+        return _seq(ops, path,
+                    _terr("string", "expr_error", "value must be a string",
+                          path), T.StringType())
+    return _seq(ops, path, fn(t_str(ops[0], path)), T.StringType())
+
+
+@_treg("trim")
+def t_trim(scope, cur, args, path):
+    return _t_unary_string(scope, cur, args, path, F.trim)
+
+
+@_treg("lowercase")
+def t_lowercase(scope, cur, args, path):
+    return _t_unary_string(scope, cur, args, path, F.lower)
+
+
+@_treg("uppercase")
+def t_uppercase(scope, cur, args, path):
+    return _t_unary_string(scope, cur, args, path, F.upper)
+
+
+@_treg("to_string")
+def t_to_string(scope, cur, args, path):
+    # v2-native: null → "null" (typed path is v2-only)
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    if o.missing:
+        return _missing()
+    col = F.when(_isnull(o), F.lit("null")).otherwise(t_str(o, path))
+    return TVal(col, T.StringType())
+
+
+def _t_arith(scope, cur, args, path, op):
+    """v2-native arithmetic: f64 fold, division-by-zero error
+    (``v2_eval.rs:1848-1928``)."""
+    ops = _toperands(scope, cur, args, path)
+    nums = [t_num(o, path, "operand must be a number") for o in ops]
+    acc = nums[0]
+    for n in nums[1:]:
+        if op == "+":
+            acc = acc + n
+        elif op == "-":
+            acc = acc - n
+        elif op == "*":
+            acc = acc * n
+        else:
+            acc = F.when(n == 0.0, _terr("double", "expr_error",
+                                         "division by zero", path)
+                         ).otherwise(acc / n)
+    return _seq(ops, path, acc, T.DoubleType())
+
+
+for _name in ("+", "-", "*", "/"):
+    T_OPS[_name] = (lambda _op: lambda scope, cur, args, path:
+                    _t_arith(scope, cur, args, path, _op))(_name)
+
+
+@_treg("round")
+def t_round(scope, cur, args, path):
+    """Half-away-from-zero with optional scale
+    (``transform.rs:2437-2515``)."""
+    ops = _toperands(scope, cur, args, path)
+    number = t_num(ops[0], path, "operand must be a number")
+    if len(ops) == 2:
+        s = ops[1]
+        if _is_int(s.dtype):
+            scale = s.col.cast("long")
+        elif _is_num(s.dtype):
+            d = s.col.cast("double")
+            scale = F.when(d == F.floor(d), d.cast("long")).otherwise(
+                _terr("long", "expr_error",
+                      "scale must be a non-negative integer", path))
+        else:
+            scale = _terr("long", "expr_error",
+                          "scale must be a non-negative integer", path)
+        scale = F.when((scale < 0) | (scale > 308),
+                       _terr("long", "expr_error",
+                             "scale must be a non-negative integer", path)
+                       ).otherwise(scale)
+    else:
+        scale = F.lit(0).cast("long")
+    factor = F.pow(F.lit(10.0), scale.cast("double"))
+    scaled = number * factor
+    rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+        F.ceil(scaled - 0.5))
+    return _seq(ops, path, rounded.cast("double") / factor, T.DoubleType())
+
+
+@_treg("and")
+def t_and(scope, cur, args, path):
+    return _t_and_or(scope, cur, args, path, is_and=True)
+
+
+@_treg("or")
+def t_or(scope, cur, args, path):
+    return _t_and_or(scope, cur, args, path, is_and=False)
+
+
+def _t_and_or(scope, cur, args, path, *, is_and: bool):
+    """Short-circuit on false/true; missing operands skip but make a
+    non-short-circuited result missing (``transform.rs:5340-5388``)."""
+    ops = _toperands(scope, cur, args, path)
+    flags = []
+    for o in ops:
+        if o.missing:
+            flags.append(F.lit(None).cast("boolean"))
+        else:
+            # null operand is an error (to_bool_strict on JSON null)
+            flags.append(F.when(_isnull(o),
+                                _terr("boolean", "expr_error",
+                                      "value must be a boolean", path))
+                         .otherwise(t_bool(o, path)))
+    any_missing = F.lit(False)
+    for f in flags:
+        any_missing = any_missing | f.isNull()
+    final = F.when(any_missing, F.lit(None).cast("boolean")).otherwise(
+        F.lit(is_and))
+    result = final
+    for f in reversed(flags):
+        short = ~f if is_and else f
+        result = F.when(F.coalesce(short, F.lit(False)),
+                        F.lit(not is_and)).otherwise(result)
+    return TVal(result, T.BooleanType())
+
+
+@_treg("not")
+def t_not(scope, cur, args, path):
+    ops = _toperands(scope, cur, args, path)
+    return _seq(ops, path, ~t_bool(ops[0], path), T.BooleanType())
+
+
+@_treg("string")
+def t_cast_string(scope, cur, args, path):
+    return t_to_string(scope, cur, args, path)
+
+
+@_treg("int")
+def t_cast_int(scope, cur, args, path):
+    """int / integral float / integer string (``v2_eval.rs:1677-1698``)."""
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    dt = o.dtype
+    if _is_int(dt):
+        col = o.col.cast("long")
+    elif _is_num(dt):
+        d = o.col.cast("double")
+        col = F.when(d == F.floor(d), d.cast("long")).otherwise(
+            _terr("long", "type_cast_failed", "failed to cast to int", path))
+    elif _is_str(dt):
+        parsed = o.col.try_cast("long")
+        col = F.when(parsed.isNotNull(), parsed).otherwise(
+            _terr("long", "type_cast_failed", "failed to cast to int", path))
+    elif _is_null(dt):
+        col = F.lit(None).cast("long")
+    else:
+        col = _terr("long", "type_cast_failed", "failed to cast to int", path)
+    return _seq(ops, path, col, T.LongType())
+
+
+@_treg("float")
+def t_cast_float(scope, cur, args, path):
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    dt = o.dtype
+    if _is_num(dt):
+        col = o.col.cast("double")
+    elif _is_str(dt):
+        parsed = o.col.try_cast("double")
+        finite = parsed.isNotNull() & ~F.isnan(parsed) & \
+            (F.abs(parsed) != F.lit(float("inf")))
+        col = F.when(finite, parsed).otherwise(
+            _terr("double", "type_cast_failed", "failed to cast to float",
+                  path))
+    elif _is_null(dt):
+        col = F.lit(None).cast("double")
+    else:
+        col = _terr("double", "type_cast_failed", "failed to cast to float",
+                    path)
+    return _seq(ops, path, col, T.DoubleType())
+
+
+@_treg("bool")
+def t_cast_bool(scope, cur, args, path):
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    dt = o.dtype
+    if _is_bool(dt):
+        col = o.col
+    elif _is_str(dt):
+        lowered = F.lower(o.col)
+        col = F.when(lowered.isin("true", "false"),
+                     lowered == "true").otherwise(
+            _terr("boolean", "type_cast_failed", "failed to cast to bool",
+                  path))
+    elif _is_null(dt):
+        col = F.lit(None).cast("boolean")
+    else:
+        col = _terr("boolean", "type_cast_failed", "failed to cast to bool",
+                    path)
+    return _seq(ops, path, col, T.BooleanType())
+
+
+# --- rule-level compilation --------------------------------------------
+
+from ..model import Mapping, RuleFile  # noqa: E402
+
+
+class TypedRuleCompiler:
+    """Compile a v2 mappings-only rule against a typed DataFrame.
+
+    Raises :class:`TypedFallback` when the rule (or its input schema)
+    needs the general variant engine.  Mirrors ``RuleCompiler``'s
+    record flow (``rule.py``): record_when → keep filter; each mapping
+    materialized as one typed column; gated by per-mapping ``when``.
+    """
+
+    def __init__(self, rule: RuleFile, context=None):
+        if rule.version < 2:
+            raise TypedFallback("v1 rules use JSON int re-emission")
+        if rule.steps is not None:
+            raise TypedFallback("steps/branch rules")
+        if rule.finalize is not None:
+            raise TypedFallback("finalize rules")
+        self.rule = rule
+        self.context = context
+
+    def compile(self, df):
+        """→ (DataFrame of typed target columns, keep-filtered)."""
+        schema = df.schema
+        out_tree: dict[str, object] = {}
+        n = [0]
+
+        def add(col: Column, tag: str = "m") -> Column:
+            name = f"__t{tag}{n[0]}__"
+            n[0] += 1
+            nonlocal df
+            df = df.select("*", col.alias(name))
+            return F.col(name)
+
+        def scope() -> TScope:
+            return TScope(schema=schema, context_value=self.context,
+                          has_context=self.context is not None,
+                          out=out_tree)
+
+        keep = F.lit(True)
+        if self.rule.has_record_when:
+            cond = add(self._compile_when(self.rule.record_when, scope(),
+                                          "record_when"), "w")
+            keep = F.coalesce(cond, F.lit(False))
+
+        for i, m in enumerate(self.rule.mappings):
+            mpath = f"mappings[{i}]"
+            tokens = parse_path(m.target, allow_index=False,
+                                error_code="invalid_target")
+            names = [t.name for t in tokens if isinstance(t, Key)]
+            s = scope()
+            value = self._compile_mapping(m, s, mpath)
+            if value is None:
+                continue  # statically missing, optional → target absent
+            # no keep-gate needed: the keep filter sits below every
+            # mapping projection after predicate pushdown, so filtered
+            # rows never evaluate mapping values (or their error
+            # branches) — unlike rule.py, which emits output for every
+            # input row and must gate
+            col = value.col
+            if m.has_when:
+                wcond = add(self._compile_when(m.when, s, f"{mpath}.when"),
+                            "w")
+                col = F.when(F.coalesce(wcond, F.lit(False)), col)
+            materialized = add(col)
+            node = out_tree
+            for t in names[:-1]:
+                nxt = node.get(t)
+                if nxt is None:
+                    nxt = node[t] = {}
+                elif not isinstance(nxt, dict):
+                    raise RuleError("target_error",
+                                    f"intermediate path {t!r} is not an "
+                                    f"object", mpath)
+                node = nxt
+            if isinstance(node.get(names[-1]), dict):
+                raise RuleError("duplicate_target",
+                                f"target {m.target!r} conflicts", mpath)
+            node[names[-1]] = TVal(materialized, value.dtype)
+
+        outputs = [self._out_col(v, name)
+                   for name, v in out_tree.items()]
+        if not outputs:
+            raise TypedFallback("rule produces no typed targets")
+        return df.filter(keep).select(*outputs)
+
+    # -- helpers -------------------------------------------------------
+
+    def _out_col(self, node, name: str) -> Column:
+        if isinstance(node, TVal):
+            return node.col.alias(name)
+        presence = F.lit(False)
+        for leaf in _tree_leaves(node):
+            presence = presence | leaf.col.isNotNull()
+        fields = [self._out_col(v, k) for k, v in node.items()]
+        return F.when(presence, F.struct(*fields)).alias(name)
+
+    def _compile_when(self, raw, scope: TScope, path: str) -> Column:
+        """v2 when/record_when → boolean; errors → NULL (lenient)."""
+        from ..expr_ir import is_v2_expr, parse_condition, parse_expr
+        with lenient_errors():
+            if isinstance(raw, dict) and (
+                    "ref" in raw or ("op" in raw and "if" not in raw)):
+                raise TypedFallback("v1-style when in typed mode")
+            try:
+                cond = parse_condition(raw)
+            except RuleError:
+                raise TypedFallback("unparseable condition")
+            return compile_tcondition(cond, scope, path)
+
+    def _compile_mapping(self, m: Mapping, scope: TScope,
+                         path: str) -> TVal | None:
+        from ..expr_ir import is_v2_expr, parse_expr, v1_expr_to_pipe
+        if m.source is not None:
+            value = self._resolve_source(m.source, scope, path)
+        elif m.has_value:
+            value = _py_literal(m.value, path)
+        elif m.has_expr:
+            pipe = (parse_expr(m.expr) if is_v2_expr(m.expr)
+                    else v1_expr_to_pipe(m.expr))
+            value = compile_tpipe(pipe, scope, f"{path}.expr")
+        else:
+            raise RuleError("invalid_rule",
+                            "mapping must define source, value, or expr",
+                            path)
+
+        # missing → default / required-error / skip (transform.rs:1006-1032)
+        if value.missing:
+            if m.has_default:
+                return _py_literal(m.default, path)
+            if m.required:
+                return TVal(V.raise_err("missing_required",
+                                        "required value is missing", path)
+                            .cast("string"), T.StringType())
+            return None
+
+        col, dtype = value.col, value.dtype
+        if m.value_type is not None:
+            casted = self._typed_cast(value, m.value_type, scope,
+                                      f"{path}.type")
+            col, dtype = casted.col, casted.dtype
+        if m.required:
+            on_null = V.raise_err("missing_required",
+                                  "required value is null", path).cast(dtype)
+            col = F.when(_isnull(value), on_null).otherwise(col)
+        elif m.value_type is not None:
+            # cast never applies to null values (rule.py finish())
+            col = F.when(_isnull(value), F.lit(None).cast(dtype)) \
+                   .otherwise(col)
+        return TVal(col, dtype)
+
+    def _typed_cast(self, value: TVal, type_name: str, scope: TScope,
+                    path: str) -> TVal:
+        fn = {"string": t_cast_string, "int": t_cast_int,
+              "float": t_cast_float, "bool": t_cast_bool}.get(type_name)
+        if fn is None:
+            raise RuleError("type_cast_failed",
+                            "type must be string|int|float|bool", path)
+        return fn(scope, value, [], path)
+
+    def _resolve_source(self, source: str, scope: TScope,
+                        path: str) -> TVal:
+        """``resolve_source`` (``transform.rs:1144-1175``)."""
+        text = source
+        if text.startswith("input."):
+            ns, rest = "input", text[len("input."):]
+        elif text.startswith("context."):
+            ns, rest = "context", text[len("context."):]
+        elif text.startswith("out."):
+            ns, rest = "out", text[len("out."):]
+        elif text in ("input", "context", "out"):
+            ns, rest = text, ""
+        else:
+            if "." in text or "[" in text:
+                raise RuleError(
+                    "invalid_ref",
+                    "source with dot paths must use an explicit namespace",
+                    path)
+            ns, rest = "input", text
+        return compile_tref(Ref(namespace=ns, path=rest), scope, path)
+
+
+def _tree_leaves(node: dict):
+    for v in node.values():
+        if isinstance(v, dict):
+            yield from _tree_leaves(v)
+        else:
+            yield v

@@ -323,3 +323,67 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
     if wrap is not None:
         return _apply_wrap(records, wrap, rule, spark, context), warnings
     return records, warnings
+
+
+def transform_table(df: DataFrame, rule_text_or_rule,
+                    context: Any = None, *,
+                    mode: str = "auto") -> DataFrame:
+    """Run a rule over a typed DataFrame (parquet table) — the scale
+    path: no JSON text round-trip, targets come back as columns.
+
+    ``mode``:
+
+    - ``"auto"`` (default): typed fast path (``compiler/typed.py``)
+      when the rule's ops are in the typed subset, else the variant
+      engine over a ``to_variant_object`` bridge;
+    - ``"typed"``: typed path or raise ``TypedFallback``;
+    - ``"variant"``: always the general engine.
+
+    Typed mode emits native column types; variant mode emits variant
+    columns (same values — compare via ``to_json``).  A table column
+    can't distinguish absent-key from null, so gated-off / missing
+    outputs are SQL NULL in both modes.  Rules with ``finalize`` are
+    rejected (apply ordinary Spark ``orderBy``/``limit`` to the
+    result instead — finalize is a document-level contract).
+    """
+    from .compiler.typed import TypedFallback, TypedRuleCompiler
+
+    rule = (parse_rule_file(rule_text_or_rule)
+            if isinstance(rule_text_or_rule, str) else rule_text_or_rule)
+    if rule.finalize is not None:
+        raise RuleError("invalid_rule",
+                        "transform_table does not support finalize; "
+                        "use orderBy/limit on the result")
+
+    if mode in ("auto", "typed"):
+        try:
+            return TypedRuleCompiler(rule, context=context).compile(df)
+        except TypedFallback:
+            if mode == "typed":
+                raise
+    return _transform_table_variant(df, rule, context)
+
+
+def _transform_table_variant(df: DataFrame, rule, context) -> DataFrame:
+    """General-engine table path: bridge rows to variant records via
+    ``to_variant_object`` (single JVM expression, no JSON text)."""
+    from .compiler.rule import Builder, OutTree
+
+    record = F.to_variant_object(F.struct(*[F.col(c) for c in df.columns]))
+    builder = Builder(df.select(record.alias("__record__")))
+    compiled = RuleCompiler(rule, context=context).compile(
+        builder, F.col("__record__"))
+    out = builder.df.filter(compiled.keep)
+
+    def materialize(node, name):
+        col = node.to_variant() if isinstance(node, OutTree) else node
+        if compiled.returned is not None:
+            col = F.when(compiled.returned,
+                         F.variant_get(compiled.returned_out, f"$.{name}",
+                                       "variant")).otherwise(col)
+        return col.alias(name)
+
+    children = compiled.out_tree.children
+    if not children:
+        raise RuleError("invalid_rule", "rule produces no targets")
+    return out.select(*[materialize(v, k) for k, v in children.items()])

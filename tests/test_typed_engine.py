@@ -1,0 +1,236 @@
+"""Typed fast-path engine (`compiler/typed.py` + `engine.transform_table`):
+value parity against the general variant engine on the same typed input,
+plus fallback routing and error semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rulemorph_spark.engine import transform_table
+from rulemorph_spark.errors import extract_engine_error
+
+
+def _collect_engine_error(df):
+    """Actions on transform_table results raise Spark exceptions carrying
+    the encoded engine error; recover the typed {kind, path} payload."""
+    try:
+        df.collect()
+    except Exception as exc:
+        err = extract_engine_error(exc)
+        assert err is not None, f"no engine error in {exc}"
+        return err
+    raise AssertionError("expected an engine error")
+
+RULE = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.qty", 1]}
+mappings:
+  - target: id
+    source: id
+  - target: label
+    expr: ["@input.name", {uppercase: []}, {concat: ["-", "@input.status"]}]
+  - target: total
+    expr: ["@input.qty", {multiply: ["@input.price"]}, {round: [2]}]
+  - target: qty_str
+    expr: ["@input.qty", {to_string: []}]
+  - target: fallback
+    expr: [{coalesce: ["@input.nonexistent", "@input.name"]}]
+  - target: tier
+    expr:
+      - "@input.price"
+      - if:
+          cond: {gte: ["$", 100]}
+          then: "premium"
+          else: "standard"
+  - target: discounted
+    when: {eq: ["@input.status", "open"]}
+    expr: ["@input.price", {multiply: [0.9]}]
+  - target: missing_with_default
+    source: not_a_column
+    default: 42
+  - target: casted
+    expr: ["@input.qty", {to_string: []}]
+    type: int
+  - target: rate
+    source: context.rate
+"""
+
+
+def _df(spark):
+    rows = [
+        (1, "alpha", "open", 3, 50.0),
+        (2, "beta", "closed", 2, 120.5),
+        (3, "gamma", "open", 0, 10.0),     # filtered by record_when
+        (4, "delta", "open", 1, 100.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, status string, qty long, price double")
+
+
+CTX = {"rate": 0.25}
+
+
+def _rows_typed(df):
+    key = df.columns[0]
+    return [r.asDict() for r in sorted(df.collect(), key=lambda r: r[key])]
+
+
+def _rows_variant(df):
+    key = df.columns[0]
+    out = df.select(*[F.to_json(c).alias(c) for c in df.columns])
+    rows = []
+    for r in sorted(out.collect(), key=lambda r: json.loads(r[key])):
+        rows.append({k: (None if v is None else json.loads(v))
+                     for k, v in r.asDict().items()})
+    return rows
+
+
+def test_typed_variant_parity(spark):
+    df = _df(spark)
+    typed = transform_table(df, RULE, context=CTX, mode="typed")
+    variant = transform_table(df, RULE, context=CTX, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert len(t_rows) == len(v_rows) == 3  # qty=0 row filtered
+    for t, v in zip(t_rows, v_rows):
+        assert t == v, f"typed {t} != variant {v}"
+    # spot-check concrete values
+    assert t_rows[0] == {
+        "id": 1, "label": "ALPHA-open", "total": 150.0, "qty_str": "3",
+        "fallback": "alpha", "tier": "standard", "discounted": 45.0,
+        "missing_with_default": 42, "casted": 3, "rate": 0.25}
+    # gated-off mapping (status != open) → NULL under the table contract
+    assert t_rows[1]["discounted"] is None
+
+
+def test_typed_plan_has_no_variant_ops(spark):
+    typed = transform_table(_df(spark), RULE, context=CTX, mode="typed")
+    assert "variant" not in typed.schema.simpleString()
+    plan = typed._jdf.queryExecution().optimizedPlan().toString()
+    assert "schema_of_variant" not in plan
+    assert "parse_json" not in plan
+
+
+def test_auto_falls_back_on_unsupported_op(spark):
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: parts
+    expr: ["@input.name", {split: ["a"]}]
+"""
+    from rulemorph_spark.compiler.typed import TypedFallback
+    with pytest.raises(TypedFallback):
+        transform_table(_df(spark), rule, mode="typed")
+    out = transform_table(_df(spark), rule, mode="auto")
+    rows = _rows_variant(out)
+    assert rows[0]["id"] == 1 and rows[0]["parts"] == ["", "lph", ""]
+
+
+def test_typed_required_semantics(spark):
+    # required + statically-missing column → MissingRequired on action
+    rule_missing = """
+version: 2
+input: {format: json}
+mappings:
+  - target: x
+    source: not_a_column
+    required: true
+"""
+    out = transform_table(_df(spark), rule_missing, mode="typed")
+    err = _collect_engine_error(out)
+    assert err.kind == "MissingRequired"
+
+    # required + runtime-null value → MissingRequired only on null rows
+    df = spark.createDataFrame([(1, "a"), (2, None)],
+                               "id long, name string")
+    rule_null = """
+version: 2
+input: {format: json}
+mappings:
+  - target: n
+    source: name
+    required: true
+"""
+    ok = transform_table(df.filter("id = 1"), rule_null, mode="typed")
+    assert ok.collect()[0]["n"] == "a"
+    bad = transform_table(df, rule_null, mode="typed")
+    assert _collect_engine_error(bad).kind == "MissingRequired"
+
+
+def test_typed_null_operand_errors_and_lenient_when(spark):
+    df = spark.createDataFrame([(1, "a", 2.0), (2, None, 3.0)],
+                               "id long, name string, price double")
+    # strict: concat over a null operand errors (null-operand protocol)
+    strict = """
+version: 2
+input: {format: json}
+mappings:
+  - target: label
+    expr: ["@input.name", {concat: ["!"]}]
+"""
+    out = transform_table(df, strict, mode="typed")
+    assert _collect_engine_error(out).kind == "ExprError"
+    # lenient: the same failure inside `when` is a skip, not an error
+    lenient = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: label
+    when: {eq: [["@input.name", {concat: ["!"]}], "a!"]}
+    value: matched
+"""
+    rows = _rows_typed(transform_table(df, lenient, mode="typed"))
+    assert rows == [{"id": 1, "label": "matched"},
+                    {"id": 2, "label": None}]
+
+
+def test_typed_nested_targets(spark):
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: doc.id
+    source: id
+  - target: doc.meta.name
+    source: name
+  - target: top
+    source: status
+"""
+    out = transform_table(_df(spark), rule, mode="typed")
+    row = sorted(out.collect(), key=lambda r: r["doc"]["id"])[0]
+    assert row["doc"]["id"] == 1 and row["doc"]["meta"]["name"] == "alpha"
+    assert row["top"] == "open"
+
+
+def test_typed_eq_cross_type_and_orderings(spark):
+    df = spark.createDataFrame([(1, 1.0, "1"), (2, 2.5, "x")],
+                               "i long, d double, s string")
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: i
+    source: i
+  - target: long_vs_double
+    when: {eq: ["@input.i", "@input.d"]}
+    value: eq
+  - target: num_vs_numstr_order
+    when: {lt: ["@input.s", 5]}
+    value: lt
+"""
+    typed = _rows_typed(transform_table(df, rule, mode="typed"))
+    variant = _rows_variant(transform_table(df, rule, mode="variant"))
+    assert typed == variant
+    # long 1 vs double 1.0: strict JSON equality is false ("1" vs "1.0")
+    assert typed[0]["long_vs_double"] is None
+    # "1" < 5 numerically; "x" vs 5 errors → lenient skip
+    assert typed[0]["num_vs_numstr_order"] == "lt"
+    assert typed[1]["num_vs_numstr_order"] is None
