@@ -628,6 +628,86 @@ def q_rule_typed_transform(spark, sf_dir):
     return transform_table(li, _TYPED_TABLE_RULE, mode="typed")
 
 
+_HOUR_NS = 3_600_000_000_000
+
+
+def q_asof_join(spark, sf_dir):
+    """backward as-of join (union-merge shape, no range explosion): each
+    click attributed to the user's latest view at or before it."""
+    from rulemorph_spark.functions.relational import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_id"),
+                     F.col("value").alias("view_value"),
+                     F.col("ts").alias("view_ts")))
+    out = asof_join(clicks, views, "user_id", "user_id", "ts", "ts",
+                    ["view_id", "view_value", "view_ts"],
+                    tiebreak="view_id")
+    # NB: no ns-resolution derived columns in the output — DuckDB's
+    # parquet reader rounds ns timestamps to µs, so only match identity
+    # and passthrough values compare exactly across engines
+    return (out.select("click_id", "user_id", "view_id", "view_value",
+                       ((F.col("ts") - F.col("view_ts")) / F.lit(1e9))
+                       .cast("long").alias("gap_s")))
+
+
+def q_range_join(spark, sf_dir):
+    """interval join via time-binning (equi-join on (key, bin) + band
+    filter — no per-key cross product): clicks in the hour before each
+    purchase.  Money sums go through integer cents for engine-exact
+    totals."""
+    from rulemorph_spark.functions.relational import range_join_binned
+    e = _t(spark, sf_dir, "events")
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("value").alias("c_value")))
+    pairs = range_join_binned(purch, clicks, "user_id", "c_user",
+                              "ts", "c_ts", -_HOUR_NS, 0, _HOUR_NS)
+    cents = F.floor(F.col("c_value") * 10000 + 0.5).cast("long")
+    agg = (pairs.groupBy("purchase_id")
+           .agg(F.count("*").alias("n_clicks"),
+                (F.sum(cents) / F.lit(10000.0)).alias("click_value")))
+    return (purch.join(agg, "purchase_id", "left")
+            .select("purchase_id", "user_id",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    F.coalesce("click_value", F.lit(0.0))
+                    .alias("click_value")))
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """salted equi-join (hot-key spreading) proven equal to the plain
+    join: lineitem⋈orders aggregated per priority."""
+    from rulemorph_spark.functions.relational import salted_join
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", salt=8)
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000 + 0.5).cast("long")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(cents) / F.lit(10000.0)).alias("revenue")))
+
+
+def q_percentile_groups(spark, sf_dir):
+    """exact grouped percentiles (median/p25/p90) — the sort-based exact
+    path; at 100 TB swap in approx_percentile's t-digest sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5),
+                                             F.lit(0.9)))
+    qs = F.transform(pct, lambda x: F.round(x, 6))
+    return (li.groupBy("l_returnflag")
+            .agg(F.to_json(qs).alias("quantiles"),
+                 F.count("*").alias("n")))
+
+
 def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via sign-pattern LSH buckets + cosine."""
     from rulemorph_spark.llm.dedup import dedup_embedding_cosine
@@ -690,6 +770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_events_time_window": q_events_time_window,
         "q_rule_typed_transform": q_rule_typed_transform,
+        # time-series joins / skew / percentiles
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_skew_salted_join": q_skew_salted_join,
+        "q_percentile_groups": q_percentile_groups,
     }
 
 
@@ -1082,6 +1167,59 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "q_asof_join": """
+            WITH v AS (
+              SELECT user_id, ts, view_id, view_value FROM (
+                SELECT user_id, ts, event_id AS view_id,
+                       value AS view_value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS r
+                FROM events WHERE event_type = 'view')
+              WHERE r = 1),
+            c AS (
+              SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+            SELECT c.click_id, c.user_id, v.view_id, v.view_value,
+                   CAST(floor((epoch_ns(c.ts) - epoch_ns(v.ts)) / 1e9)
+                        AS BIGINT) AS gap_s
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "q_range_join": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS t
+              FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, epoch_ns(ts) AS t, value FROM events
+              WHERE event_type = 'click'),
+            agg AS (
+              SELECT p.purchase_id, COUNT(*) AS n_clicks,
+                     SUM(CAST(floor(c.value * 10000 + 0.5) AS BIGINT))
+                         / 10000.0 AS click_value
+              FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.t >= p.t - 3600000000000 AND c.t < p.t
+              GROUP BY p.purchase_id)
+            SELECT p.purchase_id, p.user_id,
+                   COALESCE(agg.n_clicks, 0) AS n_clicks,
+                   COALESCE(agg.click_value, 0.0) AS click_value
+            FROM p LEFT JOIN agg USING (purchase_id)
+        """,
+        "q_skew_salted_join": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_percentile_groups": """
+            SELECT l_returnflag,
+                   to_json(list_transform(
+                       quantile_cont(l_quantity, [0.25, 0.5, 0.9]),
+                       x -> round(x, 6))) AS quantiles,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
         # q_simhash / q_embedding_cluster_dedup: rows-only (bit packing /
         # float bucketing are not portably expressible in DuckDB SQL)
     }
@@ -1157,10 +1295,17 @@ def _shingle_sql(col: str = "text", n: int = 3) -> str:
     """
 
 
+def _minhash_seed_sql(seed: int, g: str = "g") -> str:
+    """DuckDB replay of the engine's double-hashed MinHash family:
+    h_i(g) = h1 + i*h2 from the 60-/56-bit halves of one md5."""
+    return (f"('0x'||substr(md5({g}),1,15))::BIGINT + {seed} * "
+            f"('0x'||substr(md5({g}),16,14))::BIGINT")
+
+
 def _minhash_oracle() -> str:
     mins = ",".join(
-        f"list_aggregate(list_transform(grams, g -> md5('{s}:' || g)), "
-        f"'min')" for s in range(4))
+        f"list_min(list_transform(grams, g -> {_minhash_seed_sql(s)}))"
+        for s in range(4))
     return f"""
         WITH sh AS (
           SELECT doc_id, {_shingle_sql()} AS grams FROM documents)
@@ -1169,26 +1314,22 @@ def _minhash_oracle() -> str:
 
 
 def _lsh_oracle() -> str:
+    mins = ",".join(
+        f"list_min(list_transform(grams, g -> {_minhash_seed_sql(s)}))"
+        for s in range(4))
     return f"""
         WITH sh AS (
           SELECT doc_id, {_shingle_sql()} AS grams FROM documents),
         sigs AS (
-          SELECT doc_id,
-                 [list_aggregate(list_transform(grams,
-                      g -> md5('0:' || g)), 'min'),
-                  list_aggregate(list_transform(grams,
-                      g -> md5('1:' || g)), 'min'),
-                  list_aggregate(list_transform(grams,
-                      g -> md5('2:' || g)), 'min'),
-                  list_aggregate(list_transform(grams,
-                      g -> md5('3:' || g)), 'min')] AS sig
-          FROM sh),
+          SELECT doc_id, [{mins}] AS sig FROM sh),
         banded AS (
           SELECT doc_id, 0 AS band,
-                 md5(sig[1] || '|' || sig[2]) AS band_key FROM sigs
+                 md5(CAST(sig[1] AS VARCHAR) || '|' ||
+                     CAST(sig[2] AS VARCHAR)) AS band_key FROM sigs
           UNION ALL
           SELECT doc_id, 1 AS band,
-                 md5(sig[3] || '|' || sig[4]) AS band_key FROM sigs)
+                 md5(CAST(sig[3] AS VARCHAR) || '|' ||
+                     CAST(sig[4] AS VARCHAR)) AS band_key FROM sigs)
         SELECT band, band_key, COUNT(*) AS bucket_size,
                MIN(doc_id) AS min_doc
         FROM banded GROUP BY band, band_key

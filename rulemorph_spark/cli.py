@@ -20,18 +20,19 @@ def _load_text(path: str) -> str:
 
 
 def _emit_validation_errors(errors, error_format: str):
+    # duck-typed over ValidationError and RuleError (no line/column)
     if error_format == "json":
         payload = []
         for e in errors:
             obj = {"code": e.code, "message": e.message, "path": e.path}
-            if e.line is not None:
+            if getattr(e, "line", None) is not None:
                 obj["line"], obj["column"] = e.line, e.column
             payload.append(obj)
         print(json.dumps(payload), file=sys.stderr)
     else:
         for e in errors:
             loc = f" at {e.path}" if e.path else ""
-            if e.line is not None:
+            if getattr(e, "line", None) is not None:
                 loc += f" (line {e.line}, col {e.column})"
             print(f"error[{e.code}]: {e.message}{loc}", file=sys.stderr)
 

@@ -47,6 +47,7 @@ class RuleError(Exception):
 
     def __init__(self, code: str, message: str, path: str | None = None):
         self.code = code
+        self.message = message
         self.path = path
         super().__init__(f"{code}: {message}" + (f" at {path}" if path else ""))
 

@@ -90,6 +90,27 @@ def test_cli_missing_file():
     assert r.returncode == 1
 
 
+def test_cli_rule_error_emits_clean_json(workdir):
+    # a RuleError raised at compile time (no .line/.column attrs) must
+    # produce error JSON + exit 2, not an AttributeError crash
+    bad = os.path.join(workdir, "bad_expr.yaml")
+    with open(bad, "w") as fh:
+        fh.write("""
+version: 2
+input: {format: json}
+mappings:
+  - target: x
+    expr: ["@input.name", {map: [[{uppercase: []}]]}]
+""")
+    r = _run_cli("transform", "-r", bad, "-i",
+                 os.path.join(workdir, "input.json"), "-e", "json")
+    assert r.returncode == 2, r.stderr
+    line = [ln for ln in r.stderr.splitlines()
+            if ln.startswith("[")][-1]
+    payload = json.loads(line)
+    assert payload[0]["code"] == "expr_error"
+
+
 def test_streaming_rejects_finalize(spark):
     from rulemorph_spark.errors import TransformEngineError
     from rulemorph_spark.streaming import transform_stream
