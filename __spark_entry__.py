@@ -716,6 +716,27 @@ def q_embedding_cluster_dedup(spark, sf_dir):
                                   threshold=0.2, bucket_dims=4)
 
 
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """end-to-end near-dup detection: MinHash → LSH candidate pairs →
+    Jaccard verification ≥ 0.5 — the full fuzzy-dedup pipeline shape
+    (shuffle only on band keys; verification only on candidates)."""
+    from rulemorph_spark.llm.dedup import (jaccard_ngram,
+                                           minhash_lsh_candidates)
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4,
+                                  bands=2)
+    a = d.select(F.col("doc_id").alias("id_a"),
+                 F.col("text").alias("__ta__"))
+    b = d.select(F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("__tb__"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    return (pairs.select(
+        "id_a", "id_b",
+        F.round(jaccard_ngram(F.col("__ta__"), F.col("__tb__"), 3), 6)
+        .alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -762,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_topk": q_embedding_topk,
         "q_simhash": q_simhash,
         "q_embedding_cluster_dedup": q_embedding_cluster_dedup,
+        "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
         # variant / set ops / rollup / IVF
         "q_json_props_variant": q_json_props_variant,
         "q_object_merge": q_object_merge,
@@ -1151,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_ivf_topk": _ivf_oracle(),
+        "q_simhash": _simhash_oracle(),
+        "q_embedding_cluster_dedup": _embedding_dedup_oracle(),
+        "q_minhash_dedup_pairs": _minhash_dedup_pairs_oracle(),
         "q_rule_typed_transform": """
             SELECT l_orderkey AS okey,
                    floor(l_extendedprice * COALESCE(l_discount, 0)
@@ -1220,9 +1245,84 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
-        # q_simhash / q_embedding_cluster_dedup: rows-only (bit packing /
-        # float bucketing are not portably expressible in DuckDB SQL)
     }
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """Replay simhash64's per-bit md5 votes: bit b of the signature is
+    set iff sum over words of ±1 (word-hash bit b) is positive."""
+    h = "('0x'||substr(md5(w),1,4))::BIGINT"
+    votes = " + ".join(
+        f"CASE WHEN list_sum(list_transform(words, "
+        f"w -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(bits))
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS words
+          FROM documents)
+        SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM w
+    """
+
+
+def _embedding_dedup_oracle(threshold: float = 0.2,
+                            bucket_dims: int = 4) -> str:
+    bucket = " || ".join(
+        f"CAST(CAST(embedding[{i + 1}] >= 0 AS INT) AS VARCHAR)"
+        for i in range(bucket_dims))
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH k AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+          FROM k a JOIN k b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= {threshold}
+    """
+
+
+def _minhash_dedup_pairs_oracle() -> str:
+    mins = ",".join(
+        f"list_min(list_transform(grams, g -> {_minhash_seed_sql(s)}))"
+        for s in range(4))
+    ga = _shingle_sql("ta")
+    gb = _shingle_sql("tb")
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, text, {_shingle_sql()} AS grams FROM documents),
+        sigs AS (
+          SELECT doc_id, text, [{mins}] AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, text, 0 AS band,
+                 md5(CAST(sig[1] AS VARCHAR) || '|' ||
+                     CAST(sig[2] AS VARCHAR)) AS band_key FROM sigs
+          UNION ALL
+          SELECT doc_id, text, 1 AS band,
+                 md5(CAST(sig[3] AS VARCHAR) || '|' ||
+                     CAST(sig[4] AS VARCHAR)) AS band_key FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, a.text AS ta,
+                 b.doc_id AS id_b, b.text AS tb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sets AS (
+          SELECT id_a, id_b,
+                 list_distinct({ga}) AS sa, list_distinct({gb}) AS sb
+          FROM cand)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 ROUND(CASE WHEN len(sa) + len(sb)
+                                 - len(list_intersect(sa, sb)) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                            / (len(sa) + len(sb)
+                               - len(list_intersect(sa, sb)))
+                       END, 6) AS jaccard
+          FROM sets)
+        WHERE jaccard >= 0.5
+    """
 
 
 _COS_SQL = """ROUND(

@@ -28,5 +28,6 @@ def test_oracles_cover_queries():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert oracles <= qs
-    # only the bit-packing / float-bucketing ops are rows-only
-    assert qs - oracles == {"q_simhash", "q_embedding_cluster_dedup"}
+    # every query is oracle-gated (bit votes and float buckets replay in
+    # DuckDB via ('0x'||hex)::BIGINT arithmetic)
+    assert qs - oracles == set()
