@@ -161,6 +161,28 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     return l2.join(r2, cond).drop("__salt__")
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   buckets: int = 256, path: str | None = None,
+                   sort: bool = True) -> None:
+    """Persist ``df`` hash-bucketed (and per-bucket sorted) by ``key``.
+
+    Bucketing is the shuffle-elimination strategy for repeated joins:
+    two tables bucketed by the same key with the same bucket count
+    sort-merge-join with **zero Exchange** — each task reads bucket i of
+    both sides.  At 100 TB this turns every recurring fact⋈fact join on
+    the bucket key from a full-cluster shuffle into a co-located scan;
+    pick ``buckets`` ≈ total data / target partition size (e.g. 100 TB /
+    256 MB ≈ 400k is too many files — bucket the *hot join keys* at
+    1k-16k and let AQE handle the rest).
+    """
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def stable_sort(df: DataFrame, key: Column, ascending: bool = True,
                 index_col: str | None = None) -> DataFrame:
     """``finalize.sort``: stable by original input order

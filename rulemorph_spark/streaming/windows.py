@@ -1,0 +1,51 @@
+"""Event-time windowed aggregation for streams (watermark + window).
+
+The reference engine has no event-time processing (SURVEY §2.1 "not
+present": no watermarks / event-time windows); this is Spark-native
+extension surface.  The same transformation works on a batch DataFrame
+and a streaming DataFrame — Structured Streaming's unified model — so
+correctness is tested by batch/stream equivalence.
+
+Scale: a windowed agg shuffles on (window, keys); state per open window
+per key is O(1) aggregates and the watermark bounds how many windows
+stay open, so state size = keys × windows-in-watermark-horizon,
+independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ns_to_timestamp(col: Column) -> Column:
+    """nanosecond-epoch long (parquet nanos read with nanosAsLong) →
+    TimestampType, truncating to microseconds (Spark's native
+    resolution)."""
+    return F.timestamp_micros(F.floor(col / F.lit(1000)).cast("long"))
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, *, keys: list[str],
+                        value_col: str | None = None,
+                        window: str = "1 minute",
+                        watermark: str = "2 minutes") -> DataFrame:
+    """Tumbling event-time window counts (+ exact value sum via integer
+    cents) per key.
+
+    On a streaming DataFrame the watermark lets Spark finalize and emit
+    windows older than ``watermark`` behind the max seen event time and
+    drop later-arriving data for them; on a batch DataFrame
+    ``withWatermark`` is a no-op, yielding identical results — which is
+    what the equivalence test asserts.
+    """
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        cents = F.floor(F.col(value_col) * 10000 + 0.5).cast("long")
+        aggs.append((F.sum(cents) / F.lit(10000.0)).alias("sum_value"))
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+            .agg(*aggs)
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), *keys,
+                    *[F.col(a) for a in
+                      (["n"] + (["sum_value"] if value_col else []))]))

@@ -13,7 +13,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from rulemorph_spark.functions.relational import (
-    asof_join, range_join_binned, salted_join)
+    asof_join, range_join_binned, salted_join, write_bucketed)
 
 
 def test_asof_backward_basic(spark):
@@ -89,6 +89,39 @@ def test_range_join_boundaries(spark):
     out = range_join_binned(left, right, "k", "k", "t", "rt",
                             -10, 10, 10)
     assert sorted(r["rid"] for r in out.collect()) == [0, 1]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    expected = o.join(li, o.o_orderkey == li.l_orderkey).count()
+
+    write_bucketed(o, "bj_orders", "o_orderkey", buckets=8,
+                   path=str(tmp_path / "o"))
+    write_bucketed(li, "bj_lineitem", "l_orderkey", buckets=8,
+                   path=str(tmp_path / "li"))
+    try:
+        a, b = spark.table("bj_orders"), spark.table("bj_lineitem")
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        # force the sort-merge path: broadcast would bypass bucketing on
+        # these tiny test tables (at scale both sides are too big to
+        # broadcast, which is the case bucketing exists for)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # co-located bucketed join: no shuffle on either side
+        assert "Exchange" not in plan, plan
+        assert j.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_orders")
+        spark.sql("DROP TABLE IF EXISTS bj_lineitem")
 
 
 def test_salted_join_equals_plain_join(spark):
