@@ -737,6 +737,28 @@ def q_minhash_dedup_pairs(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """end-to-end corpus cleaning (C4-style): language gate → quality
+    gate → exact dedup keep-first, all one plan with a single shuffle
+    (the dedup partitionBy)."""
+    from rulemorph_spark.llm.text import (fingerprint, lang_id_en,
+                                          quality_score, token_count)
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        lang_id_en(t).alias("lang_pred"),
+        F.round(quality_score(t), 6).alias("quality"),
+        token_count(t).cast("bigint").alias("n_tokens"),
+        fingerprint(t).alias("fp"))
+    gated = scored.filter((F.col("lang_pred") == "en") &
+                          (F.col("quality") >= 0.66))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (gated.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return kept.select("doc_id", "n_tokens", "quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -797,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_skew_salted_join": q_skew_salted_join,
         "q_percentile_groups": q_percentile_groups,
+        "q_corpus_clean": q_corpus_clean,
     }
 
 
@@ -1244,6 +1267,51 @@ def oracle_sql() -> dict[str, str]:
                        x -> round(x, 6))) AS quantiles,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_corpus_clean": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+                         AS words,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(TRIM(text),
+                                                         '\\s+'))
+                     END AS n_words
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN len(list_filter(words,
+                               x -> list_contains({_sql_stop_list()}, x)))
+                               >= 1
+                           AND CAST(len(regexp_extract_all(text,
+                               '[\\x00-\\x7F]')) AS DOUBLE)
+                               / CAST(LENGTH(text) AS DOUBLE) > 0.9
+                          THEN 'en' ELSE 'other' END AS lang_pred,
+                     ROUND((
+                       CAST(n_words >= 5 AND n_words <= 100000 AS INT) +
+                       CAST(CASE WHEN len(words) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(words,
+                                 x -> list_contains({_sql_stop_list()},
+                                                    x))) AS DOUBLE)
+                                 / CAST(len(words) AS DOUBLE) END > 0.01
+                            AS INT) +
+                       CAST(CASE WHEN LENGTH(text) = 0 THEN 1.0
+                            ELSE CAST(len(regexp_extract_all(text,
+                                 '[^\\w\\s]')) AS DOUBLE)
+                                 / CAST(LENGTH(text) AS DOUBLE) END < 0.3
+                            AS INT)) / 3.0, 6) AS quality,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                         AS n_tokens,
+                     md5(array_to_string(words[1:8], ' ')) AS fp
+              FROM base)
+            SELECT doc_id, n_tokens, quality FROM (
+              SELECT doc_id, n_tokens, quality,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY doc_id) AS rn
+              FROM scored
+              WHERE lang_pred = 'en' AND quality >= 0.66)
+            WHERE rn = 1
         """,
     }
 

@@ -1,5 +1,8 @@
-"""Structured-Streaming execution of compiled rules."""
+"""Structured-Streaming execution of compiled rules + event-time and
+stateful operators."""
 
 from .stream import transform_stream, transform_stream_files
+from .windows import ns_to_timestamp, tumbling_window_agg
 
-__all__ = ["transform_stream", "transform_stream_files"]
+__all__ = ["transform_stream", "transform_stream_files",
+           "ns_to_timestamp", "tumbling_window_agg"]
