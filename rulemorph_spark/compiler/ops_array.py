@@ -213,39 +213,51 @@ def op_slice(scope, cur, args, path):
 
 @register("chunk")
 def op_chunk(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
     n = _int_arg(scope, cur, args[0], path)
     n_checked = F.when(n <= 0, rerr(
         "expr_error", "chunk size must be a positive integer",
         path).cast("long")).otherwise(n)
-    size = F.size(arr).cast("long")
-    n_chunks = F.ceil(size.cast("double") / n_checked.cast("double")).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(arr, (i.cast("long") * n_checked + 1).cast("int"),
-                          n_checked.cast("int")).cast(V.VT))
-    return V.arr_to_variant(F.when(size == 0, EMPTY()).otherwise(chunks))
+
+    # let-bind the coerced array and chunk size: referenced inside the
+    # per-chunk lambda, a bare subtree would re-coerce per chunk
+    def body(arr: Column, nc: Column) -> Column:
+        size = F.size(arr).cast("long")
+        n_chunks = F.ceil(size.cast("double") / nc.cast("double")).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(arr, (i.cast("long") * nc + 1).cast("int"),
+                              nc.cast("int")).cast(V.VT))
+        return V.arr_to_variant(F.when(size == 0, EMPTY()).otherwise(chunks))
+
+    return V.let_many([_coerce_array(cur, path), n_checked], body)
 
 
-def _zip_rows(arrays: list[Column]) -> tuple[Column, Column]:
-    """(row_count, rows as array<array<variant>>), zipped to shortest."""
-    if len(arrays) > 1:
-        min_len = F.least(*[F.size(a) for a in arrays])
-    else:
-        min_len = F.size(arrays[0])
-    rows = F.transform(
-        F.sequence(F.lit(1), F.greatest(min_len, F.lit(1))),
-        lambda i: F.array(*[F.try_element_at(a, i) for a in arrays]))
-    rows = F.when(min_len <= 0, F.array().cast("array<array<variant>>")) \
-            .otherwise(rows)
-    return min_len, rows
+def _zip_rows(arrays: list[Column]) -> Column:
+    """rows as array<array<variant>>, zipped to shortest.
+
+    Arrays are let-bound: ``try_element_at(a, i)`` runs per row index,
+    so a bare coercion subtree would re-cast every operand array per
+    element (quadratic)."""
+    def body(*arrs: Column) -> Column:
+        if len(arrs) > 1:
+            min_len = F.least(*[F.size(a) for a in arrs])
+        else:
+            min_len = F.size(arrs[0])
+        rows = F.transform(
+            F.sequence(F.lit(1), F.greatest(min_len, F.lit(1))),
+            lambda i: F.array(*[F.try_element_at(a, i) for a in arrs]))
+        return F.when(min_len <= 0,
+                      F.array().cast("array<array<variant>>")) \
+                .otherwise(rows)
+
+    return V.let_many(arrays, body)
 
 
 @register("zip")
 def op_zip(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
     arrays = [_coerce_array(o, path) for o in ops]
-    _, rows = _zip_rows(arrays)
+    rows = _zip_rows(arrays)
     return V.arr_to_variant(
         F.transform(rows, lambda row: row.cast(V.VT)))
 
@@ -257,7 +269,7 @@ def op_zip_with(scope, cur, args, path):
     expr = args[-1]
     ops = _operands(scope, cur, args[:-1], path)
     arrays = [_coerce_array(o, path) for o in ops]
-    _, rows = _zip_rows(arrays)
+    rows = _zip_rows(arrays)
     combined = F.transform(
         rows,
         lambda row, i: F.coalesce(
@@ -270,21 +282,31 @@ def op_zip_with(scope, cur, args, path):
 def op_unzip(scope, cur, args, path):
     """array-of-rows → array-of-columns; rows must be equal-length arrays
     (``transform.rs:3600-3660``)."""
-    arr = _coerce_array(cur, path)
-    first_row = V.as_array(F.try_element_at(arr, F.lit(1)))
-    width_ok = F.forall(arr, lambda row: V.is_array(row) &
-                        (F.size(V.as_array(row)) == F.size(first_row)))
-    width_checked = F.when(
-        width_ok, F.size(first_row)).otherwise(
-        rerr("expr_error", "unzip items must have the same length",
-             path).cast("int"))
-    cols = F.transform(
-        F.sequence(F.lit(1), F.greatest(width_checked, F.lit(1))),
-        lambda j: F.transform(
-            arr, lambda row: F.try_element_at(V.as_array(row), j)).cast(V.VT))
-    return V.arr_to_variant(
-        F.when((F.size(arr) == 0) | (width_checked <= 0), EMPTY())
-        .otherwise(cols))
+    # nested let-bindings: width_checked runs a forall over the whole
+    # array, and is referenced per output column — unbound it would
+    # re-scan the array once per column
+    def body(arr: Column) -> Column:
+        first_row = V.as_array(F.try_element_at(arr, F.lit(1)))
+        width_ok = F.forall(arr, lambda row: V.is_array(row) &
+                            (F.size(V.as_array(row)) == F.size(first_row)))
+        width_checked = F.when(
+            width_ok, F.size(first_row)).otherwise(
+            rerr("expr_error", "unzip items must have the same length",
+                 path).cast("int"))
+
+        def with_width(wc: Column) -> Column:
+            cols = F.transform(
+                F.sequence(F.lit(1), F.greatest(wc, F.lit(1))),
+                lambda j: F.transform(
+                    arr, lambda row: F.try_element_at(V.as_array(row), j))
+                .cast(V.VT))
+            return V.arr_to_variant(
+                F.when((F.size(arr) == 0) | (wc <= 0), EMPTY())
+                .otherwise(cols))
+
+        return V.let(width_checked, with_width)
+
+    return V.let(_coerce_array(cur, path), body)
 
 
 @register("group_by")
