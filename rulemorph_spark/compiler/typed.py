@@ -709,6 +709,196 @@ def t_cast_bool(scope, cur, args, path):
     return _seq(ops, path, col, T.BooleanType())
 
 
+# --- string/numeric/date ops beyond the core subset ---------------------
+
+def t_strict_str(v: TVal, path: str,
+                 msg: str = "value must be a string") -> Column:
+    """``value_as_string`` — strings only (``transform.rs:5787-5795``)."""
+    if _is_str(v.dtype):
+        return v.col
+    if _is_null(v.dtype):
+        return F.lit(None).cast("string")
+    return _terr("string", "expr_error", msg, path)
+
+
+def t_i64(v: TVal, path: str, msg: str) -> Column:
+    """``value_to_i64`` — int, integral float, or integer string."""
+    if _is_int(v.dtype):
+        return v.col.cast("long")
+    d = t_num(v, path, msg)
+    return F.when(d == F.floor(d), d.cast("long")).otherwise(
+        _terr("long", "expr_error", msg, path))
+
+
+@_treg("replace")
+def t_replace(scope, cur, args, path):
+    """Four modes: literal-first (default) / all / regex / regex_all
+    (``transform.rs:2162-2236``); shares the splice helpers with the
+    variant path."""
+    from ..functions.scalar import replace_first as _lit_first
+    from .ops_scalar import _replace_regex_first
+    ops = _toperands(scope, cur, args, path)
+    value = t_strict_str(ops[0], path)
+    pattern = t_strict_str(ops[1], path)
+    replacement = t_strict_str(ops[2], path)
+    mode = t_strict_str(ops[3], path) if len(ops) == 4 else F.lit("__first__")
+    result = (
+        F.when(mode == "__first__", _lit_first(value, pattern, replacement))
+        .when(mode == "all", F.replace(value, pattern, replacement))
+        .when(mode == "regex", _replace_regex_first(value, pattern,
+                                                    replacement))
+        .when(mode == "regex_all", F.regexp_replace(value, pattern,
+                                                    replacement))
+        .otherwise(_terr("string", "expr_error",
+                         "replace mode must be all|regex|regex_all", path)))
+    return _seq(ops, path, result, T.StringType())
+
+
+@_treg("split")
+def t_split(scope, cur, args, path):
+    """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``);
+    output is a native ``array<string>`` column."""
+    ops = _toperands(scope, cur, args, path)
+    value = t_strict_str(ops[0], path)
+    delim = t_strict_str(ops[1], path)
+    delim_checked = F.when(delim == "", _terr(
+        "string", "expr_error", "split delimiter must not be empty",
+        path)).otherwise(delim)
+    escaped = F.regexp_replace(delim_checked,
+                               F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
+                               F.lit(r"\\$1"))
+    parts = F.split(value, escaped, F.lit(-1))
+    return _seq(ops, path, parts, T.ArrayType(T.StringType()))
+
+
+def _t_pad(scope, cur, args, path, *, start: bool):
+    ops = _toperands(scope, cur, args, path)
+    value = t_strict_str(ops[0], path)
+    length = t_i64(ops[1], path, "pad length must be a non-negative integer")
+    length = F.when(length < 0, _terr(
+        "long", "expr_error", "pad length must be a non-negative integer",
+        path)).otherwise(length)
+    pad = t_strict_str(ops[2], path) if len(ops) == 3 else F.lit(" ")
+    fn = F.lpad if start else F.rpad
+    padded = fn(value, length.cast("int"), pad)
+    # reference never truncates and treats empty pad as a no-op
+    # (``transform.rs:2356-2373``); Spark lpad/rpad truncate
+    result = F.when((F.length(value) >= length) | (pad == ""),
+                    value).otherwise(padded)
+    return _seq(ops, path, result, T.StringType())
+
+
+@_treg("pad_start")
+def t_pad_start(scope, cur, args, path):
+    return _t_pad(scope, cur, args, path, start=True)
+
+
+@_treg("pad_end")
+def t_pad_end(scope, cur, args, path):
+    return _t_pad(scope, cur, args, path, start=False)
+
+
+@_treg("len")
+def t_len(scope, cur, args, path):
+    """char count of a string / element count of a split array
+    (``transform.rs:4671-4719``); null ⇒ error via the operand protocol."""
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    if _is_str(o.dtype):
+        col = F.length(o.col).cast("long")
+    elif isinstance(o.dtype, T.ArrayType):
+        col = F.size(o.col).cast("long")
+    elif _is_null(o.dtype):
+        col = F.lit(None).cast("long")
+    else:
+        col = _terr("long", "expr_error",
+                    "len requires a string, array, or object", path)
+    return _seq(ops, path, col, T.LongType())
+
+
+@_treg("to_base")
+def t_to_base(scope, cur, args, path):
+    """int → base-2..36 lowercase digits, ``-`` for negatives
+    (``transform.rs:2517-2574``; Spark's conv is unsigned+uppercase)."""
+    ops = _toperands(scope, cur, args, path)
+    number = t_i64(ops[0], path, "value must be an integer")
+    base = t_i64(ops[1], path, "base must be an integer")
+    base = F.when((base < 2) | (base > 36), _terr(
+        "long", "expr_error", "base must be between 2 and 36",
+        path)).otherwise(base)
+    digits = F.lower(F.call_function("conv", F.abs(number).cast("string"),
+                                     F.lit(10), base.cast("int")))
+    result = F.when(number < 0,
+                    F.concat(F.lit("-"), digits)).otherwise(digits)
+    return _seq(ops, path, result, T.StringType())
+
+
+@_treg("date_format")
+def t_date_format(scope, cur, args, path):
+    """Same compile-time chrono→Spark pattern translation as the variant
+    path (``ops_date.py``), over native string columns."""
+    from .ops_date import (_lit_str_arg, _render, looks_like_timezone,
+                           parse_datetime_utc, parse_tz_literal)
+    ops = _toperands(scope, cur, args, path)
+    value = t_strict_str(ops[0], path)
+    out_fmt = _lit_str_arg(args[0], path, "output format")
+    if not isinstance(out_fmt, str):
+        raise RuleError("expr_error", "output format must be a string", path)
+    input_formats: list[str] | None = None
+    tz_seconds: int | None = None
+    if len(args) >= 2:
+        third = _lit_str_arg(args[1], path, "input format / timezone")
+        if isinstance(third, str) and looks_like_timezone(third):
+            tz_seconds = parse_tz_literal(third, path)
+        elif isinstance(third, str):
+            input_formats = [third]
+        elif isinstance(third, list):
+            input_formats = [str(x) for x in third]
+        else:
+            raise RuleError("expr_error",
+                            "input_format must be a string or array", path)
+    if len(args) == 3:
+        tz = _lit_str_arg(args[2], path, "timezone")
+        tz_seconds = parse_tz_literal(str(tz), path)
+    ts, input_off = parse_datetime_utc(value, input_formats, tz_seconds,
+                                       path)
+    render_off = (F.lit(tz_seconds) if tz_seconds is not None
+                  else input_off)
+    result = _render(ts, out_fmt, render_off, path)
+    return _seq(ops, path, result, T.StringType())
+
+
+@_treg("to_unixtime")
+def t_to_unixtime(scope, cur, args, path):
+    from .ops_date import (_lit_str_arg, looks_like_timezone,
+                           parse_datetime_utc, parse_tz_literal)
+    ops = _toperands(scope, cur, args, path)
+    value = t_strict_str(ops[0], path)
+    unit = "s"
+    tz_seconds: int | None = None
+    if len(args) >= 1:
+        second = str(_lit_str_arg(args[0], path, "unit / timezone"))
+        if len(args) == 2:
+            if second not in ("s", "ms"):
+                raise RuleError("expr_error", "unit must be s or ms", path)
+            unit = second
+        elif second in ("s", "ms"):
+            unit = second
+        elif looks_like_timezone(second):
+            tz_seconds = parse_tz_literal(second, path)
+        else:
+            raise RuleError("expr_error", "unit must be s or ms", path)
+    if len(args) == 2:
+        tz = str(_lit_str_arg(args[1], path, "timezone"))
+        tz_seconds = parse_tz_literal(tz, path)
+    ts, _ = parse_datetime_utc(value, None, tz_seconds, path)
+    if unit == "ms":
+        result = (F.unix_micros(ts) / 1000).cast("long")
+    else:
+        result = F.unix_timestamp(ts).cast("long")
+    return _seq(ops, path, result, T.LongType())
+
+
 # --- rule-level compilation --------------------------------------------
 
 from ..model import Mapping, RuleFile  # noqa: E402

@@ -115,21 +115,82 @@ def test_typed_plan_has_no_variant_ops(spark):
 
 
 def test_auto_falls_back_on_unsupported_op(spark):
+    # `first` is an array op outside the typed subset → TypedFallback,
+    # and mode="auto" routes to the variant engine
     rule = """
 version: 2
 input: {format: json}
 mappings:
   - target: id
     source: id
-  - target: parts
-    expr: ["@input.name", {split: ["a"]}]
+  - target: head
+    expr: ["@input.name", {split: ["a"]}, {first: []}]
 """
     from rulemorph_spark.compiler.typed import TypedFallback
     with pytest.raises(TypedFallback):
         transform_table(_df(spark), rule, mode="typed")
     out = transform_table(_df(spark), rule, mode="auto")
     rows = _rows_variant(out)
-    assert rows[0]["id"] == 1 and rows[0]["parts"] == ["", "lph", ""]
+    assert rows[0]["id"] == 1 and rows[0]["head"] == ""
+
+
+RULE_EXT = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: fixed
+    expr: ["@input.name", {replace: ["a", "o"]}]
+  - target: fixed_all
+    expr: ["@input.name", {replace: ["a", "o", "all"]}]
+  - target: rx
+    expr: ["@input.name", {replace: ["[aeiou]", "*", "regex"]}]
+  - target: rx_all
+    expr: ["@input.name", {replace: ["[aeiou]", "*", "regex_all"]}]
+  - target: parts
+    expr: ["@input.name", {split: ["a"]}]
+  - target: n_parts
+    expr: ["@input.name", {split: ["a"]}, {len: []}]
+  - target: padded
+    expr: ["@input.id", {to_string: []}, {pad_start: [6, "0"]}]
+  - target: tail_pad
+    expr: ["@input.name", {pad_end: [8, "."]}]
+  - target: hexed
+    expr: ["@input.id", {to_base: [16]}]
+  - target: name_len
+    expr: ["@input.name", {len: []}]
+  - target: fmt
+    expr: ["@input.when_str", {date_format: ["%Y/%m/%d"]}]
+  - target: epoch
+    expr: ["@input.when_str", {to_unixtime: []}]
+"""
+
+
+def test_typed_extended_ops_parity(spark):
+    """replace/split/pad/len/to_base/date ops: typed ↔ variant parity."""
+    df = spark.createDataFrame(
+        [(30, "alpha", "2024-03-05T06:07:08Z"),
+         (31, "banana", "2023-12-31 23:59:59"),
+         (32, "xyz", "2020-01-01")],
+        "id long, name string, when_str string")
+    typed = transform_table(df, RULE_EXT, mode="typed")
+    variant = transform_table(df, RULE_EXT, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert len(t_rows) == len(v_rows) == 3
+    for t, v in zip(t_rows, v_rows):
+        assert t == v, f"typed {t} != variant {v}"
+    assert t_rows[0]["fixed"] == "olpha"
+    assert t_rows[0]["fixed_all"] == "olpho"
+    assert t_rows[0]["rx"] == "*lpha"
+    assert t_rows[0]["rx_all"] == "*lph*"
+    assert t_rows[1]["parts"] == ["b", "n", "n", ""]
+    assert t_rows[1]["n_parts"] == 4
+    assert t_rows[0]["padded"] == "000030"
+    assert t_rows[2]["tail_pad"] == "xyz....."
+    assert t_rows[0]["hexed"] == "1e"
+    assert t_rows[0]["fmt"] == "2024/03/05"
+    assert t_rows[0]["epoch"] == 1709618828
 
 
 def test_typed_required_semantics(spark):
