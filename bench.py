@@ -67,6 +67,8 @@ def main():
     timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
     timings["rule_engine_typed"] = round(
         _rule_engine_typed(spark, sf_dir), 3)
+    timings["rule_engine_typed_lookup"] = round(
+        _rule_engine_typed_lookup(spark), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -138,6 +140,46 @@ def _rule_engine_lookup(spark, n_records: int = 10000, n_users: int = 100,
         builder, F.col("__record__"))
     out = (builder.df.withColumn("__keep__", compiled.keep)
            .filter("__keep__").select(compiled.out_json().alias("j")))
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+_TYPED_LOOKUP_RULE = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: user_name
+    expr:
+      - lookup_first: ["@context.users", "id", "@input.user_id", "name"]
+  - target: tags
+    expr:
+      - lookup: ["@context.tags", "id", "@input.tag_id", "value"]
+"""
+
+
+def _rule_engine_typed_lookup(spark, n_records: int = 10000,
+                              n_users: int = 100,
+                              n_tags: int = 100) -> float:
+    """The same lookup workload over native typed columns through the
+    typed fast path (compile-time hash maps, element_at probes)."""
+    from rulemorph_spark.engine import transform_table
+
+    context = {
+        "users": [{"id": i, "name": f"user{i}", "role": "member"}
+                  for i in range(n_users)],
+        "tags": [{"id": f"t{i}", "value": f"tag-{i}"}
+                 for i in range(n_tags)],
+    }
+    records = spark.range(n_records).select(
+        F.col("id"),
+        (F.col("id") % (n_users + 10)).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % (n_tags + 10)).cast("string"))
+        .alias("tag_id"))
+    t0 = time.perf_counter()
+    out = transform_table(records, _TYPED_LOOKUP_RULE, context=context,
+                          mode="typed")
     out.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 

@@ -833,6 +833,95 @@ def t_to_base(scope, cur, args, path):
     return _seq(ops, path, result, T.StringType())
 
 
+def _py_scalar_type(vals) -> T.DataType | None:
+    """One static Spark type covering the python scalars, else None."""
+    if not vals:
+        return T.StringType()
+    if all(isinstance(v, bool) for v in vals):
+        return T.BooleanType()
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return T.LongType()
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+           for v in vals):
+        return T.DoubleType()
+    if all(isinstance(v, str) for v in vals):
+        return T.StringType()
+    return None
+
+
+def _t_json_key(mv: TVal, path: str) -> Column:
+    """Canonical-JSON probe key of a typed match value — must render
+    exactly like ``_py_strict_json`` keys the prebuilt map (strings are
+    JSON-quoted via to_json so escaping matches)."""
+    dt = mv.dtype
+    if _is_str(dt):
+        j = F.to_json(F.array(mv.col))
+        return j.substr(F.lit(2), F.length(j) - F.lit(2))
+    if _is_bool(dt):
+        return F.when(mv.col, F.lit("true")).otherwise(F.lit("false"))
+    if _is_num(dt):
+        return _json_num_repr(mv)
+    return F.lit(None).cast("string")
+
+
+def _t_lookup(scope, cur, args, path, *, first_only: bool):
+    """v2 ``lookup``/``lookup_first`` with a literal @context collection
+    → compile-time hash map, probed with one ``element_at`` per record
+    on native columns (the variant path's fast shape, fully typed).
+    Anything dynamic falls back to the variant engine."""
+    from .ops_lookup import (_context_collection, _literal_str,
+                             _v2_prebuilt_maps)
+    n = len(args)
+    if n not in (3, 4):
+        raise TypedFallback("typed lookup: explicit 3/4-arg form only")
+    coll = _context_collection(args[0], scope)
+    key_lit = _literal_str(args[1])
+    get_lit = _literal_str(args[3]) if n == 4 else None
+    if coll is None or key_lit is None or (n == 4 and get_lit is None):
+        raise TypedFallback("typed lookup needs a literal @context "
+                            "collection and literal match_key/get")
+    first_map, all_map = _v2_prebuilt_maps(coll, key_lit, get_lit)
+    table = first_map if first_only else all_map
+    if first_only:
+        elem_dt = _py_scalar_type([v for v in table.values()
+                                   if v is not None])
+        val_dt: T.DataType | None = elem_dt
+    else:
+        elem_dt = _py_scalar_type([x for vs in table.values() for x in vs
+                                   if x is not None])
+        val_dt = T.ArrayType(elem_dt) if elem_dt is not None else None
+    if val_dt is None:
+        raise TypedFallback("typed lookup over non-scalar or mixed "
+                            "selected values")
+    mv = compile_tpipe(args[2], scope.child(pipe=cur), f"{path}.args[2]")
+    if mv.missing:
+        return _missing()
+    if table:
+        entries: list[Column] = []
+        for k, v in table.items():
+            entries.append(F.lit(k))
+            entries.append(F.lit(v).cast(val_dt))
+        probe = F.element_at(F.create_map(*entries),
+                             F.coalesce(_t_json_key(mv, path),
+                                        F.lit("\x00")))
+    else:
+        probe = F.lit(None).cast(val_dt)
+    if not first_only:
+        probe = F.coalesce(probe, F.array().cast(val_dt))
+    col = F.when(_isnull(mv), F.lit(None).cast(val_dt)).otherwise(probe)
+    return TVal(col, val_dt)
+
+
+@_treg("lookup")
+def t_lookup(scope, cur, args, path):
+    return _t_lookup(scope, cur, args, path, first_only=False)
+
+
+@_treg("lookup_first")
+def t_lookup_first(scope, cur, args, path):
+    return _t_lookup(scope, cur, args, path, first_only=True)
+
+
 @_treg("date_format")
 def t_date_format(scope, cur, args, path):
     """Same compile-time chrono→Spark pattern translation as the variant

@@ -193,6 +193,48 @@ def test_typed_extended_ops_parity(spark):
     assert t_rows[0]["epoch"] == 1709618828
 
 
+RULE_LOOKUP = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: user_name
+    expr:
+      - lookup_first: ["@context.users", "uid", "@input.user_id", "name"]
+  - target: tags
+    expr:
+      - lookup: ["@context.tags", "tid", "@input.tag_id", "value"]
+"""
+
+LOOKUP_CTX = {
+    "users": [{"uid": 1, "name": "ann"}, {"uid": 2, "name": "bo"},
+              {"uid": 2, "name": "shadowed"}],
+    "tags": [{"tid": "a", "value": "red"}, {"tid": "a", "value": "blue"},
+             {"tid": "b", "value": "green"}],
+}
+
+
+def test_typed_lookup_parity(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (3, 9, "zz")],
+        "id long, user_id long, tag_id string")
+    typed = transform_table(df, RULE_LOOKUP, context=LOOKUP_CTX,
+                            mode="typed")
+    variant = transform_table(df, RULE_LOOKUP, context=LOOKUP_CTX,
+                              mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    for t, v in zip(t_rows, v_rows):
+        assert t == v, f"typed {t} != variant {v}"
+    assert t_rows[0] == {"id": 1, "user_name": "ann",
+                         "tags": ["red", "blue"]}
+    assert t_rows[1] == {"id": 2, "user_name": "bo", "tags": ["green"]}
+    # no match: lookup_first → missing (NULL), lookup → empty array
+    assert t_rows[2] == {"id": 3, "user_name": None, "tags": []}
+    # the typed plan stays variant-free
+    assert "variant" not in typed.schema.simpleString()
+
+
 def test_typed_required_semantics(spark):
     # required + statically-missing column → MissingRequired on action
     rule_missing = """
