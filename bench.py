@@ -51,11 +51,15 @@ def main():
     qs = entry.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM/session and the vectorized parquet-reader path on the
-    # smallest table, so the first timed query doesn't absorb one-time
-    # reader/codec initialization (the data itself stays uncached)
+    # warm the JVM/session, the vectorized parquet-reader path, and the
+    # agg/exchange codegen paths on the smallest table, so the first
+    # timed query doesn't absorb one-time initialization (none of the
+    # benchmark tables' data is touched)
     spark.range(1000).count()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .groupBy("r_name")
+     .agg(F.count("*"), F.sum(F.col("r_regionkey").cast("decimal(18,2)")))
+     .collect())
 
     for name in headline:
         fn = qs[name]
