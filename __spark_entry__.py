@@ -759,6 +759,27 @@ def q_corpus_clean(spark, sf_dir):
     return kept.select("doc_id", "n_tokens", "quality")
 
 
+def q_sessionize_batch(spark, sf_dir):
+    """gap-based sessionization in batch (lag + running sum of
+    session-start flags) — the SQL shape of streaming/stateful.py's
+    sessionizer; 30-minute gap."""
+    e = _t(spark, sf_dir, "events")
+    gap_ns = 1_800_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(prev.isNull() |
+                    ((F.col("ts") - prev) > gap_ns), 1).otherwise(0)
+    run = (e.select("user_id", "ts", "event_id", "value",
+                    is_new.alias("is_new"))
+           .select("*", F.sum("is_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))
+               .alias("session_idx")))
+    cents = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    return (run.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -820,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_salted_join": q_skew_salted_join,
         "q_percentile_groups": q_percentile_groups,
         "q_corpus_clean": q_corpus_clean,
+        "q_sessionize_batch": q_sessionize_batch,
     }
 
 
@@ -1267,6 +1289,27 @@ def oracle_sql() -> dict[str, str]:
                        x -> round(x, 6))) AS quantiles,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_sessionize_batch": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                              > 1800000000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            runs AS (
+              SELECT user_id, value,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                       / 10000.0 AS session_value
+            FROM runs GROUP BY user_id, session_idx
         """,
         "q_corpus_clean": f"""
             WITH base AS (
