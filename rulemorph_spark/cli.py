@@ -160,6 +160,80 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
+    """stdlib HTTP front end over ``EndpointEngine`` — the reference's
+    axum server surface (``rulemorph_server``) without the browser UI.
+    Returns an unstarted ``ThreadingHTTPServer`` (call serve_forever)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlsplit
+
+    class Handler(BaseHTTPRequestHandler):
+        def _run(self, method: str):
+            parts = urlsplit(self.path)
+            query = parse_qsl(parts.query, keep_blank_values=True)
+            length = int(self.headers.get("content-length") or 0)
+            body = (self.rfile.read(length).decode("utf-8")
+                    if length else None)
+            headers = dict(self.headers.items())
+            status, hdrs, payload = engine.handle_request(
+                method, parts.path, query, headers, body)
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(int(status))
+            sent = set()
+            for k, v in (hdrs or {}).items():
+                self.send_header(k, v)
+                sent.add(k.lower())
+            if "content-type" not in sent:
+                self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._run("GET")
+
+        def do_POST(self):
+            self._run("POST")
+
+        def do_PUT(self):
+            self._run("PUT")
+
+        def do_PATCH(self):
+            self._run("PATCH")
+
+        def do_DELETE(self):
+            self._run("DELETE")
+
+        def log_message(self, *args):  # quiet; engine traces instead
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def cmd_serve(args) -> int:
+    from .engine import get_spark
+    from .service.endpoint import EndpointEngine
+    from .errors import RuleError
+    try:
+        spark = get_spark("rulemorph-serve")
+        engine = EndpointEngine(spark, args.endpoint,
+                                trace_dir=args.trace_dir)
+    except OSError as e:
+        print(f"failed to load endpoint rules: {e}", file=sys.stderr)
+        return 1
+    except RuleError as e:
+        _emit_validation_errors([e], "text")
+        return 2
+    httpd = make_http_server(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]}",
+          file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="rulemorph-spark",
@@ -199,6 +273,14 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--name")
     p.add_argument("-o", "--output")
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("serve")
+    p.add_argument("-d", "--endpoint", required=True,
+                   help="path to endpoint.yaml")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("-p", "--port", type=int, default=8080)
+    p.add_argument("--trace-dir")
+    p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

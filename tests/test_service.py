@@ -219,3 +219,45 @@ def test_analyze_input():
     paths = {f["path"]: f["types"] for f in result["fields"]}
     assert paths["a"] == ["int", "null"]
     assert paths["b.c"] == ["string"]
+
+
+def test_http_server_round_trip(spark, engine_dir):
+    """cli.make_http_server: real HTTP requests through the stdlib
+    front end hit the same engine (serve command surface)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from rulemorph_spark.cli import make_http_server
+
+    eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
+    httpd = make_http_server(eng, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/users/7") as resp:
+            assert resp.status == 200
+            body = _json.loads(resp.read().decode())
+        assert body == {"user_id": 7, "verbose": "false",
+                        "label": "7-label"}
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/echo",
+            data=_json.dumps({"hello": "world"}).encode(),
+            headers={"content-type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 201
+            assert resp.headers["x-engine"] == "rulemorph-spark"
+            assert _json.loads(resp.read().decode()) == {"hello": "world"}
+
+        # unmatched path → engine's 404 JSON
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
