@@ -1005,8 +1005,9 @@ class TypedRuleCompiler:
     def __init__(self, rule: RuleFile, context=None):
         if rule.version < 2:
             raise TypedFallback("v1 rules use JSON int re-emission")
-        if rule.steps is not None:
-            raise TypedFallback("steps/branch rules")
+        if rule.steps is not None and any(
+                s.branch is not None for s in rule.steps):
+            raise TypedFallback("branch steps route to other rule files")
         if rule.finalize is not None:
             raise TypedFallback("finalize rules")
         self.rule = rule
@@ -1036,40 +1037,67 @@ class TypedRuleCompiler:
                                           "record_when"), "w")
             keep = F.coalesce(cond, F.lit(False))
 
-        for i, m in enumerate(self.rule.mappings):
-            mpath = f"mappings[{i}]"
-            tokens = parse_path(m.target, allow_index=False,
-                                error_code="invalid_target")
-            names = [t.name for t in tokens if isinstance(t, Key)]
-            s = scope()
-            value = self._compile_mapping(m, s, mpath)
-            if value is None:
-                continue  # statically missing, optional → target absent
-            # no keep-gate needed: the keep filter sits below every
-            # mapping projection after predicate pushdown, so filtered
-            # rows never evaluate mapping values (or their error
-            # branches) — unlike rule.py, which emits output for every
-            # input row and must gate
-            col = value.col
-            if m.has_when:
-                wcond = add(self._compile_when(m.when, s, f"{mpath}.when"),
-                            "w")
-                col = F.when(F.coalesce(wcond, F.lit(False)), col)
-            materialized = add(col)
-            node = out_tree
-            for t in names[:-1]:
-                nxt = node.get(t)
-                if nxt is None:
-                    nxt = node[t] = {}
-                elif not isinstance(nxt, dict):
-                    raise RuleError("target_error",
-                                    f"intermediate path {t!r} is not an "
-                                    f"object", mpath)
-                node = nxt
-            if isinstance(node.get(names[-1]), dict):
-                raise RuleError("duplicate_target",
-                                f"target {m.target!r} conflicts", mpath)
-            node[names[-1]] = TVal(materialized, value.dtype)
+        def apply_mappings(mappings, base: str) -> None:
+            for i, m in enumerate(mappings):
+                mpath = f"{base}[{i}]"
+                tokens = parse_path(m.target, allow_index=False,
+                                    error_code="invalid_target")
+                names = [t.name for t in tokens if isinstance(t, Key)]
+                s = scope()
+                value = self._compile_mapping(m, s, mpath)
+                if value is None:
+                    continue  # statically missing, optional → absent
+                # no keep-gate needed: the keep filter sits below every
+                # mapping projection after predicate pushdown, so
+                # filtered rows never evaluate mapping values (or their
+                # error branches) — unlike rule.py, which emits output
+                # for every input row and must gate
+                col = value.col
+                if m.has_when:
+                    wcond = add(self._compile_when(m.when, s,
+                                                   f"{mpath}.when"), "w")
+                    col = F.when(F.coalesce(wcond, F.lit(False)), col)
+                materialized = add(col)
+                node = out_tree
+                for t in names[:-1]:
+                    nxt = node.get(t)
+                    if nxt is None:
+                        nxt = node[t] = {}
+                    elif not isinstance(nxt, dict):
+                        raise RuleError("target_error",
+                                        f"intermediate path {t!r} is not "
+                                        f"an object", mpath)
+                    node = nxt
+                if isinstance(node.get(names[-1]), dict):
+                    raise RuleError("duplicate_target",
+                                    f"target {m.target!r} conflicts", mpath)
+                node[names[-1]] = TVal(materialized, value.dtype)
+
+        if self.rule.steps is not None:
+            # ordered steps (transform.rs:431-531): mappings accumulate
+            # @out; record_when narrows `keep`; asserts raise for rows
+            # still alive at their step
+            for si, step in enumerate(self.rule.steps):
+                spath = f"steps[{si}]"
+                if step.mappings is not None:
+                    apply_mappings(step.mappings, f"{spath}.mappings")
+                if step.has_record_when:
+                    cond = add(self._compile_when(
+                        step.record_when, scope(),
+                        f"{spath}.record_when"), "w")
+                    keep = add(keep & F.coalesce(cond, F.lit(False)), "k")
+                if step.asserts is not None:
+                    for ai, a in enumerate(step.asserts):
+                        apath = f"{spath}.asserts[{ai}]"
+                        acond = self._compile_when(a.when, scope(), apath)
+                        guard = F.when(
+                            keep & ~F.coalesce(acond, F.lit(False)),
+                            V.raise_err("assert_failed", a.error.message,
+                                        apath, a.error.code)
+                            .cast("boolean")).otherwise(F.lit(True))
+                        keep = add(keep & guard, "k")
+        else:
+            apply_mappings(self.rule.mappings, "mappings")
 
         outputs = [self._out_col(v, name)
                    for name, v in out_tree.items()]

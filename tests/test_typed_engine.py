@@ -235,6 +235,55 @@ def test_typed_lookup_parity(spark):
     assert "variant" not in typed.schema.simpleString()
 
 
+RULE_STEPS = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+      - target: doubled
+        expr: ["@input.qty", {multiply: [2]}]
+  - record_when: {gte: ["@out.doubled", 4]}
+  - mappings:
+      - target: label
+        expr: ["@out.doubled", {to_string: []}, {concat: ["-x"]}]
+  - asserts:
+      - when: {lte: ["@out.doubled", 1000]}
+        error: {code: E_BIG, message: "too big"}
+"""
+
+
+def test_typed_steps_parity(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, 10.0)], "id long, qty double")
+    typed = transform_table(df, RULE_STEPS, mode="typed")
+    variant = transform_table(df, RULE_STEPS, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    # qty=1 → doubled=2 < 4 filtered; others survive with @out chaining
+    assert t_rows == [{"id": 2, "doubled": 6.0, "label": "6-x"},
+                      {"id": 3, "doubled": 20.0, "label": "20-x"}]
+
+
+def test_typed_steps_assert_raises(spark):
+    df = spark.createDataFrame([(1, 800.0)], "id long, qty double")
+    out = transform_table(df, RULE_STEPS, mode="typed")
+    err = _collect_engine_error(out)
+    assert err.kind == "AssertionFailed" and err.code == "E_BIG"
+
+
+def test_typed_steps_assert_skips_filtered_rows(spark):
+    # doubled=2 fails the assert bound? no — it fails record_when first,
+    # so the assert must NOT fire for it even though 2 <= 1000 holds;
+    # use a row that would fail the assert but is filtered earlier
+    rule = RULE_STEPS.replace('lte: ["@out.doubled", 1000]',
+                              'gte: ["@out.doubled", 4]')
+    df = spark.createDataFrame([(1, 1.0)], "id long, qty double")
+    out = transform_table(df, rule, mode="typed")
+    assert out.collect() == []  # filtered, not raised
+
+
 def test_typed_required_semantics(spark):
     # required + statically-missing column → MissingRequired on action
     rule_missing = """
