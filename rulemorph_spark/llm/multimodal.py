@@ -72,14 +72,17 @@ def extract_features(df: DataFrame, *, use_stub: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] if row["payload"] is not None else b""
-                d = _fake_decode(bytes(payload), row["kind"])
+            # itertuples over the three needed columns — iterrows
+            # materializes a Series per row (10×+ slower per batch)
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                d = _fake_decode(payload, kind)
                 feats.append({
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "n_bytes": len(payload),
-                    "sha1": hashlib.sha1(bytes(payload)).hexdigest(),
+                    "sha1": hashlib.sha1(payload).hexdigest(),
                     "width": d["width"],
                     "height": d["height"],
                     "duration_ms": d["duration_ms"],
