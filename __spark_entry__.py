@@ -759,6 +759,35 @@ def q_corpus_clean(spark, sf_dir):
     return kept.select("doc_id", "n_tokens", "quality")
 
 
+_TYPED_STEPS_RULE = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: okey
+        source: l_orderkey
+      - target: rev
+        expr: ["@input.l_extendedprice", {multiply: [0.9]}, {round: [2]}]
+  - record_when: {gte: ["@out.rev", 40000]}
+  - mappings:
+      - target: band
+        expr:
+          - "@out.rev"
+          - if:
+              cond: {gte: ["$", 70000]}
+              then: "high"
+              else: "mid"
+"""
+
+
+def q_rule_typed_steps(spark, sf_dir):
+    """steps rule (ordered mappings → record_when on @out → @out-chained
+    mapping with if) through the typed fast path on a parquet table."""
+    from rulemorph_spark.engine import transform_table
+    li = _t(spark, sf_dir, "lineitem")
+    return transform_table(li, _TYPED_STEPS_RULE, mode="typed")
+
+
 def q_sessionize_batch(spark, sf_dir):
     """gap-based sessionization in batch (lag + running sum of
     session-start flags) — the SQL shape of streaming/stateful.py's
@@ -842,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_groups": q_percentile_groups,
         "q_corpus_clean": q_corpus_clean,
         "q_sessionize_batch": q_sessionize_batch,
+        "q_rule_typed_steps": q_rule_typed_steps,
     }
 
 
@@ -1289,6 +1319,17 @@ def oracle_sql() -> dict[str, str]:
                        x -> round(x, 6))) AS quantiles,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_rule_typed_steps": """
+            WITH s AS (
+              SELECT l_orderkey AS okey,
+                     floor((l_extendedprice * 0.9) * 100 + 0.5) / 100
+                         AS rev
+              FROM lineitem)
+            SELECT okey, rev,
+                   CASE WHEN rev >= 70000 THEN 'high' ELSE 'mid' END
+                       AS band
+            FROM s WHERE rev >= 40000
         """,
         "q_sessionize_batch": """
             WITH flagged AS (
