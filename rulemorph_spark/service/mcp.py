@@ -2,7 +2,9 @@
 
 Mirrors ``crates/rulemorph_mcp/src/main.rs:220-347``: a blocking stdio
 JSON-RPC loop with tools ``transform``, ``validate_rules``,
-``generate_dto``, and ``analyze_input`` (field paths + types summary).
+``generate_dto``, and ``analyze_input`` (field paths + types summary),
+plus the rule-generation prompt surface (``prompts/list`` /
+``prompts/get``, ``main.rs:313-420``).
 """
 
 from __future__ import annotations
@@ -59,6 +61,116 @@ TOOLS = [
         },
     },
 ]
+
+
+# prompt surface (main.rs:313-420): templates re-expressed; the
+# contract — names, argument lists, {{placeholder}} substitution, and
+# what each prompt instructs — matches the reference
+PROMPTS = [
+    {
+        "name": "rule_from_input_base",
+        "description": "Generate rules from base rules and input samples.",
+        "arguments": [
+            {"name": "rules_text", "description": "Base rules YAML.",
+             "required": True},
+            {"name": "input_sample", "description": "Input sample "
+             "(JSON/CSV).", "required": True},
+            {"name": "format", "description": "Input format (json or "
+             "csv).", "required": False},
+            {"name": "records_path", "description": "Records path for "
+             "JSON input.", "required": False},
+        ],
+    },
+    {
+        "name": "rule_from_dto",
+        "description": "Generate rules from DTO schema and input samples.",
+        "arguments": [
+            {"name": "dto_text", "description": "DTO source text.",
+             "required": True},
+            {"name": "dto_language", "description": "DTO language "
+             "(rust/typescript).", "required": True},
+            {"name": "input_sample", "description": "Input sample "
+             "(JSON/CSV).", "required": True},
+            {"name": "format", "description": "Input format (json or "
+             "csv).", "required": False},
+            {"name": "records_path", "description": "Records path for "
+             "JSON input.", "required": False},
+        ],
+    },
+    {
+        "name": "explain_errors",
+        "description": "Explain validation/transform errors and suggest "
+                       "fixes.",
+        "arguments": [
+            {"name": "errors_json", "description": "Errors array from "
+             "tool output.", "required": True},
+            {"name": "rules_text", "description": "Optional rules YAML "
+             "for context.", "required": False},
+        ],
+    },
+]
+
+_PROMPT_TEMPLATES = {
+    "rule_from_input_base": """You are writing a rule file (YAML) for \
+this engine.
+The base rules fix the output shape — keep each mapping's \
+expr/value/default/required unless it cannot be resolved.
+Map sources from the input sample. Any target you cannot map gets \
+value: null with required: false.
+Respond with YAML only.
+
+Base rules:
+{{rules_text}}
+
+Input sample:
+{{input_sample}}
+
+Optional format: {{format}}
+Optional records_path: {{records_path}}
+""",
+    "rule_from_dto": """You are writing a rule file (YAML) whose output \
+conforms to the DTO schema below.
+Map sources from the input sample. Any target you cannot map gets \
+value: null with required: false.
+Respond with YAML only.
+
+DTO:
+{{dto_text}}
+
+DTO language: {{dto_language}}
+
+Input sample:
+{{input_sample}}
+
+Optional format: {{format}}
+Optional records_path: {{records_path}}
+""",
+    "explain_errors": """Explain each of the following \
+validation/transform errors and suggest a concrete fix.
+
+Errors:
+{{errors_json}}
+
+Rules (optional):
+{{rules_text}}
+""",
+}
+
+
+def render_prompt(name: str, args: dict | None) -> dict:
+    """prompts/get result: template with ``{{arg}}`` placeholders
+    substituted (missing args left as-is, like the reference)."""
+    template = _PROMPT_TEMPLATES.get(name)
+    if template is None:
+        raise ValueError("unknown prompt name")
+    content = template
+    for k, v in (args or {}).items():
+        content = content.replace("{{%s}}" % k, str(v))
+    meta = next(p for p in PROMPTS if p["name"] == name)
+    return {
+        "description": meta["description"],
+        "messages": [{"role": "user", "content": content}],
+    }
 
 
 def analyze_input(text: str) -> dict:
@@ -152,7 +264,7 @@ class McpServer:
             if method == "initialize":
                 result = {
                     "protocolVersion": PROTOCOL_VERSION,
-                    "capabilities": {"tools": {}},
+                    "capabilities": {"tools": {}, "prompts": {}},
                     "serverInfo": {"name": "rulemorph-spark",
                                    "version": "0.1.0"},
                 }
@@ -165,6 +277,12 @@ class McpServer:
                 text = self.call_tool(params.get("name"),
                                       params.get("arguments") or {})
                 result = {"content": [{"type": "text", "text": text}]}
+            elif method == "prompts/list":
+                result = {"prompts": PROMPTS}
+            elif method == "prompts/get":
+                params = request.get("params") or {}
+                result = render_prompt(params.get("name"),
+                                       params.get("arguments"))
             else:
                 return {"jsonrpc": "2.0", "id": rid,
                         "error": {"code": -32601,

@@ -261,3 +261,23 @@ def test_http_server_round_trip(spark, engine_dir):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_mcp_prompts_surface():
+    from rulemorph_spark.service.mcp import McpServer
+    srv = McpServer()
+    listed = srv.handle({"jsonrpc": "2.0", "id": 1,
+                         "method": "prompts/list"})
+    names = [p["name"] for p in listed["result"]["prompts"]]
+    assert names == ["rule_from_input_base", "rule_from_dto",
+                     "explain_errors"]
+    got = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "prompts/get",
+                      "params": {"name": "explain_errors",
+                                 "arguments": {"errors_json": "[E1]"}}})
+    msg = got["result"]["messages"][0]
+    assert msg["role"] == "user"
+    assert "[E1]" in msg["content"]
+    assert "{{rules_text}}" in msg["content"]  # missing args stay as-is
+    bad = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "prompts/get",
+                      "params": {"name": "nope"}})
+    assert bad["result"]["isError"]
