@@ -63,9 +63,9 @@ def main():
 
     # criterion-comparable methodology (BASELINE.md anchors to the
     # reference's criterion benches, which time WARMED iterations): one
-    # untimed warm-up execution per query, then the mean of two timed
-    # runs. Cold first-run cost (codegen + AQE replan) is reported
-    # separately as cold_total.
+    # untimed warm-up execution per query, then the MEDIAN of three
+    # timed runs (robust to shared-host noise spikes). Cold first-run
+    # cost (codegen + AQE replan) is reported separately as cold_total.
     cold_total = 0.0
     for name in headline:
         fn = qs[name]
@@ -73,10 +73,12 @@ def main():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold_total += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round((time.perf_counter() - t0) / 2, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
     timings["rule_engine_typed"] = round(
@@ -95,14 +97,16 @@ def main():
     }))
 
 
-def _timed(df, runs: int = 2) -> float:
-    """criterion-style: one untimed warm-up, mean of ``runs`` executions
-    of the already-compiled plan."""
+def _timed(df, runs: int = 3) -> float:
+    """criterion-style: one untimed warm-up, median of ``runs``
+    executions of the already-compiled plan (noise-robust)."""
     df.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-    return (time.perf_counter() - t0) / runs
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[len(samples) // 2]
 
 
 # the reference's PERF_RULES verbatim shape (tests/performance.rs:6-30)
