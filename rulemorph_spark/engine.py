@@ -47,6 +47,10 @@ def get_spark(app_name: str = "rulemorph-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deep rule pipes nest one let-binding lambda per op step; each
+        # nesting level costs an analyzer fixed-point iteration, so the
+        # default 100 caps pipes at ~50 steps
+        .config("spark.sql.analyzer.maxIterations", "1000")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
@@ -264,8 +268,18 @@ def transform_with_warnings(spark: SparkSession, rule_text: str,
         raise
 
 
+def _prepare_session(spark) -> None:
+    """Confs deep rule plans rely on, set idempotently so transforms
+    work on any caller-provided session (not just get_spark's)."""
+    try:
+        spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+    except Exception:
+        pass  # conf locked down → deep pipes may hit the 100 cap
+
+
 def _transform_parsed(spark, rule, input_text, input_path, context,
                       base_dir, collect_warnings=False):
+    _prepare_session(spark)
     fmt = rule.input.format
     if fmt == "csv":
         if input_path is None:
@@ -348,6 +362,7 @@ def transform_table(df: DataFrame, rule_text_or_rule,
     """
     from .compiler.typed import TypedFallback, TypedRuleCompiler
 
+    _prepare_session(df.sparkSession)
     rule = (parse_rule_file(rule_text_or_rule)
             if isinstance(rule_text_or_rule, str) else rule_text_or_rule)
     if rule.finalize is not None:
