@@ -809,6 +809,64 @@ def q_sessionize_batch(spark, sf_dir):
                  (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """document chunking: overlapping 32-token windows (stride 24) —
+    the context-window prep step of a pretraining pipeline.  Narrow
+    per-doc HOF work + posexplode; no shuffle, linear scale-out."""
+    from rulemorph_spark.llm.text import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    return (chunk_documents(d, chunk_tokens=32, overlap=8)
+            .select("doc_id",
+                    F.col("chunk_index").cast("bigint")
+                    .alias("chunk_index"),
+                    "chunk_text",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens")))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: mask emails/phones with typed tags + per-doc
+    count.  Deterministic synthetic PII is appended first (the corpus
+    is PII-free word salad) so redaction counts are nonzero.  One
+    narrow regex projection — no shuffle."""
+    from rulemorph_spark.llm.text import pii_count, redact_pii
+    d = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return d.select("doc_id",
+                    redact_pii(salted).alias("redacted"),
+                    pii_count(salted).cast("bigint").alias("n_pii"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """benchmark decontamination: flag training docs sharing any
+    8-token shingle with the eval slice (doc_id % 97 == 0 stands in
+    for the benchmark set).  The tiny benchmark shingle set is
+    broadcast — the corpus side never shuffles until the per-doc
+    count fold."""
+    from rulemorph_spark.llm.text import decontaminate
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=8) \
+        .select("doc_id", F.col("n_hit_shingles").cast("bigint")
+                .alias("n_hit_shingles"))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """corpus vocabulary statistics: top-20 words by frequency.
+    Partial (map-side) aggregation then a 20-row TakeOrdered — the
+    shuffle carries only distinct words, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "word").limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -872,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_sessionize_batch": q_sessionize_batch,
         "q_rule_typed_steps": q_rule_typed_steps,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pii_redact": q_pii_redact,
+        "q_decontaminate": q_decontaminate,
+        "q_vocab_topk": q_vocab_topk,
     }
 
 
@@ -1330,6 +1392,87 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rev >= 70000 THEN 'high' ELSE 'mid' END
                        AS band
             FROM s WHERE rev >= 40000
+        """,
+        "q_doc_chunks": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(text), '\\s+') AS words
+              FROM documents),
+            st AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(
+                         1, GREATEST(len(words) - 8, 1), 24)) AS s
+              FROM w),
+            c AS (
+              SELECT doc_id,
+                     CAST((s - 1) // 24 AS BIGINT) AS chunk_index,
+                     array_to_string(
+                         list_slice(words, s, s + 31), ' ')
+                         AS chunk_text
+              FROM st)
+            SELECT doc_id, chunk_index, chunk_text,
+                   CAST(len(regexp_split_to_array(chunk_text, '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM c
+        """,
+        "q_pii_redact": """
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,10}',
+                     '[PHONE]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(
+                          regexp_replace(t,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g'),
+                          '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,10}'))
+                        AS BIGINT) AS n_pii
+            FROM s
+        """,
+        "q_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+                         AS words
+              FROM documents),
+            st AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(
+                         1, GREATEST(len(words) - 7, 1), 1)) AS s
+              FROM w),
+            sh AS (
+              SELECT doc_id,
+                     array_to_string(
+                         list_slice(words, s, s + 7), ' ') AS sh
+              FROM st),
+            bench AS (
+              SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+            corp AS (
+              SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+            SELECT corp.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+            FROM corp JOIN bench USING (sh)
+            GROUP BY corp.doc_id
+        """,
+        "q_vocab_topk": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(
+                             LOWER(TRIM(text)), '\\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20
         """,
         "q_sessionize_batch": """
             WITH flagged AS (

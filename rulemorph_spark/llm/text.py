@@ -99,3 +99,96 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_en(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------
+# corpus-preparation operators: chunking, PII redaction, decontamination
+# ---------------------------------------------------------------------
+
+# public PII shapes (RE2/Java-compatible — shared verbatim with the SQL
+# oracles; no lookaround, no backreferences)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,10}"
+
+
+def chunk_spans(text: Column, chunk_tokens: int,
+                overlap: int) -> Column:
+    """Overlapping token-window chunks of a document: array of chunk
+    strings (whitespace tokens, window ``chunk_tokens``, stride
+    ``chunk_tokens - overlap``).  Pure JVM HOFs — the per-document work
+    is narrow (no shuffle), so chunking a 100 TB corpus scales linearly
+    with executors; downstream ``posexplode`` multiplies rows without
+    materializing chunk text twice."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(text), WORD_SPLIT_RE)
+    # 1-based window starts: 1, 1+step, ... while start <= len - overlap
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.size(words) - F.lit(overlap),
+                                   F.lit(1)),
+                        F.lit(step))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, chunk_tokens),
+                                       " "))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """doc table → chunk table (id, chunk_index, chunk_text, n_tokens)."""
+    chunks = chunk_spans(F.col(text_col), chunk_tokens, overlap)
+    out = df.select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_index",
+                                               "chunk_text"))
+    return out.withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("chunk_text"), WORD_SPLIT_RE)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholder tags.
+    Single-pass JVM regex — order matters (emails contain digits)."""
+    masked = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(masked, PHONE_RE, "[PHONE]")
+
+
+def pii_count(text: Column) -> Column:
+    return (F.regexp_count(text, F.lit(EMAIL_RE))
+            + F.regexp_count(F.regexp_replace(text, EMAIL_RE, "[EMAIL]"),
+                             F.lit(PHONE_RE)))
+
+
+def shingle_strings(text: Column, n: int = 8) -> Column:
+    """All n-token shingles of a document as strings (the
+    decontamination / fuzzy-matching unit)."""
+    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.size(words) - F.lit(n - 1),
+                                   F.lit(1)))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, n), " "))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Flag training documents that share any n-token shingle with a
+    benchmark/eval set (public decontamination recipe: 13-gram overlap
+    in GPT-3/PaLM reports; n configurable).
+
+    Scale shape: the benchmark side is tiny → its distinct shingle set
+    is **broadcast**, so the 100 TB corpus side never shuffles; the
+    per-doc hit count folds map-side.  Returns (id, n_hit_shingles)
+    for contaminated docs only."""
+    bench_sh = (benchmark
+                .select(F.explode(shingle_strings(F.col(text_col), n))
+                        .alias("sh"))
+                .distinct())
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_strings(F.col(text_col), n)))
+        .alias("sh"))
+    return (corp_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_shingles")))
