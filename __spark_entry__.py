@@ -809,6 +809,37 @@ def q_sessionize_batch(spark, sf_dir):
                  (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
 
 
+_TYPED_ARRAYS_RULE = """
+version: 2
+input: {format: json}
+mappings:
+  - target: doc_id
+    source: doc_id
+  - target: first3
+    expr: ["@input.text", {trim: []}, {split: [" "]}, {take: [3]}]
+  - target: n_uniq
+    expr: ["@input.text", {trim: []}, {split: [" "]}, {unique: []},
+           {len: []}]
+  - target: has_spark
+    expr: ["@input.text", {trim: []}, {split: [" "]},
+           {contains: ["spark"]}]
+  - target: long_words
+    expr: ["@input.text", {trim: []}, {split: [" "]},
+           {filter: [["@item", {len: []}, {gte: [6]}]]}, {len: []}]
+"""
+
+
+def q_rule_typed_arrays(spark, sf_dir):
+    """array pipeline (split → take/unique/contains/filter with @item
+    lambdas) through the typed fast path: native array<string> HOFs,
+    no variant decoding."""
+    from rulemorph_spark.engine import transform_table
+    d = _t(spark, sf_dir, "documents")
+    out = transform_table(d, _TYPED_ARRAYS_RULE, mode="typed")
+    return out.select("doc_id", F.to_json("first3").alias("first3"),
+                      "n_uniq", "has_spark", "long_words")
+
+
 def q_doc_chunks(spark, sf_dir):
     """document chunking: overlapping 32-token windows (stride 24) —
     the context-window prep step of a pretraining pipeline.  Narrow
@@ -930,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_sessionize_batch": q_sessionize_batch,
         "q_rule_typed_steps": q_rule_typed_steps,
+        "q_rule_typed_arrays": q_rule_typed_arrays,
         "q_doc_chunks": q_doc_chunks,
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
@@ -1392,6 +1424,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rev >= 70000 THEN 'high' ELSE 'mid' END
                        AS band
             FROM s WHERE rev >= 40000
+        """,
+        "q_rule_typed_arrays": """
+            WITH w AS (
+              SELECT doc_id, string_split(TRIM(text), ' ') AS words
+              FROM documents)
+            SELECT doc_id,
+                   to_json(list_slice(words, 1, 3)) AS first3,
+                   CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+                   list_contains(words, 'spark') AS has_spark,
+                   CAST(len(list_filter(words, x -> LENGTH(x) >= 6))
+                        AS BIGINT) AS long_words
+            FROM w
         """,
         "q_doc_chunks": """
             WITH w AS (

@@ -17,9 +17,12 @@ onto native typed Columns:
   on the static dtype — the generated plan stays inside whole-stage
   codegen with no variant decoding.
 
-Coverage is the high-traffic scalar subset (refs, literals, let/if,
-arithmetic, comparisons, logical, coalesce, casts, basic string ops,
-v2 conditions).  Anything else raises :class:`TypedFallback` and the
+Coverage is the high-traffic subset: scalars (refs, literals, let/if,
+arithmetic, comparisons — v2 conditions and v1 pipe ops — logical,
+coalesce, casts, string/date ops, lookup) plus array pipelines on
+native ``array<T>`` columns (map step, filter, take/drop/slice,
+unique, contains, index_of, find_index with ``@item`` lambdas).
+Anything else raises :class:`TypedFallback` and the
 caller reruns through the variant engine via ``to_variant_object``
 (`engine.transform_table`), so the fast path never changes semantics —
 it only narrows when it provably matches.
@@ -41,7 +44,7 @@ from pyspark.sql import types as T
 
 from ..errors import RuleError
 from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
-                       IfStep, LetStep, OpStep, Pipe, Ref, RefStep,
+                       IfStep, LetStep, MapStep, OpStep, Pipe, Ref, RefStep,
                        StartLiteral, StartPipeValue, StartRef)
 from ..paths import Index, Key, parse_path
 from ..registry import OP_ALIASES
@@ -66,6 +69,11 @@ class TVal:
     col: Column
     dtype: T.DataType
     missing: bool = False
+    # True when a runtime NULL in ``col`` may stand for *missing* (an
+    # ``if`` with one statically-missing branch) rather than JSON null —
+    # ops whose semantics differ on the two (``map``'s drop-missing)
+    # must fall back to the variant engine on such inputs
+    maybe_missing: bool = False
 
 
 def _missing() -> TVal:
@@ -227,6 +235,8 @@ class TScope:
     out: "dict[str, object] | None" = None  # name → TVal | subtree dict
     pipe: TVal | None = None
     locals: dict[str, TVal] = field(default_factory=dict)
+    item: TVal | None = None       # lambda variable inside array HOFs
+    item_index: Column | None = None
 
     def child(self, **kw) -> "TScope":
         if "locals" not in kw:
@@ -323,6 +333,24 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
             raise RuleError("expr_error",
                             f"undefined variable: @{name}", path)
         return scope.locals[name]
+    if ref.namespace == "item":
+        # mirror core.py compile_ref (eval_v2_ref, v2_eval.rs:335-354):
+        # typed items are always scalar, so any navigation besides the
+        # ``index`` / leading-``value`` forms is statically missing
+        if scope.item is None:
+            raise RuleError("expr_error",
+                            "@item is only available in map/filter "
+                            "operations", path)
+        if ref.path == "":
+            return scope.item
+        if ref.path == "index":
+            return TVal(scope.item_index.cast("long"), T.LongType())
+        tokens = parse_path(ref.path)
+        if tokens and tokens[0] == Key("value"):
+            tokens = tokens[1:]
+        if not tokens:
+            return scope.item
+        return _missing()
     raise TypedFallback(f"@{ref.namespace} in typed mode")
 
 
@@ -370,9 +398,34 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             raise TypedFallback("if branches with incompatible types")
         col = F.when(F.coalesce(cond, F.lit(False)),
                      _cast_to(then_v, dt)).otherwise(_cast_to(else_v, dt))
-        return TVal(col, dt, missing=then_v.missing and else_v.missing), scope
+        return TVal(col, dt, missing=then_v.missing and else_v.missing,
+                    maybe_missing=(then_v.missing != else_v.missing
+                                   or then_v.maybe_missing
+                                   or else_v.maybe_missing)), scope
     if isinstance(step, RefStep):
         return compile_tref(step.ref, scope.child(pipe=cur), path), scope
+    if isinstance(step, MapStep):
+        # {map: [steps...]} — pipe value per element, steps folded
+        # (``v2_eval.rs:955-1046``); missing-dropping bodies fall back
+        if cur.missing:
+            return _missing(), scope
+        arr, et = _t_arr_in(cur, path, null_to_empty=False)
+        out: dict[str, TVal] = {}
+
+        def run(x: Column, i: Column) -> Column:
+            inner = _t_item_scope(scope, x, i, et)
+            value = inner.pipe
+            for j, s in enumerate(step.steps):
+                value, inner = compile_tstep(s, value, inner,
+                                             f"{path}.map[{j}]")
+            if value.missing or value.maybe_missing \
+                    or _is_null(value.dtype):
+                raise TypedFallback("map step may produce missing items")
+            out["v"] = value
+            return value.col
+
+        mapped = F.transform(arr, run)
+        return TVal(mapped, T.ArrayType(out["v"].dtype)), scope
     raise TypedFallback(f"step {type(step).__name__} in typed mode")
 
 
@@ -986,6 +1039,234 @@ def t_to_unixtime(scope, cur, args, path):
     else:
         result = F.unix_timestamp(ts).cast("long")
     return _seq(ops, path, result, T.LongType())
+
+
+# --- v1 comparison *ops* (pipe steps) ----------------------------------
+#
+# Pipe-step comparisons are the v1 ops even inside v2 rules (OP_ALIASES
+# maps eq → "==";  ``eval_v2_op_with_v1_fallback``, ``v2_eval.rs:
+# 1580-1640``): string-coerced equality (``compare_eq``, ``transform.rs:
+# 5480-5493``), numeric-only orderings (``:5495-5508``).  Distinct from
+# the strict v2 *condition* comparisons in ``_t_compare``.
+
+
+def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
+              negate: bool = False):
+    def op(scope, cur, args, path):
+        ops = _toperands(scope, cur, args, path)
+        left, right = ops[0], ops[1]
+        if eq:
+            ln, rn = _isnull(left), _isnull(right)
+            canon_l = t_str(left, path,
+                            "comparison operand must be stringifiable")
+            canon_r = t_str(right, path,
+                            "comparison operand must be stringifiable")
+            res = F.when(ln | rn, ln & rn).otherwise(canon_l == canon_r)
+            if negate:
+                res = ~res
+        elif name == "~=":
+            if not (_is_str(left.dtype) or _is_null(left.dtype)) or \
+                    not (_is_str(right.dtype) or _is_null(right.dtype)):
+                res = _terr("boolean", "expr_error",
+                            "value must be a string", path)
+            else:
+                res = F.rlike(left.col.cast("string"),
+                              right.col.cast("string"))
+        else:
+            res = pyop(
+                t_num(left, path, "comparison operand must be a number"),
+                t_num(right, path, "comparison operand must be a number"))
+        return TVal(res, T.BooleanType())
+    T_OPS[name] = op
+
+
+import operator as _operator  # noqa: E402
+
+_t_v1_cmp("==", eq=True)
+_t_v1_cmp("!=", eq=True, negate=True)
+_t_v1_cmp("<", _operator.lt)
+_t_v1_cmp("<=", _operator.le)
+_t_v1_cmp(">", _operator.gt)
+_t_v1_cmp(">=", _operator.ge)
+_t_v1_cmp("~=")
+
+
+# --- array ops on native array<T> columns ------------------------------
+#
+# Typed arrays only arise from ``split`` / ``lookup`` (input array
+# columns fall back at the ref level), so elements are always scalar.
+# Ops whose result type depends on runtime values (``sum``'s integral
+# re-emission, ``first``'s missing-on-empty) stay on the variant path.
+
+
+def _t_arr_in(cur: TVal, path: str,
+              *, null_to_empty: bool) -> tuple[Column, T.DataType]:
+    """Require a statically array-typed pipe value.
+
+    ``null_to_empty`` mirrors the variant ``_coerce_array``
+    (missing/null → empty, ``ops_array.py``); v2 ``map`` instead
+    passes null through (``transform.rs:3075-3112`` via
+    ``ops_array.op_map``)."""
+    if cur.missing:
+        raise TypedFallback("array op over statically-missing input")
+    if not isinstance(cur.dtype, T.ArrayType):
+        raise TypedFallback("array op over non-array typed input")
+    col = cur.col
+    if null_to_empty:
+        col = F.coalesce(col, F.array().cast(cur.dtype))
+    return col, cur.dtype.elementType
+
+
+def _t_item_scope(scope: TScope, x: Column, i: Column,
+                  et: T.DataType) -> TScope:
+    item = TVal(x, et)
+    return scope.child(item=item, item_index=i, pipe=item)
+
+
+def _t_pred(scope: TScope, expr, et: T.DataType, path: str):
+    """Per-item predicate: missing/null → false; a statically non-bool
+    body falls back (the variant path raises the reference's per-record
+    error) — ``v2_eval.rs:1404-1421``."""
+    def pred(x: Column, i: Column) -> Column:
+        v = compile_tpipe(expr, _t_item_scope(scope, x, i, et), path)
+        if v.missing or _is_null(v.dtype):
+            return F.lit(False)
+        if not _is_bool(v.dtype):
+            raise TypedFallback("non-boolean predicate in typed mode")
+        return F.coalesce(v.col, F.lit(False))
+    return pred
+
+
+# NB: no ``map`` *op* here — the v2 parser always reads ``{map: [...]}``
+# as the map STEP (handled in ``compile_tstep``), and v1 rules never
+# reach the typed path.
+
+
+@_treg("filter")
+def t_filter(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    kept = F.filter(arr, _t_pred(scope, args[0], et, path))
+    return TVal(kept, T.ArrayType(et))
+
+
+def _t_count_arg(scope, cur: TVal, arg, path: str) -> Column:
+    v = compile_tpipe(arg, scope.child(pipe=cur), path)
+    return t_i64(v, path, "count must be an integer")
+
+
+def _t_clamped(n: Column, size: Column) -> Column:
+    """saturate to [-size, size] (overflow-safe take/drop —
+    ``tests/array_ops_overflow_32bit.rs``)."""
+    return F.greatest(F.least(n, size), -size)
+
+
+@_treg("take")
+def t_take(scope, cur, args, path):
+    """head-take; negative n takes from the tail (``transform.rs:3272``)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    n = _t_count_arg(scope, cur, args[0], path)
+    size = F.size(arr).cast("long")
+    nc = _t_clamped(n, size)
+    head = F.slice(arr, F.lit(1), nc.cast("int"))
+    tail = F.slice(arr, (size + nc + 1).cast("int"), (-nc).cast("int"))
+    return TVal(F.when(n >= 0, head).otherwise(tail), T.ArrayType(et))
+
+
+@_treg("drop")
+def t_drop(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    n = _t_count_arg(scope, cur, args[0], path)
+    size = F.size(arr).cast("long")
+    nc = _t_clamped(n, size)
+    head_dropped = F.slice(arr, (nc + 1).cast("int"),
+                           (size - nc).cast("int"))
+    tail_dropped = F.slice(arr, F.lit(1), (size + nc).cast("int"))
+    return TVal(F.when(n >= 0, head_dropped).otherwise(tail_dropped),
+                T.ArrayType(et))
+
+
+@_treg("slice")
+def t_slice(scope, cur, args, path):
+    """[start, end) with negatives from the end (``transform.rs:3376``)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    size = F.size(arr).cast("long")
+    start = _t_count_arg(scope, cur, args[0], path)
+    start = F.when(start < 0,
+                   F.greatest(size + start, F.lit(0).cast("long"))) \
+             .otherwise(F.least(start, size))
+    if len(args) == 2:
+        end = _t_count_arg(scope, cur, args[1], path)
+        end = F.when(end < 0,
+                     F.greatest(size + end, F.lit(0).cast("long"))) \
+               .otherwise(F.least(end, size))
+    else:
+        end = size
+    length = F.greatest(end - start, F.lit(0).cast("long"))
+    return TVal(F.slice(arr, (start + 1).cast("int"), length.cast("int")),
+                T.ArrayType(et))
+
+
+def _t_eq_proxy(x: Column, et: T.DataType, path: str) -> Column:
+    """v1 string-coerced equality proxy on a native scalar element
+    (``compare_eq``, ``transform.rs:5480-5493``; null ≡ null)."""
+    if not (_is_str(et) or _is_num(et) or _is_bool(et) or _is_null(et)):
+        raise TypedFallback("equality proxy over non-scalar elements")
+    return F.coalesce(t_str(TVal(x, et), path), F.lit("\x00null"))
+
+
+@_treg("unique")
+def t_unique(scope, cur, args, path):
+    """order-preserving first-wins dedupe by string-coerced equality
+    (``transform.rs:3791-3828``)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    keys = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    kept = F.filter(
+        arr,
+        lambda x, i: F.array_position(keys, _t_eq_proxy(x, et, path)) - 1
+        == i.cast("long"))
+    return TVal(kept, T.ArrayType(et))
+
+
+@_treg("contains")
+def t_contains(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    target = compile_tpipe(args[0], scope.child(pipe=cur),
+                           f"{path}.args[0]")
+    if target.missing:
+        raise TypedFallback("contains target statically missing")
+    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    hit = F.array_contains(proxies,
+                           _t_eq_proxy(target.col, target.dtype, path))
+    return TVal(F.coalesce(hit, F.lit(False)), T.BooleanType())
+
+
+@_treg("index_of")
+def t_index_of(scope, cur, args, path):
+    """0-based index of the first string-coerced-equal element, -1 if
+    absent (``transform.rs:4047-4080``)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    target = compile_tpipe(args[0], scope.child(pipe=cur),
+                           f"{path}.args[0]")
+    if target.missing:
+        raise TypedFallback("index_of target statically missing")
+    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    pos = F.array_position(proxies,
+                           _t_eq_proxy(target.col, target.dtype, path))
+    return TVal((pos - 1).cast("long"), T.LongType())
+
+
+@_treg("find_index")
+def t_find_index(scope, cur, args, path):
+    """index of first predicate match, -1 if none
+    (``transform.rs:4008-4045``)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    pred = _t_pred(scope, args[0], et, path)
+    withi = F.transform(arr, lambda x, i: F.struct(x.alias("v"),
+                                                  i.alias("i")))
+    found = F.filter(withi, lambda p: pred(p["v"], p["i"]))
+    first = F.get(found, 0)
+    return TVal(F.coalesce(first["i"].cast("long"),
+                           F.lit(-1).cast("long")), T.LongType())
 
 
 # --- rule-level compilation --------------------------------------------

@@ -386,3 +386,108 @@ mappings:
     # "1" < 5 numerically; "x" vs 5 errors → lenient skip
     assert typed[0]["num_vs_numstr_order"] == "lt"
     assert typed[1]["num_vs_numstr_order"] is None
+
+
+RULE_ARRAYS = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: parts
+    expr: ["@input.csv", {split: [","]}]
+  - target: upper2
+    expr: ["@input.csv", {split: [","]}, {map: [{uppercase: []}]},
+           {take: [2]}]
+  - target: nonb
+    expr: ["@input.csv", {split: [","]},
+           {filter: [["@item", {ne: ["b"]}]]}]
+  - target: uniq
+    expr: ["@input.csv", {split: [","]}, {unique: []}]
+  - target: hasb
+    expr: ["@input.csv", {split: [","]}, {contains: ["b"]}]
+  - target: idx_z
+    expr: ["@input.csv", {split: [","]}, {index_of: ["z"]}]
+  - target: fidx_q
+    expr: ["@input.csv", {split: [","]},
+           {find_index: [["@item", {eq: ["q"]}]]}]
+  - target: mid
+    expr: ["@input.csv", {split: [","]}, {slice: [1, -1]}]
+  - target: tail2
+    expr: ["@input.csv", {split: [","]}, {take: [-2]}]
+  - target: head_dropped
+    expr: ["@input.csv", {split: [","]}, {drop: [1]}]
+  - target: lens
+    expr: ["@input.csv", {split: [","]}, {map: [{len: []}]}]
+  - target: tagged
+    expr:
+      - "@input.csv"
+      - split: [","]
+      - map:
+          - concat: ["_", "@item.index"]
+      - drop: [-1]
+  - target: long_gone
+    expr: ["@input.csv", {split: [","]}, {take: [9223372036854775807]}]
+"""
+
+
+def test_typed_array_ops_parity(spark):
+    """split → map/filter/take/drop/slice/unique/contains/index_of/
+    find_index on native array<string> columns: typed ↔ variant parity
+    (incl. i64-overflow-safe take, ``array_ops_overflow_32bit.rs``)."""
+    df = spark.createDataFrame(
+        [(1, "a,b,c,b,a"), (2, "x"), (3, "q,q,q,z")], "id long, csv string")
+    typed = transform_table(df, RULE_ARRAYS, mode="typed")
+    variant = transform_table(df, RULE_ARRAYS, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert len(t_rows) == len(v_rows) == 3
+    for t, v in zip(t_rows, v_rows):
+        assert t == v, f"typed {t} != variant {v}"
+    # native types, concrete values
+    assert typed.schema["parts"].dataType.simpleString() == "array<string>"
+    assert typed.schema["lens"].dataType.simpleString() == "array<bigint>"
+    r1 = t_rows[0]
+    assert r1["upper2"] == ["A", "B"]
+    assert r1["nonb"] == ["a", "c", "a"]
+    assert r1["uniq"] == ["a", "b", "c"]
+    assert r1["hasb"] is True and t_rows[1]["hasb"] is False
+    assert t_rows[2]["idx_z"] == 3 and r1["idx_z"] == -1
+    assert t_rows[2]["fidx_q"] == 0 and r1["fidx_q"] == -1
+    assert r1["mid"] == ["b", "c", "b"]
+    assert r1["tail2"] == ["b", "a"]
+    assert r1["tagged"] == ["a_0", "b_1", "c_2", "b_3"]
+
+
+def test_typed_array_plan_stays_native(spark):
+    df = spark.createDataFrame([(1, "a,b")], "id long, csv string")
+    typed = transform_table(df, RULE_ARRAYS, mode="typed")
+    plan = typed._jdf.queryExecution().optimizedPlan().toString()
+    assert "parse_json" not in plan and "variant" not in plan.lower()
+
+
+def test_typed_v1_cmp_ops_string_coerced(spark):
+    """pipe-step == is the v1 string-coerced equality (1 ≡ "1"), unlike
+    the strict v2 condition eq (``transform.rs:5480-5493``)."""
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: op_eq
+    expr: ["@input.n", {eq: ["1"]}]
+  - target: ord_lt
+    expr: ["@input.n", {lt: ["2"]}]
+  - target: cond_eq
+    expr:
+      - "@input.n"
+      - if:
+          cond: {eq: ["$", "1"]}
+          then: "strict-eq"
+          else: "strict-ne"
+"""
+    df = spark.createDataFrame([(1, 1)], "id long, n long")
+    typed = transform_table(df, rule, mode="typed")
+    variant = transform_table(df, rule, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    assert t_rows[0] == {"op_eq": True, "ord_lt": True,
+                         "cond_eq": "strict-ne"}
