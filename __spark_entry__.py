@@ -886,6 +886,34 @@ def q_decontaminate(spark, sf_dir):
                 .alias("n_hit_shingles"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (top-3-gram share, duplicate
+    3-gram share) — two map-side-combinable aggregation levels."""
+    from rulemorph_spark.llm.text import repetition_stats
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, n=3)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """deterministic k-per-language sample ranked by md5(doc_id) —
+    reproducible across runs/engines, one window shuffle on the
+    stratum key."""
+    from rulemorph_spark.llm.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_sample(d, "lang", 20)
+            .select("doc_id", "lang",
+                    F.col("sample_rank").cast("bigint")
+                    .alias("sample_rank")))
+
+
+def q_hash_sample(spark, sf_dir):
+    """deterministic ~10% Bernoulli-by-hash sample — narrow filter,
+    no shuffle, stable across engines (unlike RNG df.sample)."""
+    from rulemorph_spark.llm.sampling import hash_sample
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.1).select("doc_id", "lang")
+
+
 def q_vocab_topk(spark, sf_dir):
     """corpus vocabulary statistics: top-20 words by frequency.
     Partial (map-side) aggregation then a 20-row TakeOrdered — the
@@ -966,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
+        "q_repetition_stats": q_repetition_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_hash_sample": q_hash_sample,
     }
 
 
@@ -1508,6 +1539,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
             FROM corp JOIN bench USING (sh)
             GROUP BY corp.doc_id
+        """,
+        "q_repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+                         AS words
+              FROM documents),
+            st AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(
+                         1, GREATEST(len(words) - 2, 1), 1)) AS s
+              FROM w),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(
+                         list_slice(words, s, s + 2), ' ') AS g
+              FROM st),
+            per_gram AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM grams GROUP BY doc_id, g)
+            SELECT doc_id,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE),
+                         6) AS top_gram_frac,
+                   ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                              AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                       AS dup_gram_frac
+            FROM per_gram GROUP BY doc_id
+        """,
+        "q_stratified_sample": """
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS sample_rank
+              FROM documents)
+            SELECT doc_id, lang, CAST(sample_rank AS BIGINT)
+                       AS sample_rank
+            FROM ranked WHERE sample_rank <= 20
+        """,
+        "q_hash_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS BIGINT)
+                  % 10000 < 1000
         """,
         "q_vocab_topk": """
             SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -192,3 +192,26 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     return (corp_sh.join(F.broadcast(bench_sh), "sh")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hit_shingles")))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Gopher-style repetition signals per document (public recipe:
+    Rae et al. 2021 §A1.1): ``top_gram_frac`` = share of the most
+    frequent n-gram, ``dup_gram_frac`` = share of n-gram occurrences
+    whose n-gram appears more than once.
+
+    Scale shape: explode → two-level partial aggregation keyed by
+    (doc, n-gram) then doc — both map-side combinable; no data is
+    collected per doc beyond its histogram row."""
+    grams = df.select(F.col(id_col),
+                      F.explode(shingle_strings(F.col(text_col), n))
+                      .alias("g"))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    total = F.sum("c").cast("double")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) \
+           .cast("double")
+    return per_gram.groupBy(id_col).agg(
+        F.round(F.max("c").cast("double") / total, 6)
+        .alias("top_gram_frac"),
+        F.round(dup / total, 6).alias("dup_gram_frac"))
