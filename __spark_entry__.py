@@ -886,6 +886,22 @@ def q_decontaminate(spark, sf_dir):
                 .alias("n_hit_shingles"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """duplicate-cluster resolution: embedding near-dup pairs (LSH
+    buckets + cosine ≥ 0.3) → connected components via iterative
+    min-label propagation (the large-graph Spark shape: each round a
+    distributed join + min-agg, driver only checks convergence) →
+    (node, component).  The oracle replays it with a DuckDB recursive
+    CTE — convergence makes both exact."""
+    from rulemorph_spark.llm.dedup import (connected_components,
+                                           dedup_embedding_cosine)
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup_embedding_cosine(e, "vec_id", "embedding",
+                                   threshold=0.3, bucket_dims=4)
+    return connected_components(pairs, src="id_a", dst="id_b") \
+        .select("node", "comp")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (top-3-gram share, duplicate
     3-gram share) — two map-side-combinable aggregation levels."""
@@ -994,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
+        "q_dup_clusters": q_dup_clusters,
         "q_repetition_stats": q_repetition_stats,
         "q_stratified_sample": q_stratified_sample,
         "q_hash_sample": q_hash_sample,
@@ -1540,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corp JOIN bench USING (sh)
             GROUP BY corp.doc_id
         """,
+        "q_dup_clusters": _dup_clusters_oracle(),
         "q_repetition_stats": """
             WITH w AS (
               SELECT doc_id,
@@ -1696,6 +1714,27 @@ def _embedding_dedup_oracle(threshold: float = 0.2,
           FROM k a JOIN k b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         WHERE cosine >= {threshold}
+    """
+
+
+def _dup_clusters_oracle() -> str:
+    """embedding near-dup edges (reusing the pair oracle at the 0.3
+    threshold) → connected components via a recursive min-label walk."""
+    pairs = _embedding_dedup_oracle(threshold=0.3)
+    return f"""
+        WITH RECURSIVE
+        e AS ({pairs}),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM e
+          UNION
+          SELECT id_b AS a, id_a AS b FROM e),
+        walk AS (
+          SELECT a AS node, a AS comp FROM sym
+          UNION
+          SELECT s.b AS node, wk.comp
+          FROM walk wk JOIN sym s ON s.a = wk.node)
+        SELECT node, MIN(comp) AS comp
+        FROM walk GROUP BY node
     """
 
 

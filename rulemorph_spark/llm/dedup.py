@@ -225,3 +225,64 @@ def cosine_similarity(a: Column, b: Column) -> Column:
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
         dot / (na * nb))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation → (node, component) where component is the
+    smallest reachable node id.
+
+    The standard large-graph Spark shape (alternating large-star /
+    simple label joins): each round is a distributed join + min-agg
+    keyed by node — shuffle-parallel, no driver-side data — while the
+    driver only checks the converged-count, so rounds are bounded by
+    the graph diameter (duplicate clusters are near-cliques, so 2-3
+    rounds in practice).  ``localCheckpoint`` cuts the growing lineage
+    each round."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .distinct())
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    sym = sym.localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["a"] == labels["node"])
+                 .select(F.col("b").alias("node"), F.col("comp")))
+        new_labels = (labels.union(neigh)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def shingle_overlap_edges(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          min_shared: int = 3) -> DataFrame:
+    """Candidate duplicate edges: pairs of documents sharing at least
+    ``min_shared`` distinct n-token shingles → (src, dst, n_shared).
+
+    One shuffle on the shingle key; the per-shingle group sizes bound
+    the pair blowup (hot shingles should be dropped upstream, e.g. by
+    a document-frequency cap, before running this at corpus scale)."""
+    from .text import shingle_strings
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_strings(F.col(text_col), n)))
+        .alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("src"),
+                      F.col(f"b.{id_col}").alias("dst"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return pairs

@@ -135,3 +135,17 @@ def test_salted_join_equals_plain_join(spark):
     plain = left.join(right, left.k == right.rk)
     expected = sorted((r["k"], r["lv"], r["rv"]) for r in plain.collect())
     assert got == expected and len(got) == 400
+
+
+def test_connected_components_chain_and_island(spark):
+    """min-label propagation converges on a 5-node chain (needs >1
+    round) plus a separate 2-clique; labels = min reachable id."""
+    from rulemorph_spark.llm.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0),   # chain 0-1-2-3-4
+         (10, 11)],                         # island
+        "src long, dst long")
+    got = {(r["node"], r["comp"])
+           for r in connected_components(edges).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
+                   (10, 10), (11, 10)}
