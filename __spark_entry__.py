@@ -31,10 +31,8 @@ _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
 
 def _prepare(spark: SparkSession) -> None:
     """Session confs the queries rely on, set idempotently at runtime so
-    any driver-provided session works: nanosecond-parquet reads (the
-    events table), UTC rendering (DuckDB comparisons), serde-style map
-    key dedup."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    any driver-provided session works: UTC rendering (timestamp
+    comparisons vs DuckDB), serde-style map key dedup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
@@ -586,11 +584,18 @@ def q_ivf_topk(spark, sf_dir):
                     k=3, nprobe=2)
 
 
+def _us(col):
+    """event timestamp → epoch microseconds (long).  events.ts is a
+    parquet timestamp[us] read as TIMESTAMP_NTZ; with the session tz
+    pinned to UTC this matches DuckDB's epoch_us(ts) exactly."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def q_events_time_window(spark, sf_dir):
     """event-time tumbling-window aggregation (the batch shape of the
-    streaming windowed agg; events.ts is nanosecond-epoch)."""
+    streaming windowed agg)."""
     e = _t(spark, sf_dir, "events")
-    minute = (F.col("ts") / F.lit(60_000_000_000)).cast("long")
+    minute = F.floor(_us(F.col("ts")) / F.lit(60_000_000)).cast("long")
     return (e.groupBy(minute.alias("minute_bucket"),
                       F.col("event_type"))
             .agg(F.count("*").alias("n"),
@@ -628,7 +633,7 @@ def q_rule_typed_transform(spark, sf_dir):
     return transform_table(li, _TYPED_TABLE_RULE, mode="typed")
 
 
-_HOUR_NS = 3_600_000_000_000
+_HOUR_US = 3_600_000_000
 
 
 def q_asof_join(spark, sf_dir):
@@ -637,20 +642,19 @@ def q_asof_join(spark, sf_dir):
     from rulemorph_spark.functions.relational import asof_join
     e = _t(spark, sf_dir, "events")
     clicks = (e.filter(F.col("event_type") == "click")
-              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      _us(F.col("ts")).alias("ts")))
     views = (e.filter(F.col("event_type") == "view")
-             .select("user_id", "ts",
+             .select("user_id", _us(F.col("ts")).alias("ts"),
                      F.col("event_id").alias("view_id"),
                      F.col("value").alias("view_value"),
-                     F.col("ts").alias("view_ts")))
+                     _us(F.col("ts")).alias("view_ts")))
     out = asof_join(clicks, views, "user_id", "user_id", "ts", "ts",
                     ["view_id", "view_value", "view_ts"],
                     tiebreak="view_id")
-    # NB: no ns-resolution derived columns in the output — DuckDB's
-    # parquet reader rounds ns timestamps to µs, so only match identity
-    # and passthrough values compare exactly across engines
     return (out.select("click_id", "user_id", "view_id", "view_value",
-                       ((F.col("ts") - F.col("view_ts")) / F.lit(1e9))
+                       F.floor((F.col("ts") - F.col("view_ts"))
+                               / F.lit(1_000_000))
                        .cast("long").alias("gap_s")))
 
 
@@ -663,13 +667,13 @@ def q_range_join(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     purch = (e.filter(F.col("event_type") == "purchase")
              .select(F.col("event_id").alias("purchase_id"), "user_id",
-                     "ts"))
+                     _us(F.col("ts")).alias("ts")))
     clicks = (e.filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
-                      F.col("ts").alias("c_ts"),
+                      _us(F.col("ts")).alias("c_ts"),
                       F.col("value").alias("c_value")))
     pairs = range_join_binned(purch, clicks, "user_id", "c_user",
-                              "ts", "c_ts", -_HOUR_NS, 0, _HOUR_NS)
+                              "ts", "c_ts", -_HOUR_US, 0, _HOUR_US)
     cents = F.floor(F.col("c_value") * 10000 + 0.5).cast("long")
     agg = (pairs.groupBy("purchase_id")
            .agg(F.count("*").alias("n_clicks"),
@@ -792,12 +796,14 @@ def q_sessionize_batch(spark, sf_dir):
     """gap-based sessionization in batch (lag + running sum of
     session-start flags) — the SQL shape of streaming/stateful.py's
     sessionizer; 30-minute gap."""
-    e = _t(spark, sf_dir, "events")
-    gap_ns = 1_800_000_000_000
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", _us(F.col("ts")).alias("ts"), "event_id",
+                 "value"))
+    gap_us = 1_800_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(prev.isNull() |
-                    ((F.col("ts") - prev) > gap_ns), 1).otherwise(0)
+                    ((F.col("ts") - prev) > gap_us), 1).otherwise(0)
     run = (e.select("user_id", "ts", "event_id", "value",
                     is_new.alias("is_new"))
            .select("*", F.sum("is_new").over(
@@ -1402,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity >= 10
         """,
         "q_events_time_window": """
-            SELECT CAST(floor(epoch_ns(ts) / 60000000000) AS BIGINT)
+            SELECT CAST(floor(epoch_us(ts) / 60000000) AS BIGINT)
                        AS minute_bucket,
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
@@ -1422,24 +1428,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id AS click_id, user_id, ts FROM events
               WHERE event_type = 'click')
             SELECT c.click_id, c.user_id, v.view_id, v.view_value,
-                   CAST(floor((epoch_ns(c.ts) - epoch_ns(v.ts)) / 1e9)
+                   CAST(floor((epoch_us(c.ts) - epoch_us(v.ts)) / 1e6)
                         AS BIGINT) AS gap_s
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "q_range_join": """
             WITH p AS (
-              SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS t
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t
               FROM events WHERE event_type = 'purchase'),
             c AS (
-              SELECT user_id, epoch_ns(ts) AS t, value FROM events
+              SELECT user_id, epoch_us(ts) AS t, value FROM events
               WHERE event_type = 'click'),
             agg AS (
               SELECT p.purchase_id, COUNT(*) AS n_clicks,
                      SUM(CAST(floor(c.value * 10000 + 0.5) AS BIGINT))
                          / 10000.0 AS click_value
               FROM p JOIN c ON p.user_id = c.user_id
-                   AND c.t >= p.t - 3600000000000 AND c.t < p.t
+                   AND c.t >= p.t - 3600000000 AND c.t < p.t
               GROUP BY p.purchase_id)
             SELECT p.purchase_id, p.user_id,
                    COALESCE(agg.n_clicks, 0) AS n_clicks,
@@ -1617,8 +1623,8 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
-                              > 1800000000000
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                              > 1800000000
                           THEN 1 ELSE 0 END AS is_new
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -44,7 +44,6 @@ def get_spark(app_name: str = "rulemorph-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # deep rule pipes nest one let-binding lambda per op step; each

@@ -2,7 +2,7 @@
 stateful operators."""
 
 from .stream import transform_stream, transform_stream_files
-from .windows import ns_to_timestamp, tumbling_window_agg
+from .windows import event_time, ns_to_timestamp, tumbling_window_agg
 
 __all__ = ["transform_stream", "transform_stream_files",
-           "ns_to_timestamp", "tumbling_window_agg"]
+           "event_time", "ns_to_timestamp", "tumbling_window_agg"]

@@ -18,10 +18,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def event_time(col: Column) -> Column:
+    """event-time column → TimestampType (required by watermarks and
+    F.window).  Accepts TIMESTAMP / TIMESTAMP_NTZ (cast is a no-op with
+    a UTC session tz, matching the testdata's timestamp[us] parquet)."""
+    return col.cast("timestamp")
+
+
 def ns_to_timestamp(col: Column) -> Column:
-    """nanosecond-epoch long (parquet nanos read with nanosAsLong) →
-    TimestampType, truncating to microseconds (Spark's native
-    resolution)."""
+    """nanosecond-epoch long → TimestampType, truncating to
+    microseconds (Spark's native resolution) — for long-typed event
+    feeds."""
     return F.timestamp_micros(F.floor(col / F.lit(1000)).cast("long"))
 
 

@@ -13,14 +13,14 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from rulemorph_spark.streaming.windows import (ns_to_timestamp,
+from rulemorph_spark.streaming.windows import (event_time,
                                                tumbling_window_agg)
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _prepared(df):
-    return df.select(ns_to_timestamp(F.col("ts")).alias("ets"),
+    return df.select(event_time(F.col("ts")).alias("ets"),
                      "event_type", "value")
 
 
