@@ -591,6 +591,16 @@ def _us(col):
     return F.unix_micros(col.cast("timestamp"))
 
 
+def q_lsh_topk(spark, sf_dir):
+    """LSH approximate nearest neighbors: random-hyperplane sign
+    buckets + Hamming-1 multiprobe (the centroid-free ANN scale path;
+    signatures are integer-exact so the oracle replays them)."""
+    from rulemorph_spark.llm.similarity import lsh_topk
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
+    return lsh_topk(e, queries_df, "vec_id", "embedding", k=3, nbits=6)
+
+
 def q_events_time_window(spark, sf_dir):
     """event-time tumbling-window aggregation (the batch shape of the
     streaming windowed agg)."""
@@ -1001,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_rollup_agg": q_rollup_agg,
         "q_ivf_topk": q_ivf_topk,
+        "q_lsh_topk": q_lsh_topk,
         "q_events_time_window": q_events_time_window,
         "q_rule_typed_transform": q_rule_typed_transform,
         # time-series joins / skew / percentiles
@@ -1396,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_ivf_topk": _ivf_oracle(),
+        "q_lsh_topk": _lsh_topk_oracle(),
         "q_simhash": _simhash_oracle(),
         "q_embedding_cluster_dedup": _embedding_dedup_oracle(),
         "q_minhash_dedup_pairs": _minhash_dedup_pairs_oracle(),
@@ -1830,6 +1842,55 @@ def _ivf_oracle() -> str:
                  CAST(row_number() OVER (PARTITION BY cand.query_id
                       ORDER BY {cos_cand} DESC, cand.vec_id ASC)
                       AS INTEGER) AS rank
+          FROM cand)
+        WHERE rank <= 3
+    """
+
+
+def _lsh_topk_oracle() -> str:
+    """Replays llm/similarity.lsh_signature bit-for-bit: hyperplane
+    signs from the same integer LCG, components quantized to micro-unit
+    BIGINTs before the fold (order-independent exact sum), then the
+    same multiprobe bucket join + exact cosine top-k."""
+    cos = _COS_SQL.format(a="s.embedding", b="p.qv")
+    nbits = 6
+    sign = ("CASE WHEN (h.h * 1013904223 + (c.j - 1) * 2654435761)"
+            " % 4294967296 < 2147483648 THEN 1 ELSE -1 END")
+    return f"""
+        WITH comp AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+                 unnest(embedding) AS e
+          FROM embeddings),
+        bits AS (
+          SELECT c.vec_id, h.h,
+                 CASE WHEN SUM(CAST(floor(CAST(c.e AS DOUBLE) * 1e6 + 0.5)
+                                    AS BIGINT) * {sign}) >= 0
+                      THEN CAST(1 AS BIGINT) << h.h
+                      ELSE CAST(0 AS BIGINT) END AS bitval
+          FROM comp c CROSS JOIN range({nbits}) h(h)
+          GROUP BY c.vec_id, h.h),
+        sigs AS (
+          SELECT e.vec_id, e.embedding, CAST(SUM(b.bitval) AS BIGINT) AS sig
+          FROM embeddings e JOIN bits b USING (vec_id)
+          GROUP BY e.vec_id, e.embedding),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv, sig FROM sigs
+          WHERE vec_id >= 8 AND vec_id < 11),
+        probe AS (
+          SELECT q.query_id, q.qv,
+                 CASE WHEN f.b < 0 THEN q.sig
+                      ELSE xor(q.sig, CAST(1 AS BIGINT) << CAST(f.b AS INT))
+                 END AS bucket
+          FROM q CROSS JOIN (
+            SELECT unnest([{", ".join(str(b) for b in [-1] + list(range(nbits)))}]) AS b) f),
+        cand AS (
+          SELECT p.query_id, s.vec_id AS neighbor, {cos} AS cosine
+          FROM sigs s JOIN probe p ON s.sig = p.bucket
+          WHERE s.vec_id <> p.query_id)
+        SELECT query_id, neighbor, cosine, rank FROM (
+          SELECT query_id, neighbor, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor ASC) AS INTEGER) AS rank
           FROM cand)
         WHERE rank <= 3
     """

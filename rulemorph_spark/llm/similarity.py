@@ -9,6 +9,15 @@
   cell assignment is a broadcast join against ≤64k centroids and the
   probe is a partition-pruned scan when the table is written
   partitioned by cell id.
+- LSH (random-hyperplane) top-k: the centroid-free scale path — each
+  vector gets an ``nbits``-bit sign signature under pseudo-random ±1
+  hyperplanes; candidates share a bucket with the query (multi-probe:
+  plus all buckets at Hamming distance 1).  No training step, a single
+  narrow projection to compute signatures, and the candidate join is an
+  equi-join on the bucket id — shuffle-partitioned by bucket, no cross
+  product.  Hyperplane signs come from an integer LCG and per-component
+  products are fixed-point micro-units, so signatures are bit-exact
+  across engines (the DuckDB oracle replays them).
 """
 
 from __future__ import annotations
@@ -91,6 +100,89 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     cells = [r["cell"] for r in probe.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     cand = index.join(F.broadcast(probe), "cell") \
+        .filter(F.col(id_col) != F.col("query_id"))
+    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor").asc())
+    return (cand.select("query_id", F.col(id_col).alias("neighbor"),
+                        cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+_LCG_A = 1_013_904_223
+_LCG_B = 2_654_435_761
+_LCG_M = 4_294_967_296
+
+
+def _hyperplane_sign(h: int, idx: Column) -> Column:
+    """Deterministic ±1 for hyperplane ``h``, component ``idx`` (0-based):
+    the top bit of a Knuth-style integer hash.  Pure long arithmetic so
+    any engine reproduces it exactly."""
+    v = (F.lit(h * _LCG_A) + idx.cast("long") * F.lit(_LCG_B)) \
+        % F.lit(_LCG_M)
+    return F.when(v < F.lit(_LCG_M // 2), F.lit(1)).otherwise(F.lit(-1)) \
+        .cast("long")
+
+
+def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
+    """``nbits``-bit random-hyperplane signature of a float vector.
+
+    Bit ``h`` is the sign of the dot product with hyperplane ``h``.
+    Components are quantized to integer micro-units (floor(x*1e6 + 0.5))
+    before the fold, so the sum is exact integer arithmetic —
+    order-independent and bit-identical across engines, unlike a float
+    sum whose rounding depends on evaluation order.
+    """
+    def _prod(h: int):
+        return lambda x, i: (F.floor(x.cast("double") * 1e6 + F.lit(0.5))
+                             .cast("long") * _hyperplane_sign(h, i))
+
+    sig = F.lit(0).cast("long")
+    for h in range(nbits):
+        prods = F.transform(vec_col, _prod(h))
+        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+        sig = sig + F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)) \
+            .cast("long")
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, nbits: int = 6,
+             multiprobe: bool = True) -> DataFrame:
+    """LSH approximate top-k: exact cosine within signature buckets.
+
+    The query side probes its own bucket plus (with ``multiprobe``)
+    every bucket at Hamming distance 1 — ``nbits + 1`` probe rows per
+    query, a tiny broadcast.  The candidate join is an equi-join on the
+    bucket id: at 100 TB the corpus side shuffles (or is pre-bucketed /
+    partitioned) by bucket once and each query batch touches only its
+    probed buckets, never a cross product.  Output may rank fewer than
+    ``k`` neighbors for a query when its probed buckets are sparse —
+    the standard ANN recall trade-off (raise ``nbits`` probing or fall
+    back to ``brute_force_topk`` for stragglers).
+    """
+    sig = lsh_signature(F.col(vec_col), nbits)
+    keyed = corpus.select(F.col(id_col), F.col(vec_col),
+                          sig.alias("__bucket__"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv__"),
+                       lsh_signature(F.col(vec_col), nbits).alias("__qsig__"))
+    if multiprobe:
+        flips = F.array(F.lit(-1), *[F.lit(b) for b in range(nbits)])
+        probe = (q.select("query_id", "__qv__", "__qsig__",
+                          F.explode(flips).alias("__flip__"))
+                 .select("query_id", "__qv__",
+                         F.when(F.col("__flip__") < 0, F.col("__qsig__"))
+                         .otherwise(F.col("__qsig__").bitwiseXOR(
+                             F.call_function("shiftleft",
+                                             F.lit(1).cast("long"),
+                                             F.col("__flip__"))))
+                         .alias("__bucket__")))
+    else:
+        probe = q.select("query_id", "__qv__",
+                         F.col("__qsig__").alias("__bucket__"))
+    cand = keyed.join(F.broadcast(probe), "__bucket__") \
         .filter(F.col(id_col) != F.col("query_id"))
     cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),

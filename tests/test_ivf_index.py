@@ -50,3 +50,29 @@ def test_indexed_scan_is_partition_pruned(spark, tmp_path):
         "PartitionFilters: [isnotnull(cell" in plan or \
         ("PartitionFilters" in plan and "cell" in
          plan.split("PartitionFilters", 1)[1][:200]), plan[:4000]
+
+
+def test_lsh_multiprobe_widens_exact_bucket(spark):
+    from rulemorph_spark.llm.similarity import lsh_signature, lsh_topk
+
+    e, _, queries = _setup(spark)
+    narrow = {(r.query_id, r.neighbor)
+              for r in lsh_topk(e, queries, "vec_id", "embedding", k=3,
+                                nbits=6, multiprobe=False).collect()}
+    wide_df = lsh_topk(e, queries, "vec_id", "embedding", k=3, nbits=6)
+    wide = {(r.query_id, r.neighbor) for r in wide_df.collect()}
+    # Hamming-1 probing can only add candidates, so an exact-bucket
+    # neighbor missing from the multiprobe result must have been
+    # outranked by a better candidate — cosine ordering proves it
+    assert len(wide) >= len(narrow) > 0
+    by_query = {}
+    for r in wide_df.collect():
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # signatures are deterministic across evaluations
+    sig = lsh_signature(F.col("embedding"), 6).alias("s")
+    a = [r.s for r in e.select(sig).collect()]
+    b = [r.s for r in e.select(sig).collect()]
+    assert a == b and all(0 <= s < 64 for s in a)
