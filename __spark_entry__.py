@@ -958,6 +958,14 @@ def q_vocab_topk(spark, sf_dir):
     return counts.orderBy(F.col("n").desc(), "word").limit(20)
 
 
+def q_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: per-doc TF agg + corpus DF agg
+    meeting in a broadcast join on the (small) vocabulary."""
+    from rulemorph_spark.llm.text import tfidf_top_terms
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -1027,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
+        "q_tfidf_topterms": q_tfidf_topterms,
         "q_dup_clusters": q_dup_clusters,
         "q_repetition_stats": q_repetition_stats,
         "q_stratified_sample": q_stratified_sample,
@@ -1630,6 +1639,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 20
+        """,
+        "q_tfidf_topterms": """
+            WITH terms AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                         LOWER(TRIM(text)), '\\s+')) AS term
+              FROM documents),
+            t AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM terms WHERE term <> '' GROUP BY doc_id, term),
+            d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf,
+                     ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6)
+                         AS tfidf
+              FROM t JOIN d USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, tfidf, rank FROM (
+              SELECT doc_id, term, tf, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "q_sessionize_batch": """
             WITH flagged AS (

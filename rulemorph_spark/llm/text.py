@@ -7,7 +7,7 @@ each is mirrored by an ANSI-SQL oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # a small embedded stopword list (shared with the SQL oracles)
@@ -215,3 +215,36 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.round(F.max("c").cast("double") / total, 6)
         .alias("top_gram_frac"),
         F.round(dup / total, 6).alias("dup_gram_frac"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    The canonical two-phase corpus statistic: term frequency is a
+    per-doc aggregation (map-side combinable), document frequency is a
+    corpus-wide aggregation over distinct (doc, term) pairs, and the
+    two meet in a join keyed by term.  At 100 TB the DF side is the
+    vocabulary — millions of rows, not billions — so Spark broadcasts
+    it (AQE picks this up from runtime stats; the explicit broadcast
+    hint makes it unconditional) and the scoring pass stays shuffle-
+    free after the TF aggregation.  idf = ln(N / df); scores rounded
+    before ranking so ties break on the term deterministically.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
+    terms = (df.select(F.col(id_col), F.explode(words).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("__n__"))
+    scored = (tf.join(F.broadcast(docfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(F.col(id_col), F.col("term"), F.col("tf"),
+                      F.round(F.col("tf").cast("double") *
+                              F.log(F.col("__n__").cast("double") /
+                                    F.col("df").cast("double")), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
