@@ -966,6 +966,20 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
+def q_multimodal_probe(spark, sf_dir):
+    """Multimodal column plumbing through the real mapInPandas path:
+    document text bytes as opaque payloads, md5-seeded deterministic
+    fake decode (the codec is the only stub — llm/multimodal.py)."""
+    from rulemorph_spark.llm.multimodal import probe_payloads
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return probe_payloads(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # rule-engine relational surface
@@ -1036,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
         "q_tfidf_topterms": q_tfidf_topterms,
+        "q_multimodal_probe": q_multimodal_probe,
         "q_dup_clusters": q_dup_clusters,
         "q_repetition_stats": q_repetition_stats,
         "q_stratified_sample": q_stratified_sample,
@@ -1661,6 +1676,26 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 3
+        """,
+        "q_multimodal_probe": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     ['image', 'audio', 'video'][
+                         CAST(doc_id % 3 AS INT) + 1] AS kind,
+                     md5(text) AS h,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+              FROM documents)
+            SELECT media_id, kind, n_bytes, h AS md5,
+                   CASE WHEN kind = 'image'
+                        THEN CAST(64 + seed % 1024 AS INT) END AS width,
+                   CASE WHEN kind = 'image'
+                        THEN CAST(64 + (seed >> 10) % 1024 AS INT)
+                        END AS height,
+                   CASE WHEN kind <> 'image'
+                        THEN CAST(1000 + seed % 600000 AS BIGINT)
+                        END AS duration_ms
+            FROM m
         """,
         "q_sessionize_batch": """
             WITH flagged AS (

@@ -92,6 +92,53 @@ def extract_features(df: DataFrame, *, use_stub: bool = True) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("md5", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def probe_payloads(df: DataFrame, id_col: str = "media_id",
+                   kind_col: str = "kind",
+                   payload_col: str = "payload") -> DataFrame:
+    """Oracle-able twin of ``extract_features``: same Arrow-batched
+    ``mapInPandas`` plumbing (the real multimodal execution path), but
+    the deterministic fake decode is seeded from md5 so a SQL engine
+    can replay it bit-for-bit.  Used by the correctness gate to prove
+    the batch iteration, schema, and partition-preserving shape — the
+    codec call is the only stubbed piece (see ``_fake_decode``).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                h = hashlib.md5(payload).hexdigest()
+                seed = int(h[:8], 16)
+                width = height = duration = None
+                if kind == "image":
+                    width = 64 + seed % 1024
+                    height = 64 + (seed >> 10) % 1024
+                else:
+                    duration = 1000 + seed % 600000
+                out.append({"media_id": media_id, "kind": kind,
+                            "n_bytes": len(payload), "md5": h,
+                            "width": width, "height": height,
+                            "duration_ms": duration})
+            yield pd.DataFrame(out, columns=[f.name for f in PROBE_SCHEMA])
+
+    cols = [F.col(id_col).alias("media_id"), F.col(kind_col).alias("kind"),
+            F.col(payload_col).alias("payload")]
+    return df.select(*cols).mapInPandas(batches, PROBE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plan video frame-sampling: one row per (media_id, frame_ts).
 
