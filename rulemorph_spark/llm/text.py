@@ -222,27 +222,27 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     """Top-``k`` TF-IDF terms per document.
 
     The canonical two-phase corpus statistic: term frequency is a
-    per-doc aggregation (map-side combinable), document frequency is a
-    corpus-wide aggregation over distinct (doc, term) pairs, and the
-    two meet in a join keyed by term.  At 100 TB the DF side is the
-    vocabulary — millions of rows, not billions — so Spark broadcasts
-    it (AQE picks this up from runtime stats; the explicit broadcast
-    hint makes it unconditional) and the scoring pass stays shuffle-
-    free after the TF aggregation.  idf = ln(N / df); scores rounded
-    before ranking so ties break on the term deterministically.
+    per-doc aggregation (map-side combinable); document frequency is
+    the count of TF rows per term, computed as a window over the TF
+    table rather than a second aggregation + join — that keeps ONE
+    corpus scan and ONE explode (a naive tf⋈docfreq formulation scans
+    and re-aggregates the exploded corpus twice), at the cost of one
+    extra shuffle of the much smaller TF table keyed by term.
+    idf = ln(N / df); scores rounded before ranking so ties break on
+    the term deterministically.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
     terms = (df.select(F.col(id_col), F.explode(words).alias("term"))
              .filter(F.col("term") != ""))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("__n__"))
-    scored = (tf.join(F.broadcast(docfreq), "term")
+    docfreq = F.count("*").over(Window.partitionBy("term"))
+    scored = (tf.withColumn("__df__", docfreq)
               .crossJoin(F.broadcast(n_docs))
               .select(F.col(id_col), F.col("term"), F.col("tf"),
                       F.round(F.col("tf").cast("double") *
                               F.log(F.col("__n__").cast("double") /
-                                    F.col("df").cast("double")), 6)
+                                    F.col("__df__").cast("double")), 6)
                       .alias("tfidf")))
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
                                            F.col("term").asc())
