@@ -46,7 +46,12 @@ def main():
         "q_dedup_exact",           # hash-shuffle dedup
         "q_minhash_signature",     # MinHash signatures
         "q_embedding_topk",        # brute-force ANN
+        "q_lsh_topk",              # LSH-bucketed ANN
         "q_asof_join",             # union-merge as-of join
+        "q_range_join",            # time-binned interval join
+        "q_sessionize_batch",      # lag + running-sum sessionization
+        "q_tfidf_topterms",        # corpus statistic (explode+window)
+        "q_multimodal_probe",      # Arrow-batched mapInPandas path
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

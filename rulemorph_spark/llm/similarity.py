@@ -115,11 +115,11 @@ _LCG_B = 2_654_435_761
 _LCG_M = 4_294_967_296
 
 
-def _hyperplane_sign(h: int, idx: Column) -> Column:
+def _hyperplane_sign(h: Column, idx: Column) -> Column:
     """Deterministic ±1 for hyperplane ``h``, component ``idx`` (0-based):
     the top bit of a Knuth-style integer hash.  Pure long arithmetic so
     any engine reproduces it exactly."""
-    v = (F.lit(h * _LCG_A) + idx.cast("long") * F.lit(_LCG_B)) \
+    v = (h.cast("long") * F.lit(_LCG_A) + idx.cast("long") * F.lit(_LCG_B)) \
         % F.lit(_LCG_M)
     return F.when(v < F.lit(_LCG_M // 2), F.lit(1)).otherwise(F.lit(-1)) \
         .cast("long")
@@ -133,18 +133,28 @@ def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
     before the fold, so the sum is exact integer arithmetic —
     order-independent and bit-identical across engines, unlike a float
     sum whose rounding depends on evaluation order.
-    """
-    def _prod(h: int):
-        return lambda x, i: (F.floor(x.cast("double") * 1e6 + F.lit(0.5))
-                             .cast("long") * _hyperplane_sign(h, i))
 
-    sig = F.lit(0).cast("long")
-    for h in range(nbits):
-        prods = F.transform(vec_col, _prod(h))
-        dot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
-        sig = sig + F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)) \
-            .cast("long")
-    return sig
+    All ``nbits`` dot products run in ONE pass over the vector: each
+    element contributes an nbits-wide product row and the fold is an
+    element-wise zip_with sum — one aggregate expression instead of
+    nbits of them, which keeps both the Python-side build and the
+    analyzer cost flat as nbits grows.
+    """
+    hs = F.sequence(F.lit(0), F.lit(nbits - 1))
+
+    def contrib(x: Column, i: Column) -> Column:
+        q = F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+        return F.transform(hs, lambda h: q * _hyperplane_sign(h, i))
+
+    zero = F.array_repeat(F.lit(0).cast("long"), nbits)
+    dots = F.aggregate(F.transform(vec_col, contrib), zero,
+                       lambda acc, c: F.zip_with(acc, c,
+                                                 lambda a, b: a + b))
+    bits = F.transform(dots, lambda d, h: F.when(
+        d >= 0, F.call_function("shiftleft", F.lit(1).cast("long"),
+                                h.cast("int"))).otherwise(
+        F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -162,12 +172,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     the standard ANN recall trade-off (raise ``nbits`` probing or fall
     back to ``brute_force_topk`` for stragglers).
     """
+    # one unbound expression reused for both sides — Column trees are
+    # immutable, and building the signature once halves the py4j cost
     sig = lsh_signature(F.col(vec_col), nbits)
     keyed = corpus.select(F.col(id_col), F.col(vec_col),
                           sig.alias("__bucket__"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv__"),
-                       lsh_signature(F.col(vec_col), nbits).alias("__qsig__"))
+                       sig.alias("__qsig__"))
     if multiprobe:
         flips = F.array(F.lit(-1), *[F.lit(b) for b in range(nbits)])
         probe = (q.select("query_id", "__qv__", "__qsig__",
