@@ -966,6 +966,35 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
+_MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """data-mixing sampler: per-source Bernoulli rates by hashed id
+    (narrow, shuffle-free, reproducible across engines); sources
+    outside the mixture drop to weight 0."""
+    from rulemorph_spark.llm.sampling import mixture_sample
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, "source", _MIXTURE_WEIGHTS) \
+        .select("doc_id", "source")
+
+
+def q_token_packing(spark, sf_dir):
+    """token-budget binning (sequence-packing shape): running token
+    count per source, bin = floor(preceding/budget); aggregated to
+    per-bin sizes for a stable comparison surface."""
+    from rulemorph_spark.llm.text import assign_token_bins, token_count
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", "source",
+                     token_count(F.col("text")).cast("long")
+                     .alias("tokens"))
+    binned = assign_token_bins(sized, "tokens", budget=2000,
+                               part_col="source", order_col="doc_id")
+    return (binned.groupBy("source", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("tokens").alias("total_tokens")))
+
+
 def q_multimodal_probe(spark, sf_dir):
     """Multimodal column plumbing through the real mapInPandas path:
     document text bytes as opaque payloads, md5-seeded deterministic
@@ -1051,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_tfidf_topterms": q_tfidf_topterms,
         "q_multimodal_probe": q_multimodal_probe,
+        "q_mixture_sample": q_mixture_sample,
+        "q_token_packing": q_token_packing,
         "q_dup_clusters": q_dup_clusters,
         "q_repetition_stats": q_repetition_stats,
         "q_stratified_sample": q_stratified_sample,
@@ -1676,6 +1707,34 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 3
+        """,
+        "q_mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS BIGINT) % 10000
+                  < CASE source WHEN 'src0' THEN 10000
+                                WHEN 'src1' THEN 6000
+                                WHEN 'src2' THEN 3000
+                                WHEN 'src3' THEN 1000
+                                ELSE 0 END
+        """,
+        "q_token_packing": """
+            WITH sized AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                         AS tokens
+              FROM documents),
+            binned AS (
+              SELECT source, tokens,
+                     CAST(floor(COALESCE(SUM(tokens) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS bin
+              FROM sized)
+            SELECT source, bin, COUNT(*) AS n_docs,
+                   SUM(tokens) AS total_tokens
+            FROM binned GROUP BY source, bin
         """,
         "q_multimodal_probe": """
             WITH m AS (

@@ -45,3 +45,28 @@ def hash_sample(df: DataFrame, fraction: float,
     bucket = (F.conv(F.substring(_hash_key(F.col(id_col)), 1, 8), 16, 10)
               .cast("long") % buckets)
     return df.filter(bucket < int(fraction * buckets))
+
+
+def mixture_sample(df: DataFrame, stratum_col: str,
+                   weights: dict[str, float], id_col: str = "doc_id",
+                   buckets: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum rate sampling — the "data mixing" step
+    of a pretraining pipeline: each stratum (source, language, quality
+    bin, ...) keeps its own Bernoulli fraction, so the surviving corpus
+    matches a target mixture.
+
+    Same hash construction as ``hash_sample`` (bucketed md5 of the id),
+    so it is narrow (no shuffle), reproducible across runs/engines, and
+    a row's fate is independent of the partitioning.  Strata absent
+    from ``weights`` are dropped (weight 0).
+    """
+    for s, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1]")
+    bucket = (F.conv(F.substring(_hash_key(F.col(id_col)), 1, 8), 16, 10)
+              .cast("long") % buckets)
+    threshold = F.lit(0)
+    for s, frac in weights.items():
+        threshold = F.when(F.col(stratum_col) == s,
+                           F.lit(int(frac * buckets))).otherwise(threshold)
+    return df.filter(bucket < threshold)

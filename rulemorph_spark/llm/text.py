@@ -248,3 +248,26 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                                            F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def assign_token_bins(df: DataFrame, token_col: str, budget: int,
+                      part_col: str = "source",
+                      order_col: str = "doc_id") -> DataFrame:
+    """Token-budget binning — the scalable shape of sequence packing:
+    rows are taken in a deterministic order within each partition key
+    and assigned to bin ``floor(preceding_token_count / budget)``.
+
+    This is running-count bucketing (each bin closes as the cumulative
+    token count crosses a budget multiple — a straddling row starts in
+    the bin its prefix sum lands in), not bin-packing optimization:
+    one window shuffle per partition key, no sequential state, which is
+    what a 100 TB packing pass needs.  Downstream consumers split or
+    pad the straddling row, exactly as fixed-context pretraining does.
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    preceding = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    return df.withColumn("bin",
+                         F.floor(preceding / F.lit(budget)).cast("long"))
