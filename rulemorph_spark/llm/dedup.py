@@ -286,3 +286,37 @@ def shingle_overlap_edges(df: DataFrame, id_col: str = "doc_id",
              .agg(F.count("*").alias("n_shared"))
              .filter(F.col("n_shared") >= min_shared))
     return pairs
+
+
+def dedup_incremental(batch: DataFrame, store_path: str,
+                      key: Column, id_col: str) -> DataFrame:
+    """Exact dedup of an arriving batch against a persistent
+    fingerprint store — the continual-ingestion pattern: dedupe within
+    the batch, anti-join against every fingerprint ever admitted, then
+    append the survivors' fingerprints to the store.
+
+    The store holds only (fingerprint) — at 100 TB of corpus it is a
+    small fraction of the data and the anti-join is a broadcast when a
+    day's fingerprints fit in memory, else a shuffle on the
+    fingerprint key (same cost shape as ``dedup_exact``).  Survivors
+    are materialized (eager local checkpoint cuts the lineage) BEFORE
+    their fingerprints are appended — otherwise the returned lazy plan
+    would re-read the now-mutated store and anti-join itself away —
+    and appending after the anti-join makes re-running a failed batch
+    idempotent: already-admitted rows simply drop out.  Returns the
+    surviving batch rows.
+    """
+    spark = batch.sparkSession
+    keyed = batch.withColumn("__k__", key)
+    within = dedup_exact(keyed, F.col("__k__"), id_col)
+    try:
+        seen = spark.read.parquet(store_path)
+        fresh = within.join(seen, within["__k__"] == seen["fp"],
+                            "left_anti")
+    except Exception:  # first batch: store does not exist yet
+        fresh = within
+    fresh = fresh.localCheckpoint(eager=True)
+    if fresh.count():
+        (fresh.select(F.col("__k__").alias("fp"))
+         .distinct().write.mode("append").parquet(store_path))
+    return fresh.drop("__k__")

@@ -1,0 +1,64 @@
+"""Incremental exact dedup against a persistent fingerprint store
+(llm/dedup.dedup_incremental): batches admit only never-seen
+fingerprints, re-running a batch admits nothing (idempotence), and the
+returned rows stay valid after the store is appended to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rulemorph_spark.llm.dedup import dedup_incremental
+from rulemorph_spark.llm.text import fingerprint
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batches(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    # overlaps b1 on 50 ids' worth of text plus 100 new docs
+    b2 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200))
+    return docs, b1, b2
+
+
+def test_incremental_admits_only_new_fingerprints(spark, tmp_path):
+    store = str(tmp_path / "fps")
+    docs, b1, b2 = _batches(spark)
+    key = fingerprint(F.col("text"))
+
+    out1 = dedup_incremental(b1, store, key, "doc_id")
+    got1 = {r.doc_id for r in out1.select("doc_id").collect()}
+    # within-batch dedup keeps the lowest doc_id per fingerprint
+    expected1 = {
+        r.doc_id
+        for r in b1.select("doc_id", key.alias("fp"))
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id")).collect()}
+    assert got1 == expected1
+
+    out2 = dedup_incremental(b2, store, key, "doc_id")
+    got2 = {r.doc_id for r in out2.select("doc_id").collect()}
+    # nothing in batch 2 may reuse a fingerprint admitted in batch 1
+    fp1 = {r.fp for r in b1.select(key.alias("fp")).collect()}
+    fp2 = {r.fp
+           for r in b2.join(spark.createDataFrame(
+               [(i,) for i in sorted(got2)], "doc_id long"), "doc_id")
+           .select(key.alias("fp")).collect()}
+    assert got2 and not (fp1 & fp2)
+
+    # union of both admissions deduplicates the union corpus exactly
+    all_fps = spark.read.parquet(store)
+    assert (all_fps.count() == all_fps.distinct().count()
+            == len(fp1 | fp2))
+
+
+def test_incremental_rerun_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "fps")
+    _, b1, _ = _batches(spark)
+    key = fingerprint(F.col("text"))
+
+    first = dedup_incremental(b1, store, key, "doc_id")
+    n_first = first.count()
+    assert n_first > 0
+    rerun = dedup_incremental(b1, store, key, "doc_id")
+    assert rerun.count() == 0
