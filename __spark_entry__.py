@@ -825,6 +825,19 @@ def q_sessionize_batch(spark, sf_dir):
                  (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
 
 
+def q_session_window(spark, sf_dir):
+    """native session_window sessionization (the idiomatic Spark form
+    of q_sessionize_batch; same 30-minute gap semantics, session end =
+    last event + gap)."""
+    from rulemorph_spark.streaming.windows import (event_time,
+                                                   session_window_agg)
+    e = (_t(spark, sf_dir, "events")
+         .select(event_time(F.col("ts")).alias("ets"), "user_id",
+                 "value"))
+    return session_window_agg(e, "ets", keys=["user_id"],
+                              gap="30 minutes", value_col="value")
+
+
 _TYPED_ARRAYS_RULE = """
 version: 2
 input: {format: json}
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_events_time_window": q_events_time_window,
         "q_rule_typed_transform": q_rule_typed_transform,
+        "q_session_window": q_session_window,
         # time-series joins / skew / percentiles
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -1773,6 +1787,32 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS session_idx
               FROM flagged)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                       / 10000.0 AS session_value
+            FROM runs GROUP BY user_id, session_idx
+        """,
+        "q_session_window": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     -- >= not >: Spark's session interval is
+                     -- [start, last + gap), end-exclusive
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                              >= 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            runs AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_idx
+              FROM flagged)
+            SELECT user_id,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+                   COUNT(*) AS n_events,
                    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                        / 10000.0 AS session_value
             FROM runs GROUP BY user_id, session_idx

@@ -3,7 +3,9 @@ stateful operators."""
 
 from .stream import transform_stream, transform_stream_files
 from .dedup import dedup_stream
-from .windows import event_time, ns_to_timestamp, tumbling_window_agg
+from .windows import (event_time, ns_to_timestamp, session_window_agg,
+                      tumbling_window_agg)
 
 __all__ = ["transform_stream", "transform_stream_files", "dedup_stream",
-           "event_time", "ns_to_timestamp", "tumbling_window_agg"]
+           "event_time", "ns_to_timestamp", "session_window_agg",
+           "tumbling_window_agg"]

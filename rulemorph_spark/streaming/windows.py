@@ -56,3 +56,36 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, *, keys: list[str],
                     F.col("win.end").alias("win_end"), *keys,
                     *[F.col(a) for a in
                       (["n"] + (["sum_value"] if value_col else []))]))
+
+
+def session_window_agg(df: DataFrame, ts_col: str, *, keys: list[str],
+                       gap: str = "30 minutes",
+                       value_col: str | None = None,
+                       watermark: str | None = None) -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` — the
+    idiomatic form of the lag+running-sum sessionization (and of the
+    applyInPandasWithState sessionizer, whose custom-logic slot this
+    does not replace).
+
+    State shape on a stream: one open session per key, merged as events
+    arrive, finalized once the watermark passes ``end``; on a batch
+    DataFrame the same expression is a grouped aggregation.  ``end`` is
+    last-event-time + gap, per Spark's definition.
+    """
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        cents = F.floor(F.col(value_col) * 10000 + 0.5).cast("long")
+        aggs.append((F.sum(cents) / F.lit(10000.0)).alias("session_value"))
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap).alias("win")
+    return (df.groupBy(win, *keys)
+            .agg(*aggs)
+            .select(*keys,
+                    F.unix_micros(F.col("win.start").cast("timestamp"))
+                    .alias("session_start_us"),
+                    F.unix_micros(F.col("win.end").cast("timestamp"))
+                    .alias("session_end_us"),
+                    *[F.col(c) for c in
+                      (["n_events"] +
+                       (["session_value"] if value_col else []))]))

@@ -57,3 +57,36 @@ def test_windowed_agg_is_streaming_safe(spark):
     out = tumbling_window_agg(batch, "ets", keys=["event_type"])
     assert [f.name for f in out.schema.fields] == [
         "win_start", "win_end", "event_type", "n"]
+
+
+def test_session_window_stream_equals_batch(spark):
+    from rulemorph_spark.streaming.windows import session_window_agg
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = src.select(event_time(F.col("ts")).alias("ets"), "user_id",
+                      "value")
+    expected = sorted(map(tuple, session_window_agg(
+        batch, "ets", keys=["user_id"], gap="30 minutes",
+        value_col="value").collect()))
+    assert len(expected) > 10
+
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(f"{SF_DIR}/events.parquet",
+                    os.path.join(d, "part-0.parquet"))
+        stream = (spark.readStream.schema(src.schema).parquet(d)
+                  .select(event_time(F.col("ts")).alias("ets"),
+                          "user_id", "value"))
+        out = session_window_agg(stream, "ets", keys=["user_id"],
+                                 gap="30 minutes", value_col="value",
+                                 watermark="2 minutes")
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == expected
