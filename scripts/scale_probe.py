@@ -1,0 +1,91 @@
+"""Scale-up probe: replicate the sf0.1 tables ~Nx with shifted keys and
+measure how the headline operators' wall-clock grows.
+
+Evidence for the 100 TB design claims: a plan whose cost is dominated
+by fixed overhead at sf0.1 should grow sublinearly with N; a plan that
+shuffles the whole input should grow ~linearly and no worse.  Run:
+
+    python scripts/scale_probe.py [N]
+
+Writes the replicated tables to a temp dir (never touches
+/root/testdata) and prints one JSON line per measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def replicate(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """lineitem/orders/events replicated n× with shifted ids; the small
+    dims are left as-is (a 100 TB corpus grows facts, not regions)."""
+    shifts = {
+        "lineitem": [("l_orderkey", 10_000_000)],
+        "orders": [("o_orderkey", 10_000_000)],
+        "events": [("event_id", 10_000_000)],
+        # identical texts under fresh ids: a duplicate-heavy corpus,
+        # exactly what the dedup shuffle has to absorb
+        "documents": [("doc_id", 10_000_000)],
+    }
+    copy = ["region", "nation", "customer", "supplier", "part",
+            "embeddings"]
+    for t in copy:
+        spark.read.parquet(f"{src_dir}/{t}.parquet") \
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t, keys in shifts.items():
+        base = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        parts = []
+        for i in range(n):
+            p = base
+            for col, stride in keys:
+                p = p.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rulemorph_spark.engine import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("scale-probe",
+                      cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    qs = entry.queries()
+    names = ["q_agg_pricing_summary", "q_dedup_exact", "q_window_rank",
+             "q_sessionize_batch", "q_asof_join", "q_lookup_first",
+             "q_rule_typed_transform"]
+
+    with tempfile.TemporaryDirectory() as big:
+        replicate(spark, src, big, n)
+        for name in names:
+            out = {"query": name, "scale_n": n}
+            for label, d in (("t_base_s", src), ("t_big_s", big)):
+                fn = qs[name]
+                fn(spark, d).write.format("noop").mode(
+                    "overwrite").save()  # warm
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                out[label] = round(sorted(samples)[1], 3)
+            out["growth"] = round(out["t_big_s"] / out["t_base_s"], 2)
+            print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
