@@ -309,11 +309,17 @@ def dedup_incremental(batch: DataFrame, store_path: str,
     spark = batch.sparkSession
     keyed = batch.withColumn("__k__", key)
     within = dedup_exact(keyed, F.col("__k__"), id_col)
+    from pyspark.errors import AnalysisException
     try:
         seen = spark.read.parquet(store_path)
         fresh = within.join(seen, within["__k__"] == seen["fp"],
                             "left_anti")
-    except Exception:  # first batch: store does not exist yet
+    except AnalysisException as e:
+        # only a missing store means "first batch" — a corrupt or
+        # unreadable store must fail loudly, not silently re-admit
+        # every fingerprint ever seen
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         fresh = within
     fresh = fresh.localCheckpoint(eager=True)
     if fresh.count():
