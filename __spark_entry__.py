@@ -1794,11 +1794,11 @@ def oracle_sql() -> dict[str, str]:
         "q_session_window": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
-                     -- >= not >: Spark's session interval is
-                     -- [start, last + gap), end-exclusive
+                     -- > gap splits; Spark's session_window MERGES
+                     -- events exactly one gap apart (verified on 4.1.2)
                      CASE WHEN lag(ts) OVER w IS NULL
                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                              >= 1800000000
+                              > 1800000000
                           THEN 1 ELSE 0 END AS is_new
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

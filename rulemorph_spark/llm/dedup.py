@@ -289,22 +289,31 @@ def shingle_overlap_edges(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_incremental(batch: DataFrame, store_path: str,
-                      key: Column, id_col: str) -> DataFrame:
+                      key: Column, id_col: str,
+                      out_path: str | None = None) -> DataFrame:
     """Exact dedup of an arriving batch against a persistent
     fingerprint store — the continual-ingestion pattern: dedupe within
     the batch, anti-join against every fingerprint ever admitted, then
-    append the survivors' fingerprints to the store.
+    admit the survivors' fingerprints.
 
     The store holds only (fingerprint) — at 100 TB of corpus it is a
     small fraction of the data and the anti-join is a broadcast when a
     day's fingerprints fit in memory, else a shuffle on the
-    fingerprint key (same cost shape as ``dedup_exact``).  Survivors
-    are materialized (eager local checkpoint cuts the lineage) BEFORE
-    their fingerprints are appended — otherwise the returned lazy plan
-    would re-read the now-mutated store and anti-join itself away —
-    and appending after the anti-join makes re-running a failed batch
-    idempotent: already-admitted rows simply drop out.  Returns the
-    surviving batch rows.
+    fingerprint key (same cost shape as ``dedup_exact``).
+
+    Durability ordering: survivors must exist somewhere durable BEFORE
+    their fingerprints are committed, or a crash in between loses the
+    documents forever (fingerprints present, corpus rows absent, re-run
+    anti-joins them away).  With ``out_path`` (the production form)
+    survivors are overwrite-written there first, then fingerprints
+    append — a crash between the writes re-runs cleanly: the overwrite
+    is idempotent and the fingerprint append happens on the re-run
+    (duplicate fp rows from a crash after both writes are harmless to
+    the anti-join).  Without ``out_path`` survivors live only in an
+    eager local checkpoint (which also keeps the returned plan from
+    re-reading the mutated store): fine for interactive use, not
+    crash-safe — the caller must persist the returned rows.  Returns
+    the surviving batch rows.
     """
     spark = batch.sparkSession
     keyed = batch.withColumn("__k__", key)
@@ -321,6 +330,13 @@ def dedup_incremental(batch: DataFrame, store_path: str,
         if "PATH_NOT_FOUND" not in str(e):
             raise
         fresh = within
+    if out_path is not None:
+        fresh.drop("__k__").write.mode("overwrite").parquet(out_path)
+        admitted = spark.read.parquet(out_path)
+        if admitted.count():
+            (admitted.select(key.alias("fp"))
+             .distinct().write.mode("append").parquet(store_path))
+        return admitted
     fresh = fresh.localCheckpoint(eager=True)
     if fresh.count():
         (fresh.select(F.col("__k__").alias("fp"))

@@ -2,7 +2,9 @@
 to a chain of the llm operators, in the same spirit as the reference's
 rule files (declare WHAT, the engine decides HOW).
 
-Spec shape::
+Spec shape (note: ``chunk`` reshapes the table to
+(doc_id, chunk_index, chunk_text, n_tokens), so steps after it must
+name columns that still exist)::
 
     steps:
       - {op: quality_filter, min_score: 0.5}
@@ -11,7 +13,8 @@ Spec shape::
       - {op: pii_redact}
       - {op: mixture_sample, weights: {src0: 1.0, src1: 0.5}}
       - {op: chunk, chunk_tokens: 64, overlap: 16}
-      - {op: token_bins, budget: 2000}
+      - {op: token_bins, budget: 2000, part_col: doc_id,
+         order_col: chunk_index}
 
 Every step is a thin dispatch onto an existing, individually oracle- or
 unit-gated operator; the pipeline itself stays a lazy DataFrame chain,
@@ -107,9 +110,14 @@ _OPS = {
 def compile_pipeline(spec: str | dict[str, Any]):
     """Parse + validate a pipeline spec → ``DataFrame -> DataFrame``.
 
-    Validation is eager (unknown op, non-dict step, bad kwargs fail
-    here, not mid-job) — the reference's validate-before-run contract.
+    Validation is eager: unknown ops, non-dict steps, and unknown /
+    missing kwargs (checked by binding against the operator's
+    signature) fail here, not mid-job — the reference's
+    validate-before-run contract.  Errors raised inside an operator at
+    run time propagate unwrapped, with their original tracebacks.
     """
+    import inspect
+
     if isinstance(spec, str):
         spec = yaml.safe_load(spec)
     if not isinstance(spec, dict) or not isinstance(spec.get("steps"), list):
@@ -124,14 +132,16 @@ def compile_pipeline(spec: str | dict[str, Any]):
             raise PipelineSpecError(
                 f"steps[{i}]: unknown op {step['op']!r} "
                 f"(known: {sorted(_OPS)})")
-        steps.append((step["op"], fn, kwargs, i))
+        try:
+            inspect.signature(fn).bind(None, **kwargs)
+        except TypeError as e:
+            raise PipelineSpecError(
+                f"steps[{i}] ({step['op']}): {e}") from None
+        steps.append((fn, kwargs))
 
     def run(df: DataFrame) -> DataFrame:
-        for op, fn, kwargs, i in steps:
-            try:
-                df = fn(df, **kwargs)
-            except TypeError as e:
-                raise PipelineSpecError(f"steps[{i}] ({op}): {e}") from None
+        for fn, kwargs in steps:
+            df = fn(df, **kwargs)
         return df
 
     return run

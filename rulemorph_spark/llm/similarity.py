@@ -250,9 +250,18 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame,
     (-cosine, neighbor) so cross-partition ties resolve identically),
     so the shuffle into the global rank window carries
     O(k × partitions × queries) rows, not the full cross product.
-    Results match ``brute_force_topk`` exactly (same 6-decimal
-    rounding, same tie-break).
+
+    Rounding parity: Spark's ``F.round`` is HALF_UP on the shortest
+    decimal representation, which ``np.round`` (half-even on the
+    binary value) does NOT reproduce at 6th-decimal boundaries — so
+    the BLAS pass only pre-selects a margin superset and the survivors
+    are re-rounded with the exact Decimal(repr) HALF_UP rule.  The
+    remaining divergence window is summation-order ULP noise landing
+    exactly on a rounding boundary, which the parity test never
+    observes on real data.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
     import pandas as pd
 
@@ -268,6 +277,11 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame,
         T.StructField("neighbor", T.LongType()),
         T.StructField("cosine", T.DoubleType()),
     ])
+    six = Decimal("0.000001")
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(
+            six, rounding=ROUND_HALF_UP))
 
     def score(batches):
         for pdf in batches:
@@ -275,16 +289,24 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame,
             emat = np.array(list(pdf["__vec__"]), dtype=np.float64)
             enorm = np.linalg.norm(emat, axis=1)
             enorm[enorm == 0] = np.inf
-            cos = np.round((emat @ qmat.T) / np.outer(enorm, qnorm), 6)
+            cos = (emat @ qmat.T) / np.outer(enorm, qnorm)
             parts = []
             for j, qid in enumerate(qids):
                 mask = ids != qid
                 cand_ids, cand_cos = ids[mask], cos[mask, j]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                if len(cand_ids) > k:
+                    # margin superset: anything whose ROUNDED cosine
+                    # could reach the rounded top-k is within 2e-6 of
+                    # the kth unrounded value
+                    kth = np.partition(cand_cos, -k)[-k]
+                    keep = cand_cos >= kth - 2e-6
+                    cand_ids, cand_cos = cand_ids[keep], cand_cos[keep]
+                rounded = np.array([round6(c) for c in cand_cos])
+                order = np.lexsort((cand_ids, -rounded))[:k]
                 parts.append(pd.DataFrame({
                     query_id: qid,
                     "neighbor": cand_ids[order],
-                    "cosine": cand_cos[order]}))
+                    "cosine": rounded[order]}))
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 

@@ -10,8 +10,10 @@ further apart than the horizon re-emit — the standard trade-off for
 bounded state; size the delay to the source's real duplicate window
 (e.g. an at-least-once ingestion's redelivery window, usually minutes).
 
-The same call works on a batch DataFrame (watermark is a no-op and the
-dedup is global), which is what the batch/stream equivalence test uses.
+Streaming-only: Spark rejects ``dropDuplicatesWithinWatermark`` on a
+batch DataFrame.  The equivalence test runs a real file-source stream
+with a horizon covering the dataset and compares against batch
+``distinct()``.
 """
 
 from __future__ import annotations

@@ -70,7 +70,8 @@ def session_window_agg(df: DataFrame, ts_col: str, *, keys: list[str],
     State shape on a stream: one open session per key, merged as events
     arrive, finalized once the watermark passes ``end``; on a batch
     DataFrame the same expression is a grouped aggregation.  ``end`` is
-    last-event-time + gap, per Spark's definition.
+    last-event-time + gap; two events exactly one gap apart MERGE
+    (window-overlap test is inclusive — verified on Spark 4.1.2).
     """
     aggs = [F.count("*").alias("n_events")]
     if value_col is not None:

@@ -62,3 +62,21 @@ def test_incremental_rerun_is_idempotent(spark, tmp_path):
     assert n_first > 0
     rerun = dedup_incremental(b1, store, key, "doc_id")
     assert rerun.count() == 0
+
+
+def test_incremental_with_out_path_is_durable_and_rerunnable(
+        spark, tmp_path):
+    store = str(tmp_path / "fps")
+    out = str(tmp_path / "admitted")
+    _, b1, _ = _batches(spark)
+    key = fingerprint(F.col("text"))
+
+    first = dedup_incremental(b1, store, key, "doc_id", out_path=out)
+    n = first.count()
+    assert n > 0
+    # survivors are durable parquet, independent of the session state
+    assert spark.read.parquet(out).count() == n
+    # re-run overwrites the same out dir and admits nothing new
+    rerun = dedup_incremental(b1, store, key, "doc_id", out_path=out)
+    assert rerun.count() == 0
+    assert spark.read.parquet(out).count() == 0

@@ -49,9 +49,33 @@ def test_pipeline_validation_is_eager():
         compile_pipeline({"steps": ["quality_filter"]})
 
 
-def test_pipeline_bad_kwargs_fail_with_step_context(spark):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    run = compile_pipeline(
-        {"steps": [{"op": "quality_filter", "wrong_kw": 1}]})
+def test_pipeline_bad_kwargs_fail_at_compile_time():
     with pytest.raises(PipelineSpecError, match=r"steps\[0\]"):
-        run(docs)
+        compile_pipeline(
+            {"steps": [{"op": "quality_filter", "wrong_kw": 1}]})
+    with pytest.raises(PipelineSpecError, match=r"steps\[1\].*min_score"):
+        compile_pipeline(
+            {"steps": [{"op": "dedup_exact"},
+                       {"op": "quality_filter"}]})  # missing min_score
+
+
+def test_docstring_spec_runs_end_to_end(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5)
+    bench_path = str(tmp_path / "bench")
+    bench.write.parquet(bench_path)
+    out = run_pipeline(docs, f"""
+steps:
+  - {{op: quality_filter, min_score: 0.5}}
+  - {{op: lang_filter, langs: [en, other]}}
+  - {{op: dedup_exact}}
+  - {{op: pii_redact}}
+  - {{op: decontaminate, benchmark_path: "{bench_path}"}}
+  - {{op: mixture_sample, weights: {{src0: 1.0, src1: 0.5}}}}
+  - {{op: chunk, chunk_tokens: 64, overlap: 16}}
+  - {{op: token_bins, budget: 2000, part_col: doc_id,
+     order_col: chunk_index}}
+""")
+    rows = out.collect()
+    assert rows and {"doc_id", "chunk_index", "chunk_text", "n_tokens",
+                     "bin"} <= set(out.columns)
