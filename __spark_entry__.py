@@ -572,6 +572,24 @@ def q_rollup_agg(spark, sf_dir):
                  .cast("double").alias("qty")))
 
 
+def q_grouping_sets(spark, sf_dir):
+    """grouping-sets aggregation with GROUPING() disambiguation (the
+    general form of the rollup family — one shuffle, expanded rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """, li=li)
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: probe 2 of 8 coarse cells."""
     from rulemorph_spark.llm.similarity import ivf_topk
@@ -1074,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_object_merge": q_object_merge,
         "q_set_ops": q_set_ops,
         "q_rollup_agg": q_rollup_agg,
+        "q_grouping_sets": q_grouping_sets,
         "q_ivf_topk": q_ivf_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_events_time_window": q_events_time_window,
@@ -1474,6 +1493,19 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0
+                        END AS INT) AS g_flag,
+                   CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0
+                        END AS INT) AS g_status,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus), ())
         """,
         "q_ivf_topk": _ivf_oracle(),
         "q_lsh_topk": _lsh_topk_oracle(),
