@@ -75,8 +75,10 @@ def q_record_when(spark, sf_dir):
             .select("o_orderkey", "o_custkey", "o_totalprice"))
 
 
-def q_when_mapping(spark, sf_dir):
-    """per-mapping `when` conditional projection (transform.rs:1041-1063)."""
+def q_mapping_defaults(spark, sf_dir):
+    """per-mapping `when` conditional projection + required/default →
+    coalesce semantics, one customer-grain pass (transform.rs:1041-1063,
+    :1006-1032; composite of round-1 q_when_mapping + q_required_default)."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -85,37 +87,29 @@ def q_when_mapping(spark, sf_dir):
         .otherwise(F.lit("premium")).alias("tier"),
         F.when(F.col("c_mktsegment") == "BUILDING",
                F.col("c_name")).alias("building_name"),
-    )
-
-
-def q_required_default(spark, sf_dir):
-    """required/default → coalesce semantics (transform.rs:1006-1032)."""
-    c = _t(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
                    F.lit("N/A")).alias("segment_or_default"),
     )
 
 
-def q_lookup_first(spark, sf_dir):
-    """lookup_first as a broadcast equi-join (SURVEY §2.1 lookup;
-    transform.rs:2733-2883 — first match per key)."""
+def q_lookup(spark, sf_dir):
+    """lookup_first (broadcast equi-join, first match per key) AND
+    lookup-all (join + sorted collect_list → JSON) on the order grain
+    (SURVEY §2.1 lookup; transform.rs:2733-2883; composite of round-1
+    q_lookup_first + q_lookup_all — partkeys_json is null off the
+    sampled keys)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name",
                                              "c_mktsegment")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-            .select("o_orderkey", "c_name", "c_mktsegment"))
-
-
-def q_lookup_all(spark, sf_dir):
-    """lookup (all matches) as join + sorted collect_list → JSON."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    first = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+             .select("o_orderkey", "c_name", "c_mktsegment"))
+    sub = o.filter(F.col("o_orderkey") % 100 == 0)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    joined = o.join(li, o.o_orderkey == li.l_orderkey, "left")
-    return (joined.groupBy("o_orderkey")
+    allm = (sub.join(li, sub.o_orderkey == li.l_orderkey, "left")
+            .groupBy("o_orderkey")
             .agg(F.to_json(F.sort_array(F.collect_list("l_partkey")))
                  .alias("partkeys_json")))
+    return first.join(allm, "o_orderkey", "left")
 
 
 def q_sort_limit_offset(spark, sf_dir):
@@ -187,25 +181,19 @@ def q_string_ops(spark, sf_dir):
     )
 
 
-def q_replace_modes(spark, sf_dir):
-    """replace: literal-first / literal-all / regex-all
-    (transform.rs:2162-2236)."""
-    from rulemorph_spark.functions.scalar import replace_first
+def q_replace_split_pad(spark, sf_dir):
+    """replace (literal-first / literal-all / regex-all) + split (keeps
+    empties) + pad_start/pad_end, one part-grain pass
+    (transform.rs:2162-2373; composite of round-1 q_replace_modes +
+    q_split_pad)."""
+    from rulemorph_spark.functions.scalar import (pad_end, pad_start,
+                                                  replace_first)
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         replace_first(F.col("p_type"), " ", "_").alias("first_us"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("all_us"),
         F.regexp_replace(F.col("p_type"), "[AEIOU]", "*").alias("regex_all"),
-    )
-
-
-def q_split_pad(spark, sf_dir):
-    """split (keeps empties) + pad_start/pad_end (transform.rs:2238-2373)."""
-    from rulemorph_spark.functions.scalar import pad_end, pad_start
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
         F.element_at(F.split(F.col("p_type"), " ", -1), 1).alias("first_tok"),
         F.size(F.split(F.col("p_type"), " ", -1)).alias("n_toks"),
         pad_start(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
@@ -213,8 +201,11 @@ def q_split_pad(spark, sf_dir):
     )
 
 
-def q_numeric_fold(spark, sf_dir):
-    """+ - * / fold with per-row IEEE arithmetic (transform.rs:2375-2435)."""
+def q_numeric_round_base(spark, sf_dir):
+    """+ - * / per-row IEEE fold + round (half-away-from-zero) + to_base,
+    one lineitem-grain pass (transform.rs:2375-2574; composite of
+    round-1 q_numeric_fold + q_round_to_base)."""
+    from rulemorph_spark.functions.scalar import round_half_away, to_base
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -222,15 +213,6 @@ def q_numeric_fold(spark, sf_dir):
         (F.col("l_extendedprice") - F.col("l_discount")).alias("sub_r"),
         (F.col("l_quantity") * F.lit(2.5)).alias("mul_r"),
         (F.col("l_extendedprice") / F.lit(4.0)).alias("div_r"),
-    )
-
-
-def q_round_to_base(spark, sf_dir):
-    """round (half-away-from-zero) + to_base (transform.rs:2437-2574)."""
-    from rulemorph_spark.functions.scalar import round_half_away, to_base
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey", "l_linenumber",
         round_half_away(F.col("l_extendedprice") * F.lit(0.1), 1)
         .alias("rounded"),
         to_base(F.col("l_orderkey"), 16).alias("hex_key"),
@@ -249,13 +231,15 @@ def q_date_ops(spark, sf_dir):
     )
 
 
-def q_casts_strict(spark, sf_dir):
-    """strict int/float/bool casts (transform.rs:5925-5994; bool never
-    from "1")."""
+def q_casts_coalesce(spark, sf_dir):
+    """strict int/float/bool casts (bool never from "1") + coalesce
+    first-non-null chain, one events-grain pass
+    (transform.rs:5925-5994, :1434-1457; composite of round-1
+    q_casts_strict + q_coalesce_chain)."""
     from rulemorph_spark.functions.scalar import strict_bool, strict_int
     e = _t(spark, sf_dir, "events")
     derived = e.select(
-        "event_id",
+        "event_id", "event_type",
         F.col("event_id").cast("string").alias("id_str"),
         F.when(F.col("event_id") % 2 == 0, F.lit("true"))
         .otherwise(F.lit("FALSE")).alias("flag_str"))
@@ -263,6 +247,9 @@ def q_casts_strict(spark, sf_dir):
         "event_id",
         strict_int(F.col("id_str")).alias("as_int"),
         strict_bool(F.col("flag_str")).alias("as_bool"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")),
+                   F.nullif(F.col("event_type"), F.lit("view")),
+                   F.lit("fallback")).alias("resolved"),
     )
 
 
@@ -275,17 +262,6 @@ def q_comparisons(spark, sf_dir):
         (F.col("p_brand") == "Brand#23").alias("is_b23"),
         (F.col("p_type") < F.col("p_brand")).alias("lex_lt"),
         F.col("p_type").rlike("BRASS$").alias("ends_brass"),
-    )
-
-
-def q_coalesce_chain(spark, sf_dir):
-    """coalesce: first non-null/non-missing (transform.rs:1434-1457)."""
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")),
-                   F.nullif(F.col("event_type"), F.lit("view")),
-                   F.lit("fallback")).alias("resolved"),
     )
 
 
@@ -333,120 +309,82 @@ def q_distinct_groups(spark, sf_dir):
 # array ops (higher-order functions over collected arrays)
 # ---------------------------------------------------------------------
 
-def _order_arrays(spark, sf_dir):
+def q_array_ops(spark, sf_dir):
+    """All array higher-order families in one per-order pass: map+filter
+    (v2_eval.rs:1930-1993), reduce/fold + min/max/len
+    (transform.rs:4117-4358), sort_by desc + slice/first/last
+    (transform.rs:3272-3967), zip_with (transform.rs:3538-3598) and
+    unique/distinct (transform.rs:3791).  Composite of round-1
+    q_array_{map_filter,fold_agg,sort_slice,zip_with,distinct} — one
+    collect_list shuffle feeds every family.
+
+    distinct_flags is sorted for engine-portable comparison (DuckDB's
+    list_distinct does not preserve first-occurrence order; the engine
+    op `unique` does — see compiler/ops_array.py)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
-    return (li.groupBy("l_orderkey")
+    base = (li.groupBy("l_orderkey")
             .agg(F.array_sort(F.collect_list(
                 F.struct("l_linenumber", "l_quantity", "l_extendedprice")))
-                .alias("lines"))
+                .alias("lines"),
+                F.array_sort(F.collect_list(
+                    F.struct("l_linenumber", "l_returnflag"))).alias("ls"))
             .select("l_orderkey",
                     F.transform("lines", lambda s: s["l_quantity"])
                     .alias("qtys"),
                     F.transform("lines", lambda s: s["l_extendedprice"])
-                    .alias("prices")))
-
-
-def q_array_map_filter(spark, sf_dir):
-    """map + filter HOFs (v2_eval.rs:1930-1993) over per-order arrays."""
-    arr = _order_arrays(spark, sf_dir)
-    return arr.select(
+                    .alias("prices"),
+                    F.transform("ls", lambda s: s["l_returnflag"])
+                    .alias("seq")))
+    sorted_desc = F.reverse(F.array_sort("qtys"))
+    prods = F.zip_with("qtys", "prices",
+                       lambda q, p: F.floor(q * p * 100 + 0.5) / 100)
+    return base.select(
         "l_orderkey",
         F.to_json(F.transform("qtys", lambda q: q * 2)).alias("doubled"),
         F.to_json(F.filter("qtys", lambda q: q > 25.0)).alias("large"),
-    )
-
-
-def q_array_fold_agg(spark, sf_dir):
-    """reduce/fold + sum/avg/min/max array folds (transform.rs:4117-4358)."""
-    arr = _order_arrays(spark, sf_dir)
-    return arr.select(
-        "l_orderkey",
         F.aggregate("qtys", F.lit(0.0), lambda acc, q: acc + q)
         .alias("fold_sum"),
         F.array_min("qtys").alias("min_q"),
         F.array_max("qtys").alias("max_q"),
         F.size("qtys").alias("n"),
-    )
-
-
-def q_array_sort_slice(spark, sf_dir):
-    """sort_by desc + take/slice/first/last (transform.rs:3272-3967)."""
-    arr = _order_arrays(spark, sf_dir)
-    sorted_desc = F.reverse(F.array_sort("qtys"))
-    return arr.select(
-        "l_orderkey",
         F.to_json(F.slice(sorted_desc, 1, 3)).alias("top3"),
         F.element_at(F.array_sort("qtys"), 1).alias("first_asc"),
         F.element_at(F.array_sort("qtys"), -1).alias("last_asc"),
+        F.to_json(prods).alias("products"),
+        F.to_json(F.array_sort(F.array_distinct("seq")))
+        .alias("distinct_flags"),
     )
-
-
-def q_array_zip_with(spark, sf_dir):
-    """zip_with over parallel arrays (transform.rs:3538-3598)."""
-    arr = _order_arrays(spark, sf_dir)
-    prods = F.zip_with("qtys", "prices",
-                       lambda q, p: F.floor(q * p * 100 + 0.5) / 100)
-    return arr.select("l_orderkey", F.to_json(prods).alias("products"))
-
-
-def q_array_distinct(spark, sf_dir):
-    """unique/distinct_by: order-preserving dedupe (transform.rs:3791)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
-    flags = (li.groupBy("l_orderkey")
-             .agg(F.array_sort(F.collect_list(
-                 F.struct("l_linenumber", "l_returnflag"))).alias("ls")))
-    seq = F.transform("ls", lambda s: s["l_returnflag"])
-    # sorted for engine-portable comparison (DuckDB's list_distinct does
-    # not preserve first-occurrence order; the engine op `unique` does —
-    # see compiler/ops_array.py)
-    return flags.select(
-        "l_orderkey",
-        F.to_json(F.array_sort(F.array_distinct(seq)))
-        .alias("distinct_flags"))
 
 
 # ---------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------
 
-def q_text_tokens(spark, sf_dir):
-    """token/word/char counting (SURVEY north-star text analysis)."""
-    from rulemorph_spark.llm.text import char_count, token_count, word_count
-    d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select("doc_id",
-                    char_count(t).cast("bigint").alias("chars"),
-                    word_count(t).cast("bigint").alias("words"),
-                    token_count(t).cast("bigint").alias("tokens"))
-
-
-def q_text_quality(spark, sf_dir):
-    """quality scoring: stopword ratio + punctuation + length heuristics."""
+def q_text_metrics(spark, sf_dir):
+    """Text-analysis suite in one document-grain pass: token/word/char
+    counting, quality scoring (stopword ratio + length gate),
+    language-ID heuristic (stopword hits + ASCII ratio) and md5
+    fingerprinting (SURVEY north-star text analysis; composite of
+    round-1 q_text_tokens + q_text_quality + q_lang_id +
+    q_fingerprint — all narrow JVM regex work, no shuffle)."""
+    from rulemorph_spark.llm.text import (char_count, fingerprint,
+                                          lang_id_en, token_count,
+                                          word_count)
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     words = F.split(F.lower(F.trim(t)), r"\s+")
     stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
     return d.select(
-        "doc_id",
+        "doc_id", "lang",
+        char_count(t).cast("bigint").alias("chars"),
+        word_count(t).cast("bigint").alias("words"),
+        token_count(t).cast("bigint").alias("tokens"),
         F.round(stops.cast("double") / F.size(words).cast("double"), 6)
         .alias("stop_ratio"),
         (F.size(words) >= 5).alias("length_ok"),
+        lang_id_en(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
     )
-
-
-def q_lang_id(spark, sf_dir):
-    """language-ID heuristic (stopword hits + ASCII ratio)."""
-    from rulemorph_spark.llm.text import lang_id_en
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang",
-                    lang_id_en(F.col("text")).alias("lang_pred"))
-
-
-def q_fingerprint(spark, sf_dir):
-    """document fingerprinting: md5 over normalized leading words."""
-    from rulemorph_spark.llm.text import fingerprint
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------
@@ -464,16 +402,19 @@ def q_dedup_exact(spark, sf_dir):
             .orderBy("keep_id"))
 
 
-def q_minhash_signature(spark, sf_dir):
-    """MinHash signatures (md5-based, engine-portable) per document.
-    Shingles materialize in their own projection so the per-seed minima
-    don't re-tokenize the text."""
-    from rulemorph_spark.llm.dedup import minhash_from_shingles, shingles
+def q_doc_signatures(spark, sf_dir):
+    """MinHash signatures (md5 double-hash family) + SimHash (16-bit
+    md5 bit votes) per document, one pass (composite of round-1
+    q_minhash_signature + q_simhash).  Shingles materialize in their
+    own projection so the per-seed minima don't re-tokenize the text."""
+    from rulemorph_spark.llm.dedup import (minhash_from_shingles,
+                                           shingles, simhash64)
     d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id",
+    grams = d.select("doc_id", F.col("text").alias("__t__"),
                      shingles(F.col("text"), 3).alias("__grams__"))
     sig = minhash_from_shingles(F.col("__grams__"), num_hashes=4)
-    return grams.select("doc_id", F.to_json(sig).alias("sig_json"))
+    return grams.select("doc_id", F.to_json(sig).alias("sig_json"),
+                        simhash64(F.col("__t__"), 16).alias("simhash"))
 
 
 def q_lsh_band_buckets(spark, sf_dir):
@@ -498,33 +439,65 @@ def q_lsh_band_buckets(spark, sf_dir):
             .filter(F.col("bucket_size") > 1))
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard on a deterministic sample of document pairs."""
-    from rulemorph_spark.llm.dedup import jaccard_ngram
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b",
-        F.round(jaccard_ngram(F.col("ta"), F.col("tb"), 3), 6)
-        .alias("jaccard"))
-
-
-def q_embedding_topk(spark, sf_dir):
-    """brute-force cosine top-k ANN baseline over the embeddings table."""
-    from rulemorph_spark.llm.similarity import brute_force_topk
-    e = _t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 3)
-    return (brute_force_topk(e, queries, "vec_id", "embedding", k=5)
-            .select("query_id", "neighbor", "cosine", "rank"))
-
-
-def q_simhash(spark, sf_dir):
-    """SimHash document signatures (16-bit, md5 bit votes)."""
-    from rulemorph_spark.llm.dedup import simhash64
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard verification on two candidate streams, one
+    result surface (composite of round-1 q_ngram_jaccard +
+    q_minhash_dedup_pairs): 'adjacent' — a deterministic sample of
+    document pairs; 'minhash_lsh' — the full fuzzy-dedup pipeline
+    (MinHash → LSH banding → candidates → Jaccard ≥ 0.5; shuffle only
+    on band keys, verification only on candidates)."""
+    from rulemorph_spark.llm.dedup import (jaccard_ngram,
+                                           minhash_lsh_candidates)
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(F.col("text"), 16).alias("simhash"))
+    adj_base = d.filter(F.col("doc_id") < 40)
+    a = adj_base.select(F.col("doc_id").alias("id_a"),
+                        F.col("text").alias("ta"))
+    b = adj_base.select(F.col("doc_id").alias("id_b"),
+                        F.col("text").alias("tb"))
+    adj = (a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+           .select(F.lit("adjacent").alias("pair_src"), "id_a", "id_b",
+                   F.round(jaccard_ngram(F.col("ta"), F.col("tb"), 3), 6)
+                   .alias("jaccard")))
+    cand = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4,
+                                  bands=2)
+    ca = d.select(F.col("doc_id").alias("id_a"),
+                  F.col("text").alias("__ta__"))
+    cb = d.select(F.col("doc_id").alias("id_b"),
+                  F.col("text").alias("__tb__"))
+    mh = (cand.join(ca, "id_a").join(cb, "id_b")
+          .select(F.lit("minhash_lsh").alias("pair_src"), "id_a", "id_b",
+                  F.round(jaccard_ngram(F.col("__ta__"), F.col("__tb__"),
+                                        3), 6).alias("jaccard"))
+          .filter(F.col("jaccard") >= 0.5))
+    return adj.unionAll(mh)
+
+
+def q_ann_topk(spark, sf_dir):
+    """ANN top-k, all three strategies on one result surface (composite
+    of round-1 q_embedding_topk + q_ivf_topk + q_lsh_topk): 'brute' —
+    exact broadcast baseline (k=5); 'ivf' — probe 2 of 8 coarse cells;
+    'lsh' — random-hyperplane sign buckets + Hamming-1 multiprobe.
+    Signatures/centroid picks are integer-exact so the oracle replays
+    each strategy bit-for-bit."""
+    from rulemorph_spark.llm.similarity import (brute_force_topk,
+                                                ivf_topk, lsh_topk)
+    e = _t(spark, sf_dir, "embeddings")
+    bf = (brute_force_topk(e, e.filter(F.col("vec_id") < 3),
+                           "vec_id", "embedding", k=5)
+          .select(F.lit("brute").alias("method"), "query_id", "neighbor",
+                  "cosine", "rank"))
+    centroids = (e.filter(F.col("vec_id") < 8)
+                 .select(F.col("vec_id").alias("cell"),
+                         F.col("embedding").alias("cvec")))
+    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
+    ivf = (ivf_topk(e, queries_df, centroids, "vec_id", "embedding",
+                    k=3, nprobe=2)
+           .select(F.lit("ivf").alias("method"), "query_id", "neighbor",
+                   "cosine", "rank"))
+    lsh = (lsh_topk(e, queries_df, "vec_id", "embedding", k=3, nbits=6)
+           .select(F.lit("lsh").alias("method"), "query_id", "neighbor",
+                   "cosine", "rank"))
+    return bf.unionAll(ivf).unionAll(lsh)
 
 
 def q_json_props_variant(spark, sf_dir):
@@ -563,43 +536,31 @@ def q_set_ops(spark, sf_dir):
     return inter.unionAll(only_a)
 
 
-def q_rollup_agg(spark, sf_dir):
-    """rollup aggregation (grouping-sets family)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("double").alias("qty")))
-
-
 def q_grouping_sets(spark, sf_dir):
-    """grouping-sets aggregation with GROUPING() disambiguation (the
-    general form of the rollup family — one shuffle, expanded rows)."""
+    """grouping-sets aggregation with GROUPING() disambiguation —
+    covers the whole rollup family (round-1 q_rollup_agg merged in:
+    rollup's three sets are computed via the DataFrame ``rollup`` API,
+    the remaining (l_linestatus) set via a plain groupBy union — one
+    result, both APIs exercised, rollup ⊂ grouping sets verified by
+    the single GROUPING SETS oracle)."""
     li = _t(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) AS g_flag,
-               CAST(grouping(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                   AS qty
-        FROM {li}
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), (l_linestatus), ())
-        """, li=li)
 
+    def qty():
+        return (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("qty"))
 
-def q_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors: probe 2 of 8 coarse cells."""
-    from rulemorph_spark.llm.similarity import ivf_topk
-    e = _t(spark, sf_dir, "embeddings")
-    centroids = (e.filter(F.col("vec_id") < 8)
-                 .select(F.col("vec_id").alias("cell"),
-                         F.col("embedding").alias("cvec")))
-    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
-    return ivf_topk(e, queries_df, centroids, "vec_id", "embedding",
-                    k=3, nprobe=2)
+    roll = (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"),
+                 F.count("*").alias("n"), qty())
+            .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                    "n", "qty"))
+    extra = (li.groupBy("l_linestatus")
+             .agg(F.count("*").alias("n"), qty())
+             .select(F.lit(None).cast("string").alias("l_returnflag"),
+                     "l_linestatus", F.lit(1).alias("g_flag"),
+                     F.lit(0).alias("g_status"), "n", "qty"))
+    return roll.unionAll(extra)
 
 
 def _us(col):
@@ -607,16 +568,6 @@ def _us(col):
     parquet timestamp[us] read as TIMESTAMP_NTZ; with the session tz
     pinned to UTC this matches DuckDB's epoch_us(ts) exactly."""
     return F.unix_micros(col.cast("timestamp"))
-
-
-def q_lsh_topk(spark, sf_dir):
-    """LSH approximate nearest neighbors: random-hyperplane sign
-    buckets + Hamming-1 multiprobe (the centroid-free ANN scale path;
-    signatures are integer-exact so the oracle replays them)."""
-    from rulemorph_spark.llm.similarity import lsh_topk
-    e = _t(spark, sf_dir, "embeddings")
-    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
-    return lsh_topk(e, queries_df, "vec_id", "embedding", k=3, nbits=6)
 
 
 def q_events_time_window(spark, sf_dir):
@@ -748,27 +699,6 @@ def q_embedding_cluster_dedup(spark, sf_dir):
                                   threshold=0.2, bucket_dims=4)
 
 
-def q_minhash_dedup_pairs(spark, sf_dir):
-    """end-to-end near-dup detection: MinHash → LSH candidate pairs →
-    Jaccard verification ≥ 0.5 — the full fuzzy-dedup pipeline shape
-    (shuffle only on band keys; verification only on candidates)."""
-    from rulemorph_spark.llm.dedup import (jaccard_ngram,
-                                           minhash_lsh_candidates)
-    d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4,
-                                  bands=2)
-    a = d.select(F.col("doc_id").alias("id_a"),
-                 F.col("text").alias("__ta__"))
-    b = d.select(F.col("doc_id").alias("id_b"),
-                 F.col("text").alias("__tb__"))
-    pairs = cand.join(a, "id_a").join(b, "id_b")
-    return (pairs.select(
-        "id_a", "id_b",
-        F.round(jaccard_ngram(F.col("__ta__"), F.col("__tb__"), 3), 6)
-        .alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5))
-
-
 def q_corpus_clean(spark, sf_dir):
     """end-to-end corpus cleaning (C4-style): language gate → quality
     gate → exact dedup keep-first, all one plan with a single shuffle
@@ -820,10 +750,17 @@ def q_rule_typed_steps(spark, sf_dir):
     return transform_table(li, _TYPED_STEPS_RULE, mode="typed")
 
 
-def q_sessionize_batch(spark, sf_dir):
-    """gap-based sessionization in batch (lag + running sum of
-    session-start flags) — the SQL shape of streaming/stateful.py's
-    sessionizer; 30-minute gap."""
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization both ways on one result surface
+    (composite of round-1 q_sessionize_batch + q_session_window):
+    the batch lag+running-sum shape (the SQL form of
+    streaming/stateful.py's sessionizer) joined per (user, session
+    ordinal) to Spark's native ``session_window`` aggregation — the
+    same 30-minute-gap sessions produced by two independent engines'
+    worth of semantics, verified as one row set (counts/values from
+    the batch path, start/end bounds from the native path)."""
+    from rulemorph_spark.streaming.windows import (event_time,
+                                                   session_window_agg)
     e = (_t(spark, sf_dir, "events")
          .select("user_id", _us(F.col("ts")).alias("ts"), "event_id",
                  "value"))
@@ -838,22 +775,20 @@ def q_sessionize_batch(spark, sf_dir):
                w.rowsBetween(Window.unboundedPreceding, 0))
                .alias("session_idx")))
     cents = F.floor(F.col("value") * 10000 + 0.5).cast("long")
-    return (run.groupBy("user_id", "session_idx")
-            .agg(F.count("*").alias("n_events"),
-                 (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
-
-
-def q_session_window(spark, sf_dir):
-    """native session_window sessionization (the idiomatic Spark form
-    of q_sessionize_batch; same 30-minute gap semantics, session end =
-    last event + gap)."""
-    from rulemorph_spark.streaming.windows import (event_time,
-                                                   session_window_agg)
-    e = (_t(spark, sf_dir, "events")
-         .select(event_time(F.col("ts")).alias("ets"), "user_id",
-                 "value"))
-    return session_window_agg(e, "ets", keys=["user_id"],
-                              gap="30 minutes", value_col="value")
+    batch = (run.groupBy("user_id", "session_idx")
+             .agg(F.count("*").alias("n_events"),
+                  (F.sum(cents) / F.lit(10000.0)).alias("session_value")))
+    ets = (_t(spark, sf_dir, "events")
+           .select(event_time(F.col("ts")).alias("ets"), "user_id",
+                   "value"))
+    native = session_window_agg(ets, "ets", keys=["user_id"],
+                                gap="30 minutes", value_col="value")
+    wn = Window.partitionBy("user_id").orderBy("session_start_us")
+    native_idx = native.select(
+        "user_id",
+        F.row_number().over(wn).cast("long").alias("session_idx"),
+        "session_start_us", "session_end_us")
+    return batch.join(native_idx, ["user_id", "session_idx"])
 
 
 _TYPED_ARRAYS_RULE = """
@@ -957,24 +892,31 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(d, n=3)
 
 
-def q_stratified_sample(spark, sf_dir):
-    """deterministic k-per-language sample ranked by md5(doc_id) —
-    reproducible across runs/engines, one window shuffle on the
-    stratum key."""
-    from rulemorph_spark.llm.sampling import stratified_sample
+def q_sampling(spark, sf_dir):
+    """Sampling suite on one result surface (composite of round-1
+    q_stratified_sample + q_hash_sample + q_mixture_sample):
+    'stratified' — deterministic k-per-language ranked by md5(doc_id),
+    one window shuffle on the stratum key; 'hash' — ~10%
+    Bernoulli-by-hash, narrow filter, no shuffle; 'mixture' —
+    per-source Bernoulli rates by hashed id (sources outside the
+    mixture drop to weight 0).  All reproducible across runs and
+    engines, unlike RNG df.sample."""
+    from rulemorph_spark.llm.sampling import (hash_sample, mixture_sample,
+                                              stratified_sample)
     d = _t(spark, sf_dir, "documents")
-    return (stratified_sample(d, "lang", 20)
-            .select("doc_id", "lang",
-                    F.col("sample_rank").cast("bigint")
-                    .alias("sample_rank")))
-
-
-def q_hash_sample(spark, sf_dir):
-    """deterministic ~10% Bernoulli-by-hash sample — narrow filter,
-    no shuffle, stable across engines (unlike RNG df.sample)."""
-    from rulemorph_spark.llm.sampling import hash_sample
-    d = _t(spark, sf_dir, "documents")
-    return hash_sample(d, 0.1).select("doc_id", "lang")
+    null_rank = F.lit(None).cast("bigint").alias("sample_rank")
+    strat = (stratified_sample(d, "lang", 20)
+             .select(F.lit("stratified").alias("method"), "doc_id",
+                     F.col("lang").alias("attr"),
+                     F.col("sample_rank").cast("bigint")
+                     .alias("sample_rank")))
+    hs = (hash_sample(d, 0.1)
+          .select(F.lit("hash").alias("method"), "doc_id",
+                  F.col("lang").alias("attr"), null_rank))
+    mix = (mixture_sample(d, "source", _MIXTURE_WEIGHTS)
+           .select(F.lit("mixture").alias("method"), "doc_id",
+                   F.col("source").alias("attr"), null_rank))
+    return strat.unionAll(hs).unionAll(mix)
 
 
 def q_vocab_topk(spark, sf_dir):
@@ -998,16 +940,6 @@ def q_tfidf_topterms(spark, sf_dir):
 
 
 _MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.6, "src2": 0.3, "src3": 0.1}
-
-
-def q_mixture_sample(spark, sf_dir):
-    """data-mixing sampler: per-source Bernoulli rates by hashed id
-    (narrow, shuffle-free, reproducible across engines); sources
-    outside the mixture drop to weight 0."""
-    from rulemorph_spark.llm.sampling import mixture_sample
-    d = _t(spark, sf_dir, "documents")
-    return mixture_sample(d, "source", _MIXTURE_WEIGHTS) \
-        .select("doc_id", "source")
 
 
 def q_token_packing(spark, sf_dir):
@@ -1041,84 +973,71 @@ def q_multimodal_probe(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries — consolidated from round 1's 69 so the driver's
+    50-entry correctness window covers the ENTIRE registry (round-1
+    gate saw only the first 50; near-duplicate same-grain queries are
+    merged into composites whose columns are the union of the
+    originals, so every operator family keeps a hard-gate row)."""
     return {
         # rule-engine relational surface
         "q_project_cast": q_project_cast,
         "q_record_when": q_record_when,
-        "q_when_mapping": q_when_mapping,
-        "q_required_default": q_required_default,
-        "q_lookup_first": q_lookup_first,
-        "q_lookup_all": q_lookup_all,
+        "q_mapping_defaults": q_mapping_defaults,
+        "q_lookup": q_lookup,
         "q_sort_limit_offset": q_sort_limit_offset,
         "q_branch_union": q_branch_union,
         "q_steps_pipeline": q_steps_pipeline,
         "q_finalize_wrap": q_finalize_wrap,
         # scalar ops
         "q_string_ops": q_string_ops,
-        "q_replace_modes": q_replace_modes,
-        "q_split_pad": q_split_pad,
-        "q_numeric_fold": q_numeric_fold,
-        "q_round_to_base": q_round_to_base,
+        "q_replace_split_pad": q_replace_split_pad,
+        "q_numeric_round_base": q_numeric_round_base,
         "q_date_ops": q_date_ops,
-        "q_casts_strict": q_casts_strict,
+        "q_casts_coalesce": q_casts_coalesce,
         "q_comparisons": q_comparisons,
-        "q_coalesce_chain": q_coalesce_chain,
         # aggregation / window
         "q_agg_pricing_summary": q_agg_pricing_summary,
         "q_window_rank": q_window_rank,
         "q_distinct_groups": q_distinct_groups,
+        "q_grouping_sets": q_grouping_sets,
         # array ops
-        "q_array_map_filter": q_array_map_filter,
-        "q_array_fold_agg": q_array_fold_agg,
-        "q_array_sort_slice": q_array_sort_slice,
-        "q_array_zip_with": q_array_zip_with,
-        "q_array_distinct": q_array_distinct,
+        "q_array_ops": q_array_ops,
         # text analysis
-        "q_text_tokens": q_text_tokens,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
+        "q_text_metrics": q_text_metrics,
         # dedup / similarity
         "q_dedup_exact": q_dedup_exact,
-        "q_minhash_signature": q_minhash_signature,
+        "q_doc_signatures": q_doc_signatures,
         "q_lsh_band_buckets": q_lsh_band_buckets,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_embedding_topk": q_embedding_topk,
-        "q_simhash": q_simhash,
+        "q_jaccard_pairs": q_jaccard_pairs,
         "q_embedding_cluster_dedup": q_embedding_cluster_dedup,
-        "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
-        # variant / set ops / rollup / IVF
+        "q_ann_topk": q_ann_topk,
+        "q_dup_clusters": q_dup_clusters,
+        # variant / object / set ops
         "q_json_props_variant": q_json_props_variant,
         "q_object_merge": q_object_merge,
         "q_set_ops": q_set_ops,
-        "q_rollup_agg": q_rollup_agg,
-        "q_grouping_sets": q_grouping_sets,
-        "q_ivf_topk": q_ivf_topk,
-        "q_lsh_topk": q_lsh_topk,
-        "q_events_time_window": q_events_time_window,
+        # typed rule engine on tables
         "q_rule_typed_transform": q_rule_typed_transform,
-        "q_session_window": q_session_window,
-        # time-series joins / skew / percentiles
+        "q_rule_typed_steps": q_rule_typed_steps,
+        "q_rule_typed_arrays": q_rule_typed_arrays,
+        # event-time / sessionization / joins
+        "q_events_time_window": q_events_time_window,
+        "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_skew_salted_join": q_skew_salted_join,
         "q_percentile_groups": q_percentile_groups,
+        # LLM corpus pipeline
         "q_corpus_clean": q_corpus_clean,
-        "q_sessionize_batch": q_sessionize_batch,
-        "q_rule_typed_steps": q_rule_typed_steps,
-        "q_rule_typed_arrays": q_rule_typed_arrays,
         "q_doc_chunks": q_doc_chunks,
         "q_pii_redact": q_pii_redact,
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
         "q_tfidf_topterms": q_tfidf_topterms,
         "q_multimodal_probe": q_multimodal_probe,
-        "q_mixture_sample": q_mixture_sample,
         "q_token_packing": q_token_packing,
-        "q_dup_clusters": q_dup_clusters,
         "q_repetition_stats": q_repetition_stats,
-        "q_stratified_sample": q_stratified_sample,
-        "q_hash_sample": q_hash_sample,
+        "q_sampling": q_sampling,
     }
 
 
@@ -1138,34 +1057,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
         """,
-        "q_when_mapping": """
+        "q_mapping_defaults": """
             SELECT c_custkey,
                    CASE WHEN c_acctbal < 0 THEN 'negative'
                         WHEN c_acctbal < 5000 THEN 'standard'
                         ELSE 'premium' END AS tier,
                    CASE WHEN c_mktsegment = 'BUILDING' THEN c_name END
-                       AS building_name
-            FROM customer
-        """,
-        "q_required_default": """
-            SELECT c_custkey,
+                       AS building_name,
                    COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A')
                        AS segment_or_default
             FROM customer
         """,
-        "q_lookup_first": """
-            SELECT o_orderkey, c_name, c_mktsegment
-            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-        """,
-        "q_lookup_all": """
-            SELECT o_orderkey,
-                   to_json(COALESCE(
-                       list_sort(list(l_partkey)
-                                 FILTER (l_partkey IS NOT NULL)),
-                       CAST([] AS BIGINT[]))) AS partkeys_json
-            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-            WHERE o_orderkey % 100 = 0
-            GROUP BY o_orderkey
+        "q_lookup": """
+            WITH first AS (
+              SELECT o_orderkey, c_name, c_mktsegment
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+            allm AS (
+              SELECT o_orderkey,
+                     to_json(COALESCE(
+                         list_sort(list(l_partkey)
+                                   FILTER (l_partkey IS NOT NULL)),
+                         CAST([] AS BIGINT[]))) AS partkeys_json
+              FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey % 100 = 0
+              GROUP BY o_orderkey)
+            SELECT f.o_orderkey, f.c_name, f.c_mktsegment, a.partkeys_json
+            FROM first f LEFT JOIN allm a USING (o_orderkey)
         """,
         "q_sort_limit_offset": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -1206,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(c_name) AS BIGINT) AS name_len
             FROM customer
         """,
-        "q_replace_modes": """
+        "q_replace_split_pad": """
             SELECT p_partkey,
                    CASE WHEN strpos(p_type, ' ') = 0 THEN p_type
                         ELSE substr(p_type, 1, strpos(p_type, ' ') - 1)
@@ -1214,11 +1131,7 @@ def oracle_sql() -> dict[str, str]:
                              substr(p_type, strpos(p_type, ' ') + 1)
                    END AS first_us,
                    REPLACE(p_type, ' ', '_') AS all_us,
-                   regexp_replace(p_type, '[AEIOU]', '*', 'g') AS regex_all
-            FROM part
-        """,
-        "q_split_pad": """
-            SELECT p_partkey,
+                   regexp_replace(p_type, '[AEIOU]', '*', 'g') AS regex_all,
                    string_split(p_type, ' ')[1] AS first_tok,
                    CAST(len(string_split(p_type, ' ')) AS INTEGER)
                        AS n_toks,
@@ -1230,16 +1143,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE rpad(p_brand, 12, '.') END AS brand_pad
             FROM part
         """,
-        "q_numeric_fold": """
+        "q_numeric_round_base": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice + l_tax AS add_r,
                    l_extendedprice - l_discount AS sub_r,
                    l_quantity * 2.5 AS mul_r,
-                   l_extendedprice / 4.0 AS div_r
-            FROM lineitem
-        """,
-        "q_round_to_base": """
-            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice / 4.0 AS div_r,
                    CASE WHEN l_extendedprice * 0.1 >= 0
                         THEN floor(l_extendedprice * 0.1 * 10 + 0.5) / 10
                         ELSE ceil(l_extendedprice * 0.1 * 10 - 0.5) / 10
@@ -1255,15 +1164,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(year(o_orderdate) AS BIGINT) AS yr
             FROM orders
         """,
-        "q_casts_strict": """
+        "q_casts_coalesce": """
             WITH derived AS (
-              SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+              SELECT event_id, event_type,
+                     CAST(event_id AS VARCHAR) AS id_str,
                      CASE WHEN event_id % 2 = 0 THEN 'true'
                           ELSE 'FALSE' END AS flag_str
               FROM events)
             SELECT event_id,
                    CAST(id_str AS BIGINT) AS as_int,
-                   lower(flag_str) = 'true' AS as_bool
+                   lower(flag_str) = 'true' AS as_bool,
+                   COALESCE(NULLIF(event_type, 'click'),
+                            NULLIF(event_type, 'view'),
+                            'fallback') AS resolved
             FROM derived
         """,
         "q_comparisons": """
@@ -1273,13 +1186,6 @@ def oracle_sql() -> dict[str, str]:
                    p_type < p_brand AS lex_lt,
                    regexp_matches(p_type, 'BRASS$') AS ends_brass
             FROM part
-        """,
-        "q_coalesce_chain": """
-            SELECT event_id,
-                   COALESCE(NULLIF(event_type, 'click'),
-                            NULLIF(event_type, 'view'),
-                            'fallback') AS resolved
-            FROM events
         """,
         "q_agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1312,117 +1218,60 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_groups": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         """,
-        "q_array_map_filter": """
-            WITH arr AS (
-              SELECT l_orderkey,
-                     list(l_quantity ORDER BY l_linenumber, l_quantity,
-                          l_extendedprice) AS qtys
-              FROM lineitem WHERE l_orderkey % 50 = 0
-              GROUP BY l_orderkey)
-            SELECT l_orderkey,
-                   to_json(list_transform(qtys, q -> q * 2)) AS doubled,
-                   to_json(list_filter(qtys, q -> q > 25.0)) AS large
-            FROM arr
-        """,
-        "q_array_fold_agg": """
-            WITH arr AS (
-              SELECT l_orderkey,
-                     list(l_quantity ORDER BY l_linenumber, l_quantity,
-                          l_extendedprice) AS qtys
-              FROM lineitem WHERE l_orderkey % 50 = 0
-              GROUP BY l_orderkey)
-            SELECT l_orderkey,
-                   list_aggregate(qtys, 'sum') AS fold_sum,
-                   list_aggregate(qtys, 'min') AS min_q,
-                   list_aggregate(qtys, 'max') AS max_q,
-                   CAST(len(qtys) AS INTEGER) AS n
-            FROM arr
-        """,
-        "q_array_sort_slice": """
-            WITH arr AS (
-              SELECT l_orderkey,
-                     list(l_quantity ORDER BY l_linenumber, l_quantity,
-                          l_extendedprice) AS qtys
-              FROM lineitem WHERE l_orderkey % 50 = 0
-              GROUP BY l_orderkey)
-            SELECT l_orderkey,
-                   to_json(list_reverse_sort(qtys)[1:3]) AS top3,
-                   list_sort(qtys)[1] AS first_asc,
-                   list_sort(qtys)[-1] AS last_asc
-            FROM arr
-        """,
-        "q_array_zip_with": """
+        "q_array_ops": """
             WITH arr AS (
               SELECT l_orderkey,
                      list(l_quantity ORDER BY l_linenumber, l_quantity,
                           l_extendedprice) AS qtys,
                      list(l_extendedprice ORDER BY l_linenumber, l_quantity,
-                          l_extendedprice) AS prices
-              FROM lineitem WHERE l_orderkey % 50 = 0
-              GROUP BY l_orderkey)
-            SELECT l_orderkey,
-                   to_json(list_transform(list_zip(qtys, prices),
-                           x -> floor(x[1] * x[2] * 100 + 0.5) / 100))
-                       AS products
-            FROM arr
-        """,
-        "q_array_distinct": """
-            WITH arr AS (
-              SELECT l_orderkey,
+                          l_extendedprice) AS prices,
                      list(l_returnflag ORDER BY l_linenumber, l_returnflag)
                          AS seq
               FROM lineitem WHERE l_orderkey % 50 = 0
               GROUP BY l_orderkey)
             SELECT l_orderkey,
+                   to_json(list_transform(qtys, q -> q * 2)) AS doubled,
+                   to_json(list_filter(qtys, q -> q > 25.0)) AS large,
+                   list_aggregate(qtys, 'sum') AS fold_sum,
+                   list_aggregate(qtys, 'min') AS min_q,
+                   list_aggregate(qtys, 'max') AS max_q,
+                   CAST(len(qtys) AS INTEGER) AS n,
+                   to_json(list_reverse_sort(qtys)[1:3]) AS top3,
+                   list_sort(qtys)[1] AS first_asc,
+                   list_sort(qtys)[-1] AS last_asc,
+                   to_json(list_transform(list_zip(qtys, prices),
+                           x -> floor(x[1] * x[2] * 100 + 0.5) / 100))
+                       AS products,
                    to_json(list_sort(list_distinct(seq))) AS distinct_flags
             FROM arr
         """,
-        "q_text_tokens": """
-            SELECT doc_id,
+        "q_text_metrics": f"""
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+                         AS wlist
+              FROM documents)
+            SELECT doc_id, lang,
                    CAST(LENGTH(text) AS BIGINT) AS chars,
                    CAST(CASE WHEN TRIM(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
                         END AS BIGINT) AS words,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-                       AS tokens
-            FROM documents
-        """,
-        "q_text_quality": f"""
-            WITH w AS (
-              SELECT doc_id,
-                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
-                         AS words
-              FROM documents)
-            SELECT doc_id,
-                   ROUND(CAST(len(list_filter(words,
+                       AS tokens,
+                   ROUND(CAST(len(list_filter(wlist,
                          x -> list_contains({_sql_stop_list()}, x)))
-                         AS DOUBLE) / CAST(len(words) AS DOUBLE), 6)
+                         AS DOUBLE) / CAST(len(wlist) AS DOUBLE), 6)
                        AS stop_ratio,
-                   len(words) >= 5 AS length_ok
-            FROM w
-        """,
-        "q_lang_id": f"""
-            WITH w AS (
-              SELECT doc_id, lang, text,
-                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
-                         AS words
-              FROM documents)
-            SELECT doc_id, lang,
-                   CASE WHEN len(list_filter(words,
+                   len(wlist) >= 5 AS length_ok,
+                   CASE WHEN len(list_filter(wlist,
                              x -> list_contains({_sql_stop_list()}, x))) >= 1
                          AND CAST(len(regexp_extract_all(text,
                              '[\\x00-\\x7F]')) AS DOUBLE)
                              / CAST(LENGTH(text) AS DOUBLE) > 0.9
-                        THEN 'en' ELSE 'other' END AS lang_pred
+                        THEN 'en' ELSE 'other' END AS lang_pred,
+                   md5(array_to_string(wlist[1:8], ' ')) AS fp
             FROM w
-        """,
-        "q_fingerprint": """
-            SELECT doc_id,
-                   md5(array_to_string(
-                       regexp_split_to_array(LOWER(TRIM(text)), '\\s+')[1:8],
-                       ' ')) AS fp
-            FROM documents
         """,
         "q_dedup_exact": """
             WITH keyed AS (
@@ -1434,36 +1283,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dupes
             FROM keyed GROUP BY fp ORDER BY keep_id
         """,
-        "q_minhash_signature": _minhash_oracle(),
+        "q_doc_signatures": _doc_signatures_oracle(),
         "q_lsh_band_buckets": _lsh_oracle(),
-        "q_ngram_jaccard": _jaccard_oracle(),
-        "q_embedding_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 3),
-            scored AS (
-              SELECT q.query_id, e.vec_id AS neighbor,
-                     ROUND(
-                       list_sum(list_transform(
-                         list_zip(e.embedding, q.qv),
-                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(e.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(q.qv,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                       6) AS cosine
-              FROM embeddings e CROSS JOIN q
-              WHERE e.vec_id <> q.query_id)
-            SELECT query_id, neighbor, cosine, rank FROM (
-              SELECT *, CAST(row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY cosine DESC, neighbor ASC) AS INTEGER) AS rank
-              FROM scored)
-            WHERE rank <= 5
-        """,
+        "q_jaccard_pairs": _jaccard_pairs_oracle(),
+        "q_ann_topk": _ann_topk_oracle(),
         "q_json_props_variant": """
             SELECT COUNT(*) AS n,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events
@@ -1487,13 +1314,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey FROM a EXCEPT
                   SELECT o_custkey FROM b)
         """,
-        "q_rollup_agg": """
-            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DOUBLE) AS qty
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
         "q_grouping_sets": """
             SELECT l_returnflag, l_linestatus,
                    CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0
@@ -1507,11 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                     (l_returnflag), (l_linestatus), ())
         """,
-        "q_ivf_topk": _ivf_oracle(),
-        "q_lsh_topk": _lsh_topk_oracle(),
-        "q_simhash": _simhash_oracle(),
         "q_embedding_cluster_dedup": _embedding_dedup_oracle(),
-        "q_minhash_dedup_pairs": _minhash_dedup_pairs_oracle(),
         "q_rule_typed_transform": """
             SELECT l_orderkey AS okey,
                    floor(l_extendedprice * COALESCE(l_discount, 0)
@@ -1704,7 +1520,7 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_gram_frac
             FROM per_gram GROUP BY doc_id
         """,
-        "q_stratified_sample": """
+        "q_sampling": """
             WITH ranked AS (
               SELECT doc_id, lang,
                      ROW_NUMBER() OVER (
@@ -1712,16 +1528,27 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                          AS sample_rank
               FROM documents)
-            SELECT doc_id, lang, CAST(sample_rank AS BIGINT)
-                       AS sample_rank
+            SELECT 'stratified' AS method, doc_id, lang AS attr,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
             FROM ranked WHERE sample_rank <= 20
-        """,
-        "q_hash_sample": """
-            SELECT doc_id, lang
+            UNION ALL
+            SELECT 'hash' AS method, doc_id, lang AS attr,
+                   CAST(NULL AS BIGINT) AS sample_rank
             FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                        1, 8))::BIGINT AS BIGINT)
                   % 10000 < 1000
+            UNION ALL
+            SELECT 'mixture' AS method, doc_id, source AS attr,
+                   CAST(NULL AS BIGINT) AS sample_rank
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS BIGINT) % 10000
+                  < CASE source WHEN 'src0' THEN 10000
+                                WHEN 'src1' THEN 6000
+                                WHEN 'src2' THEN 3000
+                                WHEN 'src3' THEN 1000
+                                ELSE 0 END
         """,
         "q_vocab_topk": """
             SELECT word, CAST(COUNT(*) AS BIGINT) AS n
@@ -1753,16 +1580,6 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 3
-        """,
-        "q_mixture_sample": """
-            SELECT doc_id, source FROM documents
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                       1, 8))::BIGINT AS BIGINT) % 10000
-                  < CASE source WHEN 'src0' THEN 10000
-                                WHEN 'src1' THEN 6000
-                                WHEN 'src2' THEN 3000
-                                WHEN 'src3' THEN 1000
-                                ELSE 0 END
         """,
         "q_token_packing": """
             WITH sized AS (
@@ -1802,28 +1619,7 @@ def oracle_sql() -> dict[str, str]:
                         END AS duration_ms
             FROM m
         """,
-        "q_sessionize_batch": """
-            WITH flagged AS (
-              SELECT user_id, ts, event_id, value,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                              > 1800000000
-                          THEN 1 ELSE 0 END AS is_new
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            runs AS (
-              SELECT user_id, value,
-                     SUM(is_new) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS session_idx
-              FROM flagged)
-            SELECT user_id, session_idx, COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-                       / 10000.0 AS session_value
-            FROM runs GROUP BY user_id, session_idx
-        """,
-        "q_session_window": """
+        "q_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
                      -- > gap splits; Spark's session_window MERGES
@@ -1841,12 +1637,12 @@ def oracle_sql() -> dict[str, str]:
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS session_idx
               FROM flagged)
-            SELECT user_id,
-                   epoch_us(MIN(ts)) AS session_start_us,
-                   epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    COUNT(*) AS n_events,
                    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-                       / 10000.0 AS session_value
+                       / 10000.0 AS session_value,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts)) + 1800000000 AS session_end_us
             FROM runs GROUP BY user_id, session_idx
         """,
         "q_corpus_clean": f"""
@@ -1897,9 +1693,14 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _simhash_oracle(bits: int = 16) -> str:
-    """Replay simhash64's per-bit md5 votes: bit b of the signature is
-    set iff sum over words of ±1 (word-hash bit b) is positive."""
+def _doc_signatures_oracle(bits: int = 16) -> str:
+    """Combined signature replay (round-1 _minhash_oracle +
+    _simhash_oracle): the MinHash double-hash minima AND simhash64's
+    per-bit md5 votes (bit b set iff the ±1 vote sum over word-hash
+    bit b is positive), from one words/shingles scan."""
+    mins = ",".join(
+        f"list_min(list_transform(grams, g -> {_minhash_seed_sql(s)}))"
+        for s in range(4))
     h = "('0x'||substr(md5(w),1,4))::BIGINT"
     votes = " + ".join(
         f"CASE WHEN list_sum(list_transform(words, "
@@ -1909,9 +1710,60 @@ def _simhash_oracle(bits: int = 16) -> str:
     return f"""
         WITH w AS (
           SELECT doc_id,
-                 regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS words
+                 regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS words,
+                 {_shingle_sql()} AS grams
           FROM documents)
-        SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM w
+        SELECT doc_id, to_json([{mins}]) AS sig_json,
+               CAST({votes} AS BIGINT) AS simhash
+        FROM w
+    """
+
+
+def _jaccard_pairs_oracle() -> str:
+    """Tagged union of the two Jaccard verification streams."""
+    return f"""
+        SELECT 'adjacent' AS pair_src, * FROM ({_jaccard_oracle()})
+        UNION ALL
+        SELECT 'minhash_lsh' AS pair_src, *
+        FROM ({_minhash_dedup_pairs_oracle()})
+    """
+
+
+def _ann_topk_oracle() -> str:
+    """Tagged union of the three ANN strategies' replays."""
+    return f"""
+        SELECT 'brute' AS method, * FROM ({_brute_topk_oracle()})
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM ({_ivf_oracle()})
+        UNION ALL
+        SELECT 'lsh' AS method, * FROM ({_lsh_topk_oracle()})
+    """
+
+
+def _brute_topk_oracle() -> str:
+    return """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor,
+                 ROUND(
+                   list_sum(list_transform(
+                     list_zip(e.embedding, q.qv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cosine
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id)
+        SELECT query_id, neighbor, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor ASC) AS INTEGER) AS rank
+          FROM scored)
+        WHERE rank <= 5
     """
 
 
@@ -2119,17 +1971,6 @@ def _minhash_seed_sql(seed: int, g: str = "g") -> str:
     h_i(g) = h1 + i*h2 from the 60-/56-bit halves of one md5."""
     return (f"('0x'||substr(md5({g}),1,15))::BIGINT + {seed} * "
             f"('0x'||substr(md5({g}),16,14))::BIGINT")
-
-
-def _minhash_oracle() -> str:
-    mins = ",".join(
-        f"list_min(list_transform(grams, g -> {_minhash_seed_sql(s)}))"
-        for s in range(4))
-    return f"""
-        WITH sh AS (
-          SELECT doc_id, {_shingle_sql()} AS grams FROM documents)
-        SELECT doc_id, to_json([{mins}]) AS sig_json FROM sh
-    """
 
 
 def _lsh_oracle() -> str:

@@ -35,21 +35,28 @@ def main():
 
     spark = get_spark("rulemorph-bench", cpus=cpus)
 
+    # NOTE (round 2): several round-1 headline queries were merged into
+    # composites so the driver's 50-entry correctness window covers the
+    # whole registry — per-query times are not directly comparable to
+    # BENCH_r01 (q_lookup = q_lookup_first+q_lookup_all, q_array_ops ⊇
+    # q_array_zip_with, q_text_metrics ⊇ q_text_tokens, q_doc_signatures
+    # = q_minhash_signature+q_simhash, q_ann_topk = q_embedding_topk+
+    # q_ivf_topk+q_lsh_topk, q_sessionize = q_sessionize_batch+
+    # q_session_window); each composite does strictly MORE work than the
+    # round-1 queries it replaces.
     headline = [
         "q_agg_pricing_summary",   # flagship group-by aggregation
-        "q_lookup_first",          # broadcast-join lookup
-        "q_lookup_all",            # join + collect_list
+        "q_lookup",                # broadcast-join lookup + collect_list
         "q_steps_pipeline",        # multi-step expression pipeline
         "q_window_rank",           # window functions
-        "q_array_zip_with",        # HOF array ops over collected arrays
-        "q_text_tokens",           # text analysis scan
+        "q_array_ops",             # HOF array ops over collected arrays
+        "q_text_metrics",          # text analysis scan
         "q_dedup_exact",           # hash-shuffle dedup
-        "q_minhash_signature",     # MinHash signatures
-        "q_embedding_topk",        # brute-force ANN
-        "q_lsh_topk",              # LSH-bucketed ANN
+        "q_doc_signatures",        # MinHash + SimHash signatures
+        "q_ann_topk",              # brute-force + IVF + LSH ANN
         "q_asof_join",             # union-merge as-of join
         "q_range_join",            # time-binned interval join
-        "q_sessionize_batch",      # lag + running-sum sessionization
+        "q_sessionize",            # lag+cumsum ⋈ native session_window
         "q_tfidf_topterms",        # corpus statistic (explode+window)
         "q_multimodal_probe",      # Arrow-batched mapInPandas path
     ]

@@ -65,7 +65,7 @@ def main() -> None:
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     qs = entry.queries()
     names = ["q_agg_pricing_summary", "q_dedup_exact", "q_window_rank",
-             "q_sessionize_batch", "q_asof_join", "q_lookup_first",
+             "q_sessionize", "q_asof_join", "q_lookup",
              "q_rule_typed_transform"]
 
     with tempfile.TemporaryDirectory() as big:

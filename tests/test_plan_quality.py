@@ -35,7 +35,11 @@ def test_tfidf_scans_corpus_once(spark):
 
 
 def test_lsh_probe_side_is_broadcast_and_pruned(spark):
-    plan = _plan(E.queries()["q_lsh_topk"](spark, SF))
+    from rulemorph_spark.llm.similarity import lsh_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
+    plan = _plan(lsh_topk(e, queries_df, "vec_id", "embedding", k=3,
+                          nbits=6))
     assert "BroadcastExchange" in plan
     # the query-side scan must push the vec_id range into the reader
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(vec_id",
@@ -45,7 +49,7 @@ def test_lsh_probe_side_is_broadcast_and_pruned(spark):
 
 
 def test_lookup_join_broadcasts_dimension(spark):
-    plan = _plan(E.queries()["q_lookup_first"](spark, SF))
+    plan = _plan(E.queries()["q_lookup"](spark, SF))
     assert "BroadcastExchange" in plan
 
 
