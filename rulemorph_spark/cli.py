@@ -70,7 +70,12 @@ def _run_transform(args, *, discard: bool) -> int:
     from .errors import RuleError, TransformEngineError
     try:
         rule_text = _load_text(args.rules)
-        input_text = _load_text(args.input)
+        # readability check only — the engine reads the file itself so
+        # NDJSON inputs can take the distributed scan instead of a
+        # driver-side slurp
+        with open(args.input, encoding="utf-8"):
+            pass
+        input_text = None
         context = (json.loads(_load_text(args.context))
                    if args.context else None)
     except OSError as e:

@@ -140,3 +140,48 @@ def test_streaming_file_pipeline(spark):
                              if l.strip()]
         rows.sort(key=lambda r: r["id"])
         assert rows == [{"id": 1, "upper": "X"}, {"id": 2, "upper": "Y"}]
+
+
+def test_ndjson_input_distributed_and_ordered(spark, tmp_path):
+    """NDJSON files route through the distributed text scan (no
+    driver-side json.loads of the whole file, no global row_number
+    window) and still yield a dense 0-based __idx__ in file order."""
+    from rulemorph_spark.engine import records_from_json_file, transform
+
+    p = tmp_path / "in.ndjson"
+    n = 257
+    p.write_text("\n".join(
+        json.dumps({"id": i, "name": f"n{i}"}) for i in range(n)) + "\n")
+    df = records_from_json_file(spark, str(p), None)
+    rows = df.orderBy("__idx__").collect()
+    assert [r["__idx__"] for r in rows] == list(range(n))
+    # no single-task global window in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # end-to-end through transform(): order preserved, values correct
+    out = transform(spark, RULE_SIMPLE, input_path=str(p))
+    assert out[:2] == [{"id": 0, "upper": "N0"}, {"id": 1, "upper": "N1"}]
+    assert len(out) == n
+
+
+def test_single_document_keeps_document_contract(spark, tmp_path):
+    """A multi-line single JSON document (first line alone is not valid
+    JSON) still takes the driver-side document path."""
+    from rulemorph_spark.engine import records_from_json_file
+
+    p = tmp_path / "doc.json"
+    p.write_text('[\n  {"id": 1, "name": "a"},\n  {"id": 2, "name": "b"}\n]')
+    df = records_from_json_file(spark, str(p), None)
+    assert df.count() == 2
+
+
+def test_csv_index_has_no_global_window(spark, tmp_path):
+    from rulemorph_spark.engine import records_from_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n" + "\n".join(f"{i},x{i}" for i in range(100)) + "\n")
+    df = records_from_csv(spark, str(p), True, ",", None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.orderBy("__idx__").collect()
+    assert [r["__idx__"] for r in rows] == list(range(100))
