@@ -692,11 +692,13 @@ def q_percentile_groups(spark, sf_dir):
 
 
 def q_embedding_cluster_dedup(spark, sf_dir):
-    """embedding near-dup pairs via sign-pattern LSH buckets + cosine."""
+    """embedding near-dup pairs via banded random-hyperplane LSH
+    (nbits=12, 2 bands) + exact cosine on candidates — the rebuilt
+    form of the round-1 sign-of-first-4-dims bucket (VERDICT #4)."""
     from rulemorph_spark.llm.dedup import dedup_embedding_cosine
     e = _t(spark, sf_dir, "embeddings")
     return dedup_embedding_cosine(e, "vec_id", "embedding",
-                                  threshold=0.2, bucket_dims=4)
+                                  threshold=0.2, nbits=12, bands=2)
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -879,7 +881,7 @@ def q_dup_clusters(spark, sf_dir):
                                            dedup_embedding_cosine)
     e = _t(spark, sf_dir, "embeddings")
     pairs = dedup_embedding_cosine(e, "vec_id", "embedding",
-                                   threshold=0.3, bucket_dims=4)
+                                   threshold=0.3, nbits=12, bands=2)
     return connected_components(pairs, src="id_a", dst="id_b") \
         .select("node", "comp")
 
@@ -1767,19 +1769,55 @@ def _brute_topk_oracle() -> str:
     """
 
 
-def _embedding_dedup_oracle(threshold: float = 0.2,
-                            bucket_dims: int = 4) -> str:
-    bucket = " || ".join(
-        f"CAST(CAST(embedding[{i + 1}] >= 0 AS INT) AS VARCHAR)"
-        for i in range(bucket_dims))
-    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+def _lsh_sigs_cte(nbits: int) -> str:
+    """Shared replay of llm/similarity.lsh_signature as a WITH-clause
+    body ``comp, bits, sigs`` (sigs = vec_id, embedding, sig):
+    hyperplane signs from the same integer LCG, components quantized
+    to micro-unit BIGINTs before the fold (order-independent exact
+    sum) — bit-for-bit identical to the Spark expression."""
+    sign = ("CASE WHEN (h.h * 1013904223 + (c.j - 1) * 2654435761)"
+            " % 4294967296 < 2147483648 THEN 1 ELSE -1 END")
+    return f"""comp AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+                 unnest(embedding) AS e
+          FROM embeddings),
+        bits AS (
+          SELECT c.vec_id, h.h,
+                 CASE WHEN SUM(CAST(floor(CAST(c.e AS DOUBLE) * 1e6 + 0.5)
+                                    AS BIGINT) * {sign}) >= 0
+                      THEN CAST(1 AS BIGINT) << h.h
+                      ELSE CAST(0 AS BIGINT) END AS bitval
+          FROM comp c CROSS JOIN range({nbits}) h(h)
+          GROUP BY c.vec_id, h.h),
+        sigs AS (
+          SELECT e.vec_id, e.embedding, CAST(SUM(b.bitval) AS BIGINT) AS sig
+          FROM embeddings e JOIN bits b USING (vec_id)
+          GROUP BY e.vec_id, e.embedding)"""
+
+
+def _embedding_dedup_oracle(threshold: float = 0.2, nbits: int = 12,
+                            bands: int = 2) -> str:
+    """Replay of the banded random-hyperplane near-dup pairs: same
+    signatures as the Spark side, band key = nbits/bands-bit slice,
+    candidates share any band, exact cosine on candidates."""
+    r = nbits // bands
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     return f"""
-        WITH k AS (
-          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        WITH {_lsh_sigs_cte(nbits)},
+        banded AS (
+          SELECT vec_id, f.b AS band,
+                 (sig >> CAST(f.b * {r} AS INT)) & {(1 << r) - 1} AS key
+          FROM sigs CROSS JOIN range({bands}) f(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key
+           AND a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
-          FROM k a JOIN k b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT c.id_a, c.id_b, {cos} AS cosine
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b)
         WHERE cosine >= {threshold}
     """
 
@@ -1903,25 +1941,8 @@ def _lsh_topk_oracle() -> str:
     same multiprobe bucket join + exact cosine top-k."""
     cos = _COS_SQL.format(a="s.embedding", b="p.qv")
     nbits = 6
-    sign = ("CASE WHEN (h.h * 1013904223 + (c.j - 1) * 2654435761)"
-            " % 4294967296 < 2147483648 THEN 1 ELSE -1 END")
     return f"""
-        WITH comp AS (
-          SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-                 unnest(embedding) AS e
-          FROM embeddings),
-        bits AS (
-          SELECT c.vec_id, h.h,
-                 CASE WHEN SUM(CAST(floor(CAST(c.e AS DOUBLE) * 1e6 + 0.5)
-                                    AS BIGINT) * {sign}) >= 0
-                      THEN CAST(1 AS BIGINT) << h.h
-                      ELSE CAST(0 AS BIGINT) END AS bitval
-          FROM comp c CROSS JOIN range({nbits}) h(h)
-          GROUP BY c.vec_id, h.h),
-        sigs AS (
-          SELECT e.vec_id, e.embedding, CAST(SUM(b.bitval) AS BIGINT) AS sig
-          FROM embeddings e JOIN bits b USING (vec_id)
-          GROUP BY e.vec_id, e.embedding),
+        WITH {_lsh_sigs_cte(nbits)},
         q AS (
           SELECT vec_id AS query_id, embedding AS qv, sig FROM sigs
           WHERE vec_id >= 8 AND vec_id < 11),

@@ -41,10 +41,11 @@ def hash_sample(df: DataFrame, fraction: float,
     fraction error at 1/buckets."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    # first 8 hex chars of md5 → uniform 32-bit int, mod buckets
+    # first 8 hex chars of md5 → uniform 32-bit int, mod buckets;
+    # round() not int(): 0.29 * 10000 float-truncates to 2899
     bucket = (F.conv(F.substring(_hash_key(F.col(id_col)), 1, 8), 16, 10)
               .cast("long") % buckets)
-    return df.filter(bucket < int(fraction * buckets))
+    return df.filter(bucket < int(round(fraction * buckets)))
 
 
 def mixture_sample(df: DataFrame, stratum_col: str,
@@ -67,6 +68,8 @@ def mixture_sample(df: DataFrame, stratum_col: str,
               .cast("long") % buckets)
     threshold = F.lit(0)
     for s, frac in weights.items():
+        # round() not int(): 0.29 * 10000 float-truncates to 2899
         threshold = F.when(F.col(stratum_col) == s,
-                           F.lit(int(frac * buckets))).otherwise(threshold)
+                           F.lit(int(round(frac * buckets)))) \
+            .otherwise(threshold)
     return df.filter(bucket < threshold)

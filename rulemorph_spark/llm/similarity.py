@@ -289,6 +289,9 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame,
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: np.linalg.norm would
+                # raise on the 1-D empty array before any guard below
             ids = pdf["__id__"].to_numpy(dtype=np.int64)
             emat = np.array(list(pdf["__vec__"]), dtype=np.float64)
             enorm = np.linalg.norm(emat, axis=1)

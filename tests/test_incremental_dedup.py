@@ -76,7 +76,9 @@ def test_incremental_with_out_path_is_durable_and_rerunnable(
     assert n > 0
     # survivors are durable parquet, independent of the session state
     assert spark.read.parquet(out).count() == n
-    # re-run overwrites the same out dir and admits nothing new
+    # re-run after a successful commit admits nothing new AND must NOT
+    # clobber the durable survivors (their fingerprints stay committed,
+    # so an overwrite would lose them permanently)
     rerun = dedup_incremental(b1, store, key, "doc_id", out_path=out)
     assert rerun.count() == 0
-    assert spark.read.parquet(out).count() == 0
+    assert spark.read.parquet(out).count() == n

@@ -77,3 +77,35 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
     # aggregation's inputs
     m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
     assert m and len(m.group(1).split(",")) <= 6
+
+
+def test_embedding_dedup_is_bucket_join_not_cross_product(spark):
+    """The banded-LSH near-dup pairs must candidate-join on
+    (band, band_bits) — never a cartesian/broadcast-nested-loop over
+    the corpus (the round-1 4-dim sign key degenerated toward that at
+    scale with its ≤16 buckets)."""
+    from rulemorph_spark.llm.dedup import dedup_embedding_cosine
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(dedup_embedding_cosine(e, "vec_id", "embedding",
+                                        threshold=0.5, nbits=12, bands=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join keys on the band slice
+    assert "__band__" in plan and "__key__" in plan
+
+
+def test_shingle_overlap_hot_shingle_capped(spark):
+    """A boilerplate shingle shared by every doc must not explode the
+    pair count: with max_df the hot shingle is dropped before the
+    self-join."""
+    from rulemorph_spark.llm.dedup import shingle_overlap_edges
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i} pad{i} "
+                f"extra{i} more{i} words{i} here{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = shingle_overlap_edges(df, n=8, min_shared=1, max_df=10)
+    # every doc shares ONLY the boilerplate 8-gram; dropping it leaves
+    # no overlapping shingles at all
+    assert capped.count() == 0
+    uncapped = shingle_overlap_edges(df, n=8, min_shared=1, max_df=None)
+    assert uncapped.count() == 50 * 49 // 2
