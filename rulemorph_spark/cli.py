@@ -165,9 +165,11 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
+def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
+                     ui_html: str | None = None):
     """stdlib HTTP front end over ``EndpointEngine`` — the reference's
-    axum server surface (``rulemorph_server``) without the browser UI.
+    axum server surface (``rulemorph_server``); with ``ui_html`` the
+    ``/ui`` path serves the browser page (``ui`` command).
     Returns an unstarted ``ThreadingHTTPServer`` (call serve_forever)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qsl, urlsplit
@@ -175,6 +177,15 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
     class Handler(BaseHTTPRequestHandler):
         def _run(self, method: str):
             parts = urlsplit(self.path)
+            if ui_html is not None and method == "GET" \
+                    and parts.path.rstrip("/") in ("", "/ui"):
+                data = ui_html.encode("utf-8")
+                self.send_response(200)
+                self.send_header("content-type", "text/html; charset=utf-8")
+                self.send_header("content-length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             query = parse_qsl(parts.query, keep_blank_values=True)
             length = int(self.headers.get("content-length") or 0)
             body = (self.rfile.read(length).decode("utf-8")
@@ -213,6 +224,75 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
             pass
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+def cmd_validate_rules_dir(args) -> int:
+    """Validate endpoint.yaml + every referenced rule in a rules dir
+    with per-file error aggregation (reference:
+    ``rulemorph_cli/src/main.rs:157`` → ``validate_rules_dir``,
+    ``endpoint_engine.rs:151``)."""
+    from .service.rules_dir import validate_rules_dir
+    errors = validate_rules_dir(args.rules_dir)
+    if not errors:
+        return 0
+    if args.error_format == "json":
+        print(json.dumps([e.to_json() for e in errors]), file=sys.stderr)
+    else:
+        for e in errors:
+            print(e.render_text(), file=sys.stderr)
+    return 2
+
+
+def cmd_ui(args) -> int:
+    """Serve the endpoint engine plus a minimal browser UI (reference:
+    ``rulemorph_cli/src/main.rs:162`` → ``run_ui``; the reference ships
+    a bundled SPA — here the UI is a single status/explorer page over
+    the same engine API)."""
+    from .engine import get_spark
+    from .errors import RuleError
+    from .service.endpoint import EndpointEngine
+    endpoint_file = os.path.join(args.rules_dir, "endpoint.yaml")
+    from .service.rules_dir import validate_rules_dir
+    errors = validate_rules_dir(args.rules_dir)
+    if errors:
+        for e in errors:
+            print(e.render_text(), file=sys.stderr)
+        return 2
+    try:
+        spark = get_spark("rulemorph-ui")
+        engine = EndpointEngine(spark, endpoint_file,
+                                trace_dir=args.trace_dir)
+    except OSError as e:
+        print(f"failed to load endpoint rules: {e}", file=sys.stderr)
+        return 1
+    except RuleError as e:
+        _emit_validation_errors([e], "text")
+        return 2
+    ui_html = _ui_index_html(engine)
+    httpd = make_http_server(engine, args.host, args.port,
+                             ui_html=ui_html)
+    print(f"ui on http://{args.host}:{httpd.server_address[1]}/ui",
+          file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def _ui_index_html(engine) -> str:
+    rows = "".join(
+        f"<tr><td>{e.method}</td><td><code>{e.path}</code></td>"
+        f"<td>{len(e.steps)} step(s)</td></tr>"
+        for e in engine.endpoints)
+    return (
+        "<!doctype html><html><head><title>rulemorph</title>"
+        "<style>body{font-family:sans-serif;margin:2rem}"
+        "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
+        "padding:.3rem .6rem}</style></head><body>"
+        "<h1>rulemorph endpoints</h1>"
+        f"<table><tr><th>method</th><th>path</th><th>steps</th></tr>{rows}"
+        "</table></body></html>")
 
 
 def cmd_serve(args) -> int:
@@ -286,6 +366,20 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--port", type=int, default=8080)
     p.add_argument("--trace-dir")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("validate-rules-dir")
+    p.add_argument("rules_dir", help="directory containing endpoint.yaml")
+    p.add_argument("-e", "--error-format", default="text",
+                   choices=["text", "json"])
+    p.set_defaults(fn=cmd_validate_rules_dir)
+
+    p = sub.add_parser("ui")
+    p.add_argument("-d", "--rules-dir", required=True,
+                   help="directory containing endpoint.yaml")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("-p", "--port", type=int, default=8080)
+    p.add_argument("--trace-dir")
+    p.set_defaults(fn=cmd_ui)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -75,6 +75,41 @@ def rerr(kind: str, message: str, path: str | None = None,
     return V.raise_err(kind, message, path, code)
 
 
+class V1OpPath(str):
+    """Error path for a v1 ``{op, args}`` standalone step.
+
+    Renders as the pipe-step path (``...expr[0]``) wherever a plain
+    string is expected, but exposes the reference's arg-level
+    attribution (``transform.rs`` reports v1 op errors at
+    ``...expr.args[i]``, e.g. ``transform_golden.rs`` fixtures r02-r08)
+    via :meth:`arg`.  Ops route operand/argument errors through
+    :func:`arg_path`, which is the identity for v2 step paths.
+    """
+
+    base: str
+
+    def __new__(cls, step_path: str, base: str):
+        s = str.__new__(cls, step_path)
+        s.base = base
+        return s
+
+    def arg(self, i: int) -> str:
+        return f"{self.base}.args[{i}]"
+
+
+def arg_path(path, i: int) -> str:
+    """Reference-exact path for the op argument at original index
+    ``i`` — arg-level for v1 standalone ops, the step path otherwise."""
+    return path.arg(i) if isinstance(path, V1OpPath) else path
+
+
+def rerr_dyn(kind: str, message: str, path_col: Column) -> Column:
+    """``rerr`` with a data-dependent path Column (entry indexes)."""
+    if lenient_on():
+        return F.lit(None)
+    return V.raise_err_dyn(kind, message, path_col)
+
+
 @dataclass
 class Scope:
     """Compile-time name environment: every slot is a variant Column."""
@@ -190,6 +225,10 @@ def compile_pipe(pipe: Pipe, scope: Scope, path: str = "expr") -> Column:
     scope = scope.child()
     for i, step in enumerate(pipe.steps):
         step_path = f"{path}[{i}]"
+        if isinstance(step, OpStep) and step.origin_first_arg is not None:
+            # v1 {op, args} standalone: errors attribute to expr.args[i]
+            # like the reference (the base path has no step suffix)
+            step_path = V1OpPath(step_path, path)
         cur, scope = compile_step(step, cur, scope, step_path)
     return cur
 

@@ -24,7 +24,7 @@ from ..errors import RuleError, encode_engine_error
 from ..expr_ir import Pipe, StartLiteral
 from ..paths import Index, Key, parse_path
 from . import variant as V
-from .core import compile_pipe, register, rerr
+from .core import arg_path, compile_pipe, register, rerr, rerr_dyn
 from .ops_scalar import _operands, seq_strict
 
 _MISSING_SENTINEL = "\x00missing\x00"
@@ -38,14 +38,15 @@ def _obj_or_error(o: Column, path: str) -> Column:
 @register("merge")
 def op_merge(scope, cur, args, path):
     """Shallow merge, rightmost wins; missing args skipped; all-missing →
-    missing (``transform.rs:4360-4417``)."""
+    missing (``transform.rs:4360-4417``).  Errors attribute to the
+    offending arg's index (reference fixtures r03/r04)."""
     ops = _operands(scope, cur, args, path)
     checked = [
         F.when(o.isNull(), F.lit(None).cast(V.MAP_T))
         .when(V.is_vnull(o), rerr("expr_error", "expr arg must not be null",
-                                  path).cast(V.MAP_T))
-        .otherwise(_obj_or_error(o, path))
-        for o in ops
+                                  arg_path(path, j)).cast(V.MAP_T))
+        .otherwise(_obj_or_error(o, arg_path(path, j)))
+        for j, o in enumerate(ops)
     ]
     merged = checked[0]
     for m in checked[1:]:
@@ -82,7 +83,7 @@ def _py_err(kind, message, path):
     return RuntimeError(encode_engine_error(kind, message, path))
 
 
-def _make_deep_merge(path):
+def _make_deep_merge(arg_paths):
     def deep_merge(payload):
         objs = payload  # list of objects (nulls pre-checked)
         def merge(target, incoming):
@@ -93,13 +94,15 @@ def _make_deep_merge(path):
                     target[k] = v
         result = {}
         first = True
-        for o in objs:
+        for j, o in enumerate(objs):
             if o == _MISSING_SENTINEL:
                 continue
             if o is None:
-                raise _py_err("expr_error", "expr arg must not be null", path)
+                raise _py_err("expr_error", "expr arg must not be null",
+                              arg_paths[j])
             if not isinstance(o, dict):
-                raise _py_err("expr_error", "expr arg must be object", path)
+                raise _py_err("expr_error", "expr arg must be object",
+                              arg_paths[j])
             if first:
                 result = _json.loads(_json.dumps(o))
                 first = False
@@ -120,15 +123,17 @@ def op_deep_merge(scope, cur, args, path):
         F.coalesce(F.to_json(o), F.lit(_json.dumps(_MISSING_SENTINEL)))
         for o in ops
     ]).cast("array<string>"))
-    # array of JSON texts; decode inside the UDF
-    udf = _json_udf("deep_merge", _make_deep_merge_outer(path))
+    # array of JSON texts; decode inside the UDF (paths precomputed to
+    # plain strings so the closure never pickles a V1OpPath)
+    arg_paths = [str(arg_path(path, j)) for j in range(len(ops))]
+    udf = _json_udf("deep_merge", _make_deep_merge_outer(arg_paths))
     result = udf(packed)
     return F.when(result.isNull(), F.lit(None).cast(V.VT)).otherwise(
         F.parse_json(result))
 
 
-def _make_deep_merge_outer(path):
-    inner = _make_deep_merge(path)
+def _make_deep_merge_outer(arg_paths):
+    inner = _make_deep_merge(arg_paths)
     def outer(texts):
         objs = [_json.loads(t) for t in texts]
         return inner(objs)
@@ -169,34 +174,39 @@ def _literal_or_none(arg: Pipe):
 
 def _paths_from_args(args, path, *, allow_terminal_index: bool):
     """pick/omit paths must be compile-time literals here
-    (``transform.rs:4964-5040``); dedup + conflict checks apply."""
-    raw_paths: list[str] = []
-    for a in args:
+    (``transform.rs:4964-5040``); dedup + conflict checks apply.  Path
+    args start at original arg index 1 (index 0 is the object), and
+    errors attribute to the offending arg (fixture r02)."""
+    raw_paths: list[tuple[str, int]] = []
+    for j, a in enumerate(args, start=1):
         lit = _literal_or_none(a)
         if lit is None:
             raise RuleError("expr_error",
                             "pick/omit paths must be literals for the Spark "
-                            "compiler", path)
+                            "compiler", arg_path(path, j))
         if isinstance(lit, str):
-            raw_paths.append(lit)
+            raw_paths.append((lit, j))
         elif isinstance(lit, list) and all(isinstance(x, str) for x in lit):
-            raw_paths.extend(lit)
+            raw_paths.extend((x, j) for x in lit)
         else:
             raise RuleError("expr_error",
-                            "paths must be a string or array of strings", path)
+                            "paths must be a string or array of strings",
+                            arg_path(path, j))
     token_paths = []
-    for p in raw_paths:
+    for p, j in raw_paths:
         tokens = parse_path(p, error_code="expr_error")
         if not allow_terminal_index and tokens and isinstance(tokens[-1], Index):
             raise RuleError("expr_error",
-                            "path must not end with array index", path)
+                            "path must not end with array index",
+                            arg_path(path, j))
         if tokens in token_paths:
             continue
         for existing in token_paths:
             shorter, longer = sorted((existing, tokens), key=len)
             if longer[:len(shorter)] == shorter:
                 raise RuleError("expr_error",
-                                "path conflicts with another path", path)
+                                "path conflicts with another path",
+                                arg_path(path, j))
         token_paths.append(tokens)
     return token_paths
 
@@ -262,12 +272,13 @@ def op_pick(scope, cur, args, path):
     base = ops[0]
     token_paths = _paths_from_args(args, path, allow_terminal_index=True)
     picked = _pick_tree(base, token_paths, path)
+    p0 = arg_path(path, 0)
     return (
         F.when(base.isNull(), F.lit(None).cast(V.VT))
         .when(V.is_vnull(base),
-              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+              rerr("expr_error", "expr arg must not be null", p0).cast(V.VT))
         .when(~V.is_object(base),
-              rerr("expr_error", "expr arg must be object", path).cast(V.VT))
+              rerr("expr_error", "expr arg must be object", p0).cast(V.VT))
         .otherwise(picked)
     )
 
@@ -310,51 +321,54 @@ def op_omit(scope, cur, args, path):
                    if all(isinstance(tok, Key) for tok in t)]
     omitted = V.map_to_variant(_omit_tree(base.try_cast(V.MAP_T),
                                           token_paths, path))
+    p0 = arg_path(path, 0)
     return (
         F.when(base.isNull(), F.lit(None).cast(V.VT))
         .when(V.is_vnull(base),
-              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+              rerr("expr_error", "expr arg must not be null", p0).cast(V.VT))
         .when(~V.is_object(base),
-              rerr("expr_error", "expr arg must be object", path).cast(V.VT))
+              rerr("expr_error", "expr arg must be object", p0).cast(V.VT))
         .otherwise(omitted)
     )
 
 
-def _py_parse_paths(values, path, *, allow_terminal_index: bool):
-    """``eval_json_paths_arg`` (``transform.rs:4964-5040``) in Python."""
+def _py_parse_paths(values, err_paths, *, allow_terminal_index: bool):
+    """``eval_json_paths_arg`` (``transform.rs:4964-5040``) in Python.
+    ``err_paths[j]`` is the error path for ``values[j]`` (arg-level
+    attribution for v1 ops, fixture r02)."""
     from ..paths import Index as PIndex
     from ..paths import parse_path as pp
-    raw: list[str] = []
-    for v in values:
+    raw: list[tuple[str, str]] = []
+    for v, ep in zip(values, err_paths):
         if isinstance(v, str):
-            raw.append(v)
+            raw.append((v, ep))
         elif isinstance(v, list):
             for item in v:
                 if not isinstance(item, str):
                     raise _py_err("expr_error",
                                   "paths must be a string or array of "
-                                  "strings", path)
-                raw.append(item)
+                                  "strings", ep)
+                raw.append((item, ep))
         else:
             raise _py_err("expr_error",
-                          "paths must be a string or array of strings", path)
+                          "paths must be a string or array of strings", ep)
     token_paths = []
-    for p in raw:
+    for p, ep in raw:
         try:
             tokens = pp(p, error_code="expr_error")
         except RuleError as e:
-            raise _py_err("expr_error", str(e), path)
+            raise _py_err("expr_error", str(e), ep)
         if not allow_terminal_index and tokens and \
                 isinstance(tokens[-1], PIndex):
             raise _py_err("expr_error",
-                          "path must not end with array index", path)
+                          "path must not end with array index", ep)
         if tokens in token_paths:
             continue
         for existing in token_paths:
             shorter, longer = sorted((existing, tokens), key=len)
             if longer[:len(shorter)] == shorter:
                 raise _py_err("expr_error",
-                              "path conflicts with another path", path)
+                              "path conflicts with another path", ep)
         token_paths.append(tokens)
     return token_paths
 
@@ -423,30 +437,35 @@ def _pick_omit_udf(scope, cur, args, path, *, pick: bool):
     """Dynamic pick/omit (paths from data, e.g. @context.paths) —
     pandas-UDF slow path mirroring ``transform.rs:4476-4593``."""
     ops = _operands(scope, cur, args, path)
+    # plain strings precomputed so the closure never pickles a V1OpPath
+    arg_paths = [str(arg_path(path, j)) for j in range(len(ops))]
 
     def run(parts):
         base = parts[0]
         if base == _MISSING_SENTINEL:
             return None
         if base is None:
-            raise _py_err("expr_error", "expr arg must not be null", path)
+            raise _py_err("expr_error", "expr arg must not be null",
+                          arg_paths[0])
         if not isinstance(base, dict):
-            raise _py_err("expr_error", "expr arg must be object", path)
+            raise _py_err("expr_error", "expr arg must be object",
+                          arg_paths[0])
         raw_paths = []
-        for p in parts[1:]:
+        for j, p in enumerate(parts[1:], start=1):
             if p == _MISSING_SENTINEL:
                 return None
             if p is None:
-                raise _py_err("expr_error", "expr arg must not be null", path)
+                raise _py_err("expr_error", "expr arg must not be null",
+                              arg_paths[j])
             raw_paths.append(p)
-        token_paths = _py_parse_paths(raw_paths, path,
+        token_paths = _py_parse_paths(raw_paths, arg_paths[1:],
                                       allow_terminal_index=pick)
         if pick:
             out = {}
             for tokens in token_paths:
                 found, v = _py_get_path(base, tokens)
                 if found:
-                    _py_set_path_with_indexes(out, tokens, v, path)
+                    _py_set_path_with_indexes(out, tokens, v, arg_paths[0])
             return _json.dumps(out)
         for tokens in token_paths:
             _py_remove_path(base, tokens)
@@ -469,7 +488,7 @@ def _pick_omit_udf(scope, cur, args, path, *, pick: bool):
 def _obj_unary(scope, cur, args, path, fn):
     ops = _operands(scope, cur, args, path)
     o = ops[0]
-    m = _obj_or_error(o, path)
+    m = _obj_or_error(o, arg_path(path, 0))
     return seq_strict(ops, path, fn(m))
 
 
@@ -530,7 +549,14 @@ def op_from_entries(scope, cur, args, path):
             ops[1].isNull(), F.lit(None).cast(V.VT)).otherwise(single))
 
     items = V.as_array(first)
-    def entry_pair(item):
+    base0 = str(arg_path(path, 0))
+
+    def entry_pair(item, idx):
+        # per-entry error attribution: the reference reports the
+        # offending entry's index inside the array arg — e.g.
+        # ``...expr.args[0][0]`` (transform_golden.rs fixture r08)
+        epath = F.concat(F.lit(base0 + "["), idx.cast("string"),
+                         F.lit("]"))
         pair = V.as_array(item)
         obj = V.as_map(item)
         pair_ok = pair.isNotNull() & (F.size(pair) == 2)
@@ -540,21 +566,25 @@ def op_from_entries(scope, cur, args, path):
         obj_val = F.try_element_at(obj, F.lit("value"))
         key_from_obj = F.when(
             obj_key.isNull() | V.is_vnull(obj_key),
-            rerr("expr_error", "entry must contain key", path).cast("string")
+            rerr_dyn("expr_error", "entry must contain key",
+                     epath).cast("string")
         ).otherwise(V.to_string_strict(obj_key, path))
         return F.struct(
             F.when(pair.isNotNull() & pair_ok, key_from_pair)
-            .when(pair.isNotNull(), rerr("expr_error",
-                                         "entries must have exactly two items",
-                                         path).cast("string"))
+            .when(pair.isNotNull(),
+                  rerr_dyn("expr_error",
+                           "entries must have exactly two items",
+                           epath).cast("string"))
             .when(obj.isNotNull(), key_from_obj)
-            .otherwise(rerr("expr_error", "entries must be arrays or objects",
-                            path).cast("string")).alias("key"),
+            .otherwise(rerr_dyn("expr_error",
+                                "entries must be arrays or objects",
+                                epath).cast("string")).alias("key"),
             F.when(pair.isNotNull(),
                    F.coalesce(F.try_element_at(pair, F.lit(2)), V.vnull()))
             .otherwise(F.when(obj_val.isNull(),
-                              rerr("expr_error", "entry must contain value",
-                                   path).cast(V.VT))
+                              rerr_dyn("expr_error",
+                                       "entry must contain value",
+                                       epath).cast(V.VT))
                        .otherwise(obj_val)).alias("value"),
         )
     built = V.map_to_variant(
@@ -639,7 +669,9 @@ def _make_object_unflatten(path):
 def _obj_unary_udf(scope, cur, args, path, make_fn):
     ops = _operands(scope, cur, args, path)
     o = ops[0]
-    udf = _json_udf("obj_op", make_fn(path))
+    # operand-attributed plain-string path (v1: ...expr.args[0]); the
+    # closure must never pickle a V1OpPath
+    udf = _json_udf("obj_op", make_fn(str(arg_path(path, 0))))
     result = F.parse_json(udf(F.to_json(o)))
     return seq_strict(ops, path, result)
 

@@ -45,6 +45,16 @@ def raise_err(kind: str, message: str, path: str | None = None,
     return F.raise_error(F.lit(encode_engine_error(kind, message, path, code)))
 
 
+def raise_err_dyn(kind: str, message: str, path_col: Column,
+                  code: str | None = None) -> Column:
+    """``raise_err`` with a data-dependent path Column (e.g. the
+    offending entry index spliced into ``...args[0][i]``)."""
+    from ..errors import encode_engine_error_parts
+    prefix, suffix = encode_engine_error_parts(kind, message, code)
+    return F.raise_error(F.concat(F.lit(prefix), path_col,
+                                  F.lit(suffix)))
+
+
 def typeof(v: Column) -> Column:
     """Per-row variant type tag (``schema_of_variant``): ``BIGINT``,
     ``DECIMAL(p,s)``, ``DOUBLE``, ``STRING``, ``BOOLEAN``, ``VOID``,

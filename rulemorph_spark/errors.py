@@ -80,6 +80,20 @@ def encode_engine_error(kind: str, message: str, path: str | None = None,
     return _MARKER + json.dumps(payload)
 
 
+def encode_engine_error_parts(kind: str, message: str,
+                              code: str | None = None) -> tuple[str, str]:
+    """(prefix, suffix) around a DYNAMIC path, for errors whose path
+    carries a data-dependent index (e.g. ``...args[0][3]`` pointing at
+    the offending array entry, ``transform.rs`` from_entries) —
+    ``F.concat(lit(prefix), path_col, lit(suffix))`` yields the same
+    payload ``encode_engine_error`` would produce."""
+    payload = {"kind": normalize_kind(kind), "message": message}
+    if code is not None:
+        payload["code"] = code
+    base = json.dumps(payload)
+    return _MARKER + base[:-1] + ', "path": "', '"}'
+
+
 def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
     """Recover a TransformEngineError from a Spark exception message."""
     text = str(exc)

@@ -1,0 +1,251 @@
+"""Rules-directory validation: ``endpoint.yaml`` plus every transform /
+network rule it references, with per-file error aggregation.
+
+Reference semantics: ``rulemorph_endpoint/src/endpoint_engine.rs:151-243``
+(``validate_rules_dir``) and ``:1818-1960`` (``validate_rule_path`` /
+``validate_normal_rule`` / ``validate_network_rule``).  Error rows carry
+``{code, file, path, line, column, message}`` and the CLI renders them as
+``E <code> file=<file> [path=..] [line=..] [col=..] msg=".."`` (text) or a
+JSON array (``-e json``) — ``rulemorph_cli/src/main.rs:556-570``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import yaml
+
+from ..errors import RuleError
+
+
+@dataclass
+class RulesDirError:
+    code: str
+    file: str
+    message: str
+    path: str | None = None
+    line: int | None = None
+    column: int | None = None
+
+    def to_json(self) -> dict:
+        out = {"code": self.code, "file": self.file,
+               "message": self.message}
+        if self.path is not None:
+            out["path"] = self.path
+        if self.line is not None:
+            out["line"] = self.line
+        if self.column is not None:
+            out["column"] = self.column
+        return out
+
+    def render_text(self) -> str:
+        parts = [f"E {self.code}", f"file={self.file}"]
+        if self.path is not None:
+            parts.append(f"path={self.path}")
+        if self.line is not None:
+            parts.append(f"line={self.line}")
+        if self.column is not None:
+            parts.append(f"col={self.column}")
+        parts.append(f'msg="{self.message}"')
+        return " ".join(parts)
+
+
+@dataclass
+class _Usage:
+    step: bool = False
+    catch_rule: bool = False
+    body_rule: bool = False
+    branch_rule: bool = False
+
+    def merge(self, other: "_Usage") -> None:
+        self.step = self.step or other.step
+        self.catch_rule = self.catch_rule or other.catch_rule
+        self.body_rule = self.body_rule or other.body_rule
+        self.branch_rule = self.branch_rule or other.branch_rule
+
+
+def _push(errors, code, file, message, path=None, location=None):
+    line, column = location if location else (None, None)
+    errors.append(RulesDirError(code=code, file=file, message=message,
+                                path=path, line=line, column=column))
+
+
+def _read_source(path: str, errors) -> str | None:
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    except OSError as e:
+        _push(errors, "ReadFailed", path, str(e))
+        return None
+
+
+def _yaml_location(err) -> tuple[int, int] | None:
+    mark = getattr(err, "problem_mark", None)
+    if mark is None:
+        return None
+    return (mark.line + 1, mark.column + 1)
+
+
+def _parse_yaml(path: str, source: str, errors):
+    try:
+        return yaml.safe_load(source)
+    except yaml.YAMLError as e:
+        _push(errors, "YamlParseFailed", path, str(e),
+              location=_yaml_location(e))
+        return None
+
+
+def _rule_type(doc) -> str:
+    if isinstance(doc, dict):
+        t = doc.get("type")
+        if isinstance(t, str):
+            return t
+    return "normal"
+
+
+def _resolve(base_dir: str, rel: str) -> str:
+    return rel if os.path.isabs(rel) else os.path.normpath(
+        os.path.join(base_dir, rel))
+
+
+def validate_rules_dir(rules_dir: str) -> list[RulesDirError]:
+    """Validate ``rules_dir/endpoint.yaml`` and every rule it references
+    (transitively through network ``body_rule`` and transform
+    ``steps[].branch``); returns the aggregated error list (empty =
+    valid)."""
+    errors: list[RulesDirError] = []
+    endpoint_path = os.path.join(rules_dir, "endpoint.yaml")
+    source = _read_source(endpoint_path, errors)
+    if source is None:
+        return errors
+    doc = _parse_yaml(endpoint_path, source, errors)
+    if doc is None or not isinstance(doc, dict):
+        if doc is not None:
+            _push(errors, "YamlParseFailed", endpoint_path,
+                  "endpoint rule must be a mapping")
+        return errors
+
+    if doc.get("version") != 2:
+        _push(errors, "InvalidVersion", endpoint_path,
+              "endpoint rule version must be 2", path="version")
+    if doc.get("type") != "endpoint":
+        _push(errors, "InvalidRuleType", endpoint_path,
+              "endpoint rule type must be endpoint", path="type")
+    try:
+        from .endpoint import EndpointEngine
+        EndpointEngine(None, endpoint_path)
+    except Exception as e:  # mirror EndpointCompileFailed aggregation
+        _push(errors, "EndpointCompileFailed", endpoint_path, str(e))
+
+    base_dir = os.path.dirname(os.path.abspath(endpoint_path))
+    usage: dict[str, _Usage] = {}
+
+    def note(rel: str, u: _Usage) -> None:
+        resolved = _resolve(base_dir, rel)
+        usage.setdefault(resolved, _Usage()).merge(u)
+
+    for endpoint in doc.get("endpoints") or []:
+        if not isinstance(endpoint, dict):
+            continue
+        for step in endpoint.get("steps") or []:
+            if not isinstance(step, dict):
+                continue
+            if isinstance(step.get("rule"), str):
+                note(step["rule"], _Usage(step=True))
+            catch = step.get("catch")
+            if isinstance(catch, dict):
+                for target in catch.values():
+                    if isinstance(target, str):
+                        note(target, _Usage(catch_rule=True))
+        catch = endpoint.get("catch")
+        if isinstance(catch, dict):
+            for target in catch.values():
+                if isinstance(target, str):
+                    note(target, _Usage(catch_rule=True))
+
+    validated: set[str] = set()
+    for path in sorted(usage):
+        _validate_rule_path(path, usage[path], validated, errors)
+    return errors
+
+
+def _validate_rule_path(path: str, usage: _Usage, validated: set[str],
+                        errors) -> None:
+    source = _read_source(path, errors)
+    if source is None:
+        return
+    doc = _parse_yaml(path, source, errors)
+    if doc is None:
+        return
+    rule_type = _rule_type(doc)
+
+    if usage.step and rule_type == "endpoint":
+        _push(errors, "EndpointRuleNotAllowed", path,
+              "endpoint rule not allowed as step", path="type")
+    if usage.body_rule and rule_type != "normal":
+        _push(errors, "BodyRuleInvalid", path,
+              "body_rule must be normal", path="type")
+    if usage.catch_rule and rule_type != "normal":
+        _push(errors, "CatchRuleInvalid", path,
+              "catch rule must be normal", path="type")
+    if usage.branch_rule and rule_type != "normal":
+        _push(errors, "BranchRuleInvalid", path,
+              "branch rule must be normal", path="type")
+
+    if path in validated:
+        return
+    validated.add(path)
+
+    if rule_type == "network":
+        _validate_network_rule(doc, path, validated, errors)
+    elif rule_type == "endpoint":
+        pass
+    else:
+        _validate_normal_rule(doc, source, path, validated, errors)
+
+
+def _validate_normal_rule(doc, source: str, path: str, validated: set[str],
+                          errors) -> None:
+    from ..model import parse_rule_dict
+    from ..validator import validate_rule_source
+    if isinstance(doc, dict):
+        doc = dict(doc)
+        doc.pop("type", None)
+    try:
+        rule = parse_rule_dict(doc)
+    except RuleError as e:
+        _push(errors, e.code, path, str(e.message),
+              path=getattr(e, "path", None))
+        return
+    for err in validate_rule_source(rule, source):
+        _push(errors, err.code, path, err.message,
+              path=getattr(err, "path", None),
+              location=((err.line, err.column)
+                        if getattr(err, "line", None) is not None
+                        else None))
+    base_dir = os.path.dirname(path)
+    for step in rule.steps or []:
+        branch = getattr(step, "branch", None)
+        if branch is None:
+            continue
+        for target in (branch.then, branch.else_):
+            if isinstance(target, str) and target.strip():
+                _validate_rule_path(_resolve(base_dir, target),
+                                    _Usage(branch_rule=True), validated,
+                                    errors)
+
+
+def _validate_network_rule(doc, path: str, validated: set[str],
+                           errors) -> None:
+    from .endpoint import EndpointEngine
+    try:
+        rule = EndpointEngine._parse_network(None, doc,
+                                             os.path.dirname(path))
+    except RuleError as e:
+        _push(errors, e.code, path, str(e.message),
+              path=getattr(e, "path", None))
+        return
+    if rule.body_rule:
+        _validate_rule_path(_resolve(os.path.dirname(path), rule.body_rule),
+                            _Usage(body_rule=True), validated, errors)

@@ -103,3 +103,10 @@ def test_golden_error(spark, fixture):
     assert kind == expected.get("kind"), (
         f"{fixture}: expected kind {expected.get('kind')!r}, got {kind!r} "
         f"({err})")
+    # the reference's golden runner asserts {kind, path} together
+    # (transform_golden.rs: ExpectedTransformError) — so do we
+    if "path" in expected:
+        path = getattr(err, "path", None)
+        assert path == expected["path"], (
+            f"{fixture}: expected path {expected['path']!r}, got {path!r} "
+            f"({err})")

@@ -281,3 +281,100 @@ def test_mcp_prompts_surface():
     bad = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "prompts/get",
                       "params": {"name": "nope"}})
     assert bad["result"]["isError"]
+
+
+# ---------------------------------------------------------------------
+# rules-dir validation (endpoint_engine.rs:151 validate_rules_dir model)
+# ---------------------------------------------------------------------
+
+def test_validate_rules_dir_ok(engine_dir):
+    from rulemorph_spark.service.rules_dir import validate_rules_dir
+    assert validate_rules_dir(engine_dir) == []
+
+
+def test_validate_rules_dir_mixed_validity(tmp_path):
+    """per-file aggregation over a dir with several broken rules: a
+    missing step rule, an invalid transform rule, a network rule used
+    as catch target, and a bad YAML file."""
+    from rulemorph_spark.service.rules_dir import validate_rules_dir
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 1
+type: endpoint
+endpoints:
+  - method: GET
+    path: /x
+    steps:
+      - rule: missing.yaml
+      - rule: bad_rule.yaml
+      - rule: broken.yaml
+    catch:
+      default: net.yaml
+""")
+    (tmp_path / "bad_rule.yaml").write_text("""
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.x", {definitely_not_an_op: []}]
+""")
+    (tmp_path / "broken.yaml").write_text("a: [unclosed\n")
+    (tmp_path / "net.yaml").write_text("""
+version: 2
+type: network
+request: {method: GET, url: "lit:http://x"}
+""")
+    errors = validate_rules_dir(str(tmp_path))
+    codes = {(e.code, os.path.basename(e.file)) for e in errors}
+    assert ("InvalidVersion", "endpoint.yaml") in codes
+    assert ("ReadFailed", "missing.yaml") in codes
+    assert ("YamlParseFailed", "broken.yaml") in codes
+    assert ("CatchRuleInvalid", "net.yaml") in codes
+    assert any(c[1] == "bad_rule.yaml" for c in codes)  # unknown op
+
+
+def test_cli_validate_rules_dir(engine_dir, tmp_path):
+    import subprocess, sys
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli",
+         "validate-rules-dir", engine_dir], capture_output=True,
+        text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    (tmp_path / "endpoint.yaml").write_text("version: 2\ntype: endpoint\n"
+                                            "endpoints:\n  - method: GET\n"
+                                            "    path: /x\n    steps:\n"
+                                            "      - rule: nope.yaml\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli",
+         "validate-rules-dir", str(tmp_path), "-e", "json"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 2
+    payload = json.loads(r.stderr.strip())
+    assert any(e["code"] == "ReadFailed" for e in payload)
+
+
+def test_ui_page_served():
+    """the ui command's /ui page renders the endpoint table without
+    touching the engine request path."""
+    import threading
+    import urllib.request
+    from rulemorph_spark.cli import _ui_index_html, make_http_server
+
+    class _E:
+        class _Ep:
+            method, path, steps = "GET", "/users/{id}", [1, 2]
+        endpoints = [_Ep()]
+
+        def handle_request(self, *a):  # pragma: no cover
+            return 200, {}, {}
+
+    eng = _E()
+    httpd = make_http_server(eng, port=0, ui_html=_ui_index_html(eng))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/ui").read().decode()
+        assert "/users/{id}" in html and "2 step(s)" in html
+    finally:
+        httpd.shutdown()
