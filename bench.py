@@ -106,6 +106,15 @@ def main():
         "queries": timings,
         "cold_total": round(cold_total, 3),
         "sf": sf,
+        # the reference binary is unbuildable offline (BASELINE.md
+        # "Anchor status"): the declared anchor is workload parity —
+        # rule_engine_lookup / rule_engine_typed* reproduce the
+        # reference's own perf harness shapes through this engine
+        "baseline_anchor": "workload-parity: perf_lookup_transform "
+                           "(performance.rs:6-60) as rule_engine_lookup; "
+                           "transform_simple (transform_bench.rs:86-96) "
+                           "as rule_engine_typed; reference binary "
+                           "unbuildable offline — see BASELINE.md",
     }))
 
 
