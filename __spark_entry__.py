@@ -109,7 +109,9 @@ def q_lookup(spark, sf_dir):
             .groupBy("o_orderkey")
             .agg(F.to_json(F.sort_array(F.collect_list("l_partkey")))
                  .alias("partkeys_json")))
-    return first.join(allm, "o_orderkey", "left")
+    # allm is 1% of orders — broadcast it so the 100%-of-orders side
+    # never shuffles for the final stitch
+    return first.join(F.broadcast(allm), "o_orderkey", "left")
 
 
 def q_sort_limit_offset(spark, sf_dir):

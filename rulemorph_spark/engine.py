@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from .compiler import variant as V
@@ -271,25 +271,42 @@ def _apply_wrap(records: list, wrap, rule: RuleFile, spark: SparkSession,
     arr_json = json.dumps(records)
     df = spark.range(1).select(F.parse_json(F.lit(arr_json)).alias("__arr__"))
 
-    def eval_leaf(raw, path):
+    # compile every leaf, run ONE select/collect for the whole template
+    # (a per-leaf collect would launch one Spark job per leaf)
+    leaves: list[tuple[str, Column]] = []
+
+    def compile_leaf(raw, path) -> int:
         pipe = parse_expr(raw)
         with rule_version(rule.version):
             scope = Scope(input=F.col("__arr__"), out=F.col("__arr__"),
                           context=(V.lit_variant(context)
                                    if context is not None else None))
             col = compile_pipe(pipe, scope, path)
-        row = df.select(F.to_json(col).alias("j")).collect()[0]
-        return json.loads(row["j"]) if row["j"] is not None else None
+        leaves.append((path, F.to_json(col).alias(f"__w{len(leaves)}__")))
+        return len(leaves) - 1
 
     def walk(node, path):
         if isinstance(node, dict):
             return {k: walk(v, f"{path}.{k}") for k, v in node.items()}
-        return eval_leaf(node, path)
+        return compile_leaf(node, path)
 
     try:
-        return walk(wrap, "finalize.wrap")
+        skeleton = walk(wrap, "finalize.wrap")
+        values = []
+        if leaves:
+            row = df.select(*[c for _, c in leaves]).collect()[0]
+            values = [json.loads(row[f"__w{i}__"])
+                      if row[f"__w{i}__"] is not None else None
+                      for i in range(len(leaves))]
     except RuleError as e:
         raise TransformEngineError("ExprError", str(e), "finalize.wrap")
+
+    def fill(node):
+        if isinstance(node, dict):
+            return {k: fill(v) for k, v in node.items()}
+        return values[node]
+
+    return fill(skeleton)
 
 
 # --- main entry ---------------------------------------------------------
