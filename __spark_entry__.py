@@ -1600,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
                           AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS bin
               FROM sized)
             SELECT source, bin, COUNT(*) AS n_docs,
-                   SUM(tokens) AS total_tokens
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens
             FROM binned GROUP BY source, bin
         """,
         "q_multimodal_probe": """
