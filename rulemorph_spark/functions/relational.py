@@ -193,3 +193,28 @@ def stable_sort(df: DataFrame, key: Column, ascending: bool = True,
     if index_col is not None:
         cols.append(F.col(index_col).asc())
     return df.orderBy(*cols)
+
+
+def grouped_percentiles(df: DataFrame, group_col: str, value_col: str,
+                        quantiles: list[float], *,
+                        exact: bool = True,
+                        accuracy: int = 10_000) -> DataFrame:
+    """Grouped quantiles → (group, quantiles array<double>).
+
+    ``exact=True`` uses ``percentile`` (full sort within each group —
+    correct at any size, memory-bound by the largest group).
+    ``exact=False`` is the 100 TB path: ``approx_percentile``'s
+    KLL/GK-style sketch, whose state per group is O(accuracy · log n)
+    regardless of group size and whose rank error is bounded by
+    ``1/accuracy`` — partial sketches merge map-side, so hot groups
+    never force a single-task sort.  Same output shape either way, so
+    callers can flip the flag per run-scale.
+    """
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    if exact:
+        agg = F.percentile(value_col, qarr)
+    else:
+        agg = F.approx_percentile(value_col, qarr, F.lit(accuracy))
+    return (df.groupBy(group_col)
+            .agg(F.transform(agg, lambda x: x.cast("double"))
+                 .alias("quantiles")))

@@ -46,6 +46,10 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
     Real implementation: Pillow for images, soundfile/torchaudio for
     audio, pyav frame sampling for video — replace this function only.
+    Env limitation (re-verified round 2): PIL, soundfile, cv2, av and
+    librosa are all absent from this container and cannot be installed,
+    so the real-decode path is untestable here; the Spark-side plumbing
+    (schema, partitioning, Arrow batch shape) is real and tested.
     """
     h = hashlib.sha1(payload or b"").hexdigest()
     seed = int(h[:8], 16)

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from rulemorph_spark.functions.relational import (
     asof_join, range_join_binned, salted_join, write_bucketed)
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def test_asof_backward_basic(spark):
     left = spark.createDataFrame(
@@ -149,3 +151,21 @@ def test_connected_components_chain_and_island(spark):
            for r in connected_components(edges).collect()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
                    (10, 10), (11, 10)}
+
+
+def test_grouped_percentiles_sketch_close_to_exact(spark):
+    """the approx (sketch) path tracks the exact sort path within the
+    documented rank-error bound — the flip-a-flag contract."""
+    from rulemorph_spark.functions.relational import grouped_percentiles
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.9]
+    exact = {r[0]: r[1] for r in grouped_percentiles(
+        li, "l_returnflag", "l_quantity", qs, exact=True).collect()}
+    approx = {r[0]: r[1] for r in grouped_percentiles(
+        li, "l_returnflag", "l_quantity", qs, exact=False,
+        accuracy=10_000).collect()}
+    assert exact.keys() == approx.keys()
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            # l_quantity spans 1..50; 1e-4 rank error is far under 1 unit
+            assert abs(e - a) <= 1.0, (g, exact[g], approx[g])
