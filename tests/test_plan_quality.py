@@ -109,3 +109,32 @@ def test_shingle_overlap_hot_shingle_capped(spark):
     assert capped.count() == 0
     uncapped = shingle_overlap_edges(df, n=8, min_shared=1, max_df=None)
     assert uncapped.count() == 50 * 49 // 2
+
+
+def test_text_metrics_is_shuffle_free(spark):
+    """the whole text-analysis suite is one narrow projection."""
+    plan = _plan(E.queries()["q_text_metrics"](spark, SF))
+    assert _exchanges(plan) == 0
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_doc_signatures_is_shuffle_free_single_scan(spark):
+    """MinHash + SimHash signatures: one scan, no shuffle."""
+    plan = _plan(E.queries()["q_doc_signatures"](spark, SF))
+    assert _exchanges(plan) == 0
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_array_ops_single_shuffle(spark):
+    """every array family feeds off ONE collect_list aggregation —
+    exactly one hash exchange, one scan."""
+    plan = _plan(E.queries()["q_array_ops"](spark, SF))
+    assert _exchanges(plan) <= 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_sessionize_bounded_exchanges(spark):
+    """batch lag+cumsum and native session_window are co-partitioned by
+    user; the stitch join must not add unbounded shuffles."""
+    plan = _plan(E.queries()["q_sessionize"](spark, SF))
+    assert _exchanges(plan) <= 6
