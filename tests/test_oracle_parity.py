@@ -6,7 +6,7 @@ same parquet tables, then compare row count + column names + values
 
 from __future__ import annotations
 
-import math
+
 import os
 from decimal import Decimal
 
@@ -55,11 +55,17 @@ def _row_key(row):
 
 
 def _values_close(a, b):
+    # EXACT comparison, floats included (repr equality = bit equality
+    # for finite doubles): the driver's hard gate hashes values, so a
+    # last-ulp drift that a tolerance would forgive still fails there —
+    # every query is engineered for bit-exactness (decimal sums,
+    # integer-cent money, floor-based rounding), and this test must
+    # fail exactly when the driver's hash would.
     a, b = _norm(a), _norm(b)
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return a is None and b is None
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        return repr(float(a)) == repr(float(b))
     return a == b
 
 
