@@ -1,7 +1,7 @@
 """Local mirror of the driver's t2 correctness gate: run each
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same parquet tables, then compare row count + column names + values
-(order-insensitive, small float tolerance).
+(order-insensitive, EXACT values — mirrors the driver's hash gate).
 """
 
 from __future__ import annotations
