@@ -185,3 +185,42 @@ def test_csv_index_has_no_global_window(spark, tmp_path):
     assert "Window" not in plan
     rows = df.orderBy("__idx__").collect()
     assert [r["__idx__"] for r in rows] == list(range(100))
+
+
+def test_zip_with_index_multi_partition(spark):
+    """dense 0-based index across MANY partitions: every index appears
+    exactly once and follows partition order (the per-partition offset
+    arithmetic, not a single-task window)."""
+    from pyspark.sql import functions as F
+    from rulemorph_spark.engine import _zip_with_index
+
+    df = (spark.range(0, 1000).repartition(7)
+          .select(F.col("id").alias("payload")))
+    out = _zip_with_index(df)
+    idx = [r["__idx__"] for r in out.collect()]
+    assert sorted(idx) == list(range(1000))
+    # index order must agree with monotonically_increasing_id order
+    rows = (out.withColumn("__mid__", F.monotonically_increasing_id())
+            .collect())
+    by_mid = sorted(rows, key=lambda r: r["__mid__"])
+    assert [r["__idx__"] for r in by_mid] == sorted(
+        r["__idx__"] for r in rows)
+
+
+def test_ndjson_preserves_null_vs_missing(spark, tmp_path):
+    """the distributed NDJSON branch must keep the engine's tri-state:
+    an explicit null survives to the output, a missing key stays
+    missing (dropped from the output object) — the exact property a
+    spark.read.json schema-inference roundtrip would destroy."""
+    from rulemorph_spark.engine import transform
+
+    p = tmp_path / "tri.ndjson"
+    p.write_text('{"id": 1, "v": null}\n'
+                 '{"id": 2}\n'
+                 '{"id": 3, "v": "x"}\n')
+    rule = ("version: 2\ninput: {format: json}\nmappings:\n"
+            "  - target: id\n    source: id\n"
+            "  - target: v\n    source: v\n")
+    out = transform(spark, rule, input_path=str(p))
+    assert out == [{"id": 1, "v": None}, {"id": 2},
+                   {"id": 3, "v": "x"}]
