@@ -888,6 +888,18 @@ def q_dup_clusters(spark, sf_dir):
         .select("node", "comp")
 
 
+def q_shingle_edges(spark, sf_dir):
+    """shingle-overlap candidate edges WITH the document-frequency cap
+    in-plan (VERDICT r1 #5): pairs sharing ≥2 distinct 5-token
+    shingles, hot shingles (df > 50) dropped before the self-join —
+    the cap is part of the verified surface, not advice."""
+    from rulemorph_spark.llm.dedup import shingle_overlap_edges
+    d = _t(spark, sf_dir, "documents")
+    return (shingle_overlap_edges(d, n=5, min_shared=2, max_df=50)
+            .select("src", "dst", F.col("n_shared").cast("bigint")
+                    .alias("n_shared")))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (top-3-gram share, duplicate
     3-gram share) — two map-side-combinable aggregation levels."""
@@ -977,7 +989,7 @@ def q_multimodal_probe(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries — consolidated from round 1's 69 so the driver's
+    """50 entries — consolidated from round 1's 69 so the driver's
     50-entry correctness window covers the ENTIRE registry (round-1
     gate saw only the first 50; near-duplicate same-grain queries are
     merged into composites whose columns are the union of the
@@ -1042,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_packing": q_token_packing,
         "q_repetition_stats": q_repetition_stats,
         "q_sampling": q_sampling,
+        "q_shingle_edges": q_shingle_edges,
     }
 
 
@@ -1497,6 +1510,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corp.doc_id
         """,
         "q_dup_clusters": _dup_clusters_oracle(),
+        "q_shingle_edges": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
+                         AS words
+              FROM documents),
+            st AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(
+                         1, GREATEST(len(words) - 4, 1), 1)) AS s
+              FROM w),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(words, s, s + 4), ' ')
+                         AS sh
+              FROM st),
+            keep AS (
+              SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50),
+            sh AS (SELECT sh0.doc_id, sh0.sh
+                   FROM sh0 JOIN keep USING (sh))
+            SELECT src, dst, n_shared FROM (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE n_shared >= 2
+        """,
         "q_repetition_stats": """
             WITH w AS (
               SELECT doc_id,
