@@ -9,13 +9,14 @@ query surface (``__spark_entry__.py``) and ``bench.py`` build on these.
 
 from .scalar import (number_to_string, pad_end, pad_start, replace_first,
                      round_half_away, strict_bool, strict_int, to_base)
-from .relational import (asof_join, lookup_all, lookup_first,
-                         range_join_binned, salted_join, stable_sort,
-                         write_bucketed)
+from .relational import (asof_join, grouped_percentiles, lookup_all,
+                         lookup_first, range_join_binned, salted_join,
+                         stable_sort, write_bucketed)
 
 __all__ = [
     "number_to_string", "replace_first", "pad_start", "pad_end",
     "round_half_away", "to_base", "strict_int", "strict_bool",
     "lookup_first", "lookup_all", "stable_sort",
     "asof_join", "range_join_binned", "salted_join", "write_bucketed",
+    "grouped_percentiles",
 ]
