@@ -96,7 +96,8 @@ def _run_transform(args, *, discard: bool) -> int:
     try:
         output, warnings = transform_with_warnings(
             spark, rule_text, input_text=input_text,
-            input_path=args.input, context=context, base_dir=base_dir)
+            input_path=args.input, context=context, base_dir=base_dir,
+            format_override=getattr(args, "format", None))
     except TransformEngineError as e:
         _emit_transform_error(e, args.error_format)
         return 3
@@ -334,6 +335,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("preflight")
     p.add_argument("-r", "--rules", required=True)
     p.add_argument("-i", "--input", required=True)
+    p.add_argument("-f", "--format", choices=["csv", "json"],
+                   help="override the rule's input format")
     p.add_argument("-c", "--context")
     p.add_argument("-e", "--error-format", default="text",
                    choices=["text", "json"])
@@ -342,6 +345,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("transform")
     p.add_argument("-r", "--rules", required=True)
     p.add_argument("-i", "--input", required=True)
+    p.add_argument("-f", "--format", choices=["csv", "json"],
+                   help="override the rule's input format")
     p.add_argument("-c", "--context")
     p.add_argument("-o", "--output")
     p.add_argument("--ndjson", action="store_true")

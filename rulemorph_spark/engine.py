@@ -333,12 +333,21 @@ def transform_with_warnings(spark: SparkSession, rule_text: str,
                             input_text: str | None = None,
                             input_path: str | None = None,
                             context: Any = None, base_dir: str = ".",
-                            collect_warnings: bool = True):
+                            collect_warnings: bool = True,
+                            format_override: str | None = None):
     """transform + the per-record warning channel
     (``transform_with_warnings``, ``transform.rs:209-249``): warnings
     are {path, count} aggregates of when/record_when evaluation
-    failures (the reference's error-to-warning conversion)."""
+    failures (the reference's error-to-warning conversion).
+    ``format_override`` replaces the rule's input format — the CLI's
+    ``-f csv|json`` (``apply_format_override``, main.rs:500-507)."""
     rule = parse_rule_file(rule_text)
+    if format_override is not None:
+        if format_override not in ("csv", "json"):
+            raise RuleError("invalid_rule",
+                            "format override must be csv or json",
+                            "input.format")
+        rule.input.format = format_override
     try:
         return _transform_parsed(spark, rule, input_text, input_path,
                                  context, base_dir,

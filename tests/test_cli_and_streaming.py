@@ -224,3 +224,16 @@ def test_ndjson_preserves_null_vs_missing(spark, tmp_path):
     out = transform(spark, rule, input_path=str(p))
     assert out == [{"id": 1, "v": None}, {"id": 2},
                    {"id": 3, "v": "x"}]
+
+
+def test_cli_format_override(workdir, tmp_path):
+    """-f csv forces CSV parsing on a rule declared as json input
+    (reference apply_format_override, main.rs:500-507)."""
+    csv_in = tmp_path / "input.csv"
+    csv_in.write_text("id,name\n7,zed\n")
+    r = _run_cli("transform", "-r", os.path.join(workdir, "rules.yaml"),
+                 "-i", str(csv_in), "-f", "csv")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    # CSV ingests all-string: id stays "7", uppercase applies to name
+    assert out == [{"id": "7", "upper": "ZED"}]
