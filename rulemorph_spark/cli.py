@@ -233,7 +233,11 @@ def cmd_validate_rules_dir(args) -> int:
     ``rulemorph_cli/src/main.rs:157`` → ``validate_rules_dir``,
     ``endpoint_engine.rs:151``)."""
     from .service.rules_dir import validate_rules_dir
-    errors = validate_rules_dir(args.rules_dir)
+    rules_dir = args.rules_dir or getattr(args, "rules_dir_flag", None)
+    if not rules_dir:
+        print("a rules directory is required (-r DIR)", file=sys.stderr)
+        return 1
+    errors = validate_rules_dir(rules_dir)
     if not errors:
         return 0
     if args.error_format == "json":
@@ -373,7 +377,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("validate-rules-dir")
-    p.add_argument("rules_dir", help="directory containing endpoint.yaml")
+    # reference spelling is -r/--rules-dir (main.rs:50-53); a bare
+    # positional is accepted too
+    p.add_argument("rules_dir", nargs="?", default=None,
+                   help="directory containing endpoint.yaml")
+    p.add_argument("-r", "--rules-dir", dest="rules_dir_flag",
+                   default=None)
     p.add_argument("-e", "--error-format", default="text",
                    choices=["text", "json"])
     p.set_defaults(fn=cmd_validate_rules_dir)
