@@ -361,7 +361,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("generate")
     p.add_argument("-r", "--rules", required=True)
+    # "ts" alias per the reference's ValueEnum (main.rs:135-136)
     p.add_argument("-l", "--lang", required=True,
+                   type=lambda v: "typescript" if v == "ts" else v,
                    choices=["rust", "typescript", "python", "go", "java",
                             "kotlin", "swift"])
     p.add_argument("-n", "--name")
