@@ -157,11 +157,16 @@ def _gate_tree(tree: OutTree, cond: Column) -> OutTree:
 class CompiledRecordRule:
     def __init__(self, keep: Column, out_tree: OutTree, returned: Column,
                  returned_out: Column,
-                 warn_flags: list[tuple[str, Column]] | None = None):
+                 warn_flags: list[tuple[str, Column]] | None = None,
+                 returned_names: list[str] | None = None):
         self.keep = keep
         self.out_tree = out_tree
         self.returned = returned
         self.returned_out = returned_out
+        # top-level output keys that exist only in `return:` branch
+        # trees — the table path must materialize columns for these
+        # (the document path reads them out of `returned_out` JSON)
+        self.returned_names = returned_names or []
         # (rule path, boolean Column) — true on rows whose when/record_when
         # evaluation failed (reference converts those errors to warnings,
         # transform.rs:1041-1091)
@@ -336,6 +341,7 @@ class RuleCompiler:
         returned = F.lit(False)
         returned_out = F.lit(None).cast(V.VT)
         warn_flags: list[tuple[str, Column]] = []
+        returned_names: list[str] = []
 
         def scope():
             return Scope(input=input_col, context=context_col,
@@ -400,17 +406,19 @@ class RuleCompiler:
                         self._compile_branch(builder, step.branch, spath,
                                              scope, keep, returned,
                                              returned_out, out_tree,
-                                             input_col)
+                                             input_col, returned_names)
         else:
             apply_mappings(self.rule.mappings, "mappings")
 
         return CompiledRecordRule(keep=keep, out_tree=out_tree,
                                   returned=returned,
                                   returned_out=returned_out,
-                                  warn_flags=warn_flags)
+                                  warn_flags=warn_flags,
+                                  returned_names=returned_names)
 
     def _compile_branch(self, builder: Builder, branch, spath, scope_fn,
-                        keep, returned, returned_out, out_tree, input_col):
+                        keep, returned, returned_out, out_tree, input_col,
+                        returned_names: list[str] | None = None):
         """branch step (``transform.rs:491-527``): the referenced rule runs
         with **@input = the current @out** (``transform.rs:509``) and its
         own per-record finalize (``transform.rs:288-308``); the result is
@@ -453,6 +461,11 @@ class RuleCompiler:
                     F.when(gate & ~returned, out_col)
                     .otherwise(returned_out), "r")
                 returned = builder.add(returned | gate, "rf")
+                if returned_names is not None:
+                    for name in (list(compiled.out_tree.children)
+                                 + compiled.returned_names):
+                        if name not in returned_names:
+                            returned_names.append(name)
             else:
                 out_tree = out_tree.merged_with(compiled.out_tree, gate,
                                                 deep=True)

@@ -21,7 +21,10 @@ Coverage is the high-traffic subset: scalars (refs, literals, let/if,
 arithmetic, comparisons — v2 conditions and v1 pipe ops — logical,
 coalesce, casts, string/date ops, lookup) plus array pipelines on
 native ``array<T>`` columns (map step, filter, take/drop/slice,
-unique, contains, index_of, find_index with ``@item`` lambdas).
+unique, contains, index_of, find_index with ``@item`` lambdas), and
+``steps`` rules including ``branch`` (the referenced rule file
+compiles inline with ``@input`` = the current ``@out`` tree; its
+typed outputs deep-merge or return, still zero variant columns).
 Anything else raises :class:`TypedFallback` and the
 caller reruns through the variant engine via ``to_variant_object``
 (`engine.transform_table`), so the fast path never changes semantics —
@@ -237,6 +240,10 @@ class TScope:
     locals: dict[str, TVal] = field(default_factory=dict)
     item: TVal | None = None       # lambda variable inside array HOFs
     item_index: Column | None = None
+    # branch-referenced rules run with @input = the caller's @out
+    # (transform.rs:509): when set, @input navigates this TVal tree
+    # instead of the DataFrame schema
+    input_tree: "dict[str, object] | None" = None
 
     def child(self, **kw) -> "TScope":
         if "locals" not in kw:
@@ -299,10 +306,25 @@ def _navigate_py(value, tokens):
 _MISS = object()
 
 
+def _navigate_tree(tree: dict, tokens) -> TVal:
+    """Walk key tokens over a TVal tree (branch @input / @out)."""
+    node: object = tree
+    for tok in tokens:
+        if not isinstance(tok, Key) or not isinstance(node, dict) \
+                or tok.name not in node:
+            return _missing()
+        node = node[tok.name]
+    if isinstance(node, dict):
+        raise TypedFallback("object-valued tree reference")
+    return node
+
+
 def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
     if ref.namespace == "input":
         if ref.path == "":
             raise TypedFallback("whole-record reference")
+        if scope.input_tree is not None:
+            return _navigate_tree(scope.input_tree, parse_path(ref.path))
         nav = _navigate_schema(scope.schema, parse_path(ref.path))
         if nav is None:
             return _missing()
@@ -1274,49 +1296,78 @@ def t_find_index(scope, cur, args, path):
 from ..model import Mapping, RuleFile  # noqa: E402
 
 
+def _copy_tree(tree: dict) -> dict:
+    """Deep-copy the dict spine of a TVal tree (TVal leaves immutable)."""
+    return {k: _copy_tree(v) if isinstance(v, dict) else v
+            for k, v in tree.items()}
+
+
 class TypedRuleCompiler:
-    """Compile a v2 mappings-only rule against a typed DataFrame.
+    """Compile a v2 rule (mappings / steps, incl. branch) against a
+    typed DataFrame.
 
     Raises :class:`TypedFallback` when the rule (or its input schema)
     needs the general variant engine.  Mirrors ``RuleCompiler``'s
     record flow (``rule.py``): record_when → keep filter; each mapping
-    materialized as one typed column; gated by per-mapping ``when``.
+    materialized as one typed column; gated by per-mapping ``when``;
+    ``branch`` steps compile the referenced rule file inline with
+    ``@input`` bound to the current ``@out`` tree (transform.rs:509),
+    deep-merging (or returning) its typed output.
     """
 
-    def __init__(self, rule: RuleFile, context=None):
+    def __init__(self, rule: RuleFile, context=None, base_dir: str = "."):
         if rule.version < 2:
             raise TypedFallback("v1 rules use JSON int re-emission")
-        if rule.steps is not None and any(
-                s.branch is not None for s in rule.steps):
-            raise TypedFallback("branch steps route to other rule files")
         if rule.finalize is not None:
             raise TypedFallback("finalize rules")
         self.rule = rule
         self.context = context
+        self.base_dir = base_dir
 
     def compile(self, df):
         """→ (DataFrame of typed target columns, keep-filtered)."""
-        schema = df.schema
-        out_tree: dict[str, object] = {}
-        n = [0]
+        self._df = df
+        self._schema = df.schema
+        self._n = 0
+        out_tree, keep = self._flow(self.rule, input_tree=None, gate=None,
+                                    base_dir=self.base_dir)
+        outputs = [self._out_col(v, name)
+                   for name, v in out_tree.items()]
+        if not outputs:
+            raise TypedFallback("rule produces no typed targets")
+        return self._df.filter(keep).select(*outputs)
 
-        def add(col: Column, tag: str = "m") -> Column:
-            name = f"__t{tag}{n[0]}__"
-            n[0] += 1
-            nonlocal df
-            df = df.select("*", col.alias(name))
-            return F.col(name)
+    # -- record flow ---------------------------------------------------
+
+    def _add(self, col: Column, tag: str = "m") -> Column:
+        name = f"__t{tag}{self._n}__"
+        self._n += 1
+        self._df = self._df.select("*", col.alias(name))
+        return F.col(name)
+
+    def _flow(self, rule: RuleFile, input_tree: dict | None,
+              gate: Column | None, base_dir: str):
+        """Compile one rule's record flow → (out tree, keep Column).
+
+        ``gate`` is non-None for branch-referenced rules: a boolean
+        Column true on rows where this rule actually runs — mapping
+        values (and their error branches) are ``F.when``-gated on it so
+        untaken rows never evaluate them.  Nested ``return`` branches
+        are folded into the returned tree before returning.
+        """
+        out_tree: dict[str, object] = {}
+        state = {"keep": F.lit(True), "returned": None}
+        returns: list[tuple[Column, dict]] = []
 
         def scope() -> TScope:
-            return TScope(schema=schema, context_value=self.context,
+            return TScope(schema=self._schema, context_value=self.context,
                           has_context=self.context is not None,
-                          out=out_tree)
+                          out=out_tree, input_tree=input_tree)
 
-        keep = F.lit(True)
-        if self.rule.has_record_when:
-            cond = add(self._compile_when(self.rule.record_when, scope(),
-                                          "record_when"), "w")
-            keep = F.coalesce(cond, F.lit(False))
+        if rule.has_record_when:
+            cond = self._add(self._compile_when(rule.record_when, scope(),
+                                                "record_when"), "w")
+            state["keep"] = F.coalesce(cond, F.lit(False))
 
         def apply_mappings(mappings, base: str) -> None:
             for i, m in enumerate(mappings):
@@ -1328,17 +1379,25 @@ class TypedRuleCompiler:
                 value = self._compile_mapping(m, s, mpath)
                 if value is None:
                     continue  # statically missing, optional → absent
-                # no keep-gate needed: the keep filter sits below every
-                # mapping projection after predicate pushdown, so
-                # filtered rows never evaluate mapping values (or their
-                # error branches) — unlike rule.py, which emits output
-                # for every input row and must gate
+                # top-level ungated rules need no keep-gate: the keep
+                # filter sits below every mapping projection after
+                # predicate pushdown, so filtered rows never evaluate
+                # mapping values (or their error branches).  Branch
+                # sub-rules and post-return rows DO need a gate — the
+                # branch condition is per-row, not a filter.
+                g = gate
+                if state["returned"] is not None:
+                    nr = ~state["returned"]
+                    g = nr if g is None else g & nr
                 col = value.col
                 if m.has_when:
-                    wcond = add(self._compile_when(m.when, s,
-                                                   f"{mpath}.when"), "w")
-                    col = F.when(F.coalesce(wcond, F.lit(False)), col)
-                materialized = add(col)
+                    wcond = self._add(self._compile_when(
+                        m.when, s, f"{mpath}.when"), "w")
+                    w = F.coalesce(wcond, F.lit(False))
+                    g = w if g is None else g & w
+                if g is not None:
+                    col = F.when(g, col)
+                materialized = self._add(col)
                 node = out_tree
                 for t in names[:-1]:
                     nxt = node.get(t)
@@ -1354,37 +1413,180 @@ class TypedRuleCompiler:
                                     f"target {m.target!r} conflicts", mpath)
                 node[names[-1]] = TVal(materialized, value.dtype)
 
-        if self.rule.steps is not None:
+        if rule.steps is not None:
             # ordered steps (transform.rs:431-531): mappings accumulate
             # @out; record_when narrows `keep`; asserts raise for rows
-            # still alive at their step
-            for si, step in enumerate(self.rule.steps):
+            # still alive at their step; branch runs a referenced rule
+            for si, step in enumerate(rule.steps):
                 spath = f"steps[{si}]"
                 if step.mappings is not None:
                     apply_mappings(step.mappings, f"{spath}.mappings")
                 if step.has_record_when:
-                    cond = add(self._compile_when(
+                    cond = self._add(self._compile_when(
                         step.record_when, scope(),
                         f"{spath}.record_when"), "w")
-                    keep = add(keep & F.coalesce(cond, F.lit(False)), "k")
+                    alive = F.coalesce(cond, F.lit(False))
+                    if state["returned"] is not None:
+                        alive = state["returned"] | alive
+                    state["keep"] = self._add(state["keep"] & alive, "k")
                 if step.asserts is not None:
                     for ai, a in enumerate(step.asserts):
                         apath = f"{spath}.asserts[{ai}]"
                         acond = self._compile_when(a.when, scope(), apath)
+                        live = state["keep"]
+                        if gate is not None:
+                            live = live & gate
+                        if state["returned"] is not None:
+                            live = live & ~state["returned"]
                         guard = F.when(
-                            keep & ~F.coalesce(acond, F.lit(False)),
+                            live & ~F.coalesce(acond, F.lit(False)),
                             V.raise_err("assert_failed", a.error.message,
                                         apath, a.error.code)
                             .cast("boolean")).otherwise(F.lit(True))
-                        keep = add(keep & guard, "k")
+                        state["keep"] = self._add(state["keep"] & guard,
+                                                  "k")
+                if step.branch is not None:
+                    self._compile_branch(step.branch, spath, scope,
+                                         out_tree, state, returns,
+                                         gate, base_dir)
         else:
-            apply_mappings(self.rule.mappings, "mappings")
+            apply_mappings(rule.mappings, "mappings")
 
-        outputs = [self._out_col(v, name)
-                   for name, v in out_tree.items()]
-        if not outputs:
-            raise TypedFallback("rule produces no typed targets")
-        return df.filter(keep).select(*outputs)
+        out_tree = self._fold_returns(out_tree, returns)
+        return out_tree, state["keep"]
+
+    # -- branch steps --------------------------------------------------
+
+    def _compile_branch(self, branch, spath: str, scope_fn, out_tree: dict,
+                        state: dict, returns: list, gate: Column | None,
+                        base_dir: str) -> None:
+        """branch step (``transform.rs:491-527``), typed: compile the
+        referenced rule file inline with ``@input`` = a snapshot of the
+        current ``@out`` tree; merge its typed outputs (deep, non-null
+        sub values win — mirrors ``OutTree.merged_with``) or record a
+        return.  Sub-rule mapping errors are gated on the branch being
+        taken, exactly like ``rule.py``'s ``F.when(gate, value)``."""
+        import os
+
+        from ..model import load_rule_file
+
+        cond_raw = self._compile_when(branch.when, scope_fn(),
+                                      f"{spath}.branch")
+        cond = self._add(F.coalesce(cond_raw, F.lit(False)), "b")
+        # both targets see the pre-branch @out (rule.py materializes
+        # branch_input before compiling either target)
+        snapshot = _copy_tree(out_tree)
+        active = state["keep"]
+        if state["returned"] is not None:
+            active = active & ~state["returned"]
+        if gate is not None:
+            active = active & gate
+        active = self._add(active, "g")
+
+        for taken, rel in ((cond, branch.then), (~cond, branch.else_)):
+            if rel is None:
+                continue
+            full = rel if os.path.isabs(rel) \
+                else os.path.join(base_dir, rel)
+            sub_rule = load_rule_file(full)
+            if sub_rule.version < 2:
+                raise TypedFallback("v1 branch target rule")
+            if sub_rule.finalize is not None:
+                if not branch.return_:
+                    raise RuleError(
+                        "invalid_rule",
+                        "branch rules with finalize require return: true",
+                        spath)
+                raise TypedFallback("branch finalize in typed mode")
+            g0 = self._add(active & taken, "g")
+            # nested branch paths resolve relative to the referenced
+            # rule file's directory (transform.rs:566-601)
+            sub_tree, sub_keep = self._flow(
+                sub_rule, input_tree=snapshot, gate=g0,
+                base_dir=os.path.dirname(full))
+            rg = self._add(g0 & sub_keep, "rg")
+            if branch.return_:
+                returns.append((rg, sub_tree))
+                state["returned"] = rg if state["returned"] is None \
+                    else self._add(state["returned"] | rg, "rf")
+            else:
+                self._merge_tree(out_tree, sub_tree, rg)
+            state["keep"] = self._add(state["keep"] & (~g0 | sub_keep),
+                                      "k")
+
+    def _merge_tree(self, main: dict, sub: dict, g: Column) -> None:
+        """In-place typed deep merge: rows where ``g`` holds take
+        ``sub``'s non-null leaves over ``main`` (mirrors
+        ``OutTree.merged_with(deep=True)``: NULL sub values never
+        overwrite, so when-gated-off sub mappings keep parity)."""
+        for k, b in sub.items():
+            a = main.get(k)
+            if a is None:
+                main[k] = self._gate_subtree(b, g)
+            elif isinstance(a, dict) and isinstance(b, dict):
+                self._merge_tree(a, b, g)
+            elif isinstance(a, dict) or isinstance(b, dict):
+                # per-row object↔scalar replacement has no static type
+                raise TypedFallback("branch merge replaces object with "
+                                    "scalar (or vice versa)")
+            else:
+                dts = [x.dtype for x in (a, b) if not _is_null(x.dtype)]
+                dt = _unify(dts) if dts else T.NullType()
+                if dt is None:
+                    raise TypedFallback("branch merge type conflict")
+                col = F.when(g & b.col.isNotNull(), _cast_to(b, dt)) \
+                       .otherwise(_cast_to(a, dt))
+                main[k] = TVal(self._add(col), dt)
+
+    def _gate_subtree(self, node, g: Column):
+        if isinstance(node, dict):
+            return {k: self._gate_subtree(v, g) for k, v in node.items()}
+        return TVal(self._add(F.when(g, node.col)), node.dtype)
+
+    def _fold_returns(self, main: dict,
+                      returns: list[tuple[Column, dict]]) -> dict:
+        """Fold ``return: true`` branches: returned rows' output is the
+        sub-rule's tree INSTEAD of the accumulated one (keys the sub
+        lacks become NULL — absent and null coincide in typed tables).
+        Return gates are mutually exclusive by construction (each
+        includes ``~returned``-so-far), so overlay order is free."""
+        if not returns:
+            return main
+
+        def fold(main_node: dict | None, subs):
+            keys: list[str] = list(main_node.keys()) if main_node else []
+            for _, nd in subs:
+                if isinstance(nd, dict):
+                    keys += [k for k in nd if k not in keys]
+            out: dict[str, object] = {}
+            for k in keys:
+                a = (main_node or {}).get(k)
+                ks = [(g, nd.get(k) if isinstance(nd, dict) else None)
+                      for g, nd in subs]
+                vals = [a] + [n for _, n in ks]
+                has_dict = any(isinstance(v, dict) for v in vals)
+                has_leaf = any(isinstance(v, TVal) for v in vals)
+                if has_dict and has_leaf:
+                    raise TypedFallback(
+                        "return branch object/scalar shape conflict")
+                if has_dict:
+                    out[k] = fold(a if isinstance(a, dict) else None, ks)
+                    continue
+                dts = [v.dtype for v in vals
+                       if isinstance(v, TVal) and not _is_null(v.dtype)]
+                dt = _unify(dts) if dts else T.NullType()
+                if dt is None:
+                    raise TypedFallback("return branch type conflict")
+                expr = F.lit(None).cast(dt) if a is None \
+                    else _cast_to(a, dt)
+                for g, n in ks:
+                    sub_col = _cast_to(n, dt) if isinstance(n, TVal) \
+                        else F.lit(None).cast(dt)
+                    expr = F.when(g, sub_col).otherwise(expr)
+                out[k] = TVal(self._add(expr), dt)
+            return out
+
+        return fold(main, returns)
 
     # -- helpers -------------------------------------------------------
 

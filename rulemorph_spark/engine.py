@@ -435,7 +435,7 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
 
 def transform_table(df: DataFrame, rule_text_or_rule,
                     context: Any = None, *,
-                    mode: str = "auto") -> DataFrame:
+                    mode: str = "auto", base_dir: str = ".") -> DataFrame:
     """Run a rule over a typed DataFrame (parquet table) — the scale
     path: no JSON text round-trip, targets come back as columns.
 
@@ -466,26 +466,35 @@ def transform_table(df: DataFrame, rule_text_or_rule,
 
     if mode in ("auto", "typed"):
         try:
-            return TypedRuleCompiler(rule, context=context).compile(df)
+            return TypedRuleCompiler(rule, context=context,
+                                     base_dir=base_dir).compile(df)
         except TypedFallback:
             if mode == "typed":
                 raise
-    return _transform_table_variant(df, rule, context)
+    return _transform_table_variant(df, rule, context, base_dir)
 
 
-def _transform_table_variant(df: DataFrame, rule, context) -> DataFrame:
+def _transform_table_variant(df: DataFrame, rule, context,
+                             base_dir: str = ".") -> DataFrame:
     """General-engine table path: bridge rows to variant records via
     ``to_variant_object`` (single JVM expression, no JSON text)."""
     from .compiler.rule import Builder, OutTree
 
     record = F.to_variant_object(F.struct(*[F.col(c) for c in df.columns]))
     builder = Builder(df.select(record.alias("__record__")))
-    compiled = RuleCompiler(rule, context=context).compile(
+    compiled = RuleCompiler(rule, context=context,
+                            base_dir=base_dir).compile(
         builder, F.col("__record__"))
     out = builder.df.filter(compiled.keep)
 
     def materialize(node, name):
-        col = node.to_variant() if isinstance(node, OutTree) else node
+        if isinstance(node, OutTree):
+            # lazily-created intermediates with no present child are
+            # dropped from document output (transform.rs:6075+) — the
+            # table contract surfaces that as NULL, not `{}`
+            col = F.when(node.presence(), node.to_variant())
+        else:
+            col = node
         if compiled.returned is not None:
             col = F.when(compiled.returned,
                          F.variant_get(compiled.returned_out, f"$.{name}",
@@ -493,6 +502,14 @@ def _transform_table_variant(df: DataFrame, rule, context) -> DataFrame:
         return col.alias(name)
 
     children = compiled.out_tree.children
-    if not children:
+    cols = [materialize(v, k) for k, v in children.items()]
+    # keys that exist ONLY in `return:` branch trees still need columns
+    for name in compiled.returned_names:
+        if name not in children:
+            cols.append(F.when(compiled.returned,
+                               F.variant_get(compiled.returned_out,
+                                             f"$.{name}", "variant"))
+                        .alias(name))
+    if not cols:
         raise RuleError("invalid_rule", "rule produces no targets")
-    return out.select(*[materialize(v, k) for k, v in children.items()])
+    return out.select(*cols)

@@ -76,7 +76,8 @@ CTX = {"rate": 0.25}
 
 def _rows_typed(df):
     key = df.columns[0]
-    return [r.asDict() for r in sorted(df.collect(), key=lambda r: r[key])]
+    return [r.asDict(recursive=True)
+            for r in sorted(df.collect(), key=lambda r: r[key])]
 
 
 def _rows_variant(df):
@@ -491,3 +492,232 @@ mappings:
     assert t_rows == v_rows
     assert t_rows[0] == {"op_eq": True, "ord_lt": True,
                          "cond_eq": "strict-ne"}
+
+
+# --- branch steps (typed) ------------------------------------------------
+
+BRANCH_MAIN = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+      - target: kind
+        expr: ["@input.status"]
+  - branch:
+      when: {eq: ["@input.status", "open"]}
+      then: open_rule.yaml
+      else: closed_rule.yaml
+  - mappings:
+      - target: after
+        value: "post-branch"
+"""
+
+BRANCH_OPEN = """
+version: 2
+input: {format: json}
+mappings:
+  - target: note
+    expr: ["open:", {concat: ["@input.kind"]}]
+  - target: score
+    expr: ["@input.id", {multiply: [10]}]
+  - target: nested.flag
+    value: true
+"""
+
+BRANCH_CLOSED = """
+version: 2
+input: {format: json}
+mappings:
+  - target: note
+    value: "closed"
+  - target: kind
+    value: "overwritten"
+"""
+
+
+def _write_rules(tmp_path, main=BRANCH_MAIN, **subs):
+    (tmp_path / "main.yaml").write_text(main)
+    for name, text in subs.items():
+        (tmp_path / f"{name}.yaml").write_text(text)
+    return str(tmp_path / "main.yaml"), str(tmp_path)
+
+
+def _branch_df(spark):
+    return spark.createDataFrame(
+        [(1, "open"), (2, "closed"), (3, "open")], "id long, status string")
+
+
+def test_typed_branch_merge_parity(spark, tmp_path):
+    _write_rules(tmp_path, open_rule=BRANCH_OPEN, closed_rule=BRANCH_CLOSED)
+    df = _branch_df(spark)
+    kw = dict(base_dir=str(tmp_path))
+    typed = transform_table(df, BRANCH_MAIN, mode="typed", **kw)
+    variant = transform_table(df, BRANCH_MAIN, mode="variant", **kw)
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    by_id = {r["id"]: r for r in t_rows}
+    # then-branch: sub reads parent @out via @input (transform.rs:509)
+    assert by_id[1]["note"] == "open:open"
+    assert by_id[1]["score"] == 10
+    assert by_id[1]["nested"] == {"flag": True}
+    assert by_id[1]["after"] == "post-branch"
+    # else-branch deep-merge overwrites parent's `kind`
+    assert by_id[2]["note"] == "closed"
+    assert by_id[2]["kind"] == "overwritten"
+    assert by_id[2]["score"] is None and by_id[2]["nested"] is None
+    # typed plan stays variant-free
+    plan = typed._jdf.queryExecution().optimizedPlan().toString()
+    assert "schema_of_variant" not in plan and "parse_json" not in plan
+
+
+BRANCH_RETURN_MAIN = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+      - target: normal
+        value: "kept"
+  - branch:
+      when: {gte: ["@input.id", 2]}
+      then: ret_rule.yaml
+      return: true
+  - mappings:
+      - target: late
+        value: "only-non-returned"
+"""
+
+BRANCH_RET = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    expr: ["@input.id", {multiply: [100]}]
+  - target: routed
+    value: true
+"""
+
+
+def test_typed_branch_return_parity(spark, tmp_path):
+    _write_rules(tmp_path, main=BRANCH_RETURN_MAIN, ret_rule=BRANCH_RET)
+    df = _branch_df(spark)
+    kw = dict(base_dir=str(tmp_path))
+    typed = transform_table(df, BRANCH_RETURN_MAIN, mode="typed", **kw)
+    variant = transform_table(df, BRANCH_RETURN_MAIN, mode="variant", **kw)
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    by_id = {r["id"]: r for r in t_rows}
+    # id>=2 rows take the returned tree ONLY (normal/late → absent → NULL)
+    assert by_id[200] == {"id": 200, "normal": None, "routed": True,
+                          "late": None}
+    assert by_id[300] == {"id": 300, "normal": None, "routed": True,
+                          "late": None}
+    # non-returned row keeps the main tree; `routed` absent
+    assert by_id[1] == {"id": 1, "normal": "kept", "routed": None,
+                        "late": "only-non-returned"}
+
+
+BRANCH_FILTER_SUB = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.id", 3]}
+mappings:
+  - target: big
+    value: true
+"""
+
+
+def test_typed_branch_subrule_record_when_drops_rows(spark, tmp_path):
+    main = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+  - branch:
+      when: {eq: ["@input.status", "open"]}
+      then: filter_rule.yaml
+"""
+    _write_rules(tmp_path, main=main, filter_rule=BRANCH_FILTER_SUB)
+    df = _branch_df(spark)
+    kw = dict(base_dir=str(tmp_path))
+    typed = transform_table(df, main, mode="typed", **kw)
+    variant = transform_table(df, main, mode="variant", **kw)
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    # open rows (1, 3) route through sub-rule; its record_when keeps only
+    # id>=3 → id=1 dropped; closed row (2) bypasses the branch entirely
+    assert [r["id"] for r in t_rows] == [2, 3]
+    assert t_rows[1]["big"] is True and t_rows[0]["big"] is None
+
+
+def test_typed_branch_gates_subrule_errors(spark, tmp_path):
+    """Sub-rule mapping errors must not fire for rows where the branch
+    is not taken (rule.py gates values with F.when(gate, value))."""
+    main = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+  - branch:
+      when: {eq: ["@input.status", "open"]}
+      then: err_rule.yaml
+"""
+    # the sub-rule's @input is the parent @out (id only); casting the
+    # parent's non-numeric status copy errors when (and only when) taken
+    main = main.replace("- target: id\n        source: id",
+                        "- target: id\n        source: id\n"
+                        "      - target: kind\n        source: status")
+    err_rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: strict
+    source: kind
+    required: true
+    type: int
+"""
+    _write_rules(tmp_path, main=main, err_rule=err_rule)
+    df = spark.createDataFrame(
+        [(1, "closed"), (2, "closed")], "id long, status string")
+    kw = dict(base_dir=str(tmp_path))
+    # no row takes the branch → the int-cast error never evaluates
+    typed = transform_table(df, main, mode="typed", **kw)
+    assert [r["id"] for r in _rows_typed(typed)] == [1, 2]
+    # and when a row DOES take it, the cast error surfaces
+    df2 = spark.createDataFrame([(1, "open")], "id long, status string")
+    err = _collect_engine_error(transform_table(df2, main,
+                                                mode="typed", **kw))
+    assert err.kind == "TypeCastFailed"
+
+
+def test_typed_branch_fallbacks(spark, tmp_path):
+    from rulemorph_spark.compiler.typed import TypedFallback
+
+    v1_sub = ("version: 1\ninput: {format: json}\n"
+              "mappings:\n  - target: x\n    value: 1\n")
+    main = """
+version: 2
+input: {format: json}
+steps:
+  - mappings:
+      - target: id
+        source: id
+  - branch:
+      when: {gte: ["@input.id", 1]}
+      then: sub.yaml
+"""
+    _write_rules(tmp_path, main=main, sub=v1_sub)
+    with pytest.raises(TypedFallback):
+        transform_table(_branch_df(spark), main, mode="typed",
+                        base_dir=str(tmp_path))
+    # auto mode still works via the variant engine
+    out = transform_table(_branch_df(spark), main, mode="auto",
+                          base_dir=str(tmp_path))
+    assert {r["id"]: r for r in _rows_variant(out)}[1]["x"] == 1
