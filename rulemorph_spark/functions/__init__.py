@@ -12,6 +12,9 @@ from .scalar import (number_to_string, pad_end, pad_start, replace_first,
 from .relational import (asof_join, grouped_percentiles, lookup_all,
                          lookup_first, range_join_binned, salted_join,
                          stable_sort, write_bucketed)
+from .sketches import (bloom_build, bloom_might_contain, bloom_params,
+                       hll_distinct, hll_merge_estimate, hll_sketch_table)
+from .layout import cluster_write, file_column_bounds, zorder_key
 
 __all__ = [
     "number_to_string", "replace_first", "pad_start", "pad_end",
