@@ -90,3 +90,29 @@ def session_window_agg(df: DataFrame, ts_col: str, *, keys: list[str],
                     *[F.col(c) for c in
                       (["n_events"] +
                        (["session_value"] if value_col else []))]))
+
+
+def windowed_approx_distinct(df: DataFrame, ts_col: str, value_col: str,
+                             *, keys: list[str] | None = None,
+                             window: str = "1 minute",
+                             watermark: str = "2 minutes",
+                             lgk: int = 12) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per event-time window via HLL.
+
+    The streaming-safe distinct: exact streaming count-distinct needs
+    per-window state proportional to the number of distinct values
+    (unbounded); an HLL register set is a fixed 2^lgk bytes per open
+    (window, key) group and Spark's DataSketches aggregate supports
+    partial merge, so it runs identically under the streaming planner
+    (batch/stream equivalence tested).  ~2% error at the default lgk.
+    """
+    keys = keys or []
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(value_col, F.lit(lgk)))
+                .alias("approx_distinct"),
+                F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), *keys,
+                    "approx_distinct", "n"))

@@ -298,3 +298,47 @@ def test_extract_frames_spark(spark):
     # stride sampling keeps frame 0 and drops within-stride frames
     sampled = extract_frames(media, every_ms=100_000).collect()
     assert {r["frame_index"] for r in sampled} == {0}
+
+
+# ------------------------------------------------- property round-trips
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 4),
+       st.integers(0, 2**32 - 1))
+def test_png_round_trip_property(h, w, channels, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    dec = C.decode_png(C.encode_png(img))
+    assert dec.shape == img.shape and (dec == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 3),
+       st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**32 - 1))
+def test_wav_round_trip_property(frames, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(frames, channels),
+                           dtype=np.int16)
+    wav = C.encode_wav(samples, rate)
+    hdr = C.probe_wav(wav)
+    assert hdr["n_frames"] == frames and hdr["channels"] == channels
+    dec, got_rate = C.decode_wav(wav)
+    assert got_rate == rate and (dec == samples).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(1, 64),
+       st.integers(1, 64), st.integers(0, 2**32 - 1))
+def test_resize_property(h, w, oh, ow, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = C.resize_nearest(img, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    # every output pixel is an input pixel (nearest-neighbor invariant)
+    flat_in = {img[y, x].tobytes() for y in range(h) for x in range(w)}
+    sample = out[rng.integers(0, oh)][rng.integers(0, ow)]
+    assert sample.tobytes() in flat_in

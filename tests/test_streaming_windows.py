@@ -90,3 +90,34 @@ def test_session_window_stream_equals_batch(spark):
         q.awaitTermination(120)
         got = sorted(map(tuple, spark.table(name).collect()))
     assert got == expected
+
+
+def test_windowed_approx_distinct_stream_equals_batch(spark):
+    from rulemorph_spark.streaming.windows import windowed_approx_distinct
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = src.select(event_time(F.col("ts")).alias("ets"),
+                       "event_type", "user_id")
+    expected = sorted(map(tuple, windowed_approx_distinct(
+        batch, "ets", "user_id", keys=["event_type"],
+        window="5 minutes").collect()))
+    assert len(expected) > 5
+    # sanity: estimates are positive and bounded by window row count
+    for row in expected:
+        assert 0 < row[3] <= row[4] * 1.05
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(f"{SF_DIR}/events.parquet",
+                    os.path.join(d, "part-0.parquet"))
+        stream = (spark.readStream.schema(src.schema).parquet(d)
+                  .select(event_time(F.col("ts")).alias("ets"),
+                          "event_type", "user_id"))
+        out = windowed_approx_distinct(stream, "ets", "user_id",
+                                       keys=["event_type"],
+                                       window="5 minutes")
+        name = f"hll_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == expected
