@@ -138,3 +138,75 @@ def test_sessionize_bounded_exchanges(spark):
     user; the stitch join must not add unbounded shuffles."""
     plan = _plan(E.queries()["q_sessionize"](spark, SF))
     assert _exchanges(plan) <= 6
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key must be a single projection of bit arithmetic —
+    no UDFs, no shuffle, no extra scans beyond the one stats job."""
+    from rulemorph_spark.functions.layout import zorder_key
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    z = df.select(zorder_key(df, ["l_orderkey", "l_partkey"], bits=16)
+                  .alias("z"))
+    plan = _plan(z)
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan            # no UDF of any kind
+    assert plan.count("FileScan parquet") == 1
+    # '*(n)' marks whole-stage-codegen stages in the executed plan
+    assert plan.lstrip().startswith("*(")
+
+
+def test_bloom_probe_hashes_jvm_side(spark):
+    """Bloom membership: xxhash64 positions stay JVM-side; the only
+    Python stage is the single Arrow bit-test, and the probe is a pure
+    narrow map (no shuffle, no join)."""
+    from rulemorph_spark.functions.sketches import (bloom_build,
+                                                    bloom_might_contain)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bits = bloom_build(docs.limit(50).select("source"), "source", 4096, 5)
+    probed = bloom_might_contain(docs, "source", bits, 4096, 5)
+    plan = _plan(probed)
+    assert _exchanges(plan) == 0
+    assert "xxhash64" in plan.lower()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+
+
+def test_hll_distinct_partial_aggregates(spark):
+    """HLL distinct: one shuffle, with map-side partial sketch merge
+    (the agg appears in both partial and final stages)."""
+    from rulemorph_spark.functions.sketches import hll_distinct
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hll_distinct(docs, "doc_id", ["source"]))
+    assert _exchanges(plan) == 1
+    assert "partial_hll_sketch_agg" in plan  # map-side combine present
+
+
+def test_typed_branch_filter_pushes_to_scan(spark, tmp_path):
+    """A typed rule with record_when + branch must still push the keep
+    filter toward the scan and contain zero variant ops / Python."""
+    from rulemorph_spark.engine import transform_table
+    (tmp_path / "sub.yaml").write_text(
+        "version: 2\ninput: {format: json}\nmappings:\n"
+        "  - target: flagged\n    value: true\n")
+    rule = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.l_quantity", 10]}
+steps:
+  - mappings:
+      - target: okey
+        source: l_orderkey
+  - branch:
+      when: {gte: ["@input.l_discount", 0.05]}
+      then: sub.yaml
+"""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = transform_table(df, rule, mode="typed", base_dir=str(tmp_path))
+    plan = _plan(out)
+    assert "Python" not in plan
+    assert "variant" not in plan.lower()
+    assert _exchanges(plan) == 0
+    # the record_when filter reaches the scan stage (pushed predicate
+    # on l_quantity), so filtered rows never evaluate mappings
+    assert "l_quantity" in plan.split("FileScan")[0] or \
+        "PushedFilters: [" in plan
