@@ -21,7 +21,8 @@ Coverage is the high-traffic subset: scalars (refs, literals, let/if,
 arithmetic, comparisons — v2 conditions and v1 pipe ops — logical,
 coalesce, casts, string/date ops, lookup) plus array pipelines on
 native ``array<T>`` columns (map step, filter, take/drop/slice,
-unique, contains, index_of, find_index with ``@item`` lambdas), and
+unique, contains, index_of, find_index with ``@item`` lambdas;
+sum/min/max over integer elements, first/last, depth-1 flatten), and
 ``steps`` rules including ``branch`` (the referenced rule file
 compiles inline with ``@input`` = the current ``@out`` tree; its
 typed outputs deep-merge or return, still zero variant columns).
@@ -281,10 +282,23 @@ def _navigate_schema(schema: T.StructType, tokens) -> tuple[Column, T.DataType] 
         dt = sub.dataType
     if col is None:  # empty path: whole record
         raise TypedFallback("whole-record reference")
-    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType,
-                       T.VariantType, T.BinaryType)):
+    if isinstance(dt, T.ArrayType):
+        if not _scalar_element_array(dt):
+            raise TypedFallback("array of non-scalar input field")
+    elif isinstance(dt, (T.StructType, T.MapType,
+                         T.VariantType, T.BinaryType)):
         raise TypedFallback("non-scalar input field")
     return col, dt
+
+
+def _scalar_element_array(dt: T.ArrayType) -> bool:
+    """array<scalar> or nested arrays thereof — referencable on the
+    typed path (the array op set validates per-op dtypes itself)."""
+    et = dt.elementType
+    if isinstance(et, T.ArrayType):
+        return _scalar_element_array(et)
+    return not isinstance(et, (T.StructType, T.MapType, T.VariantType,
+                               T.BinaryType))
 
 
 def _navigate_py(value, tokens):
@@ -1117,8 +1131,10 @@ _t_v1_cmp("~=")
 #
 # Typed arrays only arise from ``split`` / ``lookup`` (input array
 # columns fall back at the ref level), so elements are always scalar.
-# Ops whose result type depends on runtime values (``sum``'s integral
-# re-emission, ``first``'s missing-on-empty) stay on the variant path.
+# Ops whose result's JSON number type is runtime-dependent stay on the
+# variant path (``avg`` always; ``sum``/``min``/``max`` over float or
+# string elements).  Integer-element aggregates compile typed below —
+# their integral re-emission is static (always a long).
 
 
 def _t_arr_in(cur: TVal, path: str,
@@ -1289,6 +1305,98 @@ def t_find_index(scope, cur, args, path):
     first = F.get(found, 0)
     return TVal(F.coalesce(first["i"].cast("long"),
                            F.lit(-1).cast("long")), T.LongType())
+
+
+def _t_int_elems(arr: Column, et: T.DataType, path: str) -> Column:
+    """Integer elements as doubles; JSON-null element errors like the
+    variant ``to_number_strict`` (``transform.rs:4117-4260``)."""
+    if not _is_int(et):
+        # float/string element sums render int-or-double per ROW under
+        # the reference's integral re-emission — no static column type
+        raise TypedFallback("numeric agg over non-integer elements "
+                            "(runtime-dependent JSON number type)")
+    return F.transform(arr, lambda x: F.when(
+        x.isNull(),
+        V.raise_err("expr_error", "array item must be a number",
+                    path).cast("double")).otherwise(x.cast("double")))
+
+
+@_treg("sum")
+def t_sum(scope, cur, args, path):
+    """f64 fold like the variant path (same precision behavior), then
+    the statically-integral re-emission as long; empty → null
+    (``transform.rs:4117-4166``).  Matches ``num_to_variant`` for
+    |sum| ≤ 2^62 (beyond, the reference itself degrades to f64)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    nums = _t_int_elems(arr, et, path)
+    total = F.aggregate(nums, F.lit(0.0), lambda a, x: a + x)
+    res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
+           .otherwise(total.cast("long"))
+    return TVal(res, T.LongType())
+
+
+# no typed ``avg``: the result's JSON number type (int vs float) is
+# per-row runtime-dependent even for integer inputs — variant path only
+
+
+@_treg("min")
+def t_min(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    nums = _t_int_elems(arr, et, path)  # null-element error parity
+    res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
+           .otherwise(F.array_min(nums).cast("long"))
+    return TVal(res, T.LongType())
+
+
+@_treg("max")
+def t_max(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    nums = _t_int_elems(arr, et, path)
+    res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
+           .otherwise(F.array_max(nums).cast("long"))
+    return TVal(res, T.LongType())
+
+
+@_treg("first")
+def t_first(scope, cur, args, path):
+    """first element; empty → missing (``v2_eval.rs:2416-2430``) —
+    runtime-missing, so the TVal is flagged ``maybe_missing`` (ops
+    that distinguish missing from JSON null fall back on it; at the
+    mapping boundary both surface as table NULL)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    el = F.try_element_at(arr, F.lit(1))
+    return TVal(F.when(F.size(arr) == 0, F.lit(None).cast(et))
+                .otherwise(el), et, maybe_missing=True)
+
+
+@_treg("last")
+def t_last(scope, cur, args, path):
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    el = F.try_element_at(arr, F.size(arr))
+    return TVal(F.when(F.size(arr) == 0, F.lit(None).cast(et))
+                .otherwise(el), et, maybe_missing=True)
+
+
+@_treg("flatten")
+def t_flatten(scope, cur, args, path):
+    """depth-1 flatten of array<array<T>> (``transform.rs:3202-3232``).
+
+    The variant path keeps non-array elements as-is; in a typed
+    array<array<T>> every element is statically an array, and a
+    JSON-null element passes through as a single null item — mirrored
+    with a per-element wrap.  Deeper literal depths change the static
+    element type per level → variant path."""
+    if args:
+        lit = args[0].start
+        if not (isinstance(lit, StartLiteral) and lit.value == 1):
+            raise TypedFallback("flatten depth != 1 in typed mode")
+    arr, et = _t_arr_in(cur, path, null_to_empty=True)
+    if not isinstance(et, T.ArrayType):
+        raise TypedFallback("flatten over non-nested typed array")
+    inner = et.elementType
+    wrapped = F.transform(arr, lambda x: F.when(
+        x.isNull(), F.array(F.lit(None).cast(inner))).otherwise(x))
+    return TVal(F.flatten(wrapped), et)
 
 
 # --- rule-level compilation --------------------------------------------

@@ -116,7 +116,7 @@ def test_typed_plan_has_no_variant_ops(spark):
 
 
 def test_auto_falls_back_on_unsupported_op(spark):
-    # `first` is an array op outside the typed subset → TypedFallback,
+    # `chunk` is an array op outside the typed subset → TypedFallback,
     # and mode="auto" routes to the variant engine
     rule = """
 version: 2
@@ -124,15 +124,15 @@ input: {format: json}
 mappings:
   - target: id
     source: id
-  - target: head
-    expr: ["@input.name", {split: ["a"]}, {first: []}]
+  - target: pairs
+    expr: ["@input.name", {split: ["a"]}, {chunk: [2]}]
 """
     from rulemorph_spark.compiler.typed import TypedFallback
     with pytest.raises(TypedFallback):
         transform_table(_df(spark), rule, mode="typed")
     out = transform_table(_df(spark), rule, mode="auto")
     rows = _rows_variant(out)
-    assert rows[0]["id"] == 1 and rows[0]["head"] == ""
+    assert rows[0]["id"] == 1 and rows[0]["pairs"] == [["", "lph"], [""]]
 
 
 RULE_EXT = """
@@ -721,3 +721,69 @@ steps:
     out = transform_table(_branch_df(spark), main, mode="auto",
                           base_dir=str(tmp_path))
     assert {r["id"]: r for r in _rows_variant(out)}[1]["x"] == 1
+
+
+# --- typed array aggregations (sum/min/max/first/last/flatten) ----------
+
+RULE_ARRAY_AGG = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: total
+    expr: ["@input.nums", {sum: []}]
+  - target: lo
+    expr: ["@input.nums", {min: []}]
+  - target: hi
+    expr: ["@input.nums", {max: []}]
+  - target: head
+    expr: ["@input.nums", {first: []}]
+  - target: tail
+    expr: ["@input.nums", {last: []}]
+  - target: flat
+    expr: ["@input.nested", {flatten: []}]
+  - target: flat_first
+    expr: ["@input.nested", {flatten: []}, {first: []}]
+"""
+
+
+def test_typed_array_agg_parity(spark):
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2], [[1, 2], [3]]),
+         (2, [], []),                      # empty → null / missing
+         (3, [7], [[9], []]),
+         (4, [-5, 5], [[], []])],
+        "id long, nums array<long>, nested array<array<long>>")
+    typed = transform_table(df, RULE_ARRAY_AGG, mode="typed")
+    variant = transform_table(df, RULE_ARRAY_AGG, mode="variant")
+    t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
+    assert t_rows == v_rows
+    # concrete values + native long types (integral re-emission)
+    assert typed.schema["total"].dataType.simpleString() == "bigint"
+    by_id = {r["id"]: r for r in t_rows}
+    assert by_id[1] == {"id": 1, "total": 6, "lo": 1, "hi": 3, "head": 3,
+                        "tail": 2, "flat": [1, 2, 3], "flat_first": 1}
+    assert by_id[2]["total"] is None and by_id[2]["head"] is None
+    assert by_id[4] == {"id": 4, "total": 0, "lo": -5, "hi": 5, "head": -5,
+                        "tail": 5, "flat": [], "flat_first": None}
+
+
+def test_typed_array_agg_null_element_errors(spark):
+    df = spark.createDataFrame([([1, None, 3],)], "nums array<long>")
+    rule = ("version: 2\ninput: {format: json}\nmappings:\n"
+            "  - target: s\n    expr: [\"@input.nums\", {sum: []}]\n")
+    err = _collect_engine_error(transform_table(df, rule, mode="typed"))
+    assert err.kind == "ExprError"
+
+
+def test_typed_array_agg_float_falls_back(spark):
+    from rulemorph_spark.compiler.typed import TypedFallback
+    df = spark.createDataFrame([([1.5, 2.5],)], "nums array<double>")
+    rule = ("version: 2\ninput: {format: json}\nmappings:\n"
+            "  - target: s\n    expr: [\"@input.nums\", {sum: []}]\n")
+    with pytest.raises(TypedFallback):
+        transform_table(df, rule, mode="typed")
+    # auto mode: variant engine renders the f64 sum (4 → integral int)
+    out = transform_table(df, rule, mode="auto")
+    assert _rows_variant(out)[0]["s"] == 4
