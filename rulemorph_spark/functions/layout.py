@@ -50,6 +50,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     if ndims * bits > 63:
         raise ValueError(f"{ndims} cols x {bits} bits exceeds a long; "
                          f"lower bits to {63 // ndims}")
+    from pyspark.sql import types as T
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, T.NumericType):
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type "
+                f"{dt.simpleString()}; cast first (timestamps via "
+                f"unix_micros, string keys via xxhash64)")
     stats = df.agg(*[f(c).alias(f"{tag}_{c}") for c in cols
                      for tag, f in (("min", F.min), ("max", F.max))]) \
               .collect()[0]

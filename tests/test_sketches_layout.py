@@ -179,3 +179,9 @@ def test_cluster_write_tightens_file_bounds(spark, tmp_path):
     assert back.count() == 20_000
     assert back.agg(F.sum("x"), F.sum("y")).collect() == \
         df.agg(F.sum("x"), F.sum("y")).collect()
+
+
+def test_zorder_rejects_non_numeric(spark):
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(ValueError, match="non-numeric"):
+        zorder_key(df, ["x", "s"])
