@@ -185,9 +185,10 @@ def q_string_ops(spark, sf_dir):
 
 def q_replace_split_pad(spark, sf_dir):
     """replace (literal-first / literal-all / regex-all) + split (keeps
-    empties) + pad_start/pad_end, one part-grain pass
-    (transform.rs:2162-2373; composite of round-1 q_replace_modes +
-    q_split_pad)."""
+    empties) + pad_start/pad_end + eq/ne/ordering/regex-match
+    comparisons, one part-grain pass (transform.rs:2162-2373,
+    rules_spec_en.md:225-248; composite of round-1 q_replace_modes +
+    q_split_pad + q_comparisons)."""
     from rulemorph_spark.functions.scalar import (pad_end, pad_start,
                                                   replace_first)
     p = _t(spark, sf_dir, "part")
@@ -200,6 +201,10 @@ def q_replace_split_pad(spark, sf_dir):
         F.size(F.split(F.col("p_type"), " ", -1)).alias("n_toks"),
         pad_start(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
         pad_end(F.col("p_brand"), 12, ".").alias("brand_pad"),
+        (F.col("p_size") > 25).alias("gt25"),
+        (F.col("p_brand") == "Brand#23").alias("is_b23"),
+        (F.col("p_type") < F.col("p_brand")).alias("lex_lt"),
+        F.col("p_type").rlike("BRASS$").alias("ends_brass"),
     )
 
 
@@ -252,18 +257,6 @@ def q_casts_coalesce(spark, sf_dir):
         F.coalesce(F.nullif(F.col("event_type"), F.lit("click")),
                    F.nullif(F.col("event_type"), F.lit("view")),
                    F.lit("fallback")).alias("resolved"),
-    )
-
-
-def q_comparisons(spark, sf_dir):
-    """eq/ne/ordering/regex-match conditions (rules_spec_en.md:225-248)."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        (F.col("p_size") > 25).alias("gt25"),
-        (F.col("p_brand") == "Brand#23").alias("is_b23"),
-        (F.col("p_type") < F.col("p_brand")).alias("lex_lt"),
-        F.col("p_type").rlike("BRASS$").alias("ends_brass"),
     )
 
 
@@ -365,18 +358,21 @@ def q_array_ops(spark, sf_dir):
 def q_text_metrics(spark, sf_dir):
     """Text-analysis suite in one document-grain pass: token/word/char
     counting, quality scoring (stopword ratio + length gate),
-    language-ID heuristic (stopword hits + ASCII ratio) and md5
-    fingerprinting (SURVEY north-star text analysis; composite of
-    round-1 q_text_tokens + q_text_quality + q_lang_id +
-    q_fingerprint — all narrow JVM regex work, no shuffle)."""
+    language-ID heuristic (stopword hits + ASCII ratio), md5
+    fingerprinting, and Gopher-style repetition signals
+    (top-3-gram share, duplicate-3-gram share) (SURVEY north-star
+    text analysis; composite of round-1 q_text_tokens +
+    q_text_quality + q_lang_id + q_fingerprint + q_repetition_stats —
+    the per-doc metrics are narrow JVM regex work, the repetition
+    join adds the one doc-keyed fold repetition_stats already has)."""
     from rulemorph_spark.llm.text import (char_count, fingerprint,
-                                          lang_id_en, token_count,
-                                          word_count)
+                                          lang_id_en, repetition_stats,
+                                          token_count, word_count)
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     words = F.split(F.lower(F.trim(t)), r"\s+")
     stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    return d.select(
+    metrics = d.select(
         "doc_id", "lang",
         char_count(t).cast("bigint").alias("chars"),
         word_count(t).cast("bigint").alias("words"),
@@ -387,6 +383,7 @@ def q_text_metrics(spark, sf_dir):
         lang_id_en(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+    return metrics.join(repetition_stats(d, n=3), "doc_id")
 
 
 # ---------------------------------------------------------------------
@@ -693,6 +690,42 @@ def q_percentile_groups(spark, sf_dir):
                  F.count("*").alias("n")))
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned semi + anti join on one result surface, EXACT by
+    construction (round 2): every orders row is routed 'semi' (its
+    customer is in the BUILDING segment) or 'anti' (it is not) via
+    a dim-built Bloom filter applied BEFORE the shuffle — the
+    semi-join-reduction shape that keeps a selective 100 TB join from
+    shuffling the whole fact side.  No false negatives + exact join on
+    the candidates ⇒ the result is independent of the filter, which is
+    what the plain-SQL oracle checks."""
+    from rulemorph_spark.functions.relational import (bloom_anti_join,
+                                                      bloom_semi_join)
+    orders = _t(spark, sf_dir, "orders")
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    semi = (bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+            .select(F.lit("semi").alias("side"), "o_orderkey",
+                    "o_custkey"))
+    anti = (bloom_anti_join(orders, dim, "o_custkey", "c_custkey")
+            .select(F.lit("anti").alias("side"), "o_orderkey",
+                    "o_custkey"))
+    return semi.unionByName(anti)
+
+
+def q_lm_quality(spark, sf_dir):
+    """Unigram language-model quality scoring (round 2): train on the
+    corpus, score every document by per-token NLL — the CCNet /
+    RedPajama-style quality signal.  All log-probs are integer
+    micro-units so partial sums are exact under any partitioning; the
+    model table is broadcast, the corpus never shuffles except the
+    per-doc fold."""
+    from rulemorph_spark.llm.lm import lm_quality
+    d = _t(spark, sf_dir, "documents")
+    return lm_quality(d)
+
+
 def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via banded random-hyperplane LSH
     (nbits=12, 2 bands) + exact cosine on candidates — the rebuilt
@@ -900,14 +933,6 @@ def q_shingle_edges(spark, sf_dir):
                     .alias("n_shared")))
 
 
-def q_repetition_stats(spark, sf_dir):
-    """Gopher-style repetition signals (top-3-gram share, duplicate
-    3-gram share) — two map-side-combinable aggregation levels."""
-    from rulemorph_spark.llm.text import repetition_stats
-    d = _t(spark, sf_dir, "documents")
-    return repetition_stats(d, n=3)
-
-
 def q_sampling(spark, sf_dir):
     """Sampling suite on one result surface (composite of round-1
     q_stratified_sample + q_hash_sample + q_mixture_sample):
@@ -1010,7 +1035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_numeric_round_base": q_numeric_round_base,
         "q_date_ops": q_date_ops,
         "q_casts_coalesce": q_casts_coalesce,
-        "q_comparisons": q_comparisons,
         # aggregation / window
         "q_agg_pricing_summary": q_agg_pricing_summary,
         "q_window_rank": q_window_rank,
@@ -1020,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         # text analysis
         "q_text_metrics": q_text_metrics,
+        "q_lm_quality": q_lm_quality,
         # dedup / similarity
         "q_dedup_exact": q_dedup_exact,
         "q_doc_signatures": q_doc_signatures,
@@ -1043,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_skew_salted_join": q_skew_salted_join,
         "q_percentile_groups": q_percentile_groups,
+        "q_bloom_join": q_bloom_join,
         # LLM corpus pipeline
         "q_corpus_clean": q_corpus_clean,
         "q_doc_chunks": q_doc_chunks,
@@ -1052,7 +1078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topterms": q_tfidf_topterms,
         "q_multimodal_probe": q_multimodal_probe,
         "q_token_packing": q_token_packing,
-        "q_repetition_stats": q_repetition_stats,
         "q_sampling": q_sampling,
         "q_shingle_edges": q_shingle_edges,
     }
@@ -1157,8 +1182,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE lpad(CAST(p_partkey AS VARCHAR), 8, '0') END
                        AS padded,
                    CASE WHEN LENGTH(p_brand) >= 12 THEN p_brand
-                        ELSE rpad(p_brand, 12, '.') END AS brand_pad
+                        ELSE rpad(p_brand, 12, '.') END AS brand_pad,
+                   p_size > 25 AS gt25,
+                   p_brand = 'Brand#23' AS is_b23,
+                   p_type < p_brand AS lex_lt,
+                   regexp_matches(p_type, 'BRASS$') AS ends_brass
             FROM part
+        """,
+        "q_bloom_join": """
+            SELECT 'semi' AS side, o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            UNION ALL
+            SELECT 'anti' AS side, o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
+        """,
+        "q_lm_quality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(LOWER(TRIM(text)),
+                                                  '\\s+')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (
+              SELECT SUM(c) AS total, COUNT(*) AS vocab FROM counts),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(FLOOR(LN((c.c + 1) /
+                                   CAST(tot.total + tot.vocab AS DOUBLE))
+                                * 1000000) AS BIGINT) AS lp
+              FROM toks t
+              CROSS JOIN tot
+              LEFT JOIN counts c ON t.tok = c.tok)
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+                   CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp_micro
+            FROM scored GROUP BY doc_id
         """,
         "q_numeric_round_base": """
             SELECT l_orderkey, l_linenumber,
@@ -1195,14 +1259,6 @@ def oracle_sql() -> dict[str, str]:
                             NULLIF(event_type, 'view'),
                             'fallback') AS resolved
             FROM derived
-        """,
-        "q_comparisons": """
-            SELECT p_partkey,
-                   p_size > 25 AS gt25,
-                   p_brand = 'Brand#23' AS is_b23,
-                   p_type < p_brand AS lex_lt,
-                   regexp_matches(p_type, 'BRASS$') AS ends_brass
-            FROM part
         """,
         "q_agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1267,8 +1323,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lang, text,
                      regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
                          AS wlist
-              FROM documents)
-            SELECT doc_id, lang,
+              FROM documents),
+            st AS (
+              SELECT doc_id, wlist AS words,
+                     unnest(generate_series(
+                         1, GREATEST(len(wlist) - 2, 1), 1)) AS s
+              FROM w),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(
+                         list_slice(words, s, s + 2), ' ') AS g
+              FROM st),
+            per_gram AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM grams GROUP BY doc_id, g),
+            rep AS (
+              SELECT doc_id,
+                     ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE),
+                           6) AS top_gram_frac,
+                     ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                         AS dup_gram_frac
+              FROM per_gram GROUP BY doc_id)
+            SELECT w.doc_id, lang,
                    CAST(LENGTH(text) AS BIGINT) AS chars,
                    CAST(CASE WHEN TRIM(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
@@ -1287,8 +1364,9 @@ def oracle_sql() -> dict[str, str]:
                              '[\\x00-\\x7F]')) AS DOUBLE)
                              / CAST(LENGTH(text) AS DOUBLE) > 0.9
                         THEN 'en' ELSE 'other' END AS lang_pred,
-                   md5(array_to_string(wlist[1:8], ' ')) AS fp
-            FROM w
+                   md5(array_to_string(wlist[1:8], ' ')) AS fp,
+                   rep.top_gram_frac, rep.dup_gram_frac
+            FROM w JOIN rep ON w.doc_id = rep.doc_id
         """,
         "q_dedup_exact": """
             WITH keyed AS (
@@ -1537,33 +1615,6 @@ def oracle_sql() -> dict[str, str]:
                 ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             WHERE n_shared >= 2
-        """,
-        "q_repetition_stats": """
-            WITH w AS (
-              SELECT doc_id,
-                     regexp_split_to_array(LOWER(TRIM(text)), '\\s+')
-                         AS words
-              FROM documents),
-            st AS (
-              SELECT doc_id, words,
-                     unnest(generate_series(
-                         1, GREATEST(len(words) - 2, 1), 1)) AS s
-              FROM w),
-            grams AS (
-              SELECT doc_id,
-                     array_to_string(
-                         list_slice(words, s, s + 2), ' ') AS g
-              FROM st),
-            per_gram AS (
-              SELECT doc_id, g, COUNT(*) AS c
-              FROM grams GROUP BY doc_id, g)
-            SELECT doc_id,
-                   ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE),
-                         6) AS top_gram_frac,
-                   ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
-                              AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
-                       AS dup_gram_frac
-            FROM per_gram GROUP BY doc_id
         """,
         "q_sampling": """
             WITH ranked AS (

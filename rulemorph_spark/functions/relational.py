@@ -195,6 +195,92 @@ def stable_sort(df: DataFrame, key: Column, ascending: bool = True,
     return df.orderBy(*cols)
 
 
+def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, *, expected_items: int | None = None,
+                fpp: float = 0.01) -> DataFrame:
+    """Drop fact rows whose join key **cannot** match any dim key, using
+    a Bloom filter built from the dim side — the semi-join-reduction
+    step that makes selective 100 TB joins cheap.
+
+    Why: a plain ``fact ⋈ dim`` shuffles the *entire* fact table on the
+    join key even when only 1% of fact rows survive.  Building a
+    vocabulary-sized Bloom filter over ``dim_key`` (one small job) and
+    applying it **before** the exchange means only candidate rows are
+    ever shuffled — the same idea as Spark's own runtime row-group /
+    bloom pruning, but available as an explicit operator for any plan
+    shape.  No false negatives, so composing with an exact join below
+    keeps results exact; false positives (≈ ``fpp``) only cost a little
+    extra shuffle.
+
+    ``expected_items`` sizes the filter (default: ``dim.count()`` — one
+    extra tiny job on the dim side).
+    """
+    from .sketches import bloom_build, bloom_might_contain, bloom_params
+    if expected_items is None:
+        expected_items = dim.count()
+    num_bits, num_hashes = bloom_params(max(expected_items, 1), fpp)
+    bits = bloom_build(dim.select(F.col(dim_key).alias("__k__")), "__k__",
+                       num_bits, num_hashes)
+    flagged = bloom_might_contain(fact, fact_key, bits, num_bits,
+                                  num_hashes, out_col="__mc__")
+    return flagged.filter(F.col("__mc__")).drop("__mc__")
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, *, expected_items: int | None = None,
+                    fpp: float = 0.01,
+                    broadcast_keys: bool = True) -> DataFrame:
+    """EXACT left-semi join, bloom-accelerated: identical result to
+    ``fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")``.
+
+    The Bloom pre-filter (no false negatives) eliminates most
+    non-matching fact rows before the shuffle; the exact semi join then
+    removes the ≈``fpp`` false positives.  At 100 TB with a selective
+    dim this cuts the fact-side exchange by ~the selectivity factor.
+    ``broadcast_keys=True`` (default) hints the key set broadcast —
+    right for any dim a driver-built Bloom filter fits; pass False for
+    a dim whose *distinct key set* itself is cluster-sized, and the
+    exact pass becomes a shuffle semi join over the already-pruned
+    fact slice.
+    """
+    pruned = bloom_prune(fact, dim, fact_key, dim_key,
+                         expected_items=expected_items, fpp=fpp)
+    keys = dim.select(F.col(dim_key).alias("__dk__")).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    return pruned.join(keys, pruned[fact_key] == F.col("__dk__"),
+                       "left_semi")
+
+
+def bloom_anti_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, *, expected_items: int | None = None,
+                    fpp: float = 0.01) -> DataFrame:
+    """EXACT left-anti join, bloom-accelerated: identical result to
+    ``fact.join(dim, on=key, "left_anti")``.
+
+    Rows the Bloom filter rejects are *definitely* non-matches — they
+    pass the anti join with **zero** shuffle; only the ≈matching slice
+    (true matches + ``fpp`` false positives) goes through the exact
+    anti join.  This is the scale shape for "remove already-seen /
+    contaminated ids from a 100 TB corpus against a big blocklist".
+    """
+    from .sketches import bloom_build, bloom_might_contain, bloom_params
+    if expected_items is None:
+        expected_items = dim.count()
+    num_bits, num_hashes = bloom_params(max(expected_items, 1), fpp)
+    bits = bloom_build(dim.select(F.col(dim_key).alias("__k__")), "__k__",
+                       num_bits, num_hashes)
+    flagged = bloom_might_contain(fact, fact_key, bits, num_bits,
+                                  num_hashes, out_col="__mc__")
+    definite_out = flagged.filter(~F.col("__mc__")).drop("__mc__")
+    candidates = flagged.filter(F.col("__mc__")).drop("__mc__")
+    keys = dim.select(F.col(dim_key).alias("__dk__")).distinct()
+    survivors = candidates.join(keys,
+                                candidates[fact_key] == F.col("__dk__"),
+                                "left_anti")
+    return definite_out.unionByName(survivors)
+
+
 def grouped_percentiles(df: DataFrame, group_col: str, value_col: str,
                         quantiles: list[float], *,
                         exact: bool = True,

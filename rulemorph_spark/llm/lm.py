@@ -1,0 +1,129 @@
+"""Unigram language-model quality scoring.
+
+The classic corpus-quality signal (used in the CCNet / RedPajama /
+Gopher data recipes): train a small LM on the corpus (or a trusted
+reference corpus), score every document by its per-token negative
+log-likelihood, and filter or stratify on the score.  A unigram model
+is the degenerate-but-useful case: two corpus scans, no external
+artifacts, and — unlike a KenLM binary — fully expressible in
+DataFrame algebra.
+
+Scale shape (100 TB):
+- ``unigram_counts`` is one explode + groupBy — a single shuffle whose
+  key space is the vocabulary (millions of rows, not corpus-sized),
+  with map-side partial counts.
+- the trained table is vocabulary-sized → **broadcast** to score, so
+  the scoring pass never shuffles the corpus; the per-doc fold is a
+  map-side combine on ``doc_id`` which is co-partitioned with the scan.
+- all arithmetic is add-one-smoothed log-probabilities in **integer
+  micro-units** (``floor(ln(p) · 1e6)``), so partial sums are exact
+  integers — order-independent across partitions and bit-identical in
+  any engine (same trick as the fixed-point cosine in
+  ``similarity.lsh_signature``).
+
+Reference parity: the reference has no LM scorer; this extends its
+record-pipeline surface the way a pretraining-data user needs
+(rules_spec_en.md's transform pipeline feeding corpus curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_SPLIT_RE
+
+MICRO = 1_000_000
+
+
+def _words(text: Column) -> Column:
+    """Whitespace tokens of lower(trim(text)) — the shared convention
+    with the text-metrics oracles (empty doc → single empty token,
+    which scores like any OOV singleton)."""
+    return F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+
+
+def unigram_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token → count over the corpus: one explode + one groupBy
+    (map-side combine; the shuffle key space is the vocabulary)."""
+    return (corpus
+            .select(F.explode(_words(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c")))
+
+
+def unigram_logprob_micro(counts: DataFrame) -> DataFrame:
+    """Add-one-smoothed log-probability per token, in integer
+    micro-units: ``floor(ln((c + 1) / (total + vocab)) * 1e6)``.
+
+    Denominator totals ride along as a 1-row broadcast cross join so
+    the result stays a lazy plan (no driver round-trip).  Output:
+    (tok, lp_micro BIGINT, total BIGINT, vocab BIGINT) — total/vocab
+    are carried so scorers can derive the OOV floor
+    ``floor(ln(1 / (total + vocab)) * 1e6)`` without re-aggregating.
+    """
+    totals = counts.agg(F.sum("c").alias("total"),
+                        F.count("*").alias("vocab"))
+    denom = (F.col("total") + F.col("vocab")).cast("double")
+    lp = F.floor(F.log((F.col("c") + F.lit(1)).cast("double") / denom)
+                 * F.lit(MICRO)).cast("long")
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("tok", lp.alias("lp_micro"), "total", "vocab"))
+
+
+def lm_score(corpus: DataFrame, logprobs: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram NLL: (id, n_tokens, sum_lp_micro,
+    avg_lp_micro).
+
+    ``avg_lp_micro`` (mean per-token log-prob, micro-units, double) is
+    the quality score — higher (closer to 0) = more in-distribution;
+    filter e.g. ``avg_lp_micro > -12e6`` for a CCNet-style head/middle
+    cut.  The model side is broadcast; the corpus side shuffles only
+    the (doc_id, partial-sum) fold.  Integer partial sums make the
+    result bit-exact under any partitioning.
+    """
+    # OOV floor from a 1-row aggregate of the model table (the per-row
+    # total/vocab are NULL exactly on join misses, so they can't be
+    # read off the joined row itself)
+    consts = logprobs.agg(F.max("total").alias("__tot__"),
+                          F.max("vocab").alias("__voc__"))
+    oov = F.floor(F.log(F.lit(1.0) /
+                        (F.col("__tot__") + F.col("__voc__"))
+                        .cast("double"))
+                  * F.lit(MICRO)).cast("long")
+    toks = (corpus.select(F.col(id_col),
+                          F.explode(_words(F.col(text_col))).alias("tok"))
+            .crossJoin(F.broadcast(consts)))
+    scored = (toks.join(F.broadcast(logprobs.select("tok", "lp_micro")),
+                        "tok", "left")
+              .select(F.col(id_col),
+                      F.coalesce(F.col("lp_micro"), oov).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("lp").alias("sum_lp_micro"))
+            .select(F.col(id_col), "n_tokens", "sum_lp_micro",
+                    (F.col("sum_lp_micro").cast("double") /
+                     F.col("n_tokens").cast("double"))
+                    .alias("avg_lp_micro")))
+
+
+def lm_quality(corpus: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               train: DataFrame | None = None,
+               materialize: bool = True) -> DataFrame:
+    """Train-and-score convenience: fit the unigram table on ``train``
+    (default: the corpus itself — self-perplexity, the boilerplate /
+    gibberish detector) and score every document.
+
+    ``materialize=True`` checkpoints the vocabulary-sized model table
+    before scoring — without it the scoring plan re-derives the count
+    aggregation in all three places it is consumed (model join, OOV
+    constant, totals), tripling the training scan.  At 100 TB the
+    model would be persisted to parquet; a localCheckpoint is the
+    in-session equivalent.
+    """
+    fit_on = train if train is not None else corpus
+    lp = unigram_logprob_micro(unigram_counts(fit_on, text_col))
+    if materialize:
+        lp = lp.localCheckpoint(eager=True)
+    return lm_score(corpus, lp, text_col, id_col)

@@ -194,6 +194,41 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count("*").alias("n_hit_shingles")))
 
 
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, fpp: float = 0.001) -> DataFrame:
+    """Bloom-accelerated :func:`decontaminate` — identical output.
+
+    When the benchmark shingle set is too large to broadcast as rows
+    (a full eval-suite union can be 10⁸ shingles), a Bloom filter over
+    it is ~KBs-per-million-keys and has **no false negatives**: corpus
+    shingles that fail the filter are dropped before the join, the
+    ≈``fpp`` false positives are removed by the exact broadcast join
+    over the survivors.  The corpus side still never shuffles until
+    the per-doc count fold — this just shrinks the join input by
+    ~the contamination rate.
+    """
+    from ..functions.sketches import (bloom_build, bloom_might_contain,
+                                      bloom_params)
+    bench_sh = (benchmark
+                .select(F.explode(shingle_strings(F.col(text_col), n))
+                        .alias("sh"))
+                .distinct())
+    n_bench = bench_sh.count()
+    num_bits, num_hashes = bloom_params(max(n_bench, 1), fpp)
+    bits = bloom_build(bench_sh, "sh", num_bits, num_hashes)
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_strings(F.col(text_col), n)))
+        .alias("sh"))
+    candidates = (bloom_might_contain(corp_sh, "sh", bits, num_bits,
+                                      num_hashes, out_col="__mc__")
+                  .filter(F.col("__mc__")).drop("__mc__"))
+    return (candidates.join(F.broadcast(bench_sh), "sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_shingles")))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Gopher-style repetition signals per document (public recipe:

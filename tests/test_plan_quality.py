@@ -111,11 +111,62 @@ def test_shingle_overlap_hot_shingle_capped(spark):
     assert uncapped.count() == 50 * 49 // 2
 
 
-def test_text_metrics_is_shuffle_free(spark):
-    """the whole text-analysis suite is one narrow projection."""
+def test_text_metrics_bounded_shuffles(spark):
+    """the per-doc metric columns are one narrow projection; the
+    repetition-stats composite adds its (doc,gram) fold + the doc_id
+    stitch join — bounded exchanges, no extra corpus scans beyond the
+    two branches."""
     plan = _plan(E.queries()["q_text_metrics"](spark, SF))
+    assert _exchanges(plan) <= 4
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_narrow_text_metrics_projection_is_shuffle_free(spark):
+    """the underlying per-doc metric projection itself stays narrow."""
+    from rulemorph_spark.llm.text import text_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(text_stats(docs))
     assert _exchanges(plan) == 0
     assert plan.count("FileScan parquet") == 1
+
+
+def test_bloom_join_prunes_before_exchange(spark):
+    """bloom semi join: the membership probe (ArrowEval over JVM-side
+    xxhash64 positions) must sit BELOW the join exchange, so only
+    candidate rows shuffle; the exact pass broadcasts the key set."""
+    from rulemorph_spark.functions.relational import bloom_semi_join
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dim = (spark.read.parquet(f"{SF}/customer.parquet")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    plan = _plan(bloom_semi_join(orders, dim, "o_custkey", "c_custkey"))
+    assert "BroadcastExchange" in plan
+    # the probe filter exists and no shuffle exchange of the fact side
+    assert "ArrowEvalPython" in plan or "FilterExec" in plan
+    # the only shuffle is the dim-side distinct (vocabulary-sized);
+    # the FACT side reaches the broadcast join with zero exchanges
+    assert _exchanges(plan) <= 1
+
+
+def test_lm_quality_broadcasts_model_and_bounds_shuffles(spark):
+    """LM scoring: the trained table is broadcast; shuffles are the
+    vocab count fold + the per-doc fold only."""
+    plan = _plan(E.queries()["q_lm_quality"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert _exchanges(plan) <= 4
+
+
+def test_kmeans_assignment_is_broadcast_no_corpus_window(spark):
+    """k-means assignment: centroids broadcast, per-row argmin via
+    min_by fold — no global window, no corpus-sized sort."""
+    from rulemorph_spark.llm.clustering import assign_cells, seed_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = seed_centroids(emb, "vec_id", "embedding", 4) \
+        .localCheckpoint(eager=True)
+    plan = _plan(assign_cells(emb, cents, "vec_id", "embedding"))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert _exchanges(plan) <= 1  # the min_by fold only
 
 
 def test_doc_signatures_is_shuffle_free_single_scan(spark):

@@ -1,0 +1,217 @@
+"""Round-2 operators: bloom-pruned joins, unigram-LM quality scoring,
+distributed k-means, bloom decontamination.
+
+Each scale-path operator is verified against its exact counterpart
+(bloom joins vs plain joins, decontaminate_bloom vs decontaminate,
+Spark k-means vs a NumPy Lloyd reference) — the same
+exact-equivalence strategy the round-1 ANN/dedup suites use.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark, name):
+    return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# -------------------------------------------------------------- bloom joins
+
+def test_bloom_semi_join_matches_exact(spark):
+    from rulemorph_spark.functions.relational import bloom_semi_join
+    orders = _t(spark, "orders")
+    # a selective dim: customers in one segment
+    dim = (_t(spark, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    got = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+    want = orders.join(dim, orders["o_custkey"] == dim["c_custkey"],
+                       "left_semi")
+    assert _rows(got, ["o_orderkey"]) == _rows(want, ["o_orderkey"])
+
+
+def test_bloom_anti_join_matches_exact(spark):
+    from rulemorph_spark.functions.relational import bloom_anti_join
+    orders = _t(spark, "orders")
+    dim = (_t(spark, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    got = bloom_anti_join(orders, dim, "o_custkey", "c_custkey")
+    want = orders.join(dim, orders["o_custkey"] == dim["c_custkey"],
+                       "left_anti")
+    assert _rows(got, ["o_orderkey"]) == _rows(want, ["o_orderkey"])
+
+
+def test_bloom_prune_no_false_negatives_and_selective(spark):
+    from rulemorph_spark.functions.relational import bloom_prune
+    orders = _t(spark, "orders")
+    dim = (_t(spark, "customer")
+           .filter(F.col("c_custkey") % 50 == 0).select("c_custkey"))
+    pruned = bloom_prune(orders, dim, "o_custkey", "c_custkey", fpp=0.01)
+    truth = orders.join(dim, orders["o_custkey"] == dim["c_custkey"],
+                        "left_semi")
+    n_truth, n_pruned, n_all = truth.count(), pruned.count(), orders.count()
+    # every true match survives (no false negatives) ...
+    missing = truth.join(pruned.select("o_orderkey"), "o_orderkey",
+                         "left_anti").count()
+    assert missing == 0
+    # ... and the filter actually prunes (false positives ≈ fpp)
+    assert n_truth <= n_pruned < n_all
+    assert n_pruned - n_truth <= max(20, 0.05 * n_all)
+
+
+def test_bloom_semi_join_empty_dim(spark):
+    from rulemorph_spark.functions.relational import bloom_semi_join
+    orders = _t(spark, "orders")
+    dim = _t(spark, "customer").filter(F.lit(False)).select("c_custkey")
+    assert bloom_semi_join(orders, dim, "o_custkey", "c_custkey",
+                           expected_items=1).count() == 0
+
+
+# ---------------------------------------------------------------- LM scoring
+
+def test_lm_quality_matches_python_reference(spark):
+    from rulemorph_spark.llm.lm import MICRO, lm_quality
+    docs = _t(spark, "documents").limit(60).cache()
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_lp_micro"],
+                         r["avg_lp_micro"])
+           for r in lm_quality(docs).collect()}
+
+    rows = docs.select("doc_id", "text").collect()
+    corpus = {r["doc_id"]: r["text"].strip().lower().split()
+              for r in rows}
+    counts: dict[str, int] = {}
+    for toks in corpus.values():
+        toks = toks if toks else [""]
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    total, vocab = sum(counts.values()), len(counts)
+    denom = float(total + vocab)
+    for doc_id, toks in corpus.items():
+        toks = toks if toks else [""]
+        lps = [math.floor(math.log((counts.get(t, 0) + 1) / denom)
+                          * MICRO) for t in toks]
+        n, s = len(lps), sum(lps)
+        gn, gs, ga = got[doc_id]
+        assert (gn, gs) == (n, s)
+        assert ga == s / n
+
+
+def test_lm_score_oov_and_train_split(spark):
+    """Scoring against a model trained on a DIFFERENT slice exercises
+    the OOV path: every unseen token gets the floor probability."""
+    from rulemorph_spark.llm.lm import (lm_score, unigram_counts,
+                                        unigram_logprob_micro)
+    docs = _t(spark, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    heldout = docs.filter(F.col("doc_id") % 2 == 1).limit(40)
+    lp = unigram_logprob_micro(unigram_counts(train))
+    scored = lm_score(heldout, lp)
+    assert scored.count() == heldout.count()
+    r = scored.agg(F.min("avg_lp_micro"), F.max("avg_lp_micro")).collect()[0]
+    # all scores are negative log-probs in micro units
+    assert r[1] < 0
+    # gibberish (all-OOV) scores strictly below in-distribution text
+    one = heldout.limit(1).select(
+        F.col("doc_id") + 10_000_000, F.lit("zzqx jvvw qqqz"), F.lit("en"),
+        F.lit("syn"), F.lit(14))
+    gib = one.toDF("doc_id", "text", "lang", "source", "n_chars")
+    gib_score = lm_score(gib, lp).collect()[0]["avg_lp_micro"]
+    assert gib_score <= r[0]
+
+
+# ------------------------------------------------------------------- k-means
+
+def _np_kmeans(vecs, seed_idx, iters):
+    cents = vecs[seed_idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = vecs[m].mean(axis=0)
+    return cents, assign
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    from rulemorph_spark.llm.clustering import assign_cells, kmeans_train
+    emb = (_t(spark, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double"))
+                   .alias("embedding"))
+           .cache())
+    k, iters = 6, 4
+    trained = kmeans_train(emb, "vec_id", "embedding", k, iters=iters)
+    got_assign = {r["vec_id"]: r["cell"]
+                  for r in assign_cells(emb, trained, "vec_id",
+                                        "embedding").collect()}
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # replay the seed order: smallest xxhash64(vec_id)
+    seed_rows = (emb.select("vec_id")
+                 .orderBy(F.xxhash64("vec_id"), "vec_id").limit(k)
+                 .collect())
+    seed_ids = [r["vec_id"] for r in seed_rows]
+    seed_idx = [int(np.where(ids == s)[0][0]) for s in seed_ids]
+    _, np_assign = _np_kmeans(vecs, seed_idx, iters + 1)
+    np_map = {int(ids[i]): int(np_assign[i]) for i in range(len(ids))}
+    agree = sum(got_assign[v] == np_map[v] for v in np_map)
+    # float tie-breaks can flip a handful of boundary points; demand
+    # near-total agreement, not bit equality
+    assert agree >= 0.98 * len(np_map)
+
+
+def test_kmeans_inertia_decreases(spark):
+    from rulemorph_spark.llm.clustering import (kmeans_inertia,
+                                                kmeans_train,
+                                                seed_centroids)
+    emb = _t(spark, "embeddings").select("vec_id", "embedding").cache()
+    seeds = seed_centroids(emb, "vec_id", "embedding", 5)
+    i0 = kmeans_inertia(emb, seeds, "vec_id", "embedding")
+    c1 = kmeans_train(emb, "vec_id", "embedding", 5, iters=1)
+    i1 = kmeans_inertia(emb, c1, "vec_id", "embedding")
+    c3 = kmeans_train(emb, "vec_id", "embedding", 5, iters=3)
+    i3 = kmeans_inertia(emb, c3, "vec_id", "embedding")
+    assert i1 <= i0 + 1e-6
+    assert i3 <= i1 + 1e-6
+
+
+def test_trained_centroids_feed_ivf(spark):
+    from rulemorph_spark.llm.clustering import train_ivf_centroids
+    from rulemorph_spark.llm.similarity import ivf_topk
+    emb = _t(spark, "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    assert cents.count() == 8
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    top = ivf_topk(emb, queries, cents, "vec_id", "embedding", k=3,
+                   nprobe=3)
+    assert top.count() == queries.count() * 3
+
+
+# -------------------------------------------------------- bloom decontaminate
+
+def test_decontaminate_bloom_matches_exact(spark):
+    from rulemorph_spark.llm.text import decontaminate, decontaminate_bloom
+    docs = _t(spark, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    exact = decontaminate(corpus, bench, n=8)
+    fast = decontaminate_bloom(corpus, bench, n=8, fpp=0.001)
+    cols = ["doc_id", "n_hit_shingles"]
+    assert _rows(fast, cols) == _rows(exact, cols)
