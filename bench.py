@@ -59,6 +59,8 @@ def main():
         "q_sessionize",            # lag+cumsum ⋈ native session_window
         "q_tfidf_topterms",        # corpus statistic (explode+window)
         "q_multimodal_probe",      # Arrow-batched mapInPandas path
+        "q_bloom_join",            # bloom-pruned semi+anti join (round 2)
+        "q_lm_quality",            # unigram-LM NLL scoring (round 2)
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -66,7 +66,7 @@ def main() -> None:
     qs = entry.queries()
     names = ["q_agg_pricing_summary", "q_dedup_exact", "q_window_rank",
              "q_sessionize", "q_asof_join", "q_lookup",
-             "q_rule_typed_transform"]
+             "q_rule_typed_transform", "q_bloom_join", "q_lm_quality"]
 
     with tempfile.TemporaryDirectory() as big:
         replicate(spark, src, big, n)
