@@ -363,16 +363,19 @@ def q_text_metrics(spark, sf_dir):
     (top-3-gram share, duplicate-3-gram share) (SURVEY north-star
     text analysis; composite of round-1 q_text_tokens +
     q_text_quality + q_lang_id + q_fingerprint + q_repetition_stats —
-    the per-doc metrics are narrow JVM regex work, the repetition
-    join adds the one doc-keyed fold repetition_stats already has)."""
+    ALL per-row Column work including the repetition signals, which
+    run-length-scan each row's sorted gram array instead of exploding
+    to (doc, gram) rows: the whole suite stays one narrow shuffle-free
+    projection, plan-asserted)."""
     from rulemorph_spark.llm.text import (char_count, fingerprint,
-                                          lang_id_en, repetition_stats,
+                                          lang_id_en, repetition_cols,
                                           token_count, word_count)
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     words = F.split(F.lower(F.trim(t)), r"\s+")
     stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    metrics = d.select(
+    top_gram, dup_gram = repetition_cols(t, 3)
+    return d.select(
         "doc_id", "lang",
         char_count(t).cast("bigint").alias("chars"),
         word_count(t).cast("bigint").alias("words"),
@@ -382,8 +385,9 @@ def q_text_metrics(spark, sf_dir):
         (F.size(words) >= 5).alias("length_ok"),
         lang_id_en(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
+        top_gram.alias("top_gram_frac"),
+        dup_gram.alias("dup_gram_frac"),
     )
-    return metrics.join(repetition_stats(d, n=3), "doc_id")
 
 
 # ---------------------------------------------------------------------

@@ -229,27 +229,53 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count("*").alias("n_hit_shingles")))
 
 
+def repetition_cols(text: Column, n: int = 3) -> tuple[Column, Column]:
+    """Gopher-style repetition signals as pure per-row Columns (public
+    recipe: Rae et al. 2021 §A1.1): ``top_gram_frac`` = share of the
+    most frequent n-gram, ``dup_gram_frac`` = share of n-gram
+    occurrences whose n-gram appears more than once.
+
+    The statistic is per-document, so it never needs a shuffle: sort
+    the row's gram array and run-length scan it with one ``aggregate``
+    HOF — max run = top-gram count, summed runs >1 = duplicated
+    occurrences.  (The round-1 form exploded to (doc, gram) rows and
+    aggregated twice — two corpus-sized shuffles for a row-local
+    computation.)
+    """
+    srt = F.array_sort(shingle_strings(text, n))
+    total = F.size(srt).cast("double")
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("maxrun"),
+                    F.lit(0).cast("long").alias("dup"))
+
+    def step(acc, g):
+        same = acc["prev"].eqNullSafe(g)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # closing a run: fold its length into dup if it repeated
+        dup = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]) \
+               .otherwise(acc["dup"])
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["maxrun"], run).alias("maxrun"),
+                        dup.alias("dup"))
+
+    def fin(acc):
+        dup = F.when(acc["run"] > 1, acc["dup"] + acc["run"]) \
+               .otherwise(acc["dup"])
+        return F.struct(acc["maxrun"].alias("maxrun"), dup.alias("dup"))
+
+    agg = F.aggregate(srt, acc0, step, fin)
+    return (F.round(agg["maxrun"].cast("double") / total, 6),
+            F.round(agg["dup"].cast("double") / total, 6))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Gopher-style repetition signals per document (public recipe:
-    Rae et al. 2021 §A1.1): ``top_gram_frac`` = share of the most
-    frequent n-gram, ``dup_gram_frac`` = share of n-gram occurrences
-    whose n-gram appears more than once.
-
-    Scale shape: explode → two-level partial aggregation keyed by
-    (doc, n-gram) then doc — both map-side combinable; no data is
-    collected per doc beyond its histogram row."""
-    grams = df.select(F.col(id_col),
-                      F.explode(shingle_strings(F.col(text_col), n))
-                      .alias("g"))
-    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-    total = F.sum("c").cast("double")
-    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) \
-           .cast("double")
-    return per_gram.groupBy(id_col).agg(
-        F.round(F.max("c").cast("double") / total, 6)
-        .alias("top_gram_frac"),
-        F.round(dup / total, 6).alias("dup_gram_frac"))
+    """DataFrame form of :func:`repetition_cols` — one narrow
+    projection, no shuffle, linear scale-out."""
+    top, dup = repetition_cols(F.col(text_col), n)
+    return df.select(F.col(id_col), top.alias("top_gram_frac"),
+                     dup.alias("dup_gram_frac"))
 
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",

@@ -111,14 +111,13 @@ def test_shingle_overlap_hot_shingle_capped(spark):
     assert uncapped.count() == 50 * 49 // 2
 
 
-def test_text_metrics_bounded_shuffles(spark):
-    """the per-doc metric columns are one narrow projection; the
-    repetition-stats composite adds its (doc,gram) fold + the doc_id
-    stitch join — bounded exchanges, no extra corpus scans beyond the
-    two branches."""
+def test_text_metrics_is_shuffle_free(spark):
+    """the whole text-analysis suite — including the repetition
+    signals, which run-length-scan each row's sorted gram array —
+    is ONE narrow projection: no shuffle, single scan."""
     plan = _plan(E.queries()["q_text_metrics"](spark, SF))
-    assert _exchanges(plan) <= 4
-    assert plan.count("FileScan parquet") <= 2
+    assert _exchanges(plan) == 0
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_narrow_text_metrics_projection_is_shuffle_free(spark):
