@@ -328,6 +328,81 @@ def shingle_overlap_edges(df: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
+def dup_span_coverage(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-substring coverage — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    signal: the fraction of each document's tokens covered by an
+    n-token span that also occurs in ≥ ``min_docs`` documents.  Used to
+    drop or trim documents that are mostly boilerplate shared across
+    the corpus (a softer tool than whole-document dedup).
+
+    Scale shape (100 TB):
+    - positional n-gram hashes are per-row Column work (let-bound
+      words, multi-arg xxhash64 — no gram strings materialized);
+    - cross-document frequency is ONE aggregation keyed by gram hash
+      (map-side combinable; key space ≈ distinct grams);
+    - the hit join shuffles (gram, doc, pos) triples once on the hash;
+    - interval merging is a per-doc HOF scan over that doc's sorted
+      hit positions (bounded by the doc's own token count — the same
+      bound as the text itself).
+
+    Output: (id, n_tokens, dup_tokens, dup_frac) for EVERY input doc
+    (0.0 when nothing is duplicated).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def grams(w: Column) -> Column:
+        starts = F.sequence(F.lit(1),
+                            F.greatest(F.size(w) - F.lit(n - 1),
+                                       F.lit(1)))
+        return F.transform(starts, lambda i: F.xxhash64(
+            *[F.element_at(w, i + j) for j in range(n)]))
+
+    gcol = F.transform(F.array(words), grams)[0]
+    base = df.select(F.col(id_col), F.size(words).alias("__nt__"),
+                     gcol.alias("__g__"))
+    pos = base.select(id_col, "__nt__",
+                      F.posexplode("__g__").alias("__p__", "__h__"))
+    dup_grams = (pos.groupBy("__h__")
+                 .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+                 .filter(F.col("__nd__") >= min_docs)
+                 .select("__h__"))
+    hits = pos.join(dup_grams, "__h__")
+    acc0 = F.struct(F.lit(0).cast("long").alias("cov"),
+                    F.lit(-1).cast("long").alias("end"))
+
+    def step(acc, p):
+        new_end = p + n  # positions are 0-based; span = [p, p+n)
+        gain = new_end - F.greatest(acc["end"], p)
+        return F.struct(
+            F.when(new_end > acc["end"], acc["cov"] + gain)
+            .otherwise(acc["cov"]).alias("cov"),
+            F.greatest(acc["end"], new_end).alias("end"))
+
+    per_doc = (hits.groupBy(id_col)
+               .agg(F.max("__nt__").alias("__nt__"),
+                    F.array_sort(F.collect_list("__p__")).alias("__ps__"))
+               .select(id_col, "__nt__",
+                       F.aggregate(F.col("__ps__"), acc0, step,
+                                   lambda a: a["cov"]).alias("__cov__")))
+    all_docs = base.select(id_col, "__nt__")
+    out = (all_docs.join(per_doc.select(id_col, "__cov__"), id_col,
+                         "left")
+           .select(F.col(id_col), F.col("__nt__").alias("n_tokens"),
+                   # coalesce BEFORE least: Spark's least() skips
+                   # nulls, so least(null, nt) would be nt, silently
+                   # marking untouched docs as fully duplicated
+                   F.least(F.coalesce(F.col("__cov__"), F.lit(0)),
+                           F.col("__nt__")).cast("long")
+                   .alias("dup_tokens")))
+    return out.withColumn(
+        "dup_frac",
+        F.round(F.col("dup_tokens").cast("double") /
+                F.col("n_tokens").cast("double"), 6))
+
+
 def dedup_incremental(batch: DataFrame, store_path: str,
                       key: Column, id_col: str,
                       out_path: str | None = None) -> DataFrame:

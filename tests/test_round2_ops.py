@@ -215,3 +215,56 @@ def test_decontaminate_bloom_matches_exact(spark):
     fast = decontaminate_bloom(corpus, bench, n=8, fpp=0.001)
     cols = ["doc_id", "n_hit_shingles"]
     assert _rows(fast, cols) == _rows(exact, cols)
+
+
+# ---------------------------------------------------- dup-span coverage
+
+def _py_dup_coverage(texts, n, min_docs):
+    grams_by_doc = {}
+    for did, t in texts.items():
+        w = t.strip().lower().split()
+        grams_by_doc[did] = [tuple(w[i:i + n])
+                             for i in range(max(len(w) - n + 1, 1))]
+    from collections import Counter
+    df_count = Counter()
+    for did, gs in grams_by_doc.items():
+        for g in set(gs):
+            df_count[g] += 1
+    out = {}
+    for did, t in texts.items():
+        w = t.strip().lower().split()
+        nt = len(w)
+        spans = sorted(p for p, g in enumerate(grams_by_doc[did])
+                       if df_count[g] >= min_docs)
+        cov, end = 0, -1
+        for p in spans:
+            ne = p + n
+            if ne > end:
+                cov += ne - max(end, p)
+                end = ne
+        cov = min(cov, nt)
+        out[did] = (nt, cov, round(cov / nt, 6))
+    return out
+
+
+def test_dup_span_coverage_matches_python(spark):
+    from rulemorph_spark.llm.dedup import dup_span_coverage
+    docs = _t(spark, "documents").filter(F.col("doc_id") < 150)
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+           for r in dup_span_coverage(docs, n=5, min_docs=2).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = _py_dup_coverage(texts, 5, 2)
+    assert got == want
+
+
+def test_dup_span_full_duplicate_is_fully_covered(spark):
+    from rulemorph_spark.llm.dedup import dup_span_coverage
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "completely different words that appear exactly once here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["dup_frac"]
+           for r in dup_span_coverage(df, n=4, min_docs=2).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert got[3] == 0.0
