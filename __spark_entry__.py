@@ -702,20 +702,18 @@ def q_bloom_join(spark, sf_dir):
     semi-join-reduction shape that keeps a selective 100 TB join from
     shuffling the whole fact side.  No false negatives + exact join on
     the candidates ⇒ the result is independent of the filter, which is
-    what the plain-SQL oracle checks."""
-    from rulemorph_spark.functions.relational import (bloom_anti_join,
-                                                      bloom_semi_join)
+    what the plain-SQL oracle checks.  Both sides share ONE filter
+    build (`bloom_split`)."""
+    from rulemorph_spark.functions.relational import bloom_split
     orders = _t(spark, sf_dir, "orders")
     dim = (_t(spark, sf_dir, "customer")
            .filter(F.col("c_mktsegment") == "BUILDING")
            .select("c_custkey"))
-    semi = (bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
-            .select(F.lit("semi").alias("side"), "o_orderkey",
-                    "o_custkey"))
-    anti = (bloom_anti_join(orders, dim, "o_custkey", "c_custkey")
-            .select(F.lit("anti").alias("side"), "o_orderkey",
-                    "o_custkey"))
-    return semi.unionByName(anti)
+    semi, anti = bloom_split(orders, dim, "o_custkey", "c_custkey")
+    return (semi.select(F.lit("semi").alias("side"), "o_orderkey",
+                        "o_custkey")
+            .unionByName(anti.select(F.lit("anti").alias("side"),
+                                     "o_orderkey", "o_custkey")))
 
 
 def q_lm_quality(spark, sf_dir):

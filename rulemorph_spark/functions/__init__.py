@@ -10,7 +10,8 @@ query surface (``__spark_entry__.py``) and ``bench.py`` build on these.
 from .scalar import (number_to_string, pad_end, pad_start, replace_first,
                      round_half_away, strict_bool, strict_int, to_base)
 from .relational import (asof_join, bloom_anti_join, bloom_prune,
-                         bloom_semi_join, grouped_percentiles, lookup_all,
+                         bloom_semi_join, bloom_split,
+                         grouped_percentiles, lookup_all,
                          lookup_first, range_join_binned, salted_join,
                          stable_sort, write_bucketed)
 from .sketches import (bloom_build, bloom_might_contain, bloom_params,
@@ -23,5 +24,5 @@ __all__ = [
     "lookup_first", "lookup_all", "stable_sort",
     "asof_join", "range_join_binned", "salted_join", "write_bucketed",
     "grouped_percentiles",
-    "bloom_prune", "bloom_semi_join", "bloom_anti_join",
+    "bloom_prune", "bloom_semi_join", "bloom_anti_join", "bloom_split",
 ]

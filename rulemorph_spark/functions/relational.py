@@ -281,6 +281,34 @@ def bloom_anti_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     return definite_out.unionByName(survivors)
 
 
+def bloom_split(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, *, expected_items: int | None = None,
+                fpp: float = 0.01) -> tuple[DataFrame, DataFrame]:
+    """EXACT (semi, anti) pair sharing ONE Bloom filter build — for
+    callers that route both matching and non-matching fact rows
+    (retain/quarantine splits, contaminated/clean partitions).  Same
+    results as :func:`bloom_semi_join` + :func:`bloom_anti_join` at
+    half the filter-construction cost."""
+    from .sketches import bloom_build, bloom_might_contain, bloom_params
+    if expected_items is None:
+        expected_items = dim.count()
+    num_bits, num_hashes = bloom_params(max(expected_items, 1), fpp)
+    bits = bloom_build(dim.select(F.col(dim_key).alias("__k__")), "__k__",
+                       num_bits, num_hashes)
+    flagged = bloom_might_contain(fact, fact_key, bits, num_bits,
+                                  num_hashes, out_col="__mc__")
+    candidates = flagged.filter(F.col("__mc__")).drop("__mc__")
+    definite_out = flagged.filter(~F.col("__mc__")).drop("__mc__")
+    keys = F.broadcast(dim.select(F.col(dim_key).alias("__dk__"))
+                       .distinct())
+    semi = candidates.join(keys, candidates[fact_key] == F.col("__dk__"),
+                           "left_semi")
+    anti = definite_out.unionByName(
+        candidates.join(keys, candidates[fact_key] == F.col("__dk__"),
+                        "left_anti"))
+    return semi, anti
+
+
 def grouped_percentiles(df: DataFrame, group_col: str, value_col: str,
                         quantiles: list[float], *,
                         exact: bool = True,

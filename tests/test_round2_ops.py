@@ -268,3 +268,19 @@ def test_dup_span_full_duplicate_is_fully_covered(spark):
            for r in dup_span_coverage(df, n=4, min_docs=2).collect()}
     assert got[1] == 1.0 and got[2] == 1.0
     assert got[3] == 0.0
+
+
+def test_bloom_split_matches_both_exact_joins(spark):
+    from rulemorph_spark.functions.relational import bloom_split
+    orders = _t(spark, "orders")
+    dim = (_t(spark, "customer")
+           .filter(F.col("c_mktsegment") == "MACHINERY")
+           .select("c_custkey"))
+    semi, anti = bloom_split(orders, dim, "o_custkey", "c_custkey")
+    want_semi = orders.join(dim, orders["o_custkey"] == dim["c_custkey"],
+                            "left_semi")
+    want_anti = orders.join(dim, orders["o_custkey"] == dim["c_custkey"],
+                            "left_anti")
+    assert _rows(semi, ["o_orderkey"]) == _rows(want_semi, ["o_orderkey"])
+    assert _rows(anti, ["o_orderkey"]) == _rows(want_anti, ["o_orderkey"])
+    assert semi.count() + anti.count() == orders.count()
