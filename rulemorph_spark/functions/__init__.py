@@ -16,7 +16,8 @@ from .relational import (asof_join, bloom_anti_join, bloom_prune,
                          stable_sort, write_bucketed)
 from .sketches import (bloom_build, bloom_might_contain, bloom_params,
                        hll_distinct, hll_merge_estimate, hll_sketch_table)
-from .layout import cluster_write, file_column_bounds, zorder_key
+from .layout import (cluster_write, compact_parquet, file_column_bounds,
+                     list_data_files, plan_compaction, zorder_key)
 
 __all__ = [
     "number_to_string", "replace_first", "pad_start", "pad_end",

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "cluster_write", "file_column_bounds"]
+__all__ = ["zorder_key", "cluster_write", "file_column_bounds",
+           "list_data_files", "plan_compaction", "compact_parquet"]
 
 
 def _scale_to_bits(col: Column, cmin: Column, cmax: Column,
@@ -121,3 +122,84 @@ def file_column_bounds(path: str, cols: list[str]) -> list[dict]:
         if len(entry) > 1:
             out.append(entry)
     return out
+
+
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(uri, bytes) for every parquet data file under ``path`` — via
+    the Hadoop FileSystem API, so it works against file://, hdfs://,
+    s3a:// alike (the compaction planner's input)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toString()
+        if uri.endswith(".parquet"):
+            out.append((uri, int(st.getLen())))
+    return out
+
+
+def plan_compaction(files: list[tuple[str, int]],
+                    target_bytes: int) -> list[list[str]]:
+    """Greedy first-fit-decreasing bin-packing of small files into
+    groups of ≈``target_bytes``.  Files already ≥ target stay alone
+    and are NOT rewritten; singleton groups are dropped (rewriting one
+    file buys nothing).  Pure function — unit-testable without Spark.
+    """
+    small = sorted(((u, b) for u, b in files if b < target_bytes),
+                   key=lambda x: -x[1])
+    bins: list[tuple[list[str], int]] = []
+    for uri, b in small:
+        for i, (members, used) in enumerate(bins):
+            if used + b <= target_bytes:
+                bins[i] = (members + [uri], used + b)
+                break
+        else:
+            bins.append(([uri], b))
+    return [members for members, _ in bins if len(members) >= 2]
+
+
+def compact_parquet(spark, path: str,
+                    target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compact the small-files tail of a parquet directory: merge
+    groups of small files into ≈``target_bytes`` files.  Returns the
+    number of files removed (0 = nothing to do).
+
+    The 100 TB operational reality: streaming ingestion and per-epoch
+    sinks (``streaming/corpus.py``) accumulate KB-scale files whose
+    per-file open/footer cost eventually dominates scans.  Each group
+    is rewritten with one job (read N small files → one output file);
+    originals are deleted only after the replacement is durable.
+    NOTE: the swap is file-level, not transactional — readers racing
+    the compactor can see a group twice or missing; at scale this runs
+    inside a table-format transaction (Iceberg/Delta commit) or on a
+    quiesced partition.  Row contents are preserved exactly.
+    """
+    import uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    files = list_data_files(spark, path)
+    groups = plan_compaction(files, target_bytes)
+    removed = 0
+    for members in groups:
+        tmp = f"{path}/_compact_{uuid.uuid4().hex[:12]}"
+        spark.read.parquet(*members).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        # durable replacement first, then retire the originals
+        part = [u for u, _ in list_data_files(spark, tmp)]
+        assert len(part) == 1
+        dst = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/compacted-{uuid.uuid4().hex[:12]}.parquet")
+        fs.rename(jvm.org.apache.hadoop.fs.Path(part[0]), dst)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        for uri in members:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(uri), False)
+            removed += 1
+        removed -= 1  # net: group size - 1 files disappear
+    return removed
