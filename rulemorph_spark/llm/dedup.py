@@ -328,6 +328,43 @@ def shingle_overlap_edges(df: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
+def _dup_span_hits(df: DataFrame, text_col: str, id_col: str, n: int,
+                   min_docs: int) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery for the exact-substring dedup operators:
+    positional n-gram hashes per document, cross-document frequency,
+    and the (doc, position) hits of grams appearing in ≥ ``min_docs``
+    documents.
+
+    Returns ``(base, hits)``: ``base`` = (id, __w__ raw word array,
+    __nt__ token count) for EVERY doc; ``hits`` = (id, __nt__, __p__
+    0-based gram start) for duplicated grams only.  Gram hashing
+    lowercases; ``__w__`` keeps the original tokens so callers can
+    reconstruct text.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams(w: Column) -> Column:
+        lw = F.transform(w, F.lower)
+        starts = F.sequence(F.lit(1),
+                            F.greatest(F.size(w) - F.lit(n - 1),
+                                       F.lit(1)))
+        return F.transform(starts, lambda i: F.xxhash64(
+            *[F.element_at(lw, i + j) for j in range(n)]))
+
+    gcol = F.transform(F.array(words), grams)[0]
+    base = df.select(F.col(id_col), words.alias("__w__"),
+                     F.size(words).alias("__nt__"),
+                     gcol.alias("__g__"))
+    pos = base.select(id_col, "__nt__",
+                      F.posexplode("__g__").alias("__p__", "__h__"))
+    dup_grams = (pos.groupBy("__h__")
+                 .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+                 .filter(F.col("__nd__") >= min_docs)
+                 .select("__h__"))
+    hits = pos.join(dup_grams, "__h__")
+    return base.drop("__g__"), hits
+
+
 def dup_span_coverage(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 8,
                       min_docs: int = 2) -> DataFrame:
@@ -351,25 +388,7 @@ def dup_span_coverage(df: DataFrame, text_col: str = "text",
     Output: (id, n_tokens, dup_tokens, dup_frac) for EVERY input doc
     (0.0 when nothing is duplicated).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-
-    def grams(w: Column) -> Column:
-        starts = F.sequence(F.lit(1),
-                            F.greatest(F.size(w) - F.lit(n - 1),
-                                       F.lit(1)))
-        return F.transform(starts, lambda i: F.xxhash64(
-            *[F.element_at(w, i + j) for j in range(n)]))
-
-    gcol = F.transform(F.array(words), grams)[0]
-    base = df.select(F.col(id_col), F.size(words).alias("__nt__"),
-                     gcol.alias("__g__"))
-    pos = base.select(id_col, "__nt__",
-                      F.posexplode("__g__").alias("__p__", "__h__"))
-    dup_grams = (pos.groupBy("__h__")
-                 .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
-                 .filter(F.col("__nd__") >= min_docs)
-                 .select("__h__"))
-    hits = pos.join(dup_grams, "__h__")
+    base, hits = _dup_span_hits(df, text_col, id_col, n, min_docs)
     acc0 = F.struct(F.lit(0).cast("long").alias("cov"),
                     F.lit(-1).cast("long").alias("end"))
 
@@ -401,6 +420,67 @@ def dup_span_coverage(df: DataFrame, text_col: str = "text",
         "dup_frac",
         F.round(F.col("dup_tokens").cast("double") /
                 F.col("n_tokens").cast("double"), 6))
+
+
+def remove_dup_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 8,
+                     min_docs: int = 2) -> DataFrame:
+    """The *trim* half of Lee et al. 2022 exact-substring dedup:
+    where ``dup_span_coverage`` only measures how much of a document is
+    boilerplate shared with ≥ ``min_docs`` documents, this operator
+    CUTS those spans out and returns the cleaned text (whitespace
+    between surviving tokens normalized to single spaces; original
+    token casing preserved — only the gram *matching* lowercases).
+
+    Same distributed shape as the coverage operator (one gram-frequency
+    aggregation + one hit shuffle); the extra work is per-doc Column
+    HOFs: merge the sorted hit positions into disjoint intervals, then
+    filter the token array by interval membership — O(tokens ×
+    merged-intervals) per doc, bounded by the doc itself, no UDF.
+
+    Output: (id, text, n_tokens, removed_tokens) for EVERY input doc
+    (untouched docs come back with their tokens intact and
+    removed_tokens = 0).
+    """
+    base, hits = _dup_span_hits(df, text_col, id_col, n, min_docs)
+
+    # merge sorted 0-based gram starts into disjoint [s, e) intervals
+    iv_t = "array<struct<s:int,e:int>>"
+    acc0 = F.struct(F.lit(None).cast(iv_t).alias("iv"),
+                    F.lit(-1).alias("end"))
+
+    def step(acc, p):
+        new_end = p + F.lit(n)
+        last = F.element_at(acc["iv"], -1)
+        extended = F.concat(
+            F.slice(acc["iv"], 1, F.size(acc["iv"]) - 1),
+            F.array(F.struct(last["s"].alias("s"),
+                             F.greatest(last["e"], new_end).alias("e"))))
+        appended = F.concat(F.coalesce(acc["iv"], F.array().cast(iv_t)),
+                            F.array(F.struct(p.alias("s"),
+                                             new_end.alias("e"))))
+        return F.struct(
+            F.when(p >= acc["end"], appended).otherwise(extended)
+            .alias("iv"),
+            F.greatest(acc["end"], new_end).alias("end"))
+
+    per_doc = (hits.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list("__p__")).alias("__ps__"))
+               .select(id_col,
+                       F.aggregate(F.col("__ps__"), acc0, step,
+                                   lambda a: a["iv"]).alias("__iv__")))
+    joined = base.join(per_doc, id_col, "left").withColumn(
+        "__iv__", F.coalesce(F.col("__iv__"), F.array().cast(iv_t)))
+    kept = F.filter(
+        F.col("__w__"),
+        lambda w, i: ~F.exists(F.col("__iv__"),
+                               lambda v: (v["s"] <= i) & (i < v["e"])))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.col("__nt__").cast("long").alias("n_tokens"),
+        (F.col("__nt__") - F.size(kept)).cast("long")
+        .alias("removed_tokens"))
 
 
 def dedup_incremental(batch: DataFrame, store_path: str,
