@@ -348,8 +348,12 @@ def _dup_span_hits(df: DataFrame, text_col: str, id_col: str, n: int,
         starts = F.sequence(F.lit(1),
                             F.greatest(F.size(w) - F.lit(n - 1),
                                        F.lit(1)))
+        # try_element_at: docs shorter than n tokens have one truncated
+        # gram; xxhash64 skips null args, so its hash equals the hash
+        # of the existing tokens (matches the tuple(w[i:i+n]) oracle)
+        # instead of throwing under ANSI mode
         return F.transform(starts, lambda i: F.xxhash64(
-            *[F.element_at(lw, i + j) for j in range(n)]))
+            *[F.try_element_at(lw, i + j) for j in range(n)]))
 
     gcol = F.transform(F.array(words), grams)[0]
     base = df.select(F.col(id_col), words.alias("__w__"),

@@ -289,8 +289,10 @@ def repetition_cols(text: Column, n: int = 3) -> tuple[Column, Column]:
         starts = F.sequence(F.lit(1),
                             F.greatest(F.size(w) - F.lit(n - 1),
                                        F.lit(1)))
+        # try_element_at: a doc shorter than n tokens has one truncated
+        # gram (xxhash64 skips null args) — ANSI element_at would throw
         grams = F.transform(starts, lambda i: F.xxhash64(
-            *[F.element_at(w, i + j) for j in range(n)]))
+            *[F.try_element_at(w, i + j) for j in range(n)]))
         agg = F.aggregate(F.array_sort(grams), acc0, step, fin)
         total = F.size(grams).cast("double")
         return F.struct(

@@ -101,6 +101,27 @@ def test_remove_dup_spans_full_duplicate_empties(spark):
     assert got[1]["removed_tokens"] == 10
 
 
+def test_short_docs_do_not_crash_gram_ops(spark):
+    """Docs shorter than n tokens have one truncated gram — regression
+    for the ANSI-mode element_at crash (Spark 4 default)."""
+    from rulemorph_spark.llm.dedup import (dup_span_coverage,
+                                           remove_dup_spans)
+    from rulemorph_spark.llm.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "two words"), (3, "two words"),
+         (4, "a full length document with plenty of tokens inside")],
+        ["doc_id", "text"])
+    cov = {r["doc_id"]: r["dup_frac"]
+           for r in dup_span_coverage(df, n=5, min_docs=2).collect()}
+    assert cov[2] == 1.0 and cov[3] == 1.0  # truncated grams match
+    assert cov[1] == 0.0 and cov[4] == 0.0
+    cut = {r["doc_id"]: r["text"]
+           for r in remove_dup_spans(df, n=5, min_docs=2).collect()}
+    assert cut[2] == "" and cut[1] == "tiny"
+    reps = repetition_stats(df, n=3).collect()
+    assert len(reps) == 4
+
+
 # -------------------------------------------------------------- SemDeDup
 
 def _collect_semdedup_inputs(spark, centroids):
