@@ -7,11 +7,17 @@ Spec shape (note: ``chunk`` reshapes the table to
 name columns that still exist)::
 
     steps:
+      - {op: c4_clean, min_line_words: 3}       # reshapes text
+      - {op: gopher_filter}                     # Rae et al. rule set
       - {op: quality_filter, min_score: 0.5}
       - {op: lang_filter, langs: [en]}
       - {op: dedup_exact}                       # by text fingerprint
+      - {op: remove_dup_spans, n: 8}            # reshapes text
+      - {op: semdedup, vec_col: embedding}      # embedding near-dups
       - {op: pii_redact}
       - {op: mixture_sample, weights: {src0: 1.0, src1: 0.5}}
+      - {op: hash_split, weights: {train: 0.98, valid: 0.01,
+         test: 0.01}}
       - {op: chunk, chunk_tokens: 64, overlap: 16}
       - {op: token_bins, budget: 2000, part_col: doc_id,
          order_col: chunk_index}
@@ -34,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup as _dedup
+from . import filters as _filters
 from . import sampling as _sampling
 from . import text as _text
 
@@ -94,6 +101,41 @@ def _token_bins(df, *, budget: int, token_col: str = "n_tokens",
                                    part_col=part_col, order_col=order_col)
 
 
+def _gopher_filter(df, *, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    return _filters.gopher_filter(df, text_col, id_col)
+
+
+def _c4_clean(df, *, text_col: str = "text", id_col: str = "doc_id",
+              min_line_words: int = 3, min_lines: int = 1):
+    return _filters.c4_clean_lines(df, text_col, id_col,
+                                   min_line_words, min_lines)
+
+
+def _remove_dup_spans(df, *, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 8,
+                      min_docs: int = 2):
+    """NOTE: reshapes to (id, text, n_tokens, removed_tokens) — like
+    ``chunk``, later steps must use the new columns."""
+    return _dedup.remove_dup_spans(df, text_col, id_col, n, min_docs)
+
+
+def _semdedup(df, *, id_col: str = "doc_id", vec_col: str = "vec",
+              k: int = 16, iters: int = 4, eps: float = 0.05,
+              keep: str = "centroid_far"):
+    from . import semdedup as _sd
+    verdicts = _sd.semdedup(df, id_col, vec_col, k=k, iters=iters,
+                            eps=eps, keep=keep)
+    keep_ids = verdicts.filter(F.col("keep")).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def _hash_split(df, *, id_col: str = "doc_id",
+                weights: dict[str, float] | None = None,
+                salt: str = "split"):
+    return _filters.hash_split(df, id_col, weights, salt)
+
+
 _OPS = {
     "quality_filter": _quality_filter,
     "lang_filter": _lang_filter,
@@ -104,6 +146,11 @@ _OPS = {
     "decontaminate": _decontaminate,
     "chunk": _chunk,
     "token_bins": _token_bins,
+    "gopher_filter": _gopher_filter,
+    "c4_clean": _c4_clean,
+    "remove_dup_spans": _remove_dup_spans,
+    "semdedup": _semdedup,
+    "hash_split": _hash_split,
 }
 
 

@@ -79,3 +79,46 @@ steps:
     rows = out.collect()
     assert rows and {"doc_id", "chunk_index", "chunk_text", "n_tokens",
                      "bin"} <= set(out.columns)
+
+
+def test_pipeline_filter_and_split_stages(spark):
+    """The round-2 stages (c4_clean, gopher_filter, remove_dup_spans,
+    hash_split, semdedup) dispatch onto their operators exactly."""
+    from rulemorph_spark.llm import filters
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    got = run_pipeline(docs, """
+steps:
+  - {op: remove_dup_spans, n: 6}
+  - {op: hash_split, weights: {train: 0.8, valid: 0.2}}
+""")
+    expected = filters.hash_split(
+        dedup.remove_dup_spans(docs, "text", "doc_id", 6, 2),
+        "doc_id", {"train": 0.8, "valid": 0.2})
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expected.collect()))
+
+    # gopher_filter on synthetic docs kills everything via stopwords —
+    # construction doc passes
+    good = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and then "
+             "keeps running through the quiet field while the farmer "
+             "watches from the old wooden fence near the barn as the "
+             "evening light settles slowly over the warm countryside "
+             "and the animals begin to rest for the night after work")],
+        ["doc_id", "text"])
+    assert run_pipeline(good, "steps: [{op: gopher_filter}]").count() == 1
+    assert run_pipeline(docs.limit(50),
+                        "steps: [{op: gopher_filter}]").count() == 0
+
+
+def test_pipeline_semdedup_stage(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = run_pipeline(emb, """
+steps:
+  - {op: semdedup, id_col: vec_id, vec_col: embedding, k: 4,
+     iters: 1, eps: 0.2}
+""")
+    n = out.count()
+    assert 0 < n <= emb.count()
+    assert set(out.columns) == set(emb.columns)
