@@ -35,9 +35,11 @@ def replicate(spark, src_dir: str, out_dir: str, n: int) -> None:
         # identical texts under fresh ids: a duplicate-heavy corpus,
         # exactly what the dedup shuffle has to absorb
         "documents": [("doc_id", 10_000_000)],
+        # identical vectors under fresh ids: semdedup's worst case —
+        # every replica lands in the same cluster and must be pruned
+        "embeddings": [("vec_id", 10_000_000)],
     }
-    copy = ["region", "nation", "customer", "supplier", "part",
-            "embeddings"]
+    copy = ["region", "nation", "customer", "supplier", "part"]
     for t in copy:
         spark.read.parquet(f"{src_dir}/{t}.parquet") \
             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
@@ -68,12 +70,34 @@ def main() -> None:
              "q_sessionize", "q_asof_join", "q_lookup",
              "q_rule_typed_transform", "q_bloom_join", "q_lm_quality"]
 
+    # unregistered round-2 operators, driven directly
+    def _span_removal(spark, d):
+        from rulemorph_spark.llm.dedup import remove_dup_spans
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return remove_dup_spans(docs, n=8, min_docs=2)
+
+    def _gopher(spark, d):
+        from rulemorph_spark.llm.filters import gopher_quality_flags
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return gopher_quality_flags(docs)
+
+    def _semdedup(spark, d):
+        from rulemorph_spark.llm.semdedup import semdedup
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return semdedup(emb, "vec_id", "embedding", k=8, iters=2,
+                        eps=0.05)
+
+    extras = {"op_remove_dup_spans": _span_removal,
+              "op_gopher_flags": _gopher,
+              "op_semdedup": _semdedup}
+
     with tempfile.TemporaryDirectory() as big:
         replicate(spark, src, big, n)
-        for name in names:
+        runners = [(name, qs[name]) for name in names] + \
+            sorted(extras.items())
+        for name, fn in runners:
             out = {"query": name, "scale_n": n}
             for label, d in (("t_base_s", src), ("t_big_s", big)):
-                fn = qs[name]
                 fn(spark, d).write.format("noop").mode(
                     "overwrite").save()  # warm
                 samples = []

@@ -260,3 +260,45 @@ steps:
     # on l_quantity), so filtered rows never evaluate mappings
     assert "l_quantity" in plan.split("FileScan")[0] or \
         "PushedFilters: [" in plan
+
+
+def test_gopher_flags_are_shuffle_free(spark):
+    """the whole Gopher rule set is ONE narrow projection over the
+    corpus scan — at 100 TB it runs at scan speed."""
+    from rulemorph_spark.llm.filters import gopher_quality_flags
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_quality_flags(docs))
+    assert _exchanges(plan) == 0
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_remove_dup_spans_bounded_exchanges(spark):
+    """span removal shares dup_span_coverage's shape: one gram-
+    frequency aggregation + one hit shuffle + the doc-keyed
+    re-join — bounded exchanges, no corpus-global window."""
+    from rulemorph_spark.llm.dedup import remove_dup_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(remove_dup_spans(docs, n=6, min_docs=2))
+    assert _exchanges(plan) <= 5
+    assert "Window" not in plan
+
+
+def test_semdedup_single_corpus_shuffle(spark):
+    """semdedup's only corpus-sized movement is the ONE
+    (cell, shard) groupBy feeding applyInPandas; centroids and
+    cluster sizes ride broadcasts."""
+    from rulemorph_spark.llm.semdedup import semdedup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [-0.1] * 8)], "cell int, cvec array<double>")
+    cents = cents.withColumn(
+        "cvec", F.col("cvec").cast("array<float>"))
+    plan = _plan(semdedup(emb, "vec_id", "embedding", centroids=cents,
+                          eps=0.05))
+    assert "BroadcastExchange" in plan          # centroids + sizes
+    assert "FlatMapGroupsInPandas" in plan      # Arrow group dedup
+    # corpus-shuffle bound: assignment min_by agg + the grouped-map
+    # repartition (plus AQE bookkeeping) — must stay O(1) count,
+    # no quadratic join, no corpus window
+    assert _exchanges(plan) <= 4
+    assert "Window" not in plan
