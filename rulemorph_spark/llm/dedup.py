@@ -550,3 +550,134 @@ def dedup_incremental(batch: DataFrame, store_path: str,
         (fresh.select(F.col("__k__").alias("fp"))
          .distinct().write.mode("append").parquet(store_path))
     return fresh.drop("__k__")
+
+
+def minhash_est_sim(sig_a: Column, sig_b: Column) -> Column:
+    """Jaccard estimate from two equal-length MinHash signatures: the
+    fraction of agreeing minima (the classic unbiased estimator;
+    sd ≈ sqrt(J(1-J)/k), so k=16 resolves ~±0.12 — raise num_hashes
+    for tighter thresholds)."""
+    eq = F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                    lambda x, y: x == y),
+                         lambda v: v))
+    return eq.cast("double") / F.size(sig_a).cast("double")
+
+
+def fuzzy_dedup_incremental(batch: DataFrame, store_path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_hashes: int = 16, bands: int = 8,
+                            shingle_n: int = 3,
+                            threshold: float = 0.7,
+                            verify: str = "estimate",
+                            out_path: str | None = None) -> DataFrame:
+    """NEAR-duplicate dedup of an arriving batch against a persistent
+    MinHash band-key store — the fuzzy complement of
+    :func:`dedup_incremental` for continual ingestion: a paraphrased
+    re-crawl of an admitted document is dropped even though its exact
+    fingerprint differs.
+
+    Pipeline per batch (all bucketed joins, never all-pairs):
+
+    1. intra-batch: LSH band buckets → candidate pairs → similarity ≥
+       ``threshold`` edges → connected components → keep the min-id
+       representative of each cluster;
+    2. vs store: surviving docs' band rows join the stored band rows
+       on (band, band_key); candidates verified against the STORED
+       signature (or text) — matches are dropped;
+    3. survivors' band rows append to the store.
+
+    ``verify="estimate"`` (default) checks the MinHash-estimated
+    Jaccard — the store holds only (band, band_key, id, sig), a tiny
+    fraction of the corpus at 100 TB.  ``verify="exact"`` additionally
+    stores the document text and verifies with exact n-gram Jaccard —
+    tighter thresholds, bigger store; a store created under one mode
+    must stay in that mode.
+
+    Durability contract mirrors :func:`dedup_incremental`: with
+    ``out_path`` survivors are made durable BEFORE their band rows
+    commit (idempotent re-runs: an already-committed batch matches
+    itself in the store, computes an empty fresh set, and skips the
+    overwrite); without it the caller must persist the returned rows.
+    Returns the surviving batch rows.
+    """
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    spark = batch.sparkSession
+    rows_per_band = num_hashes // bands
+
+    def banded_of(df: DataFrame) -> DataFrame:
+        sig = df.select(
+            F.col(id_col), F.col(text_col),
+            minhash_from_shingles(shingles(F.col(text_col), shingle_n),
+                                  num_hashes).alias("sig"))
+        cols = [F.col(id_col), F.col("sig"),
+                F.posexplode(lsh_band_keys(F.col("sig"), bands,
+                                           rows_per_band))
+                .alias("band", "band_key")]
+        if verify == "exact":
+            cols.insert(2, F.col(text_col))
+        return sig.select(*cols)
+
+    def is_dup(a_sig, b_sig, a_text, b_text) -> Column:
+        if verify == "exact":
+            return jaccard_ngram(a_text, b_text, shingle_n) >= threshold
+        return minhash_est_sim(a_sig, b_sig) >= threshold
+
+    banded = banded_of(batch).localCheckpoint(eager=True)
+
+    # 1. intra-batch clusters → min-id survivor
+    a, b = banded.alias("a"), banded.alias("b")
+    text_a = F.col(f"a.{text_col}") if verify == "exact" else F.lit(None)
+    text_b = F.col(f"b.{text_col}") if verify == "exact" else F.lit(None)
+    edges = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                    (F.col("a.band_key") == F.col("b.band_key")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .filter(is_dup(F.col("a.sig"), F.col("b.sig"),
+                            text_a, text_b))
+             .select(F.col(f"a.{id_col}").alias("src"),
+                     F.col(f"b.{id_col}").alias("dst"))
+             .distinct())
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias(id_col))
+    within = batch.join(losers, id_col, "left_anti")
+
+    # 2. vs the persistent store
+    from pyspark.errors import AnalysisException
+    try:
+        store = spark.read.parquet(store_path)
+        w_banded = banded.join(losers, id_col, "left_anti")
+        s_text = F.col(f"s.{text_col}") if verify == "exact" \
+            else F.lit(None)
+        n_text = F.col(f"n.{text_col}") if verify == "exact" \
+            else F.lit(None)
+        hit_ids = (w_banded.alias("n")
+                   .join(store.alias("s"),
+                         (F.col("n.band") == F.col("s.band")) &
+                         (F.col("n.band_key") == F.col("s.band_key")))
+                   .filter(is_dup(F.col("n.sig"), F.col("s.sig"),
+                                  n_text, s_text))
+                   .select(F.col(f"n.{id_col}").alias(id_col))
+                   .distinct())
+        fresh = within.join(hit_ids, id_col, "left_anti")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        fresh = within
+    fresh = fresh.localCheckpoint(eager=True)
+
+    # 3. commit (durable output first, band rows second)
+    if out_path is not None:
+        if fresh.count():
+            fresh.write.mode("overwrite").parquet(out_path)
+            admitted = spark.read.parquet(out_path)
+            banded_of(admitted).write.mode("append").parquet(store_path)
+            return admitted
+        return fresh
+    if fresh.count():
+        (banded.join(fresh.select(id_col), id_col, "left_semi")
+         .write.mode("append").parquet(store_path))
+    return fresh

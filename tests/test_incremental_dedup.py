@@ -82,3 +82,98 @@ def test_incremental_with_out_path_is_durable_and_rerunnable(
     rerun = dedup_incremental(b1, store, key, "doc_id", out_path=out)
     assert rerun.count() == 0
     assert spark.read.parquet(out).count() == n
+
+
+# ------------------------------------------------- fuzzy (MinHash-LSH)
+
+def _fuzzy_docs(spark):
+    """Construction corpus: exact dup pair, paraphrase pair (one word
+    changed out of 30 → Jaccard ≈ 0.87), and distinct docs."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six")
+    near = base.replace("omicron", "OTHER")
+    rows = [
+        (1, base), (2, base),            # exact dup of each other
+        (3, near),                       # near-dup of 1/2
+        (10, "completely different text about volcanoes erupting in "
+             "iceland near the glacier road last summer evening"),
+        (11, "a third topic entirely concerning database engines and "
+             "columnar storage formats for analytics workloads"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_fuzzy_incremental_first_batch_clusters(spark, tmp_path):
+    from rulemorph_spark.llm.dedup import fuzzy_dedup_incremental
+    store = str(tmp_path / "sigs")
+    out = fuzzy_dedup_incremental(
+        _fuzzy_docs(spark), store, num_hashes=16, bands=8,
+        threshold=0.6)
+    kept = sorted(r.doc_id for r in out.collect())
+    # 1,2,3 collapse to min-id 1; distinct docs survive
+    assert kept == [1, 10, 11]
+
+
+def test_fuzzy_incremental_drops_paraphrase_recrawl(spark, tmp_path):
+    from rulemorph_spark.llm.dedup import fuzzy_dedup_incremental
+    store = str(tmp_path / "sigs")
+    b1 = _fuzzy_docs(spark)
+    fuzzy_dedup_incremental(b1, store, num_hashes=16, bands=8,
+                            threshold=0.6)
+    # batch 2: a re-crawl paraphrase of doc 1 under a new id + one
+    # genuinely new doc
+    b2 = spark.createDataFrame(
+        [(20, b1.filter(F.col("doc_id") == 1).collect()[0]["text"]
+          .replace("sigma", "ALTERED")),
+         (21, "fresh subject matter on mountain trail running and "
+              "altitude acclimatization strategies for beginners")],
+        ["doc_id", "text"])
+    out2 = fuzzy_dedup_incremental(b2, store, num_hashes=16, bands=8,
+                                   threshold=0.6)
+    assert sorted(r.doc_id for r in out2.collect()) == [21]
+
+
+def test_fuzzy_incremental_rerun_is_idempotent(spark, tmp_path):
+    from rulemorph_spark.llm.dedup import fuzzy_dedup_incremental
+    store = str(tmp_path / "sigs")
+    b1 = _fuzzy_docs(spark)
+    fuzzy_dedup_incremental(b1, store, num_hashes=16, bands=8,
+                            threshold=0.6)
+    size_after_1 = spark.read.parquet(store).count()
+    again = fuzzy_dedup_incremental(b1, store, num_hashes=16, bands=8,
+                                    threshold=0.6)
+    assert again.count() == 0
+    assert spark.read.parquet(store).count() == size_after_1
+
+
+def test_fuzzy_incremental_exact_verify_and_out_path(spark, tmp_path):
+    from rulemorph_spark.llm.dedup import fuzzy_dedup_incremental
+    store = str(tmp_path / "sigs")
+    out_path = str(tmp_path / "corpus")
+    b1 = _fuzzy_docs(spark)
+    out = fuzzy_dedup_incremental(b1, store, num_hashes=16, bands=8,
+                                  threshold=0.6, verify="exact",
+                                  out_path=out_path)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 10, 11]
+    # exact mode stores text alongside signatures
+    assert "text" in spark.read.parquet(store).columns
+    # re-run after successful commit: empty fresh set must NOT clobber
+    # the durable output (same contract as dedup_incremental)
+    again = fuzzy_dedup_incremental(b1, store, num_hashes=16, bands=8,
+                                    threshold=0.6, verify="exact",
+                                    out_path=out_path)
+    assert again.count() == 0
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out_path).collect()) == [1, 10, 11]
+
+
+def test_fuzzy_incremental_rejects_bad_params(spark, tmp_path):
+    import pytest
+    from rulemorph_spark.llm.dedup import fuzzy_dedup_incremental
+    df = _fuzzy_docs(spark)
+    with pytest.raises(ValueError, match="verify"):
+        fuzzy_dedup_incremental(df, str(tmp_path / "s"), verify="nope")
+    with pytest.raises(ValueError, match="bands"):
+        fuzzy_dedup_incremental(df, str(tmp_path / "s"), num_hashes=16,
+                                bands=5)
