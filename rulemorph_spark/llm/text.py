@@ -264,7 +264,16 @@ def repetition_cols(text: Column, n: int = 3) -> tuple[Column, Column]:
     measured at sf0.1 this form is also ~1.2× faster than the explode
     even before network costs.)
     """
-    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    return repetition_cols_from_words(
+        F.split(F.lower(F.trim(text)), WORD_SPLIT_RE), n)
+
+
+def repetition_cols_from_words(words: Column,
+                               n: int = 3) -> tuple[Column, Column]:
+    """:func:`repetition_cols` over a PRE-TOKENIZED lowercased word
+    array — callers computing several per-doc signals materialize the
+    tokens once in a prior projection and share them (one split per
+    row instead of one per signal)."""
     acc0 = F.struct(F.lit(None).cast("long").alias("prev"),
                     F.lit(0).cast("long").alias("run"),
                     F.lit(0).cast("long").alias("maxrun"),
