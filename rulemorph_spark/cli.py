@@ -324,6 +324,49 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run a declarative corpus pipeline (llm/pipeline.py) over a
+    parquet or NDJSON input and write parquet.  Extension surface (no
+    reference counterpart): the batch entry point for the
+    training-data operators."""
+    from .engine import get_spark
+    from .llm.pipeline import PipelineSpecError, compile_pipeline
+    try:
+        spec = _load_text(args.spec)
+    except OSError as e:
+        print(f"failed to read spec: {e}", file=sys.stderr)
+        return 1
+    try:
+        run = compile_pipeline(spec)
+    except PipelineSpecError as e:
+        print(f"error[InvalidPipeline]: {e}", file=sys.stderr)
+        return 2
+    spark = get_spark("rulemorph-pipeline")
+    try:
+        if args.input.endswith((".json", ".jsonl", ".ndjson")):
+            if not args.input_schema:
+                print("NDJSON input requires --input-schema "
+                      "(e.g. 'doc_id long, text string')",
+                      file=sys.stderr)
+                return 2
+            from .sources import read_ndjson_quarantine
+            df, quarantine = read_ndjson_quarantine(
+                spark, args.input, args.input_schema)
+            if args.quarantine:
+                quarantine.write.mode("overwrite") \
+                    .parquet(args.quarantine)
+        else:
+            df = spark.read.parquet(args.input)
+    except Exception as e:  # noqa: BLE001 - I/O boundary
+        print(f"failed to read input: {e}", file=sys.stderr)
+        return 1
+    out = run(df)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows_out": n, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="rulemorph-spark",
@@ -396,6 +439,19 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--port", type=int, default=8080)
     p.add_argument("--trace-dir")
     p.set_defaults(fn=cmd_ui)
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("-s", "--spec", required=True,
+                   help="YAML pipeline spec (llm/pipeline.py ops)")
+    p.add_argument("-i", "--input", required=True,
+                   help="parquet dir or NDJSON file/glob")
+    p.add_argument("-o", "--output", required=True,
+                   help="output parquet dir")
+    p.add_argument("--input-schema", default=None,
+                   help="DDL schema for NDJSON input")
+    p.add_argument("--quarantine", default=None,
+                   help="write unparsable NDJSON lines here (parquet)")
+    p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)
     return args.fn(args)

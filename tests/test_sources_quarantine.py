@@ -92,3 +92,52 @@ def test_csv_quarantine_type_corruption_not_silently_nulled(
     assert sorted(r["id"] for r in good.collect()) == [1]
     assert sorted(r["raw"] for r in bad.collect()) == \
         ["2,fine,xx", "NOTANUMBER,bad,3.5"]
+
+
+# --------------------------------------------------- pipeline CLI command
+
+def test_cli_pipeline_ndjson_to_parquet(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    inp = tmp_path / "docs.ndjson"
+    lines = [_json.dumps({"doc_id": i, "text": f"document number {i} "
+                          + "with some words here", "source": "src0"})
+             for i in range(20)]
+    lines.insert(5, "NOT JSON")
+    inp.write_text("\n".join(lines) + "\n")
+    spec = tmp_path / "spec.yaml"
+    spec.write_text("""
+steps:
+  - {op: hash_sample, fraction: 1.0}
+  - {op: hash_split, weights: {train: 0.5, valid: 0.5}}
+""")
+    out = tmp_path / "out"
+    quar = tmp_path / "bad"
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "pipeline",
+         "-s", str(spec), "-i", str(inp), "-o", str(out),
+         "--input-schema", "doc_id long, text string, source string",
+         "--quarantine", str(quar)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows_out"] == 20
+    got = spark.read.parquet(str(out))
+    assert got.count() == 20 and "split" in got.columns
+    bad = spark.read.parquet(str(quar))
+    assert [x["raw"] for x in bad.collect()] == ["NOT JSON"]
+
+
+def test_cli_pipeline_bad_spec_exit_2(tmp_path):
+    import subprocess
+    import sys
+    spec = tmp_path / "spec.yaml"
+    spec.write_text("steps: [{op: no_such_op}]")
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "pipeline",
+         "-s", str(spec), "-i", "x.parquet", "-o", "y"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 2
+    assert "InvalidPipeline" in r.stderr
