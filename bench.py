@@ -94,6 +94,36 @@ def main():
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[1], 3)
 
+    # round-2 corpus operators, reported separately so the headline
+    # total stays comparable with BENCH_r01's query set
+    def _span(spark, d):
+        from rulemorph_spark.llm.dedup import remove_dup_spans
+        return remove_dup_spans(
+            spark.read.parquet(f"{d}/documents.parquet"), n=8)
+
+    def _gopher(spark, d):
+        from rulemorph_spark.llm.filters import gopher_quality_flags
+        return gopher_quality_flags(
+            spark.read.parquet(f"{d}/documents.parquet"))
+
+    def _semdedup(spark, d):
+        from rulemorph_spark.llm.semdedup import semdedup
+        return semdedup(spark.read.parquet(f"{d}/embeddings.parquet"),
+                        "vec_id", "embedding", k=8, iters=2, eps=0.05)
+
+    corpus_ops = {}
+    for name, fn in (("remove_dup_spans", _span),
+                     ("gopher_flags", _gopher),
+                     ("semdedup", _semdedup)):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        corpus_ops[name] = round(sorted(samples)[1], 3)
+
     timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
     timings["rule_engine_typed"] = round(
         _rule_engine_typed(spark, sf_dir), 3)
@@ -106,6 +136,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "corpus_ops": corpus_ops,
         "cold_total": round(cold_total, 3),
         "sf": sf,
         # the reference binary is unbuildable offline (BASELINE.md
