@@ -688,3 +688,66 @@ def fuzzy_dedup_incremental(batch: DataFrame, store_path: str,
         (banded.join(fresh.select(id_col), id_col, "left_semi")
          .write.mode("append").parquet(store_path))
     return fresh
+
+
+def dedup_fuzzy(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", num_hashes: int = 16,
+                bands: int = 8, shingle_n: int = 3,
+                threshold: float = 0.7,
+                verify: str = "exact") -> DataFrame:
+    """One-call batch fuzzy dedup — the composition users otherwise
+    hand-chain: LSH candidate pairs → similarity verify → connected
+    components → keep the min-id representative of every
+    near-duplicate cluster.  Returns the surviving rows of ``df``
+    (payload columns intact).
+
+    ``verify="exact"`` confirms candidates with exact n-gram Jaccard
+    (two id-keyed joins to fetch the texts); ``"estimate"`` uses the
+    MinHash signature estimate — no text joins, cheaper at very large
+    candidate volumes, ±sqrt(J(1-J)/k) estimator noise.
+
+    Scale shape: candidate generation is the bucketed band join
+    (never all-pairs); verification touches only candidate pairs;
+    component resolution is the bounded-round min-label propagation.
+    """
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    if verify == "exact":
+        cands = minhash_lsh_candidates(df, id_col, text_col,
+                                       num_hashes, bands, shingle_n)
+        ta = df.select(F.col(id_col).alias("id_a"),
+                       F.col(text_col).alias("__ta__"))
+        tb = df.select(F.col(id_col).alias("id_b"),
+                       F.col(text_col).alias("__tb__"))
+        edges = (cands.join(ta, "id_a").join(tb, "id_b")
+                 .filter(jaccard_ngram(F.col("__ta__"), F.col("__tb__"),
+                                       shingle_n) >= threshold)
+                 .select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")))
+    else:
+        rows_per_band = num_hashes // bands
+        sig_df = df.select(
+            F.col(id_col),
+            minhash_from_shingles(shingles(F.col(text_col), shingle_n),
+                                  num_hashes).alias("__sig__"))
+        banded = sig_df.select(
+            id_col, "__sig__",
+            F.posexplode(lsh_band_keys(F.col("__sig__"), bands,
+                                       rows_per_band))
+            .alias("band", "band_key"))
+        a, b = banded.alias("a"), banded.alias("b")
+        edges = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                        (F.col("a.band_key") == F.col("b.band_key")) &
+                        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .filter(minhash_est_sim(F.col("a.__sig__"),
+                                         F.col("b.__sig__"))
+                         >= threshold)
+                 .select(F.col(f"a.{id_col}").alias("src"),
+                         F.col(f"b.{id_col}").alias("dst"))
+                 .distinct())
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
