@@ -111,13 +111,25 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 8, bands: int = 4,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     explode(band_keys) → self-join per band bucket → distinct pairs.
     The join key is (band_index, band_hash), so only same-bucket rows
     meet; bucket sizes are the skew knob (raise ``bands`` to shrink
     buckets at higher recall cost).
+
+    ``max_bucket`` bounds the hot-bucket blowup — the band-join analog
+    of ``shingle_overlap_edges``' document-frequency cap: a boilerplate
+    signature shared by 10⁶ documents would otherwise emit 10¹² pairs
+    from one bucket.  Buckets larger than the cap emit STAR edges
+    (every member → the bucket's min id) instead of all pairs: O(m)
+    edges, connectivity preserved for component resolution.  Semantics
+    note: downstream pairwise verification then only sees hub pairs for
+    those buckets — exactly right for the identical-boilerplate case
+    that creates them, a recall trade on borderline-similarity
+    mega-buckets.  ``None`` keeps the exact all-pairs behavior.
     """
     rows_per_band = num_hashes // bands
     # materialize shingles, then the signature, in separate narrow
@@ -132,14 +144,30 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         id_col,
         F.posexplode(lsh_band_keys(F.col("__sig__"), bands, rows_per_band))
         .alias("band", "band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.band_key") == F.col("b.band_key")) &
-                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+
+    def pairs_of(src: DataFrame) -> DataFrame:
+        a = src.alias("a")
+        b = src.alias("b")
+        return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                       (F.col("a.band_key") == F.col("b.band_key")) &
+                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b")))
+
+    if max_bucket is None:
+        return pairs_of(banded).distinct()
+
+    stats = (banded.groupBy("band", "band_key")
+             .agg(F.count("*").alias("__n__"),
+                  F.min(id_col).alias("__hub__")))
+    bb = banded.join(stats, ["band", "band_key"])
+    small = bb.filter(F.col("__n__") <= max_bucket) \
+        .select(id_col, "band", "band_key")
+    star = (bb.filter((F.col("__n__") > max_bucket) &
+                      (F.col(id_col) != F.col("__hub__")))
+            .select(F.col("__hub__").alias("id_a"),
+                    F.col(id_col).alias("id_b")))
+    return pairs_of(small).unionByName(star).distinct()
 
 
 def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -693,8 +721,8 @@ def fuzzy_dedup_incremental(batch: DataFrame, store_path: str,
 def dedup_fuzzy(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", num_hashes: int = 16,
                 bands: int = 8, shingle_n: int = 3,
-                threshold: float = 0.7,
-                verify: str = "exact") -> DataFrame:
+                threshold: float = 0.7, verify: str = "exact",
+                max_bucket: int | None = 100_000) -> DataFrame:
     """One-call batch fuzzy dedup — the composition users otherwise
     hand-chain: LSH candidate pairs → similarity verify → connected
     components → keep the min-id representative of every
@@ -707,16 +735,17 @@ def dedup_fuzzy(df: DataFrame, id_col: str = "doc_id",
     candidate volumes, ±sqrt(J(1-J)/k) estimator noise.
 
     Scale shape: candidate generation is the bucketed band join
-    (never all-pairs); verification touches only candidate pairs;
-    component resolution is the bounded-round min-label propagation.
+    (never all-pairs, hot buckets star-capped at ``max_bucket``);
+    verification touches only candidate pairs; component resolution
+    is the bounded-round min-label propagation.
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"unknown verify mode: {verify!r}")
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes,
+                                   bands, shingle_n, max_bucket)
     if verify == "exact":
-        cands = minhash_lsh_candidates(df, id_col, text_col,
-                                       num_hashes, bands, shingle_n)
         ta = df.select(F.col(id_col).alias("id_a"),
                        F.col(text_col).alias("__ta__"))
         tb = df.select(F.col(id_col).alias("id_b"),
@@ -727,26 +756,19 @@ def dedup_fuzzy(df: DataFrame, id_col: str = "doc_id",
                  .select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst")))
     else:
-        rows_per_band = num_hashes // bands
         sig_df = df.select(
             F.col(id_col),
             minhash_from_shingles(shingles(F.col(text_col), shingle_n),
                                   num_hashes).alias("__sig__"))
-        banded = sig_df.select(
-            id_col, "__sig__",
-            F.posexplode(lsh_band_keys(F.col("__sig__"), bands,
-                                       rows_per_band))
-            .alias("band", "band_key"))
-        a, b = banded.alias("a"), banded.alias("b")
-        edges = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                        (F.col("a.band_key") == F.col("b.band_key")) &
-                        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-                 .filter(minhash_est_sim(F.col("a.__sig__"),
-                                         F.col("b.__sig__"))
-                         >= threshold)
-                 .select(F.col(f"a.{id_col}").alias("src"),
-                         F.col(f"b.{id_col}").alias("dst"))
-                 .distinct())
+        sa = sig_df.select(F.col(id_col).alias("id_a"),
+                           F.col("__sig__").alias("__sa__"))
+        sb = sig_df.select(F.col(id_col).alias("id_b"),
+                           F.col("__sig__").alias("__sb__"))
+        edges = (cands.join(sa, "id_a").join(sb, "id_b")
+                 .filter(minhash_est_sim(F.col("__sa__"),
+                                         F.col("__sb__")) >= threshold)
+                 .select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")))
     comp = connected_components(edges)
     losers = comp.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))

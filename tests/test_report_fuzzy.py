@@ -100,3 +100,30 @@ def test_dedup_fuzzy_agrees_with_hand_chain(spark):
               comp.filter(F.col("node") != F.col("comp")).collect()}
     want = {r["doc_id"] for r in docs.collect()} - losers
     assert got == want and got
+
+
+def test_lsh_candidates_hot_bucket_star_cap(spark):
+    """A boilerplate signature shared by m docs must emit O(m) star
+    edges under the cap, not m(m-1)/2 pairs — and component
+    resolution still collapses the cluster to one survivor."""
+    from rulemorph_spark.llm.dedup import (dedup_fuzzy,
+                                           minhash_lsh_candidates)
+    boiler = ("identical boilerplate sentence repeated across many "
+              "pages of the crawl with no variation at all whatsoever")
+    rows = [(i, boiler) for i in range(40)] + \
+           [(100, "a genuinely unique document that talks about "
+                  "something completely unrelated to the rest")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_lsh_candidates(df, "doc_id", "text", 8, 4,
+                                    max_bucket=10)
+    n_capped = capped.count()
+    assert n_capped == 39  # star: every member -> hub 0
+    assert capped.filter(F.col("id_a") != 0).count() == 0
+
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text", 8, 4)
+    assert uncapped.count() == 40 * 39 // 2
+
+    out = dedup_fuzzy(df, num_hashes=8, bands=4, threshold=0.6,
+                      max_bucket=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 100]
