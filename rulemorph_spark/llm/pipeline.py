@@ -130,6 +130,14 @@ def _semdedup(df, *, id_col: str = "doc_id", vec_col: str = "vec",
     return df.join(keep_ids, id_col, "left_semi")
 
 
+def _dedup_fuzzy(df, *, id_col: str = "doc_id", text_col: str = "text",
+                 num_hashes: int = 16, bands: int = 8,
+                 threshold: float = 0.7, verify: str = "exact"):
+    return _dedup.dedup_fuzzy(df, id_col, text_col,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold, verify=verify)
+
+
 def _hash_split(df, *, id_col: str = "doc_id",
                 weights: dict[str, float] | None = None,
                 salt: str = "split"):
@@ -150,6 +158,7 @@ _OPS = {
     "c4_clean": _c4_clean,
     "remove_dup_spans": _remove_dup_spans,
     "semdedup": _semdedup,
+    "dedup_fuzzy": _dedup_fuzzy,
     "hash_split": _hash_split,
 }
 
