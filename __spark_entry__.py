@@ -366,25 +366,35 @@ def q_text_metrics(spark, sf_dir):
     ALL per-row Column work including the repetition signals, which
     run-length-scan each row's sorted gram array instead of exploding
     to (doc, gram) rows: the whole suite stays one narrow shuffle-free
-    projection, plan-asserted)."""
-    from rulemorph_spark.llm.text import (char_count, fingerprint,
-                                          lang_id_en, repetition_cols,
+    projection, plan-asserted).  The lowercased token array is
+    materialized ONCE in a first projection and shared by the five
+    word-level signals (the per-signal form re-split each document
+    5×; same two-stacked-projection shape as gopher_quality_flags,
+    values bit-identical so the oracle is unchanged)."""
+    from rulemorph_spark.llm.text import (char_count,
+                                          fingerprint_from_words,
+                                          lang_id_en_from_words,
+                                          repetition_cols_from_words,
                                           token_count, word_count)
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    words = F.split(F.lower(F.trim(t)), r"\s+")
+    base = d.select(
+        "doc_id", "lang", t.alias("__t__"),
+        F.split(F.lower(F.trim(t)), r"\s+").alias("__lw__"))
+    tt = F.col("__t__")
+    words = F.col("__lw__")
     stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    top_gram, dup_gram = repetition_cols(t, 3)
-    return d.select(
+    top_gram, dup_gram = repetition_cols_from_words(words, 3)
+    return base.select(
         "doc_id", "lang",
-        char_count(t).cast("bigint").alias("chars"),
-        word_count(t).cast("bigint").alias("words"),
-        token_count(t).cast("bigint").alias("tokens"),
+        char_count(tt).cast("bigint").alias("chars"),
+        word_count(tt).cast("bigint").alias("words"),
+        token_count(tt).cast("bigint").alias("tokens"),
         F.round(stops.cast("double") / F.size(words).cast("double"), 6)
         .alias("stop_ratio"),
         (F.size(words) >= 5).alias("length_ok"),
-        lang_id_en(t).alias("lang_pred"),
-        fingerprint(t).alias("fp"),
+        lang_id_en_from_words(words, tt).alias("lang_pred"),
+        fingerprint_from_words(words).alias("fp"),
         top_gram.alias("top_gram_frac"),
         dup_gram.alias("dup_gram_frac"),
     )

@@ -69,7 +69,13 @@ def lang_id_en(text: Column) -> Column:
     """Tiny language-ID heuristic: English stopword hit-rate + ASCII
     ratio.  Returns 'en' / 'other' — the n-gram profile extension slots
     in the same shape."""
-    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    return lang_id_en_from_words(
+        F.split(F.lower(F.trim(text)), WORD_SPLIT_RE), text)
+
+
+def lang_id_en_from_words(words: Column, text: Column) -> Column:
+    """:func:`lang_id_en` over a pre-tokenized lowercased word array
+    (share one split across several per-doc signals)."""
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
     ascii_chars = F.regexp_count(text, F.lit(r"[\x00-\x7F]"))
     ascii_ratio = F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
@@ -81,7 +87,14 @@ def lang_id_en(text: Column) -> Column:
 def fingerprint(text: Column, prefix_words: int = 8) -> Column:
     """Document fingerprint: md5 of the normalized leading words — the
     exact-dedup key that survives whitespace/case jitter."""
-    words = F.split(F.lower(F.trim(text)), WORD_SPLIT_RE)
+    return fingerprint_from_words(
+        F.split(F.lower(F.trim(text)), WORD_SPLIT_RE), prefix_words)
+
+
+def fingerprint_from_words(words: Column,
+                           prefix_words: int = 8) -> Column:
+    """:func:`fingerprint` over a pre-tokenized lowercased word
+    array."""
     head = F.slice(words, 1, prefix_words)
     return F.md5(F.array_join(head, " "))
 
