@@ -59,7 +59,6 @@ def hashed_features(text: Column, num_features: int = 1 << 16,
     idx = F.array_sort(F.transform(
         _grams(text, bigrams),
         lambda g: F.pmod(F.xxhash64(g), F.lit(num_features)).cast("int")))
-    total = F.size(idx).cast("double")
     acc0 = F.struct(
         F.lit(-1).cast("int").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -84,10 +83,23 @@ def hashed_features(text: Column, num_features: int = 1 << 16,
         cs = F.when(acc["prev"] >= 0,
                     F.concat(acc["cs"], F.array(acc["run"]))) \
               .otherwise(acc["cs"])
-        return F.struct(
-            is_.alias("indices"),
-            F.transform(cs, lambda c: c.cast("double") / total)
-            .alias("values"))
+        # total gram count = sum of the run lengths (≡ size(idx), but
+        # derived from the ACCUMULATOR: referencing the idx subtree
+        # here would re-hash-and-sort the document per element of the
+        # normalize lambda below — O(rows²) interpreted-HOF re-eval,
+        # measured 19× slower at sf0.1, growing quadratically with
+        # document length).  The sum itself is hoisted
+        # through a single-element transform so it, too, evaluates
+        # once, not per normalized element.
+        total = F.aggregate(cs, F.lit(0).cast("long"),
+                            lambda a, x: a + x).cast("double")
+        return F.element_at(
+            F.transform(
+                F.array(total),
+                lambda tot: F.struct(
+                    is_.alias("indices"),
+                    F.transform(cs, lambda c: c.cast("double") / tot)
+                    .alias("values"))), 1)
 
     return F.aggregate(idx, acc0, step, fin)
 
