@@ -39,8 +39,11 @@ def _lines(spark: SparkSession, path: str) -> DataFrame:
             .filter(F.length(F.trim(F.col("__raw__"))) > 0))
 
 
-_QUARANTINE_COLS = (F.col("__raw__").alias("raw"),
-                    F.col("__file__").alias("source_file"))
+def _quarantine_cols():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module must stay importable before a session exists
+    return (F.col("__raw__").alias("raw"),
+            F.col("__file__").alias("source_file"))
 
 
 def read_ndjson_quarantine(
@@ -73,7 +76,7 @@ def read_ndjson_quarantine(
            F.col(f"__rec__.{corrupt}").isNotNull())
     good = parsed.filter(~bad).select(
         *[F.col(f"__rec__.{f.name}") for f in schema.fields])
-    quarantine = parsed.filter(bad).select(*_QUARANTINE_COLS)
+    quarantine = parsed.filter(bad).select(*_quarantine_cols())
     return good, quarantine
 
 
@@ -130,5 +133,5 @@ def read_csv_quarantine(
         bad = bad | (n_fields != F.lit(len(schema.fields)))
     good = parsed.filter(~bad).select(
         *[F.col(f"__rec__.{f.name}") for f in schema.fields])
-    quarantine = parsed.filter(bad).select(*_QUARANTINE_COLS)
+    quarantine = parsed.filter(bad).select(*_quarantine_cols())
     return good, quarantine
