@@ -89,3 +89,63 @@ def test_read_missing_version_errors(spark, tmp_path):
     st.append(_df(spark, 0, 3))
     with pytest.raises(FileNotFoundError):
         st.read(version=7)
+
+
+# -------------------------------------- versioned exactly-once ingestion
+
+def _ingest(spark, tmp_path, batch, batch_id):
+    from rulemorph_spark.llm.text import fingerprint
+    from rulemorph_spark.sources.versioned import CorpusStore
+    from rulemorph_spark.streaming.corpus import ingest_batch_versioned
+    corpus = CorpusStore(spark, str(tmp_path / "corpus"))
+    return corpus, ingest_batch_versioned(
+        batch, batch_id, corpus=corpus,
+        fp_store_path=str(tmp_path / "fps"),
+        key=fingerprint(F.col("text")))
+
+
+def _docs(spark, pairs):
+    return spark.createDataFrame(pairs, ["doc_id", "text"])
+
+
+def test_versioned_ingest_epochs_and_dedup(spark, tmp_path):
+    b1 = _docs(spark, [(1, "first unique document text here"),
+                       (2, "second unique document text here")])
+    corpus, n1 = _ingest(spark, tmp_path, b1, 0)
+    assert n1 == 2
+    # epoch 2: one repeat of doc 1's text + one new doc
+    b2 = _docs(spark, [(10, "first unique document text here"),
+                       (11, "a third topic appears in epoch two")])
+    corpus, n2 = _ingest(spark, tmp_path, b2, 1)
+    assert n2 == 1
+    assert corpus.read().count() == 3
+    assert corpus.read(version=1).count() == 2
+    assert [m["note"] for m in corpus.versions()] == \
+        ["epoch=0", "epoch=1"]
+
+
+def test_versioned_ingest_rerun_admits_nothing(spark, tmp_path):
+    b1 = _docs(spark, [(1, "alpha doc"), (2, "beta doc")])
+    _ingest(spark, tmp_path, b1, 0)
+    corpus, again = _ingest(spark, tmp_path, b1, 0)
+    assert again == 0
+    assert corpus.read().count() == 2
+    assert corpus.latest_version() == 1  # no duplicate version
+
+
+def test_versioned_ingest_crash_recovery_rebuilds_fps(spark, tmp_path):
+    import shutil
+    b1 = _docs(spark, [(1, "alpha doc"), (2, "beta doc")])
+    _ingest(spark, tmp_path, b1, 0)
+    # simulate a crash AFTER the manifest commit but BEFORE the fp
+    # write: delete the epoch's fp dir
+    shutil.rmtree(str(tmp_path / "fps" / "epoch=0"))
+    corpus, n = _ingest(spark, tmp_path, b1, 0)
+    assert n == 0  # epoch already committed
+    # fps were rebuilt from the store's own diff: a later epoch with
+    # the same text is correctly rejected
+    b2 = _docs(spark, [(9, "alpha doc"), (10, "gamma fresh doc")])
+    corpus, n2 = _ingest(spark, tmp_path, b2, 1)
+    assert n2 == 1
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == \
+        [1, 2, 10]
