@@ -367,6 +367,26 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Per-source corpus health report as NDJSON on stdout (extension
+    surface — the between-stages statistics table)."""
+    from .engine import get_spark
+    from .llm.report import corpus_report, corpus_report_total
+    spark = get_spark("rulemorph-report")
+    try:
+        df = spark.read.parquet(args.input)
+    except Exception as e:  # noqa: BLE001 - I/O boundary
+        print(f"failed to read input: {e}", file=sys.stderr)
+        return 1
+    if args.total or args.source_col not in df.columns:
+        rep = corpus_report_total(df, args.text_col)
+    else:
+        rep = corpus_report(df, args.text_col, args.source_col)
+    for r in rep.orderBy("source").collect():
+        print(json.dumps(r.asDict(), ensure_ascii=False))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="rulemorph-spark",
@@ -452,6 +472,15 @@ def main(argv=None) -> int:
     p.add_argument("--quarantine", default=None,
                    help="write unparsable NDJSON lines here (parquet)")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("report")
+    p.add_argument("-i", "--input", required=True,
+                   help="corpus parquet dir")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--total", action="store_true",
+                   help="one whole-corpus row instead of per-source")
+    p.set_defaults(fn=cmd_report)
 
     args = parser.parse_args(argv)
     return args.fn(args)

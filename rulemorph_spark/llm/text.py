@@ -388,3 +388,41 @@ def assign_token_bins(df: DataFrame, token_col: str, budget: int,
         F.lit(0))
     return df.withColumn("bin",
                          F.floor(preceding / F.lit(budget)).cast("long"))
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   text_col: str = "text", part_col: str = "source",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Materialize :func:`assign_token_bins` into the rows a
+    fixed-context trainer consumes: one row per (partition key, bin)
+    with the member documents in deterministic order, their
+    concatenated text, token total, and budget utilization.
+
+    Same scale shape as the binning itself (one window shuffle + one
+    groupBy on the same key — co-partitioned, AQE coalesced); the
+    per-sequence ``docs`` array is bounded by the token budget, not
+    the corpus.  The straddling document stays whole in the bin its
+    prefix sum chose — consumers truncate or overflow-split exactly
+    as fixed-context pretraining does.
+
+    Output: (part_col, bin, docs array, n_docs, text, n_tokens,
+    fill_frac).
+    """
+    binned = assign_token_bins(df, token_col, budget, part_col,
+                               order_col)
+    members = F.array_sort(F.collect_list(
+        F.struct(F.col(order_col).alias("o"),
+                 F.col(text_col).alias("t"),
+                 F.col(token_col).alias("n"))))
+    agg = (binned.groupBy(part_col, "bin")
+           .agg(members.alias("__m__")))
+    return agg.select(
+        part_col, "bin",
+        F.transform(F.col("__m__"), lambda m: m["o"]).alias("docs"),
+        F.size(F.col("__m__")).alias("n_docs"),
+        F.array_join(F.transform(F.col("__m__"), lambda m: m["t"]),
+                     "\n").alias("text"),
+        F.aggregate(F.col("__m__"), F.lit(0).cast("long"),
+                    lambda a, m: a + m["n"]).alias("n_tokens")
+    ).withColumn("fill_frac",
+                 F.round(F.col("n_tokens") / F.lit(budget), 4))

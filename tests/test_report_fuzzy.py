@@ -127,3 +127,18 @@ def test_lsh_candidates_hot_bucket_star_cap(spark):
     out = dedup_fuzzy(df, num_hashes=8, bands=4, threshold=0.6,
                       max_bucket=10)
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 100]
+
+
+def test_cli_report_command(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "report",
+         "-i", "/root/testdata/sf0.001/documents.parquet"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    rows = [_json.loads(l) for l in r.stdout.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and all("dup_frac_approx" in x for x in rows)
+    assert sum(x["docs"] for x in rows) == 500
