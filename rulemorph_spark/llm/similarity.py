@@ -324,3 +324,46 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame,
                                              F.col("neighbor").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a float array (zero vectors pass through
+    unchanged — no NaNs).  The norm is hoisted through a
+    single-element transform so it evaluates once per row, not once
+    per component (interpreted-HOF re-eval, see dedup gram builders).
+    After normalization, cosine == dot product, which halves the
+    per-pair cost of every downstream similarity op."""
+    def build(v: Column) -> Column:
+        norm = F.sqrt(F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        return F.element_at(
+            F.transform(
+                F.array(norm),
+                lambda n: F.when(n == 0, v.cast("array<double>"))
+                .otherwise(F.transform(
+                    v, lambda x: x.cast("double") / n))), 1)
+
+    return F.element_at(F.transform(F.array(vec), build), 1)
+
+
+def mean_pool(df: DataFrame, group_col: str, vec_col: str,
+              out_col: str = "vec") -> DataFrame:
+    """Element-wise mean vector per group — pool chunk/passage
+    embeddings into one document embedding (the standard retrieval /
+    semdedup preprocessing).  Same distributed shape as the k-means
+    centroid update: posexplode → groupBy(group, dim) avg →
+    re-assemble; shuffle key space = groups × dims with map-side
+    partial aggregation."""
+    dims = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__d__", "__v__"))
+    means = (dims.groupBy(group_col, "__d__")
+             .agg(F.avg("__v__").alias("__m__")))
+    return (means.groupBy(group_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("__d__"), F.col("__m__"))))
+                 .alias("__p__"))
+            .select(F.col(group_col),
+                    F.transform(F.col("__p__"),
+                                lambda p: p["__m__"]).alias(out_col)))

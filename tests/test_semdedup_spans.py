@@ -203,3 +203,28 @@ def test_semdedup_sharding_bounds_group_size(spark):
     kept = [r for r in out if r["keep"]]
     # one survivor per shard (all 40 are identical): 40/10 = 4 shards
     assert 1 <= len(kept) <= 4
+
+
+# ------------------------------------------------- embedding hygiene
+
+def test_l2_normalize_and_mean_pool(spark):
+    import math
+    from rulemorph_spark.llm.similarity import l2_normalize, mean_pool
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "id long, v array<double>")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", l2_normalize(F.col("v")).alias("n"))
+           .collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]          # zero vector: no NaNs
+    assert got[3] == [1.0, 0.0]
+    assert math.isclose(sum(x * x for x in got[1]), 1.0)
+
+    chunks = spark.createDataFrame(
+        [(10, [1.0, 3.0]), (10, [3.0, 5.0]), (20, [2.0, 2.0])],
+        "doc_id long, emb array<double>")
+    pooled = {r["doc_id"]: r["vec"] for r in
+              mean_pool(chunks, "doc_id", "emb").collect()}
+    assert pooled[10] == [2.0, 4.0]
+    assert pooled[20] == [2.0, 2.0]
