@@ -37,9 +37,11 @@ cannot both win the same version number).
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -147,6 +149,87 @@ class CorpusStore:
         """New version containing ONLY ``df`` (old versions still
         readable — nothing is deleted)."""
         return self._commit([self._write_data_dir(df)], note)
+
+    # ------------------------------------------- copy-on-write rewrites
+    def _tagged_snapshot(self, dirs: list[str]) -> DataFrame:
+        """Snapshot scan with the owning data-directory hex captured
+        as ``__dirhex__``.  ``input_file_name()`` is only valid inside
+        the scan stage, so it must be materialized into a column HERE —
+        evaluated after a shuffle/join it silently returns ''."""
+        return self.spark.read.parquet(*dirs).withColumn(
+            "__dirhex__", F.regexp_extract(
+                F.input_file_name(), r"data/([0-9a-f]{32})/", 1))
+
+    def _affected_dirs(self, dirs: list[str],
+                       matched: DataFrame) -> list[str]:
+        """Which of ``dirs`` contain at least one row of ``matched``
+        (a ``_tagged_snapshot`` subset)?  O(#dirs) on the driver,
+        never O(rows)."""
+        hexes = {r["__dirhex__"] for r in
+                 matched.select("__dirhex__").distinct().collect()}
+        return [d for d in dirs
+                if re.search(r"data/([0-9a-f]{32})$", d)
+                and re.search(r"data/([0-9a-f]{32})$", d).group(1)
+                in hexes]
+
+    def merge(self, updates: DataFrame, key_col: str,
+              note: str | None = None) -> int:
+        """Copy-on-write upsert (the lakehouse MERGE shape, Delta Lake
+        §3.2): rows of ``updates`` REPLACE snapshot rows with the same
+        ``key_col``; unmatched keys are inserted.  Only the data
+        directories that actually contain a matched key are rewritten —
+        every untouched directory is carried into the new manifest
+        by reference, so a 10-row fix to a 100 TB corpus rewrites one
+        directory, not the corpus.  Old versions stay readable (time
+        travel) until vacuumed.
+
+        ``updates`` must be key-unique (two update rows with one key
+        would both survive).  Returns the committed version number.
+        """
+        if key_col not in updates.columns:
+            raise ValueError(f"key column {key_col!r} not in updates "
+                             f"({updates.columns})")
+        vs = self.versions()
+        if not vs:
+            return self._commit([self._write_data_dir(updates)], note)
+        dirs = vs[-1]["dirs"]
+        keys = updates.select(key_col).distinct()
+        snap = self._tagged_snapshot(dirs)
+        matched = snap.join(keys, on=key_col, how="left_semi")
+        affected = self._affected_dirs(dirs, matched)
+        if not affected:  # pure insert — nothing to rewrite
+            return self._commit(
+                dirs + [self._write_data_dir(updates)], note)
+        survivors = (self.spark.read.parquet(*affected)
+                     .join(keys, on=key_col, how="left_anti"))
+        rewritten = survivors.unionByName(
+            updates.select(*survivors.columns))
+        new_dir = self._write_data_dir(rewritten)
+        kept = [d for d in dirs if d not in set(affected)]
+        return self._commit(kept + [new_dir], note)
+
+    def delete_where(self, condition: Column | str,
+                     note: str | None = None) -> int:
+        """Copy-on-write delete: new version without the rows matching
+        ``condition``; only directories containing a match are
+        rewritten (directories whose rows all match are simply dropped
+        from the manifest — no write at all)."""
+        cond = F.expr(condition) if isinstance(condition, str) \
+            else condition
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits under {self.root}")
+        dirs = vs[-1]["dirs"]
+        snap = self._tagged_snapshot(dirs)
+        affected = self._affected_dirs(dirs, snap.filter(cond))
+        if not affected:
+            return self._commit(dirs, note)  # no-op version (explicit)
+        survivors = self.spark.read.parquet(*affected).filter(~cond)
+        kept = [d for d in dirs if d not in set(affected)]
+        if survivors.isEmpty():
+            return self._commit(kept, note)
+        return self._commit(kept + [self._write_data_dir(survivors)],
+                            note)
 
     # --------------------------------------------------------- cleaning
     def vacuum(self, keep_from_version: int = 1) -> list[str]:
