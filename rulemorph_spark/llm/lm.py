@@ -127,3 +127,46 @@ def lm_quality(corpus: DataFrame, text_col: str = "text",
     if materialize:
         lp = lp.localCheckpoint(eager=True)
     return lm_score(corpus, lp, text_col, id_col)
+
+
+def perplexity_buckets(scored: DataFrame,
+                       by: str | None = None,
+                       cuts: tuple[float, float] = (1 / 3, 2 / 3),
+                       score_col: str = "avg_lp_micro",
+                       labels: tuple[str, str, str] =
+                       ("head", "middle", "tail"),
+                       exact: bool = False) -> DataFrame:
+    """CCNet-style perplexity stratification (Wenzek et al. 2020 §4.3):
+    rank documents by LM score and cut the distribution into
+    head / middle / tail, optionally PER GROUP (``by`` = language or
+    source column, like CCNet's per-language cuts).
+
+    ``scored`` is :func:`lm_score` output (or anything with
+    ``score_col`` where HIGHER = better, i.e. avg log-prob; perplexity
+    orientation is handled by the sign).  ``cuts=(a, b)`` puts the top
+    ``a`` mass in ``labels[0]``, the next ``b - a`` in ``labels[1]``.
+
+    Scale shape: thresholds come from ONE tiny aggregate —
+    ``approx_percentile`` (KLL sketch, mergeable, no corpus sort) per
+    group — broadcast back onto the corpus; the corpus itself is never
+    shuffled.  ``exact=True`` flips to exact ``percentile`` for
+    oracle-sized data.
+    """
+    lo, hi = sorted((float(cuts[0]), float(cuts[1])))
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < a < b < 1, got {cuts}")
+    pct = F.percentile if exact else F.percentile_approx
+    # top `lo` mass is ABOVE the (1-lo) quantile of the score
+    qs = pct(F.col(score_col), F.array(F.lit(1.0 - hi),
+                                       F.lit(1.0 - lo)), F.lit(10000))
+    if by is None:
+        th = scored.agg(qs.alias("__q__"))
+        tagged = scored.crossJoin(F.broadcast(th))
+    else:
+        th = scored.groupBy(by).agg(qs.alias("__q__"))
+        tagged = scored.join(F.broadcast(th), on=by)
+    s = F.col(score_col)
+    bucket = (F.when(s >= F.col("__q__")[1], labels[0])
+              .when(s >= F.col("__q__")[0], labels[1])
+              .otherwise(labels[2]))
+    return tagged.select(*scored.columns, bucket.alias("ppl_bucket"))

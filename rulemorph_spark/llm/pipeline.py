@@ -144,8 +144,29 @@ def _hash_split(df, *, id_col: str = "doc_id",
     return _filters.hash_split(df, id_col, weights, salt)
 
 
+def _lm_bucket_filter(df, *, keep: list[str] | None = None,
+                      by: str | None = None, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      cuts: list[float] | None = None):
+    """CCNet perplexity stratification as a pipeline gate: self-train a
+    unigram LM, bucket head/middle/tail (per ``by`` group if given),
+    keep the requested buckets (default: drop the tail)."""
+    from . import lm as _lm
+    scored = _lm.lm_quality(df, text_col, id_col)
+    buckets = _lm.perplexity_buckets(
+        scored.select(id_col, "avg_lp_micro")
+        if by is None else
+        scored.join(df.select(id_col, by), id_col)
+        .select(id_col, by, "avg_lp_micro"),
+        by=by, cuts=tuple(cuts) if cuts else (1 / 3, 2 / 3))
+    wanted = list(keep) if keep is not None else ["head", "middle"]
+    ids = buckets.filter(F.col("ppl_bucket").isin(wanted)).select(id_col)
+    return df.join(ids, id_col, "left_semi")
+
+
 _OPS = {
     "quality_filter": _quality_filter,
+    "lm_bucket_filter": _lm_bucket_filter,
     "lang_filter": _lang_filter,
     "dedup_exact": _dedup_exact,
     "pii_redact": _pii_redact,

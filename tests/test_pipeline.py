@@ -122,3 +122,26 @@ steps:
     n = out.count()
     assert 0 < n <= emb.count()
     assert set(out.columns) == set(emb.columns)
+
+
+def test_pipeline_lm_bucket_stage(spark):
+    from rulemorph_spark.llm import lm
+    from rulemorph_spark.llm.pipeline import run_pipeline
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = run_pipeline(docs, {"steps": [
+        {"op": "lm_bucket_filter", "keep": ["head", "middle"],
+         "by": "source"}]})
+    # hand chain: score, bucket per source, keep head+middle
+    scored = lm.lm_quality(docs)
+    buckets = lm.perplexity_buckets(
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "avg_lp_micro"), by="source")
+    keep = buckets.filter("ppl_bucket in ('head','middle')") \
+        .select("doc_id")
+    expected = docs.join(keep, "doc_id", "left_semi")
+    assert out.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(out).isEmpty()
+    # the tail really is dropped (~1/3 per source)
+    n_all, n_kept = docs.count(), out.count()
+    assert 0.55 < n_kept / n_all < 0.78

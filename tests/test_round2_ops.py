@@ -284,3 +284,66 @@ def test_bloom_split_matches_both_exact_joins(spark):
     assert _rows(semi, ["o_orderkey"]) == _rows(want_semi, ["o_orderkey"])
     assert _rows(anti, ["o_orderkey"]) == _rows(want_anti, ["o_orderkey"])
     assert semi.count() + anti.count() == orders.count()
+
+
+# ------------------------------------------------- perplexity bucketing
+def test_perplexity_buckets_thirds_and_ordering(spark):
+    from rulemorph_spark.llm.lm import perplexity_buckets
+
+    n = 900
+    scored = spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        # distinct scores, deterministic scatter across groups
+        (-F.xxhash64("id").cast("double") / 1e12).alias("avg_lp_micro"))
+    out = perplexity_buckets(scored, by="lang", exact=True)
+    assert set(out.columns) == {"doc_id", "lang", "avg_lp_micro",
+                                "ppl_bucket"}
+    frac = {(r["lang"], r["ppl_bucket"]): r["n"]
+            for r in out.groupBy("lang", "ppl_bucket").count()
+            .withColumnRenamed("count", "n").collect()}
+    for lang in ("0", "1", "2"):
+        total = sum(v for (lg, _), v in frac.items() if lg == lang)
+        for b in ("head", "middle", "tail"):
+            assert abs(frac[(lang, b)] / total - 1 / 3) < 0.05, \
+                (lang, b, frac)
+    # within every group each head score beats every middle score,
+    # which beats every tail score
+    bounds = {(r["lang"], r["ppl_bucket"]): (r["lo"], r["hi"])
+              for r in out.groupBy("lang", "ppl_bucket")
+              .agg(F.min("avg_lp_micro").alias("lo"),
+                   F.max("avg_lp_micro").alias("hi")).collect()}
+    for lang in ("0", "1", "2"):
+        assert bounds[(lang, "head")][0] >= bounds[(lang, "middle")][1]
+        assert bounds[(lang, "middle")][0] >= bounds[(lang, "tail")][1]
+
+
+def test_perplexity_buckets_global_and_custom_cuts(spark):
+    from rulemorph_spark.llm.lm import perplexity_buckets
+
+    scored = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("double").alias("avg_lp_micro"))
+    out = perplexity_buckets(scored, cuts=(0.1, 0.5), exact=True)
+    n = {r["ppl_bucket"]: r["count"]
+         for r in out.groupBy("ppl_bucket").count().collect()}
+    assert abs(n["head"] - 100) <= 2
+    assert abs(n["middle"] - 400) <= 2
+    assert abs(n["tail"] - 500) <= 2
+    with pytest.raises(ValueError):
+        perplexity_buckets(scored, cuts=(0.0, 0.5))
+
+
+def test_perplexity_buckets_approx_near_exact(spark):
+    from rulemorph_spark.llm.lm import perplexity_buckets
+
+    scored = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id").cast("double") / 1e9).alias("avg_lp_micro"))
+    a = perplexity_buckets(scored, exact=False)
+    e = perplexity_buckets(scored, exact=True)
+    diff = (a.select("doc_id", "ppl_bucket")
+            .join(e.select("doc_id",
+                           F.col("ppl_bucket").alias("pb")), "doc_id")
+            .filter("ppl_bucket != pb").count())
+    assert diff / 3000 < 0.01  # sketch error only at the cut boundary
