@@ -367,6 +367,46 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the physical-plan digest (and optionally the full plan)
+    for a rule or pipeline over a parquet table WITHOUT running it —
+    the pre-flight scale check: shuffle/broadcast counts, pushed
+    filters, read schemas, Python-UDF evaluations (functions/diag.py).
+    Extension surface: the table path is where 100 TB jobs live."""
+    from .engine import get_spark, transform_table
+    from .errors import RuleError
+    from .functions.diag import physical_plan, plan_summary
+    from .llm.pipeline import PipelineSpecError, compile_pipeline
+    if bool(args.rules) == bool(args.pipeline):
+        print("explain needs exactly one of -r/--rules or --pipeline",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("rulemorph-explain")
+    try:
+        df = spark.read.parquet(args.input)
+    except Exception as e:  # noqa: BLE001 - I/O boundary
+        print(f"failed to read input: {e}", file=sys.stderr)
+        return 1
+    try:
+        if args.pipeline:
+            out = compile_pipeline(_load_text(args.pipeline))(df)
+        else:
+            context = (json.loads(_load_text(args.context))
+                       if args.context else None)
+            out = transform_table(df, _load_text(args.rules), context,
+                                  mode=args.mode)
+    except OSError as e:
+        print(f"failed to read spec: {e}", file=sys.stderr)
+        return 1
+    except (RuleError, PipelineSpecError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps(plan_summary(out)))
+    if args.full:
+        print(physical_plan(out))
+    return 0
+
+
 def cmd_report(args) -> int:
     """Per-source corpus health report as NDJSON on stdout (extension
     surface — the between-stages statistics table)."""
@@ -472,6 +512,18 @@ def main(argv=None) -> int:
     p.add_argument("--quarantine", default=None,
                    help="write unparsable NDJSON lines here (parquet)")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("explain")
+    p.add_argument("-r", "--rules", help="rule YAML (table path)")
+    p.add_argument("--pipeline", help="pipeline spec YAML")
+    p.add_argument("-i", "--input", required=True,
+                   help="parquet table/dir the plan is built against")
+    p.add_argument("-c", "--context")
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "typed", "variant"])
+    p.add_argument("--full", action="store_true",
+                   help="also print the full physical plan")
+    p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("report")
     p.add_argument("-i", "--input", required=True,

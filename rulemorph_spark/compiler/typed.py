@@ -531,6 +531,14 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             "lt": operator.lt, "lte": operator.le}[op]
     if _is_num(left.dtype) and _is_num(right.dtype):
         res = pyop(left.col.cast("double"), right.col.cast("double"))
+        if lenient_on() and not (left.missing or right.missing):
+            # lenient (when/record_when) null handling would wrap this
+            # in CASE WHEN isnull(..) THEN NULL — but a plain numeric
+            # comparison ALREADY yields NULL on null operands, and the
+            # unwrapped form is what parquet can push down
+            # (PushedFilters: [GreaterThan(col, v)] instead of a
+            # full-scan DataFilter).  Identical semantics, pruned scan.
+            return res
     elif _is_str(left.dtype) and _is_str(right.dtype):
         # numeric strings compare numerically when BOTH parse
         ld, rd = left.col.try_cast("double"), right.col.try_cast("double")
@@ -1475,7 +1483,11 @@ class TypedRuleCompiler:
         if rule.has_record_when:
             cond = self._add(self._compile_when(rule.record_when, scope(),
                                                 "record_when"), "w")
-            state["keep"] = F.coalesce(cond, F.lit(False))
+            # no coalesce(cond, false): every consumer of `keep` is a
+            # Filter or a F.when gate, where NULL already behaves as
+            # false — and the bare predicate is what parquet can push
+            # down (PushedFilters) while coalesce forces a full scan
+            state["keep"] = cond
 
         def apply_mappings(mappings, base: str) -> None:
             for i, m in enumerate(mappings):

@@ -1,0 +1,133 @@
+"""Plan and skew diagnostics — the "measure, don't guess" toolkit.
+
+At 100 TB the difference between a viable job and a dead one is
+usually visible BEFORE running it (a missing broadcast, an unpushed
+filter, a scan reading every column) or in one cheap probe (a hot key
+holding 30% of the rows).  These helpers turn both into data:
+
+* :func:`plan_summary` — parse the executed physical plan into the
+  quantities the scale tests assert (shuffle-exchange count, broadcast
+  count, pushed/partition filters, scans + the columns they actually
+  read, whole-stage-codegen span count, Python-UDF evaluations).  The
+  plan-quality regression suite and this function share one parser, so
+  what CI guards is exactly what users can inspect.
+* :func:`partition_skew` — per-partition row counts of the CURRENT
+  partitioning (one narrow pass, no shuffle) + a balance verdict.
+* :func:`key_skew` — the hot keys of a prospective shuffle/join key
+  and how much of the table they own: the number that decides between
+  a plain join, a broadcast, and `relational.salted_join`.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffle_exchanges(plan: str) -> int:
+    """Shuffle exchanges only — broadcasts are counted separately."""
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|"
+        r"SinglePartition)", plan))
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Structured digest of ``df``'s physical plan (see module doc).
+
+    ``scans`` is a list of ``{format, read_schema, pushed_filters,
+    partition_filters}`` — an empty ``read_schema`` projection or a
+    scan with no pushed filter under a selective query is the classic
+    100×-scale bug this makes visible.
+    """
+    plan = physical_plan(df)
+    scans = []
+    for m in re.finditer(r"FileScan (\w+)[^\n]*", plan):
+        line = m.group(0)
+        scans.append({
+            "format": m.group(1),
+            "read_schema": _bracket(line, "ReadSchema: "),
+            "pushed_filters": _bracket(line, "PushedFilters: "),
+            "partition_filters": _bracket(line, "PartitionFilters: "),
+        })
+    return {
+        "shuffle_exchanges": count_shuffle_exchanges(plan),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "file_scans": len(scans),
+        "scans": scans,
+        # spans appear as "WholeStageCodegen (n)" in formatted plans
+        # and as "*(n) Op" prefixes in the tree string
+        "wholestage_codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)) |
+            set(re.findall(r"\*\((\d+)\) ", plan))),
+        "python_udf_evals": len(
+            re.findall(r"(?:BatchEvalPython|ArrowEvalPython|"
+                       r"FlatMapGroupsInPandas|MapInPandas|"
+                       r"FlatMapGroupsInPandasWithState)", plan)),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+    }
+
+
+def _bracket(line: str, tag: str) -> str | None:
+    i = line.find(tag)
+    if i < 0:
+        return None
+    j = line.find("]", i)
+    return line[i + len(tag):j + 1] if j >= 0 else line[i + len(tag):]
+
+
+def partition_skew(df: DataFrame) -> dict:
+    """Row-count balance of the CURRENT partitioning: one narrow pass
+    (spark_partition_id groupBy — the tiny agg shuffles partition
+    counts, never rows).  ``balance`` = max/mean; > ~3 means one task
+    will straggle the stage."""
+    counts = (df.groupBy(F.spark_partition_id().alias("pid"))
+              .count().collect())
+    rows = sorted((int(r["count"]) for r in counts), reverse=True)
+    total = sum(rows)
+    # the groupBy only sees NON-EMPTY partitions — empty ones are the
+    # other half of a skew story (9000/1000/0/0/… must read as
+    # balance 7.2, not 1.8), so take the true count from the RDD and
+    # pad with zeros
+    n = max(df.rdd.getNumPartitions(), len(rows))
+    rows += [0] * (n - len(rows))
+    mean = total / n if n else 0.0
+    return {
+        "partitions": n,
+        "rows": total,
+        "max": rows[0] if rows else 0,
+        "min": rows[-1] if rows else 0,
+        "mean": round(mean, 1),
+        "balance": round(rows[0] / mean, 2) if mean else 0.0,
+        "top": rows[:10],
+    }
+
+
+def key_skew(df: DataFrame, key: str | Column, top: int = 20) -> dict:
+    """Hot-key profile of a prospective join/groupBy key: the ``top``
+    heaviest keys and the fraction of all rows they own.  One
+    aggregation on the key (the same shuffle the join would do, minus
+    the payload).  ``top_frac`` ≳ 0.2 on a large table ⇒ salt the join
+    (`relational.salted_join`) or broadcast the other side."""
+    kc = F.col(key) if isinstance(key, str) else key
+    agg = df.groupBy(kc.alias("key")).count()
+    total = df.count()
+    hot = [(r["key"], int(r["count"]))
+           for r in agg.orderBy(F.desc("count")).limit(top).collect()]
+    owned = sum(c for _, c in hot)
+    return {
+        "rows": total,
+        "distinct_keys_approx": int(
+            df.agg(F.approx_count_distinct(kc)).collect()[0][0]),
+        "hot_keys": hot,
+        "top_frac": round(owned / total, 4) if total else 0.0,
+        "max_key_frac": round(hot[0][1] / total, 4) if total and hot
+        else 0.0,
+    }

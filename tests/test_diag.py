@@ -1,0 +1,123 @@
+"""Plan/skew diagnostics (functions/diag.py) and the `explain` CLI
+command."""
+
+import json
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from rulemorph_spark.functions.diag import (
+    key_skew,
+    partition_skew,
+    plan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_plan_summary_broadcast_join_and_pushdown(spark):
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 40)
+          .select("l_orderkey", "l_partkey", "l_quantity"))
+    part = spark.read.parquet(f"{SF}/part.parquet") \
+        .select("p_partkey", "p_name")
+    joined = li.join(F.broadcast(part),
+                     li.l_partkey == part.p_partkey)
+    s = plan_summary(joined)
+    assert s["broadcast_exchanges"] == 1
+    assert s["broadcast_hash_joins"] == 1
+    assert s["shuffle_exchanges"] == 0
+    assert s["file_scans"] == 2
+    assert s["python_udf_evals"] == 0
+    li_scan = next(sc for sc in s["scans"]
+                   if "l_quantity" in (sc["read_schema"] or ""))
+    assert "GreaterThan(l_quantity" in li_scan["pushed_filters"]
+    # column pruning: the scan reads exactly the projected columns
+    assert "l_extendedprice" not in li_scan["read_schema"]
+
+
+def test_plan_summary_counts_shuffles_and_python_evals(spark):
+    df = (spark.read.parquet(f"{SF}/orders.parquet")
+          .groupBy("o_orderstatus").count())
+    s = plan_summary(df)
+    assert s["shuffle_exchanges"] == 1
+    # an un-executed AQE plan has no codegen ids yet — assert them on a
+    # narrow plan, which is planned eagerly
+    narrow = (spark.read.parquet(f"{SF}/orders.parquet")
+              .filter("o_totalprice > 100").select("o_orderkey"))
+    assert plan_summary(narrow)["wholestage_codegen_spans"] >= 1
+
+    from rulemorph_spark.llm.multimodal import synthetic_media, \
+        extract_features
+    media = synthetic_media(spark, n=4)
+    assert plan_summary(extract_features(media))["python_udf_evals"] >= 1
+
+
+def test_partition_skew_balanced_and_skewed(spark):
+    even = spark.range(10000).repartition(8)
+    s = partition_skew(even)
+    assert s["partitions"] == 8 and s["rows"] == 10000
+    assert s["balance"] < 1.5
+    # AQE would split the skewed shuffle partition back into balanced
+    # tasks — turn it off so the tool sees the raw skew it reports on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        lop = spark.range(10000).repartition(8, (F.col("id") < 9000)
+                                             .cast("int"))
+        s2 = partition_skew(lop)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert s2["balance"] > 4.0 and s2["max"] >= 9000
+
+
+def test_key_skew_flags_hot_key(spark):
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 4000, "hot")
+        .otherwise(F.col("id").cast("string")).alias("k"))
+    s = key_skew(df, "k", top=5)
+    assert s["rows"] == 10000
+    assert s["hot_keys"][0] == ("hot", 4000)
+    assert s["max_key_frac"] == 0.4
+    assert 5500 <= s["distinct_keys_approx"] <= 6700
+
+
+def test_cli_explain_rule_and_pipeline(tmp_path):
+    rules = tmp_path / "r.yaml"
+    rules.write_text(
+        "version: 2\n"
+        "input: {format: json}\n"
+        "record_when: {gt: [\"@input.l_quantity\", 45]}\n"
+        "mappings:\n"
+        "  - target: okey\n"
+        "    source: l_orderkey\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "explain",
+         "-r", str(rules), "-i", f"{SF}/lineitem.parquet",
+         "--mode", "typed"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["file_scans"] == 1 and s["python_udf_evals"] == 0
+    # the typed path pushes record_when into the parquet reader
+    assert "GreaterThan(l_quantity" in \
+        s["scans"][0]["pushed_filters"]
+
+    spec = tmp_path / "p.yaml"
+    spec.write_text("steps:\n  - {op: gopher_filter}\n")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "explain",
+         "--pipeline", str(spec), "-i", f"{SF}/documents.parquet",
+         "--full"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-800:]
+    lines = r2.stdout.strip().splitlines()
+    s2 = json.loads(lines[0])
+    assert s2["shuffle_exchanges"] == 0  # gopher flags are narrow
+    assert any("FileScan" in ln for ln in lines[1:])
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "explain",
+         "-i", f"{SF}/documents.parquet"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r3.returncode == 2
