@@ -367,6 +367,39 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """One-command continuous corpus ingestion (extension surface):
+    NDJSON arrivals → optional declarative cleaning spec → exact dedup
+    vs the persistent fingerprint store → exactly-once versioned
+    commits into a CorpusStore.  Runs with the availableNow trigger —
+    process everything currently in the input dir, commit, exit — so
+    each CLI invocation is one idempotent catch-up; re-running admits
+    nothing new."""
+    from .engine import get_spark
+    from .sources.versioned import CorpusStore
+    from .streaming.corpus import ingest_corpus_stream_versioned
+    spec = None
+    if args.spec:
+        try:
+            spec = _load_text(args.spec)
+        except OSError as e:
+            print(f"failed to read spec: {e}", file=sys.stderr)
+            return 1
+    spark = get_spark("rulemorph-ingest")
+    stream = (spark.readStream.schema(args.input_schema)
+              .json(args.input))
+    q = ingest_corpus_stream_versioned(
+        stream, corpus_root=args.corpus, fp_store_path=args.fp_store,
+        checkpoint_path=args.checkpoint, id_col=args.id_col, spec=spec,
+        available_now=True)
+    q.awaitTermination()
+    store = CorpusStore(spark, args.corpus)
+    v = store.latest_version()
+    n = store.read().count() if v is not None else 0
+    print(json.dumps({"version": v, "corpus_rows": n}))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the physical-plan digest (and optionally the full plan)
     for a rule or pipeline over a parquet table WITHOUT running it —
@@ -512,6 +545,22 @@ def main(argv=None) -> int:
     p.add_argument("--quarantine", default=None,
                    help="write unparsable NDJSON lines here (parquet)")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("-i", "--input", required=True,
+                   help="NDJSON input directory (watched)")
+    p.add_argument("--input-schema", required=True,
+                   help="DDL schema, e.g. 'doc_id long, text string'")
+    p.add_argument("--corpus", required=True,
+                   help="CorpusStore root (versioned output)")
+    p.add_argument("--fp-store", required=True,
+                   help="persistent fingerprint store path")
+    p.add_argument("--checkpoint", required=True,
+                   help="streaming checkpoint dir")
+    p.add_argument("--spec", help="optional pipeline spec YAML applied "
+                                  "to each micro-batch before dedup")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("explain")
     p.add_argument("-r", "--rules", help="rule YAML (table path)")

@@ -237,3 +237,48 @@ def test_cli_format_override(workdir, tmp_path):
     out = json.loads(r.stdout)
     # CSV ingests all-string: id stays "7", uppercase applies to name
     assert out == [{"id": "7", "upper": "ZED"}]
+
+
+def test_cli_ingest_exactly_once(tmp_path):
+    """`ingest` CLI: NDJSON arrivals → versioned corpus with exact
+    dedup vs the persistent fingerprint store; a re-run (same files,
+    fresh checkpoint) admits nothing."""
+    import json as _json
+    import subprocess
+    import sys
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "a.ndjson").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": "alpha"}\n')  # dup of doc 1 by text
+
+    def run(ckpt):
+        return subprocess.run(
+            [sys.executable, "-m", "rulemorph_spark.cli", "ingest",
+             "-i", str(inbox), "--input-schema",
+             "doc_id long, text string",
+             "--corpus", str(tmp_path / "corpus"),
+             "--fp-store", str(tmp_path / "fps"),
+             "--checkpoint", str(tmp_path / ckpt)],
+            capture_output=True, text=True, cwd="/root/repo")
+
+    r1 = run("ck1")
+    assert r1.returncode == 0, r1.stderr[-800:]
+    out1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["corpus_rows"] == 2  # intra-batch text dedup
+
+    (inbox / "b.ndjson").write_text(
+        '{"doc_id": 4, "text": "beta"}\n'   # dup vs store
+        '{"doc_id": 5, "text": "gamma"}\n')
+    r2 = run("ck1")  # same checkpoint: only the new file is an epoch
+    assert r2.returncode == 0, r2.stderr[-800:]
+    out2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["corpus_rows"] == 3  # only gamma admitted
+    assert out2["version"] > out1["version"]
+
+    r3 = run("ck2")  # fresh checkpoint replays everything: idempotent
+    assert r3.returncode == 0, r3.stderr[-800:]
+    out3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert out3["corpus_rows"] == 3
