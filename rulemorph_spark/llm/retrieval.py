@@ -1,0 +1,100 @@
+"""BM25 full-text retrieval over the corpus (Robertson & Zaragoza
+2009, the Okapi weighting) — the lexical complement to the embedding
+ANN operators in :mod:`similarity`: dedup/decontamination finds
+near-copies, BM25 finds *relevant* documents for a query set (eval-set
+mining, targeted corpus audits, retrieval baselines).
+
+Two-phase, like the IVF index:
+
+* :func:`bm25_index` — ONE tokenize pass over the corpus → postings
+  ``(term, doc_id, tf, dl, idf)`` with doc length and the term's IDF
+  denormalized in, so query time never re-joins corpus-sized side
+  tables.  Two key-space-bounded shuffles build it ((doc,term) fold,
+  then the term-DF aggregate), both with map-side combine; write the
+  result to parquet partitioned however you like and it serves any
+  number of query batches.
+* :func:`bm25_topk` — queries are a small table: tokenized in-plan,
+  **broadcast** against the postings (term equi-join — at rest this
+  reads only the matched terms' row groups when the postings are
+  sorted/clustered by term), per-(query,doc) score fold, window top-k
+  per query.  The corpus is never shuffled at query time; the only
+  exchange is on the (query,doc) score key space.
+
+IDF uses the non-negative BM25+ variant ``ln(1 + (N - df + .5)/(df +
+.5))`` so stop-word-ish terms can't produce negative scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import WORD_SPLIT_RE
+
+
+def _terms(text_col):
+    return F.filter(F.split(F.lower(F.trim(text_col)), WORD_SPLIT_RE),
+                    lambda t: t != "")
+
+
+def bm25_index(corpus: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """→ (postings, stats): postings ``(term, doc_id, tf, dl, idf)``,
+    stats a 1-row DF ``(n_docs, avgdl)``.  Persist postings (ideally
+    repartitioned/sorted by term for min-max pruning) to reuse across
+    query batches."""
+    toks = corpus.select(F.col(id_col).alias("doc_id"),
+                         F.explode(_terms(F.col(text_col)))
+                         .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (df_t.crossJoin(F.broadcast(stats))
+           .select("term",
+                   F.log(F.lit(1.0) +
+                         (F.col("n_docs") - F.col("df") + 0.5) /
+                         (F.col("df") + 0.5)).alias("idf")))
+    postings = (tf.join(dl, "doc_id")
+                .join(idf, "term")
+                .select("term", "doc_id", "tf", "dl", "idf"))
+    return postings, stats
+
+
+def bm25_topk(postings: DataFrame, stats: DataFrame, queries: DataFrame,
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              qid_col: str = "query_id",
+              query_col: str = "query") -> DataFrame:
+    """Top-``k`` documents per query: ``(query_id, doc_id, score,
+    rank)``.  ``queries`` is a small (broadcastable) table."""
+    qterms = (queries.select(F.col(qid_col).alias("query_id"),
+                             F.explode(F.array_distinct(
+                                 _terms(F.col(query_col))))
+                             .alias("term"))
+              .crossJoin(F.broadcast(stats)))
+    hits = postings.join(F.broadcast(qterms), "term")
+    tfc = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) +
+                        F.lit(b) * F.col("dl") / F.col("avgdl"))
+    term_score = F.col("idf") * tfc * F.lit(k1 + 1.0) / (tfc + norm)
+    scored = (hits.groupBy("query_id", "doc_id")
+              .agg(F.sum(term_score).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id",
+                qid_col: str = "query_id",
+                query_col: str = "query") -> DataFrame:
+    """One-call index-and-search (ad-hoc use; for repeated batches
+    build :func:`bm25_index` once)."""
+    postings, stats = bm25_index(corpus, text_col, id_col)
+    return bm25_topk(postings, stats, queries, k, k1, b,
+                     qid_col, query_col)

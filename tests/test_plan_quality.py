@@ -16,14 +16,12 @@ import __spark_entry__ as E
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _exchanges(plan: str) -> int:
-    # shuffle exchanges only — broadcasts counted separately
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|"
-                          r"SinglePartition)", plan))
+# the guards share one parser with the user-facing diagnostics API, so
+# what CI asserts is exactly what `functions.diag.plan_summary` reports
+from rulemorph_spark.functions.diag import (  # noqa: E402
+    count_shuffle_exchanges as _exchanges,
+    physical_plan as _plan,
+)
 
 
 def test_tfidf_scans_corpus_once(spark):
