@@ -87,9 +87,25 @@ def main() -> None:
         return semdedup(emb, "vec_id", "embedding", k=8, iters=2,
                         eps=0.05)
 
+    def _bm25(spark, d):
+        from rulemorph_spark.llm.retrieval import bm25_search
+        docs = spark.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+        queries = spark.createDataFrame(
+            [(i, "filter join merge table scan") for i in range(8)],
+            "query_id int, query string")
+        return bm25_search(docs, queries, k=10)
+
+    def _ppl_buckets(spark, d):
+        from rulemorph_spark.llm.lm import lm_quality, perplexity_buckets
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return perplexity_buckets(lm_quality(docs))
+
     extras = {"op_remove_dup_spans": _span_removal,
               "op_gopher_flags": _gopher,
-              "op_semdedup": _semdedup}
+              "op_semdedup": _semdedup,
+              "op_bm25_search": _bm25,
+              "op_ppl_buckets": _ppl_buckets}
 
     with tempfile.TemporaryDirectory() as big:
         replicate(spark, src, big, n)

@@ -40,15 +40,17 @@ def test_samplers_match_python_model(spark, ids, weights, fraction):
     rows = [(i, strata[i % 4]) for i in ids]
     df = spark.createDataFrame(rows, "doc_id long, source string")
 
+    # the operators use round() on the threshold (a weight of 0.29
+    # must mean 2900 buckets, not 2899) — the model must mirror that
     got_mix = {r.doc_id for r in
                mixture_sample(df, "source", weights).collect()}
     want_mix = {i for i, s in rows
-                if _bucket(i) < int(weights.get(s, 0.0) * BUCKETS)}
+                if _bucket(i) < int(round(weights.get(s, 0.0) * BUCKETS))}
     assert got_mix == want_mix
 
     got_frac = {r.doc_id for r in hash_sample(df, fraction).collect()}
     want_frac = {i for i, _ in rows
-                 if _bucket(i) < int(fraction * BUCKETS)}
+                 if _bucket(i) < int(round(fraction * BUCKETS))}
     assert got_frac == want_frac
 
 
