@@ -144,6 +144,19 @@ def _hash_split(df, *, id_col: str = "doc_id",
     return _filters.hash_split(df, id_col, weights, salt)
 
 
+def _html_extract(df, *, html_col: str = "html",
+                  text_col: str = "text"):
+    from . import extract as _extract
+    return _extract.html_to_text(df, html_col, text_col)
+
+
+def _domain_filter(df, *, domains: list[str], url_col: str = "url",
+                   mode: str = "block", max_labels: int = 5):
+    from . import extract as _extract
+    return _extract.domain_filter(df, domains, url_col, mode,
+                                  max_labels)
+
+
 def _lm_bucket_filter(df, *, keep: list[str] | None = None,
                       by: str | None = None, text_col: str = "text",
                       id_col: str = "doc_id",
@@ -165,6 +178,8 @@ def _lm_bucket_filter(df, *, keep: list[str] | None = None,
 
 
 _OPS = {
+    "html_extract": _html_extract,
+    "domain_filter": _domain_filter,
     "quality_filter": _quality_filter,
     "lm_bucket_filter": _lm_bucket_filter,
     "lang_filter": _lang_filter,

@@ -145,3 +145,26 @@ def test_pipeline_lm_bucket_stage(spark):
     # the tail really is dropped (~1/3 per source)
     n_all, n_kept = docs.count(), out.count()
     assert 0.55 < n_kept / n_all < 0.78
+
+
+def test_pipeline_html_front_door(spark):
+    """Raw crawl shape: (url, html) → domain gate → extraction →
+    line cleanup, all declaratively."""
+    from rulemorph_spark.llm.pipeline import run_pipeline
+
+    rows = [(1, "https://good.org/a",
+             "<html><body><p>A page with plenty of useful words to "
+             "keep around for training.</p></body></html>"),
+            (2, "https://spam.tracker.com/b",
+             "<html><body><p>blocked domain page with words.</p>"
+             "</body></html>")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, "
+                                     "html string")
+    out = run_pipeline(df, {"steps": [
+        {"op": "domain_filter", "domains": ["tracker.com"],
+         "mode": "block"},
+        {"op": "html_extract"},
+        {"op": "c4_clean", "min_line_words": 3}]})
+    got = out.collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert "useful words" in got[0]["text"]
