@@ -111,10 +111,26 @@ def main():
         return semdedup(spark.read.parquet(f"{d}/embeddings.parquet"),
                         "vec_id", "embedding", k=8, iters=2, eps=0.05)
 
+    def _bm25(spark, d):
+        from rulemorph_spark.llm.retrieval import bm25_search
+        docs = spark.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+        qdf = spark.createDataFrame(
+            [(i, "filter join merge table scan") for i in range(8)],
+            "query_id int, query string")
+        return bm25_search(docs, qdf, k=10)
+
+    def _ppl(spark, d):
+        from rulemorph_spark.llm.lm import lm_quality, perplexity_buckets
+        return perplexity_buckets(
+            lm_quality(spark.read.parquet(f"{d}/documents.parquet")))
+
     corpus_ops = {}
     for name, fn in (("remove_dup_spans", _span),
                      ("gopher_flags", _gopher),
-                     ("semdedup", _semdedup)):
+                     ("semdedup", _semdedup),
+                     ("bm25_search", _bm25),
+                     ("ppl_buckets", _ppl)):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(3):

@@ -137,10 +137,32 @@ class CorpusStore:
                 f"version {v} was committed concurrently")
         return v
 
+    def _check_schema(self, df: DataFrame, dirs: list[str]) -> None:
+        """Appending a drifted schema would poison every later
+        multi-dir read (parquet union-by-name surprises) — fail at
+        commit time with the exact field diff instead."""
+        have = {f.name: f.dataType.simpleString()
+                for f in self.spark.read.parquet(*dirs).schema.fields}
+        new = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}
+        if have != new:
+            missing = sorted(have.keys() - new.keys())
+            extra = sorted(new.keys() - have.keys())
+            changed = sorted(k for k in have.keys() & new.keys()
+                             if have[k] != new[k])
+            raise ValueError(
+                "schema drift vs current snapshot — "
+                f"missing: {missing}, extra: {extra}, retyped: "
+                f"{[f'{k}: {have[k]}->{new[k]}' for k in changed]}; "
+                "use overwrite() for an intentional schema change")
+
     def append(self, df: DataFrame, note: str | None = None) -> int:
         """New version = previous snapshot + ``df``.  Returns the
-        committed version number."""
+        committed version number.  The schema must match the current
+        snapshot exactly (see ``_check_schema``)."""
         prev = self.versions()
+        if prev:
+            self._check_schema(df, prev[-1]["dirs"])
         dirs = (prev[-1]["dirs"] if prev else []) + \
             [self._write_data_dir(df)]
         return self._commit(dirs, note)
@@ -193,6 +215,7 @@ class CorpusStore:
         if not vs:
             return self._commit([self._write_data_dir(updates)], note)
         dirs = vs[-1]["dirs"]
+        self._check_schema(updates, dirs)
         keys = updates.select(key_col).distinct()
         snap = self._tagged_snapshot(dirs)
         matched = snap.join(keys, on=key_col, how="left_semi")

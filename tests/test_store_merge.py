@@ -96,3 +96,23 @@ def test_vacuum_reclaims_replaced_dirs(spark, store):
     assert store.read().count() == 300
     assert store.read().filter("doc_id = 150").collect()[0]["text"] \
         == "fixed"
+
+
+def test_append_and_merge_reject_schema_drift(spark, store):
+    drifted = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+        F.lit(1).alias("surprise"))
+    with pytest.raises(ValueError, match="extra: \\['surprise'\\]"):
+        store.append(drifted)
+    retyped = spark.range(5).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.col("id").cast("string").alias("text"))
+    with pytest.raises(ValueError, match="retyped"):
+        store.merge(retyped, "doc_id")
+    # column ORDER does not matter (parquet reads by name)
+    reordered = spark.range(400, 405).select(
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.col("id").alias("doc_id"))
+    store.append(reordered)
+    assert store.read().count() == 305
