@@ -400,6 +400,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Freeze a parquet corpus into N deterministic training shards
+    with a verifiable manifest (llm/export.py); `--verify` re-derives
+    every shard's stats from disk and exits 3 on any divergence."""
+    from .engine import get_spark
+    from .llm.export import verify_shards, write_training_shards
+    spark = get_spark("rulemorph-export")
+    if args.verify:
+        problems = verify_shards(spark, args.output)
+        print(json.dumps({"verified": not problems,
+                          "problems": problems}))
+        return 0 if not problems else 3
+    try:
+        df = spark.read.parquet(args.input)
+    except Exception as e:  # noqa: BLE001 - I/O boundary
+        print(f"failed to read input: {e}", file=sys.stderr)
+        return 1
+    try:
+        manifest = write_training_shards(
+            df, args.output, args.num_shards, id_col=args.id_col,
+            token_col=args.token_col, salt=args.salt)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({"n_shards": manifest["n_shards"],
+                      "total_rows": manifest["total_rows"],
+                      "total_tokens": manifest.get("total_tokens")}))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the physical-plan digest (and optionally the full plan)
     for a rule or pipeline over a parquet table WITHOUT running it —
@@ -545,6 +575,19 @@ def main(argv=None) -> int:
     p.add_argument("--quarantine", default=None,
                    help="write unparsable NDJSON lines here (parquet)")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("export")
+    p.add_argument("-i", "--input", help="corpus parquet dir "
+                                         "(not needed with --verify)")
+    p.add_argument("-o", "--output", required=True,
+                   help="shard output dir")
+    p.add_argument("-n", "--num-shards", type=int, default=64)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--token-col")
+    p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--verify", action="store_true",
+                   help="verify an existing export instead of writing")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("ingest")
     p.add_argument("-i", "--input", required=True,

@@ -97,3 +97,36 @@ def test_empty_and_bad_args(spark, tmp_path):
     assert man["total_rows"] == 0
     assert all(s["rows"] == 0 for s in man["shards"])
     assert verify_shards(spark, out) == []
+
+
+def test_cli_export_and_verify(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "corpus")
+    _docs(spark, 300).write.parquet(src)
+    out = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "export",
+         "-i", src, "-o", out, "-n", "6", "--token-col", "n_tokens"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_shards"] == 6 and summary["total_rows"] == 300
+
+    rv = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "export",
+         "-o", out, "--verify"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert rv.returncode == 0, rv.stderr[-800:]
+    assert _json.loads(rv.stdout.strip().splitlines()[-1])["verified"]
+
+    next((tmp_path / "shards" / "shard=1").glob("part-*")).unlink()
+    rb = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "export",
+         "-o", out, "--verify"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert rb.returncode == 3
+    bad = _json.loads(rb.stdout.strip().splitlines()[-1])
+    assert [p["shard"] for p in bad["problems"]] == [1]
