@@ -98,3 +98,41 @@ def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     postings, stats = bm25_index(corpus, text_col, id_col)
     return bm25_topk(postings, stats, queries, k, k1, b,
                      qid_col, query_col)
+
+
+def bm25_write_index(corpus: DataFrame, path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_files: int = 8) -> None:
+    """Materialize the BM25 index at ``path``: postings range-clustered
+    and sorted by term (so each file's parquet footer covers a narrow
+    term range — a query's equality filters row-group-prune to the
+    matched terms' files), plus the 1-row stats table.
+
+    This is the retrieval analogue of ``similarity.ivf_write_index``:
+    build once, then any number of query batches run as pruned scans
+    with no re-tokenization of the corpus.
+    """
+    postings, stats = bm25_index(corpus, text_col, id_col)
+    (postings.repartitionByRange(num_files, "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(spark, path: str, queries: DataFrame,
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      qid_col: str = "query_id",
+                      query_col: str = "query") -> DataFrame:
+    """Search a materialized index (``bm25_write_index``).  The query
+    batch's distinct terms are collected (tiny) and pushed into the
+    postings scan as an IN filter, so row-group statistics skip every
+    file whose term range misses the query vocabulary."""
+    postings = spark.read.parquet(f"{path}/postings")
+    stats = spark.read.parquet(f"{path}/stats")
+    terms = [r["term"] for r in
+             queries.select(F.explode(F.array_distinct(
+                 _terms(F.col(query_col)))).alias("term"))
+             .distinct().collect()]
+    pruned = postings.filter(F.col("term").isin(terms))
+    return bm25_topk(pruned, stats, queries, k, k1, b,
+                     qid_col, query_col)

@@ -102,3 +102,34 @@ def test_bm25_query_plan_broadcasts_queries(spark):
     # score fold and the per-query top-k window may exchange
     assert s["shuffle_exchanges"] <= 2
     assert s["python_udf_evals"] == 0
+
+
+def test_bm25_indexed_matches_adhoc_and_prunes(spark, tmp_path):
+    from rulemorph_spark.llm.retrieval import (bm25_topk_indexed,
+                                               bm25_write_index)
+
+    docs_df = (spark.read.parquet(f"{SF}/documents.parquet")
+               .select("doc_id", "text").limit(150))
+    path = str(tmp_path / "bm25")
+    bm25_write_index(docs_df, path, num_files=4)
+    qdf = spark.createDataFrame(
+        [(1, "filter join merge"), (2, "window scan")],
+        "query_id int, query string")
+    via_index = bm25_topk_indexed(spark, path, qdf, k=5)
+    adhoc = bm25_search(docs_df, qdf, k=5)
+    a = sorted(map(tuple, via_index.collect()))
+    e = sorted(map(tuple, adhoc.collect()))
+    assert [(r[0], r[1], round(r[2], 9), r[3]) for r in a] == \
+        [(r[0], r[1], round(r[2], 9), r[3]) for r in e]
+    # clustered postings: term ranges are tight per file (prunable)
+    from rulemorph_spark.functions.layout import file_column_bounds
+    bounds = file_column_bounds(f"{path}/postings", ["term"])
+    assert len(bounds) >= 2
+    spans = sorted((b["term_min"], b["term_max"]) for b in bounds)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint sorted ranges
+    # the pushed IN filter appears in the scan
+    s = plan_summary(bm25_topk_indexed(spark, path, qdf, k=5))
+    post_scan = next(sc for sc in s["scans"]
+                     if "tf" in (sc["read_schema"] or ""))
+    assert "In(term" in (post_scan["pushed_filters"] or "")
