@@ -400,6 +400,46 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 top-k over a parquet corpus (llm/retrieval.py), NDJSON
+    results on stdout.  `--index` searches a materialized
+    `bm25_write_index` layout (vocabulary-pruned scan); `--build-index`
+    materializes one."""
+    from .engine import get_spark
+    from .llm.retrieval import (bm25_search, bm25_topk_indexed,
+                                bm25_write_index)
+    spark = get_spark("rulemorph-search")
+    if args.build_index:
+        if not args.input:
+            print("--build-index needs -i/--input", file=sys.stderr)
+            return 2
+        corpus = spark.read.parquet(args.input)
+        bm25_write_index(corpus, args.index, args.text_col,
+                         args.id_col)
+        print(json.dumps({"index": args.index, "built": True}))
+        return 0
+    if not args.query:
+        print("search needs -q/--query (or --build-index)",
+              file=sys.stderr)
+        return 2
+    qdf = spark.createDataFrame([(0, args.query)],
+                                "query_id int, query string")
+    if args.index:
+        hits = bm25_topk_indexed(spark, args.index, qdf, k=args.k)
+    else:
+        if not args.input:
+            print("ad-hoc search needs -i/--input", file=sys.stderr)
+            return 2
+        corpus = spark.read.parquet(args.input)
+        hits = bm25_search(corpus, qdf, k=args.k,
+                           text_col=args.text_col, id_col=args.id_col)
+    for r in hits.orderBy("rank").collect():
+        print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
+                          "score": round(r["score"], 6)},
+                         ensure_ascii=False))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Freeze a parquet corpus into N deterministic training shards
     with a verifiable manifest (llm/export.py); `--verify` re-derives
@@ -575,6 +615,17 @@ def main(argv=None) -> int:
     p.add_argument("--quarantine", default=None,
                    help="write unparsable NDJSON lines here (parquet)")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("search")
+    p.add_argument("-i", "--input", help="corpus parquet dir")
+    p.add_argument("-q", "--query", help="query text")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--index", help="materialized BM25 index dir")
+    p.add_argument("--build-index", action="store_true",
+                   help="build --index from -i instead of searching")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("export")
     p.add_argument("-i", "--input", help="corpus parquet dir "

@@ -133,3 +133,39 @@ def test_bm25_indexed_matches_adhoc_and_prunes(spark, tmp_path):
     post_scan = next(sc for sc in s["scans"]
                      if "tf" in (sc["read_schema"] or ""))
     assert "In(term" in (post_scan["pushed_filters"] or "")
+
+
+def test_cli_search_adhoc_and_indexed(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    corpus = f"{SF}/documents.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "search",
+         "-i", corpus, "-q", "filter join merge", "-k", "3"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    rows = [_json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert [x["rank"] for x in rows] == [1, 2, 3]
+    assert all(x["score"] > 0 for x in rows)
+
+    idx = str(tmp_path / "idx")
+    rb = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "search",
+         "-i", corpus, "--index", idx, "--build-index"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert rb.returncode == 0, rb.stderr[-800:]
+    ri = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "search",
+         "--index", idx, "-q", "filter join merge", "-k", "3"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert ri.returncode == 0, ri.stderr[-800:]
+    rows_i = [_json.loads(ln) for ln in ri.stdout.strip().splitlines()]
+    assert rows_i == rows  # indexed ≡ ad-hoc
+
+    rerr = subprocess.run(
+        [sys.executable, "-m", "rulemorph_spark.cli", "search",
+         "-i", corpus],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert rerr.returncode == 2
