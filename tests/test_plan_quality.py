@@ -300,3 +300,22 @@ def test_semdedup_single_corpus_shuffle(spark):
     # no quadratic join, no corpus window
     assert _exchanges(plan) <= 4
     assert "Window" not in plan
+
+
+def test_typed_record_when_pushes_to_parquet(spark):
+    """The lenient null guards must not reappear around typed
+    record_when comparisons — the predicate belongs in PushedFilters
+    (row-group skipping), not in a post-scan DataFilter."""
+    from rulemorph_spark.engine import transform_table
+    rule = """
+version: 2
+input: {format: json}
+record_when: {gt: ["@input.l_quantity", 45]}
+mappings:
+  - target: okey
+    source: l_orderkey
+"""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(transform_table(df, rule, mode="typed"))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity",
+                     plan), plan[:600]
