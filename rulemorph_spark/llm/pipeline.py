@@ -55,7 +55,16 @@ def _quality_filter(df, *, min_score: float, text_col: str = "text"):
 
 
 def _lang_filter(df, *, langs: list[str], text_col: str = "text"):
-    return df.filter(_text.lang_id_en(F.col(text_col)).isin(list(langs)))
+    """Keep documents whose detected language is in ``langs``.  The
+    binary en/other detector serves pure-English gates (matching the
+    q_text_metrics oracle); requesting any other language switches to
+    the multi-language stopword-profile detector."""
+    wanted = list(langs)
+    if set(wanted) <= {"en", "other"}:
+        detected = _text.lang_id_en(F.col(text_col))
+    else:
+        detected = _text.lang_id_multi(F.col(text_col))
+    return df.filter(detected.isin(wanted))
 
 
 def _dedup_exact(df, *, text_col: str = "text", id_col: str = "doc_id"):

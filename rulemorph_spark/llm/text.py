@@ -84,6 +84,49 @@ def lang_id_en_from_words(words: Column, text: Column) -> Column:
                   F.lit("en")).otherwise(F.lit("other"))
 
 
+LANG_PROFILES: dict[str, list[str]] = {
+    # small, discriminative function-word profiles (shared words are
+    # fine — the per-language hit counts arbitrate)
+    "en": ["the", "and", "of", "to", "is", "that", "was", "for",
+           "with", "his", "are", "this", "have", "not"],
+    "es": ["el", "los", "las", "una", "es", "por", "para", "como",
+           "pero", "su", "este", "ser", "muy", "del"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "qui",
+           "pas", "avec", "sur", "ce", "je", "vous"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "zu", "den", "von", "auf", "für"],
+    "it": ["il", "gli", "che", "di", "per", "con", "una", "non",
+           "sono", "questo", "anche", "della", "più", "nel"],
+    "pt": ["os", "um", "uma", "não", "para", "com", "por", "mais",
+           "como", "esse", "dos", "ela", "você", "são"],
+}
+
+
+def lang_id_multi(text: Column, min_hits: int = 2) -> Column:
+    """Multi-language ID over the stopword profiles in
+    :data:`LANG_PROFILES` (en/es/fr/de/it/pt): per-language hit counts
+    on the word array, argmax with a deterministic (hits desc, code
+    asc) tie-break, 'other' below ``min_hits``.  Pure Column
+    expressions — scan speed, no UDF; extend by adding a profile row.
+    """
+    return lang_id_multi_from_words(
+        F.split(F.lower(F.trim(text)), WORD_SPLIT_RE), min_hits)
+
+
+def lang_id_multi_from_words(words: Column,
+                             min_hits: int = 2) -> Column:
+    """:func:`lang_id_multi` over a pre-tokenized lowercased array."""
+    scored = F.array(*[
+        F.struct(
+            (-F.size(F.filter(words, lambda w: w.isin(*profile))))
+            .alias("neg_hits"),
+            F.lit(code).alias("code"))
+        for code, profile in sorted(LANG_PROFILES.items())])
+    best = F.element_at(F.array_sort(scored), 1)
+    return F.when(-best["neg_hits"] >= min_hits,
+                  best["code"]).otherwise(F.lit("other"))
+
+
 def fingerprint(text: Column, prefix_words: int = 8) -> Column:
     """Document fingerprint: md5 of the normalized leading words — the
     exact-dedup key that survives whitespace/case jitter."""

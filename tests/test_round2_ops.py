@@ -347,3 +347,41 @@ def test_perplexity_buckets_approx_near_exact(spark):
                            F.col("ppl_bucket").alias("pb")), "doc_id")
             .filter("ppl_bucket != pb").count())
     assert diff / 3000 < 0.01  # sketch error only at the cut boundary
+
+
+# --------------------------------------------------- multi-language ID
+def test_lang_id_multi_labels_and_threshold(spark):
+    from rulemorph_spark.llm.text import lang_id_multi
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy with this"),
+        (2, "el perro corre por el parque pero este día es muy bonito"),
+        (3, "le chat est dans la maison avec les enfants pour une fête"),
+        (4, "der hund ist nicht mit der katze und das ist ein problem"),
+        (5, "il gatto non è per la casa che sono questo anche della"),
+        (6, "você não vai para casa com os amigos por mais um dia"),
+        (7, "12345 67890 !!!"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", lang_id_multi(F.col("text")).alias("lang"))
+           .collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "it",
+                   6: "pt", 7: "other", 8: "other"}
+
+
+def test_lang_filter_pipeline_multi(spark):
+    from rulemorph_spark.llm.pipeline import run_pipeline
+
+    rows = [(1, "the cat sat on the mat and it was happy with this"),
+            (2, "el perro corre por el parque pero este día es muy"),
+            (3, "der hund ist nicht mit der katze und das ein")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_pipeline(df, {"steps": [
+        {"op": "lang_filter", "langs": ["es", "de"]}]})
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    # english-only gate still uses the binary detector (oracle shape)
+    en = run_pipeline(df, {"steps": [
+        {"op": "lang_filter", "langs": ["en"]}]})
+    assert [r["doc_id"] for r in en.collect()] == [1]
