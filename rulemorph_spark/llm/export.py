@@ -99,6 +99,11 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int,
         raise ValueError("n_shards must be >= 1")
     if id_col not in df.columns:
         raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    clash = [c for c in ("shard", "__ord__") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"reserved column(s) {clash} already in input — rename them "
+            "before export (withColumn would silently drop user data)")
     spark = df.sparkSession
     sid = F.col(id_col).cast("string")
     shard = F.pmod(F.xxhash64(F.lit(int(salt)), sid),

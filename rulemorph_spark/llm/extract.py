@@ -131,6 +131,15 @@ def domain_filter(df: DataFrame, domains: DataFrame | list[str],
         raise ValueError(f"mode must be 'allow' or 'block', got {mode!r}")
     spark = df.sparkSession
     if isinstance(domains, list):
+        # a list entry with more labels than we generate suffixes for
+        # could NEVER match — silently ignoring it would punch a hole
+        # in a blocklist, so reject it up front
+        too_deep = sorted(d for d in domains
+                          if len(d.split(".")) > max_labels)
+        if too_deep:
+            raise ValueError(
+                f"domain entries exceed max_labels={max_labels} and can "
+                f"never match: {too_deep[:5]} — raise max_labels")
         # dedupe driver-side: the dim subtree is re-planned per suffix
         # join, so keeping it exchange-free keeps the WHOLE query
         # exchange-free (a duplicate domain would duplicate rows)
@@ -140,6 +149,14 @@ def domain_filter(df: DataFrame, domains: DataFrame | list[str],
     else:
         dim = (domains.select(F.lower(F.col("domain"))
                               .alias("__dom__")).distinct())
+        # same never-match guard; the dim is broadcast-small by
+        # contract so this one-row aggregate is cheap
+        deepest = dim.agg(F.max(F.size(F.split(
+            F.col("__dom__"), r"\."))).alias("d")).first()["d"]
+        if deepest is not None and deepest > max_labels:
+            raise ValueError(
+                f"domain table has entries with {deepest} labels but "
+                f"max_labels={max_labels} — they can never match")
     labels = F.split(url_domain(F.col(url_col)), r"\.")
     n = F.size(labels)
     cur = df

@@ -155,10 +155,14 @@ def perplexity_buckets(scored: DataFrame,
     lo, hi = sorted((float(cuts[0]), float(cuts[1])))
     if not 0.0 < lo < hi < 1.0:
         raise ValueError(f"cuts must satisfy 0 < a < b < 1, got {cuts}")
-    pct = F.percentile if exact else F.percentile_approx
-    # top `lo` mass is ABOVE the (1-lo) quantile of the score
-    qs = pct(F.col(score_col), F.array(F.lit(1.0 - hi),
-                                       F.lit(1.0 - lo)), F.lit(10000))
+    # top `lo` mass is ABOVE the (1-lo) quantile of the score.
+    # NOTE: percentile_approx's 3rd arg is ACCURACY, but F.percentile's
+    # 3rd arg is FREQUENCY (row weight) — passing 10000 there would
+    # weight every row 10000x and shift exact interpolated quantiles.
+    # So exact mode takes no third argument.
+    pcts = F.array(F.lit(1.0 - hi), F.lit(1.0 - lo))
+    qs = (F.percentile(F.col(score_col), pcts) if exact
+          else F.percentile_approx(F.col(score_col), pcts, F.lit(10000)))
     if by is None:
         th = scored.agg(qs.alias("__q__"))
         tagged = scored.crossJoin(F.broadcast(th))

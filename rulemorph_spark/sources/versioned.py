@@ -247,7 +247,13 @@ class CorpusStore:
         affected = self._affected_dirs(dirs, snap.filter(cond))
         if not affected:
             return self._commit(dirs, note)  # no-op version (explicit)
-        survivors = self.spark.read.parquet(*affected).filter(~cond)
+        # NULL-predicate rows must SURVIVE: a row where ``cond`` is NULL
+        # did not match (that is the semantics used for affected-dir
+        # detection above), so the survivor filter is NOT(coalesce(cond,
+        # false)) rather than NOT(cond) — plain ~cond would silently
+        # delete NULL rows that merely share a directory with a match.
+        survivors = (self.spark.read.parquet(*affected)
+                     .filter(~F.coalesce(cond, F.lit(False))))
         kept = [d for d in dirs if d not in set(affected)]
         if survivors.isEmpty():
             return self._commit(kept, note)

@@ -130,3 +130,14 @@ def test_cli_export_and_verify(spark, tmp_path):
     assert rb.returncode == 3
     bad = _json.loads(rb.stdout.strip().splitlines()[-1])
     assert [p["shard"] for p in bad["problems"]] == [1]
+
+
+def test_export_rejects_reserved_column_collision(spark, tmp_path):
+    """Inputs already carrying 'shard' or '__ord__' must be rejected —
+    withColumn would silently replace the user's data."""
+    base = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    for bad in ("shard", "__ord__"):
+        df = base.withColumn(bad, F.lit(99))
+        with pytest.raises(ValueError, match=bad.replace("_", "_")):
+            write_training_shards(df, str(tmp_path / f"out_{bad}"), 2)

@@ -102,3 +102,20 @@ def test_html_pipeline_composes_with_filters(spark):
     out = cleaned.collect()[0]
     assert "enough words" in out["text"]
     assert "\nno" not in out["text"]
+
+
+def test_domain_filter_rejects_unmatchable_deep_entries(spark):
+    """A blocklist entry with more labels than max_labels could never
+    match — silently ignoring it would punch a hole in the blocklist."""
+    df = spark.createDataFrame([(1, "https://a.b.c/x")],
+                               "doc_id long, url string")
+    deep = "a.b.c.d.e.f"  # 6 labels > default max_labels=5
+    with pytest.raises(ValueError, match="never match"):
+        domain_filter(df, [deep], mode="block")
+    # same guard on the DataFrame-dim path
+    dim = spark.createDataFrame([(deep,)], "domain string")
+    with pytest.raises(ValueError, match="never match"):
+        domain_filter(df, dim, mode="block")
+    # raising max_labels makes it legal again
+    assert domain_filter(df, [deep], mode="block",
+                         max_labels=6).count() == 1

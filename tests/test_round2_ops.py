@@ -385,3 +385,21 @@ def test_lang_filter_pipeline_multi(spark):
     en = run_pipeline(df, {"steps": [
         {"op": "lang_filter", "langs": ["en"]}]})
     assert [r["doc_id"] for r in en.collect()] == [1]
+
+
+def test_perplexity_buckets_exact_uses_true_quantiles(spark):
+    """Regression: F.percentile's 3rd arg is FREQUENCY (row weight),
+    not accuracy — passing 10000 there shifted exact interpolated
+    quantiles.  Pin exact=True to the textbook interpolation: for
+    values [1..4] the 0.5 quantile is 2.5, so cuts=(0.25, 0.5) must
+    put exactly the top value in head and the next in middle."""
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in (1, 2, 3, 4)],
+        "doc_id long, avg_lp_micro double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in __import__("rulemorph_spark.llm.lm",
+                               fromlist=["perplexity_buckets"])
+           .perplexity_buckets(scored, cuts=(0.25, 0.5),
+                               exact=True).collect()}
+    # q(0.75)=3.25, q(0.5)=2.5 under exact interpolation
+    assert out == {4: "head", 3: "middle", 2: "tail", 1: "tail"}

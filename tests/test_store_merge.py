@@ -116,3 +116,21 @@ def test_append_and_merge_reject_schema_drift(spark, store):
         F.col("id").alias("doc_id"))
     store.append(reordered)
     assert store.read().count() == 305
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """A row whose condition evaluates to NULL did NOT match, so it
+    must SURVIVE a delete — even when it shares a data directory with
+    a true match (the rewrite path).  Regression for the ~cond
+    survivor filter silently dropping NULL rows."""
+    st = CorpusStore(spark, str(tmp_path / "store"))
+    rows = [(1, 0.9), (2, None), (3, 0.1)]
+    st.append(spark.createDataFrame(rows, "doc_id long, score double"))
+    st.delete_where("score > 0.5")
+    got = sorted((r["doc_id"], r["score"]) for r in st.read().collect())
+    assert got == [(2, None), (3, 0.1)]
+    # Column-object condition takes the same path
+    st2 = CorpusStore(spark, str(tmp_path / "store2"))
+    st2.append(spark.createDataFrame(rows, "doc_id long, score double"))
+    st2.delete_where(F.col("score") > 0.5)
+    assert sorted(r["doc_id"] for r in st2.read().collect()) == [2, 3]
