@@ -72,9 +72,12 @@ def _run_transform(args, *, discard: bool) -> int:
         rule_text = _load_text(args.rules)
         # readability check only — the engine reads the file itself so
         # NDJSON inputs can take the distributed scan instead of a
-        # driver-side slurp
-        with open(args.input, encoding="utf-8"):
-            pass
+        # driver-side slurp.  Schemed URIs (hdfs://, s3a://, file://)
+        # are resolved by Spark's Hadoop readers, not the local OS, so
+        # only bare local paths get the fast-fail open() probe.
+        if "://" not in args.input:
+            with open(args.input, encoding="utf-8"):
+                pass
         input_text = None
         context = (json.loads(_load_text(args.context))
                    if args.context else None)
