@@ -1012,17 +1012,51 @@ def q_token_packing(spark, sf_dir):
 
 
 def q_multimodal_probe(spark, sf_dir):
-    """Multimodal column plumbing through the real mapInPandas path:
-    document text bytes as opaque payloads, md5-seeded deterministic
-    fake decode (the codec is the only stub — llm/multimodal.py)."""
-    from rulemorph_spark.llm.multimodal import probe_payloads
-    d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return probe_payloads(media)
+    """REAL codec path, oracle-gated end-to-end: per doc_id the query
+    ENCODES a deterministic PNG (even ids) or PCM WAV (odd ids) with
+    the repo's own stdlib encoders (llm/codecs.py) and then PARSES the
+    bytes back through ``extract_features(use_stub=False)`` — so
+    width/height/channels/sample_rate/n_frames/duration_ms in the
+    result come from genuine byte-level PNG/WAV header decoding.  The
+    oracle predicts every field with pure doc_id arithmetic, so any
+    mis-parse (wrong endianness, wrong chunk walk, off-by-one in the
+    RIFF frame math) breaks the hash.  ``error`` is projected too:
+    a single corrupt encode would surface as a non-NULL mismatch.
+    Encode happens in one Arrow-batched mapInPandas stage — no
+    shuffle; the decode stage preserves partitioning (pure map)."""
+    from rulemorph_spark.llm.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+        from rulemorph_spark.llm import codecs
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    w, h = 1 + (i * 7) % 40, 1 + (i * 13) % 30
+                    img = np.full((h, w, 3), i % 256, dtype=np.uint8)
+                    rows.append({"media_id": i, "kind": "image",
+                                 "payload": codecs.encode_png(img)})
+                else:
+                    sr = 8000 + (i % 5) * 2000
+                    nf = 100 + (i * 11) % 900
+                    ch = 1 + i % 2
+                    pcm = np.zeros((nf, ch), dtype=np.int16)
+                    rows.append({"media_id": i, "kind": "audio",
+                                 "payload": codecs.encode_wav(pcm, sr)})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload"])
+
+    media = d.mapInPandas(
+        encode_batches, "media_id long, kind string, payload binary")
+    feats = extract_features(media, use_stub=False)
+    return feats.select("media_id", "kind", "format", "width", "height",
+                        "channels", "sample_rate", "n_frames",
+                        "duration_ms", "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1708,24 +1742,34 @@ def oracle_sql() -> dict[str, str]:
             FROM binned GROUP BY source, bin
         """,
         "q_multimodal_probe": """
-            WITH m AS (
-              SELECT doc_id AS media_id,
-                     ['image', 'audio', 'video'][
-                         CAST(doc_id % 3 AS INT) + 1] AS kind,
-                     md5(text) AS h,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
-              FROM documents)
-            SELECT media_id, kind, n_bytes, h AS md5,
-                   CASE WHEN kind = 'image'
-                        THEN CAST(64 + seed % 1024 AS INT) END AS width,
-                   CASE WHEN kind = 'image'
-                        THEN CAST(64 + (seed >> 10) % 1024 AS INT)
+            -- predicts what the REAL PNG/WAV decoders must parse out
+            -- of the self-encoded payloads, from doc_id arithmetic
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image'
+                        ELSE 'audio' END AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png'
+                        ELSE 'wav' END AS format,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(1 + (doc_id * 7) % 40 AS INT)
+                        END AS width,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(1 + (doc_id * 13) % 30 AS INT)
                         END AS height,
-                   CASE WHEN kind <> 'image'
-                        THEN CAST(1000 + seed % 600000 AS BIGINT)
-                        END AS duration_ms
-            FROM m
+                   CASE WHEN doc_id % 2 = 0 THEN 3
+                        ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(8000 + (doc_id % 5) * 2000 AS INT)
+                        END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(100 + (doc_id * 11) % 900 AS INT)
+                        END AS n_frames,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST((100 + (doc_id * 11) % 900) * 1000
+                                  // (8000 + (doc_id % 5) * 2000)
+                                  AS BIGINT)
+                        END AS duration_ms,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM documents
         """,
         "q_sessionize": """
             WITH flagged AS (
