@@ -140,6 +140,10 @@ def main():
             samples.append(time.perf_counter() - t0)
         corpus_ops[name] = round(sorted(samples)[1], 3)
 
+    duckdb_timings = _duckdb_baseline(sf_dir, headline,
+                                      entry.oracle_sql(),
+                                      entry.TABLES, int(cpus))
+
     timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
     timings["rule_engine_typed"] = round(
         _rule_engine_typed(spark, sf_dir), 3)
@@ -147,6 +151,10 @@ def main():
         _rule_engine_typed_lookup(spark), 3)
 
     total = round(sum(timings.values()), 3)
+    common = [n for n in headline if duckdb_timings.get(n)]
+    spark_common = sum(timings[n] for n in common)
+    duck_common = sum(duckdb_timings[n] for n in common)
+    ratio = round(spark_common / duck_common, 3) if duck_common else None
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -154,6 +162,24 @@ def main():
         "queries": timings,
         "corpus_ops": corpus_ops,
         "cold_total": round(cold_total, 3),
+        # measured same-machine/same-data baseline (VERDICT r2 next #3):
+        # each headline query's oracle_sql() timed in DuckDB (native
+        # materialization, same thread budget, warmed median-of-3).
+        # ratio = spark_total / duckdb_total over the common queries —
+        # DuckDB is a best-in-class single-node OLAP engine, so <= ~2x
+        # is the "within 2x of a native engine" reading of the gate.
+        "duckdb": duckdb_timings,
+        "spark_vs_duckdb_ratio": ratio,
+        "duckdb_note": "oracles compute the same RESULT, not always "
+                       "the same WORK: q_multimodal_probe's oracle is "
+                       "pure arithmetic while Spark encodes+decodes "
+                       "real PNG/WAV bytes; q_bloom_join's oracle "
+                       "skips the bloom-filter build; q_ann_topk's "
+                       "oracle runs brute-force only while Spark also "
+                       "builds IVF+LSH. Per-query ratios at sf<=0.1 "
+                       "are also floored by ~0.3s fixed Spark job "
+                       "overhead that amortizes at scale; the summary "
+                       "ratio is the honest aggregate.",
         "sf": sf,
         # the reference binary is unbuildable offline (BASELINE.md
         # "Anchor status"): the declared anchor is workload parity —
@@ -165,6 +191,46 @@ def main():
                            "as rule_engine_typed; reference binary "
                            "unbuildable offline — see BASELINE.md",
     }))
+
+
+def _duckdb_baseline(sf_dir: str, names: list[str], oracles: dict,
+                     tables, threads: int) -> dict[str, float]:
+    """Time each headline query's oracle SQL in DuckDB over the SAME
+    parquet files: a real, reproducible, same-machine baseline for the
+    2x gate (the reference binary is unbuildable offline).  Fairness:
+    ``CREATE TEMP TABLE AS`` materializes natively (no Python row
+    conversion — the analogue of Spark's noop sink), thread budget
+    matches SPARK_GRAFT_CPUS, and the methodology mirrors the Spark
+    side (one untimed warm-up, median of three)."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {threads}")
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        try:
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS "
+                        f"({sql})")
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS "
+                            f"({sql})")
+                samples.append(time.perf_counter() - t0)
+            out[name] = round(sorted(samples)[1], 3)
+        except Exception as exc:  # a baseline gap, not a bench failure
+            print(f"duckdb baseline failed for {name}: {exc}",
+                  file=sys.stderr)
+    con.close()
+    return out
 
 
 def _timed(df, runs: int = 3) -> float:
