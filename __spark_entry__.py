@@ -613,16 +613,36 @@ mappings:
   - target: qty_int
     source: l_quantity
     type: int
+  - target: flag_g
+    expr: ["@input.fs", {get: ["flag"]}]
+  - target: part_m
+    expr: ["@input.fs", {merge: ["@input.pk"]}, {get: ["part"]}]
+  - target: fs_keys
+    expr: ["@input.fs", {keys: []}]
+  - target: n_fields
+    expr: ["@input.fs", {merge: ["@input.pk"]}, {len: []}]
+  - target: status_p
+    expr: ["@input.fs", {pick: ["status"]}, {get: ["status"]}]
 """
 
 
 def q_rule_typed_transform(spark, sf_dir):
     """The rule engine's typed fast path over a parquet table
     (compiler/typed.py): rule semantics compiled onto native columns —
-    no variant ops in-plan, record_when pushed to the scan."""
+    no variant ops in-plan, record_when pushed to the scan.  The fs/pk
+    struct columns route the round-3 typed OBJECT ops (get / merge /
+    pick / keys / len compile to struct expressions, zero variant
+    decoding — `compiler/typed.py` "object ops on native struct
+    columns"; reference semantics ``transform.rs:4360-5143``)."""
     from rulemorph_spark.engine import transform_table
     li = _t(spark, sf_dir, "lineitem")
-    return transform_table(li, _TYPED_TABLE_RULE, mode="typed")
+    shaped = li.select(
+        "*",
+        F.struct(F.col("l_returnflag").alias("flag"),
+                 F.col("l_linestatus").alias("status")).alias("fs"),
+        F.struct(F.col("l_partkey").alias("part"),
+                 F.col("l_suppkey").alias("supp")).alias("pk"))
+    return transform_table(shaped, _TYPED_TABLE_RULE, mode="typed")
 
 
 _HOUR_US = 3_600_000_000
@@ -1474,7 +1494,12 @@ def oracle_sql() -> dict[str, str]:
                    floor(l_extendedprice * COALESCE(l_discount, 0)
                          * 100 + 0.5) / 100 AS net,
                    l_returnflag || '-' || l_linestatus AS flag_status,
-                   CAST(l_quantity AS BIGINT) AS qty_int
+                   CAST(l_quantity AS BIGINT) AS qty_int,
+                   l_returnflag AS flag_g,
+                   l_partkey AS part_m,
+                   ['flag', 'status'] AS fs_keys,
+                   CAST(4 AS BIGINT) AS n_fields,
+                   l_linestatus AS status_p
             FROM lineitem WHERE l_quantity >= 10
         """,
         "q_events_time_window": """

@@ -22,10 +22,22 @@ arithmetic, comparisons — v2 conditions and v1 pipe ops — logical,
 coalesce, casts, string/date ops, lookup) plus array pipelines on
 native ``array<T>`` columns (map step, filter, take/drop/slice,
 unique, contains, index_of, find_index with ``@item`` lambdas;
-sum/min/max over integer elements, first/last, depth-1 flatten), and
+sum/min/max over integer elements, first/last, depth-1 flatten),
+OBJECT ops on native ``struct`` columns (merge / deep_merge / get /
+pick / omit / keys / values / entries / len — key resolution at
+compile time, runtime only moves values; struct refs, struct-valued
+outputs and object literals included), and
 ``steps`` rules including ``branch`` (the referenced rule file
 compiles inline with ``@input`` = the current ``@out`` tree; its
 typed outputs deep-merge or return, still zero variant columns).
+
+A typed column cannot distinguish the reference's *missing* from a
+runtime SQL NULL; wherever the two could collide at runtime (nested
+refs through a nullable struct, ``get``, ``first``/``last`` of a
+possibly-empty array feeding a strict op, ``default``/``required``
+over such values) the ``maybe_missing`` flag forces a
+:class:`TypedFallback` so the variant engine — which does represent
+missing — decides.
 Anything else raises :class:`TypedFallback` and the
 caller reruns through the variant engine via ``to_variant_object``
 (`engine.transform_table`), so the fast path never changes semantics —
@@ -51,7 +63,7 @@ from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
                        IfStep, LetStep, MapStep, OpStep, Pipe, Ref, RefStep,
                        StartLiteral, StartPipeValue, StartRef)
 from ..paths import Index, Key, parse_path
-from ..registry import OP_ALIASES
+from ..registry import OP_ALIASES, OP_ARITY
 from . import variant as V
 from .core import lenient_errors, lenient_on
 
@@ -132,6 +144,13 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
     if any(o.missing for o in operands):
         return _missing()
     if not allow_null:
+        # a maybe_missing operand's runtime NULL could be *missing*
+        # (propagate) rather than JSON null (error) — the typed column
+        # can't tell them apart, so the strict protocol must defer to
+        # the variant engine (it would otherwise raise "must not be
+        # null" where the reference propagates missing)
+        if any(o.maybe_missing for o in operands):
+            raise TypedFallback("strict op over maybe-missing operand")
         for o in reversed(operands):
             col = F.when(_isnull(o),
                          _terr(dtype, "expr_error",
@@ -263,16 +282,48 @@ def _py_literal(value, path: str) -> TVal:
         return TVal(F.lit(value), T.DoubleType())
     if isinstance(value, str):
         return TVal(F.lit(value), T.StringType())
+    if isinstance(value, dict):
+        # static-key object literal → native struct (key order kept)
+        if not value:
+            raise TypedFallback("empty object literal")
+        fields = [(k, _py_literal(v, path)) for k, v in value.items()]
+        return TVal(
+            F.struct(*[tv.col.alias(k) for k, tv in fields]),
+            T.StructType([T.StructField(k, tv.dtype, True)
+                          for k, tv in fields]))
+    if isinstance(value, list):
+        if not value:
+            raise TypedFallback("empty array literal")
+        tvs = [_py_literal(v, path) for v in value]
+        dt = _unify([t.dtype for t in tvs])
+        if dt is None or _is_null(dt):
+            raise TypedFallback("mixed-type array literal")
+        return TVal(F.array(*[_cast_to(t, dt) for t in tvs]),
+                    T.ArrayType(dt))
     raise TypedFallback(f"container literal at {path}")
 
 
-def _navigate_schema(schema: T.StructType, tokens) -> tuple[Column, T.DataType] | None:
-    """Walk key tokens over the input schema; None = statically missing."""
+def _navigate_schema(schema: T.StructType,
+                     tokens) -> tuple[Column, T.DataType, bool] | None:
+    """Walk key tokens over the input schema; None = statically missing.
+
+    Returns ``(col, dtype, maybe_missing)``: a path that traverses an
+    intermediate struct can be runtime-missing (the intermediate is
+    NULL ⇒ the leaf is *missing*, not JSON null), which a typed column
+    cannot distinguish — the flag makes strict ops defer to the
+    variant engine on such refs instead of mis-raising "must not be
+    null" where the reference propagates missing.
+    """
     col = None
     dt: T.DataType = schema
     for tok in tokens:
         if not isinstance(tok, Key):
             raise TypedFallback("array index navigation")
+        if isinstance(dt, (T.MapType, T.VariantType)):
+            # the variant engine navigates INTO dynamic containers;
+            # statically we cannot, and returning "missing" here would
+            # silently diverge — defer
+            raise TypedFallback("navigation into dynamic container")
         if not isinstance(dt, T.StructType):
             return None
         sub = next((f for f in dt.fields if f.name == tok.name), None)
@@ -285,10 +336,12 @@ def _navigate_schema(schema: T.StructType, tokens) -> tuple[Column, T.DataType] 
     if isinstance(dt, T.ArrayType):
         if not _scalar_element_array(dt):
             raise TypedFallback("array of non-scalar input field")
-    elif isinstance(dt, (T.StructType, T.MapType,
-                         T.VariantType, T.BinaryType)):
+    elif isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
         raise TypedFallback("non-scalar input field")
-    return col, dt
+    # StructType leaves are allowed: the typed object ops (get/merge/
+    # pick/omit/keys/values/entries/len) and struct-valued outputs
+    # consume them natively
+    return col, dt, len(tokens) > 1
 
 
 def _scalar_element_array(dt: T.ArrayType) -> bool:
@@ -342,7 +395,8 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
         nav = _navigate_schema(scope.schema, parse_path(ref.path))
         if nav is None:
             return _missing()
-        return TVal(*nav)
+        col, dt, mm = nav
+        return TVal(col, dt, maybe_missing=mm)
     if ref.namespace == "context":
         if not scope.has_context:
             return _missing()
@@ -411,6 +465,18 @@ def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
 def compile_tstep(step, cur: TVal, scope: TScope, path: str):
     if isinstance(step, OpStep):
         op = OP_ALIASES.get(step.op, step.op)
+        # arity check BEFORE dispatch — mirror of core.compile_step:
+        # without it the typed path silently accepted arg counts the
+        # variant engine rejects (e.g. 2-arg pipe `eq`)
+        if step.op in OP_ARITY or op in OP_ARITY:
+            lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
+            n = len(step.args)
+            if n < lo - 1 or (hi is not None and n > hi):
+                raise RuleError(
+                    "invalid_args",
+                    f"{step.op} expects between {lo} and "
+                    f"{hi if hi is not None else 'inf'} args, got {n}",
+                    path)
         fn = T_OPS.get(op)
         if fn is None:
             raise TypedFallback(f"op {step.op} not in typed subset")
@@ -905,11 +971,15 @@ def t_len(scope, cur, args, path):
         col = F.length(o.col).cast("long")
     elif isinstance(o.dtype, T.ArrayType):
         col = F.size(o.col).cast("long")
+    elif isinstance(o.dtype, T.StructType):
+        # typed structs have a static key set (nulls keep their keys
+        # through the variant bridge, verified): constant size
+        col = F.lit(len(o.dtype.fields)).cast("long")
     elif _is_null(o.dtype):
         col = F.lit(None).cast("long")
     else:
         col = _terr("long", "expr_error",
-                    "len requires a string, array, or object", path)
+                    "expr arg must be string, array, or object", path)
     return _seq(ops, path, col, T.LongType())
 
 
@@ -1085,6 +1155,316 @@ def t_to_unixtime(scope, cur, args, path):
     return _seq(ops, path, result, T.LongType())
 
 
+# --- object ops on native struct columns --------------------------------
+#
+# Typed structs mirror variant objects with one static invariant: the
+# key set is the schema (a NULL field keeps its key as JSON null — the
+# ``to_variant_object`` bridge renders it that way, so both engine
+# modes agree over the same table).  Shallow/deep merge, get, pick,
+# omit, keys/values/entries therefore compile to struct expressions:
+# key resolution happens at COMPILE time, runtime only moves values —
+# whole-stage codegen, no variant decoding (``transform.rs:4360-5143``
+# for the reference semantics of each op).
+
+
+def _is_struct(dt) -> bool:
+    return isinstance(dt, T.StructType)
+
+
+def _t_literal_arg(arg):
+    """Compile-time literal value of an arg pipe, else None."""
+    if isinstance(arg.start, StartLiteral) and not arg.steps:
+        return arg.start.value
+    return None
+
+
+def _t_obj_guard(ops: list[TVal], path: str):
+    """Common merge-family operand protocol: missing args are skipped,
+    null/non-object args error, maybe-missing defers.  Returns the live
+    (index, TVal) list or None when all-missing."""
+    if any(o.maybe_missing for o in ops):
+        raise TypedFallback("object op over maybe-missing operand")
+    live = [(j, o) for j, o in enumerate(ops) if not o.missing]
+    return live or None
+
+
+@_treg("get")
+def t_get(scope, cur, args, path):
+    """Value at literal dot path; absent → missing; null base → missing
+    (``transform.rs:4419-4474``)."""
+    lit = _t_literal_arg(args[0]) if args else None
+    if args and lit is None:
+        raise TypedFallback("dynamic get path")
+    if not isinstance(lit, str) or not lit:
+        raise RuleError("expr_error", "path must be a non-empty string",
+                        path)
+    tokens = parse_path(lit, error_code="expr_error")
+    base = cur
+    if base.missing:
+        return _missing()
+    col, dt = base.col, base.dtype
+    traversed = False
+    for tok in tokens:
+        if not isinstance(tok, Key):
+            raise TypedFallback("get with array index")
+        if isinstance(dt, (T.MapType, T.VariantType)):
+            raise TypedFallback("get into dynamic container")
+        if not isinstance(dt, T.StructType):
+            return _missing()       # statically absent
+        sub = next((f for f in dt.fields if f.name == tok.name), None)
+        if sub is None:
+            return _missing()
+        col, dt = col.getField(tok.name), sub.dataType
+        traversed = True
+    if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
+        raise TypedFallback("get yields array of non-scalar")
+    if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
+        raise TypedFallback("get yields dynamic container")
+    # a NULL result can mean "base/intermediate was null ⇒ missing"
+    # as well as "field holds JSON null" — flag the ambiguity so
+    # strict consumers defer to the variant engine
+    return TVal(col, dt, maybe_missing=traversed
+                or base.maybe_missing)
+
+
+@_treg("merge")
+def t_merge(scope, cur, args, path):
+    """Shallow merge, rightmost wins per key; missing args skipped;
+    all-missing → missing (``transform.rs:4360-4417``)."""
+    ops = _toperands(scope, cur, args, path)
+    live = _t_obj_guard(ops, path)
+    if live is None:
+        return _missing()
+    bad = next(((j, o) for j, o in live
+                if not _is_struct(o.dtype)), None)
+    if bad is not None:
+        j, o = bad
+        msg = ("expr arg must not be null" if _is_null(o.dtype)
+               else "expr arg must be object")
+        dt = next((o2.dtype for _, o2 in live if _is_struct(o2.dtype)),
+                  T.StructType([T.StructField("_", T.NullType())]))
+        return TVal(_terr(dt, "expr_error", msg, path), dt)
+    # union of fields, rightmost operand that declares a key wins
+    # (a declared key with a NULL value is JSON null — it still wins,
+    # exactly like the variant map_zip_with coalesce)
+    order: list[str] = []
+    chosen: dict[str, tuple[Column, T.DataType]] = {}
+    for _, o in live:
+        for f in o.dtype.fields:
+            if f.name not in chosen:
+                order.append(f.name)
+            chosen[f.name] = (o.col.getField(f.name), f.dataType)
+    result_dt = T.StructType([T.StructField(n, chosen[n][1], True)
+                              for n in order])
+    merged = F.struct(*[chosen[n][0].alias(n) for n in order])
+    # runtime-null operands error (JSON null is not an object)
+    for _, o in reversed(live):
+        merged = F.when(o.col.isNull(),
+                        _terr(result_dt, "expr_error",
+                              "expr arg must not be null", path)
+                        ).otherwise(merged)
+    return TVal(merged, result_dt)
+
+
+def _t_deep_merge2(lc: Column, ldt, rc: Column, rdt):
+    """Static recursive merge of two struct values with the variant
+    runtime semantics: recurse only where BOTH sides are objects at
+    runtime; a null left subtree is replaced by the right subtree; a
+    null right value replaces (objects are values too)."""
+    if not (_is_struct(ldt) and _is_struct(rdt)):
+        return rc, rdt              # replace (arrays/scalars/mixed)
+    order = [f.name for f in ldt.fields]
+    rnames = {f.name for f in rdt.fields}
+    order += [f.name for f in rdt.fields if f.name not in
+              {f2.name for f2 in ldt.fields}]
+    lmap = {f.name: f.dataType for f in ldt.fields}
+    rmap = {f.name: f.dataType for f in rdt.fields}
+    out_fields = []
+    for n in order:
+        if n in lmap and n in rnames:
+            c, dt = _t_deep_merge2(lc.getField(n), lmap[n],
+                                   rc.getField(n), rmap[n])
+        elif n in rnames:
+            c, dt = rc.getField(n), rmap[n]
+        else:
+            c, dt = lc.getField(n), lmap[n]
+        out_fields.append((n, c, dt))
+    merged_dt = T.StructType([T.StructField(n, dt, True)
+                              for n, _, dt in out_fields])
+    merged = F.struct(*[c.alias(n) for n, c, _ in out_fields])
+    # right side as a standalone merged_dt value (left-only keys null):
+    # used when the left subtree is runtime-null (not a dict → replace)
+    r_alone = _t_promote(rc, rdt, merged_dt)
+    col = (F.when(rc.isNull(), F.lit(None).cast(merged_dt))
+           .when(lc.isNull(), r_alone)
+           .otherwise(merged))
+    return col, merged_dt
+
+
+def _t_promote(col: Column, src_dt, dst_dt):
+    """Reshape a struct value to ``dst_dt`` BY FIELD NAME (Spark's
+    struct cast is positional): absent fields become NULL, common
+    struct fields promote recursively, NULL input stays NULL."""
+    if not (_is_struct(src_dt) and _is_struct(dst_dt)):
+        return col              # scalar/array: types match by build
+    smap = {f.name: f.dataType for f in src_dt.fields}
+    parts = []
+    for f in dst_dt.fields:
+        if f.name in smap:
+            c = _t_promote(col.getField(f.name), smap[f.name],
+                           f.dataType)
+        else:
+            c = F.lit(None).cast(f.dataType)
+        parts.append(c.alias(f.name))
+    return F.when(col.isNull(), F.lit(None).cast(dst_dt)) \
+            .otherwise(F.struct(*parts))
+
+
+@_treg("deep_merge")
+def t_deep_merge(scope, cur, args, path):
+    """Recursive merge; arrays replaced (``transform.rs:5059-5080``)."""
+    ops = _toperands(scope, cur, args, path)
+    live = _t_obj_guard(ops, path)
+    if live is None:
+        return _missing()
+    if any(not _is_struct(o.dtype) for _, o in live):
+        return t_merge(scope, cur, args, path)  # same error surface
+    acc_col, acc_dt = live[0][1].col, live[0][1].dtype
+    for _, o in live[1:]:
+        acc_col, acc_dt = _t_deep_merge2(acc_col, acc_dt,
+                                         o.col, o.dtype)
+    # top-level null operands error (unlike nested levels)
+    for _, o in reversed(live):
+        acc_col = F.when(o.col.isNull(),
+                         _terr(acc_dt, "expr_error",
+                               "expr arg must not be null", path)
+                         ).otherwise(acc_col)
+    return TVal(acc_col, acc_dt)
+
+
+def _t_key_paths(args, path, op_name: str) -> list[str]:
+    """Literal TOP-LEVEL key paths for pick/omit; nested or dynamic
+    paths defer to the variant engine (its Column/UDF reconstruction
+    handles them)."""
+    keys: list[str] = []
+    for a in args:
+        lit = _t_literal_arg(a)
+        if lit is None:
+            raise TypedFallback(f"dynamic {op_name} path")
+        items = [lit] if isinstance(lit, str) else lit
+        if not isinstance(items, list) or \
+                not all(isinstance(x, str) for x in items):
+            raise RuleError("expr_error",
+                            "paths must be a string or array of strings",
+                            path)
+        for p in items:
+            tokens = parse_path(p, error_code="expr_error")
+            if len(tokens) != 1 or not isinstance(tokens[0], Key):
+                raise TypedFallback(f"nested {op_name} path")
+            if tokens[0].name not in keys:
+                keys.append(tokens[0].name)
+    return keys
+
+
+def _t_pick_omit(scope, cur, args, path, *, pick: bool):
+    keys = _t_key_paths(args, path, "pick" if pick else "omit")
+    base = cur
+    if base.maybe_missing:
+        raise TypedFallback("pick/omit over maybe-missing base")
+    if base.missing:
+        return _missing()
+    if not _is_struct(base.dtype):
+        msg = ("expr arg must not be null" if _is_null(base.dtype)
+               else "expr arg must be object")
+        dt = T.StructType([T.StructField("_", T.NullType())])
+        return TVal(_terr(dt, "expr_error", msg, path), dt)
+    if pick:
+        fields = [f for k in keys
+                  for f in base.dtype.fields if f.name == k]
+    else:
+        fields = [f for f in base.dtype.fields if f.name not in keys]
+    if not fields:
+        # result is the empty object — a struct cannot be empty
+        raise TypedFallback("pick/omit yields empty object")
+    result_dt = T.StructType([T.StructField(f.name, f.dataType, True)
+                              for f in fields])
+    col = F.struct(*[base.col.getField(f.name).alias(f.name)
+                     for f in fields])
+    col = F.when(base.col.isNull(),
+                 _terr(result_dt, "expr_error",
+                       "expr arg must not be null", path)
+                 ).otherwise(col)
+    return TVal(col, result_dt)
+
+
+@_treg("pick")
+def t_pick(scope, cur, args, path):
+    """Sub-object of the named top-level keys, in pick order; keys
+    absent from the schema are dropped (``transform.rs:4964-5040``)."""
+    return _t_pick_omit(scope, cur, args, path, pick=True)
+
+
+@_treg("omit")
+def t_omit(scope, cur, args, path):
+    return _t_pick_omit(scope, cur, args, path, pick=False)
+
+
+def _t_struct_unary(scope, cur, args, path, build):
+    """keys/values/entries share the strict unary-object protocol."""
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    if not _is_struct(o.dtype):
+        # _seq's null protocol fires "must not be null" first for
+        # null operands, matching the variant seq_strict order
+        return _seq(ops, path,
+                    _terr("string", "expr_error",
+                          "expr arg must be object", path),
+                    T.StringType())
+    col, dt = build(o)
+    return _seq(ops, path, col, dt)
+
+
+@_treg("keys")
+def t_keys(scope, cur, args, path):
+    def build(o):
+        # variant objects store fields KEY-SORTED — keys/values/entries
+        # array order must match
+        names = sorted(f.name for f in o.dtype.fields)
+        return (F.array(*[F.lit(n) for n in names]),
+                T.ArrayType(T.StringType()))
+    return _t_struct_unary(scope, cur, args, path, build)
+
+
+@_treg("values")
+def t_values(scope, cur, args, path):
+    def build(o):
+        fields = sorted(o.dtype.fields, key=lambda f: f.name)
+        dt = _unify([f.dataType for f in fields])
+        if dt is None:
+            raise TypedFallback("values over mixed field types")
+        cols = [_cast_to(TVal(o.col.getField(f.name), f.dataType), dt)
+                for f in fields]
+        return F.array(*cols), T.ArrayType(dt)
+    return _t_struct_unary(scope, cur, args, path, build)
+
+
+@_treg("entries")
+def t_entries(scope, cur, args, path):
+    def build(o):
+        fields = sorted(o.dtype.fields, key=lambda f: f.name)
+        dt = _unify([f.dataType for f in fields])
+        if dt is None:
+            raise TypedFallback("entries over mixed field types")
+        ent_dt = T.StructType([T.StructField("key", T.StringType(), True),
+                               T.StructField("value", dt, True)])
+        cols = [F.struct(
+            F.lit(f.name).alias("key"),
+            _cast_to(TVal(o.col.getField(f.name), f.dataType),
+                     dt).alias("value")) for f in fields]
+        return F.array(*cols), T.ArrayType(ent_dt)
+    return _t_struct_unary(scope, cur, args, path, build)
+
+
 # --- v1 comparison *ops* (pipe steps) ----------------------------------
 #
 # Pipe-step comparisons are the v1 ops even inside v2 rules (OP_ALIASES
@@ -1099,6 +1479,12 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
     def op(scope, cur, args, path):
         ops = _toperands(scope, cur, args, path)
         left, right = ops[0], ops[1]
+        # v1 comparisons treat null as a VALUE (null == null is true)
+        # but *missing* propagates — a statically- or maybe-missing
+        # operand therefore needs the variant engine's seq protocol
+        if left.missing or right.missing or left.maybe_missing \
+                or right.maybe_missing:
+            raise TypedFallback("v1 comparison over missing operand")
         if eq:
             ln, rn = _isnull(left), _isnull(right)
             canon_l = t_str(left, path,
@@ -1748,6 +2134,12 @@ class TypedRuleCompiler:
                             "mapping must define source, value, or expr",
                             path)
 
+        # a maybe-missing value's runtime NULL could be *missing* —
+        # default substitution and the required-missing error message
+        # depend on the distinction, so defer to the variant engine
+        if value.maybe_missing and (m.has_default or m.required):
+            raise TypedFallback("default/required over maybe-missing "
+                                "value")
         # missing → default / required-error / skip (transform.rs:1006-1032)
         if value.missing:
             if m.has_default:
