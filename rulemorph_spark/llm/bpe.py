@@ -66,25 +66,83 @@ def train_bpe_from_frequencies(freqs: Iterable[tuple[str, int]],
                                min_pair_freq: int = 2
                                ) -> list[tuple[str, str]]:
     """Classic BPE merge loop over a (word, count) table.  Pure
-    driver-side Python — deterministic (count desc, pair asc)."""
-    vocab: dict[tuple[str, ...], int] = {}
+    driver-side Python — deterministic (count desc, pair asc).
+
+    Incremental trainer (the standard BPE trick, VERDICT r2 next #6):
+    instead of recounting every pair over the whole vocabulary per
+    merge (O(vocab × merges)), it keeps
+
+    - exact pair counts, updated only for the words CONTAINING the
+      merged pair (an inverted ``pair → word ids`` index finds them),
+    - a lazy-deletion heap of ``(-count, pair)`` candidates: stale
+      entries are discarded on pop by checking the live count, so the
+      arg-min per merge is O(log P) amortized instead of an O(P) scan.
+
+    Produces the IDENTICAL merge sequence to the full recount (counts
+    are exact at every step; the heap's tuple order is exactly the
+    old ``min(..., key=(-count, pair))`` tie-break).
+    """
+    import heapq
+
+    agg: dict[tuple[str, ...], int] = {}
     for w, c in freqs:
-        vocab[tuple(w) + (EOW,)] = vocab.get(tuple(w) + (EOW,), 0) + c
+        k = tuple(w) + (EOW,)
+        agg[k] = agg.get(k, 0) + c
+    words: list[list] = [[list(s), c] for s, c in agg.items()]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            where.setdefault(p, set()).add(wi)
+    heap = [(-n, p) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_freq:
-            break
-        pair = best[0]
+    while len(merges) < num_merges and heap:
+        negn, pair = heapq.heappop(heap)
+        live = pair_counts.get(pair)
+        if live is None or live != -negn:
+            continue                      # stale heap entry
+        if live < min_pair_freq:
+            break                         # heap top = global max count
         merges.append(pair)
-        vocab = {_merge_word(s, pair): c for s, c in vocab.items()}
+        # pop first: the per-word bookkeeping below discards members
+        # of other pairs' sets and must not mutate the one we iterate
+        affected = where.pop(pair, set())
+        for wi in affected:               # only words containing it
+            syms, c = words[wi]
+            old_pairs = [(syms[i], syms[i + 1])
+                         for i in range(len(syms) - 1)]
+            for p in old_pairs:
+                n = pair_counts[p] - c
+                if n <= 0:
+                    del pair_counts[p]
+                else:
+                    pair_counts[p] = n
+            new_syms = list(_merge_word(tuple(syms), pair))
+            words[wi][0] = new_syms
+            new_pairs = [(new_syms[i], new_syms[i + 1])
+                         for i in range(len(new_syms) - 1)]
+            touched = set(old_pairs) | set(new_pairs)
+            for p in new_pairs:
+                pair_counts[p] = pair_counts.get(p, 0) + c
+            for p in touched:
+                n = pair_counts.get(p)
+                if n is not None and p != pair:
+                    heapq.heappush(heap, (-n, p))
+            olds, news = set(old_pairs), set(new_pairs)
+            for p in olds - news:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del where[p]
+            for p in news - olds:
+                where.setdefault(p, set()).add(wi)
+        pair_counts.pop(pair, None)
     return merges
 
 

@@ -99,3 +99,66 @@ def test_word_frequencies_matches_sql(spark):
           FROM '{SF_DIR}/documents.parquet') t
         WHERE w != '' GROUP BY w""").fetchall()))
     assert got == want
+
+
+def test_incremental_trainer_matches_full_recount():
+    """The heap+inverted-index trainer must produce the IDENTICAL
+    merge sequence to the classic full-recount loop (exact counts at
+    every step, same (count desc, pair asc) tie-break) — including
+    overlapping-pair words like 'aaaa'."""
+    import random
+
+    from rulemorph_spark.llm.bpe import (EOW, _merge_word,
+                                         train_bpe_from_frequencies)
+
+    def full_recount(freqs, num_merges, min_pair_freq=2):
+        vocab = {}
+        for w, c in freqs:
+            vocab[tuple(w) + (EOW,)] = vocab.get(tuple(w) + (EOW,), 0) + c
+        merges = []
+        for _ in range(num_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_pair_freq:
+                break
+            merges.append(best[0])
+            vocab = {_merge_word(s, best[0]): c for s, c in vocab.items()}
+        return merges
+
+    rng = random.Random(11)
+    freqs = [("".join(rng.choice("abcdef") for _ in
+                      range(rng.randint(1, 9))), rng.randint(1, 40))
+             for _ in range(1500)]
+    freqs += freqs[:100]  # duplicate words must aggregate
+    for nm in (1, 7, 60, 200):
+        assert full_recount(freqs, nm) == \
+            train_bpe_from_frequencies(freqs, nm), nm
+    overlap = [("a" * n, n * 3 + 1) for n in range(1, 25)] + \
+              [("ab" * n, n) for n in range(1, 15)]
+    assert full_recount(overlap, 80) == \
+        train_bpe_from_frequencies(overlap, 80)
+
+
+def test_incremental_trainer_scales_to_many_merges():
+    """8k merges over a 20k-word table stay in interactive time (the
+    old full recount extrapolates to ~minutes)."""
+    import random
+    import time
+
+    from rulemorph_spark.llm.bpe import train_bpe_from_frequencies
+
+    rng = random.Random(3)
+    freqs = [("".join(rng.choice("abcdefghijkl") for _ in
+                      range(rng.randint(2, 12))), rng.randint(1, 500))
+             for _ in range(20000)]
+    t0 = time.perf_counter()
+    merges = train_bpe_from_frequencies(freqs, 8000)
+    took = time.perf_counter() - t0
+    assert len(merges) > 4000
+    assert took < 60, f"incremental trainer too slow: {took:.1f}s"
