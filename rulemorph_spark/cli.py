@@ -173,12 +173,53 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
                      ui_html: str | None = None):
     """stdlib HTTP front end over ``EndpointEngine`` — the reference's
     axum server surface (``rulemorph_server``); with ``ui_html`` the
-    ``/ui`` path serves the browser page (``ui`` command).
-    Returns an unstarted ``ThreadingHTTPServer`` (call serve_forever)."""
+    ``/ui`` path serves the browser page (``ui`` command) and the
+    ``/ui/api/*`` routes expose traces, the API dependency graph, and
+    a long-poll trace version (the reference's trace watcher push,
+    ``trace_watch.rs:9`` — here a :class:`TraceWatcher` poll thread).
+    Returns an unstarted ``ThreadingHTTPServer`` (call serve_forever);
+    ``server.trace_watcher`` is the running watcher (None without a
+    trace dir)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qsl, urlsplit
 
+    watcher = None
+    if getattr(engine, "trace_store", None) is not None:
+        from .service.trace import TraceWatcher
+        watcher = TraceWatcher(engine.trace_store.data_dir).start()
+
     class Handler(BaseHTTPRequestHandler):
+        def _send_json(self, payload) -> None:
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(200)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _ui_api(self, path: str, query) -> bool:
+            if path == "/ui/api/traces":
+                traces = (engine.trace_store.list()
+                          if engine.trace_store is not None else [])
+                self._send_json({"traces": traces})
+                return True
+            if path == "/ui/api/graph":
+                from .service.trace import build_api_graph
+                self._send_json(build_api_graph(engine.endpoint_file))
+                return True
+            if path == "/ui/api/trace-version":
+                since = int(dict(query).get("since", -1))
+                if watcher is None:
+                    self._send_json({"version": 0})
+                elif since < 0:
+                    self._send_json({"version": watcher.version})
+                else:  # long-poll: return when a newer trace lands
+                    self._send_json(
+                        {"version": watcher.wait_newer(since,
+                                                       timeout=20.0)})
+                return True
+            return False
+
         def _run(self, method: str):
             parts = urlsplit(self.path)
             if ui_html is not None and method == "GET" \
@@ -190,6 +231,11 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
                 self.end_headers()
                 self.wfile.write(data)
                 return
+            if method == "GET" and parts.path.startswith("/ui/api/"):
+                if self._ui_api(parts.path,
+                                parse_qsl(parts.query,
+                                          keep_blank_values=True)):
+                    return
             query = parse_qsl(parts.query, keep_blank_values=True)
             length = int(self.headers.get("content-length") or 0)
             body = (self.rfile.read(length).decode("utf-8")
@@ -289,10 +335,51 @@ def cmd_ui(args) -> int:
 
 
 def _ui_index_html(engine) -> str:
+    """Overview page: endpoint table + API dependency graph + LIVE
+    trace list (long-polls /ui/api/trace-version; a new trace appears
+    without reload — the reference UI's watcher-driven refresh,
+    ``trace_watch.rs`` + ``App.tsx``)."""
     rows = "".join(
         f"<tr><td>{e.method}</td><td><code>{e.path}</code></td>"
         f"<td>{len(e.steps)} step(s)</td></tr>"
         for e in engine.endpoints)
+    script = """
+<script>
+async function j(u){const r=await fetch(u);return r.json();}
+function esc(s){const d=document.createElement('span');
+  d.textContent=String(s);return d.innerHTML;}
+async function renderGraph(){
+  const g=await j('/ui/api/graph');
+  const out=[];
+  for(const e of g.edges){
+    out.push('<li><code>'+esc(e.from)+'</code> \\u2192 <code>'
+             +esc(e.to)+'</code> <em>('+esc(e.kind)+')</em></li>');
+  }
+  document.getElementById('graph').innerHTML =
+    out.length? '<ul>'+out.join('')+'</ul>' : '<p>no references</p>';
+}
+async function renderTraces(){
+  const t=await j('/ui/api/traces');
+  const rows=t.traces.slice(-50).reverse().map(tr =>
+    '<tr><td>'+esc(tr.method)+'</td><td><code>'+esc(tr.path)
+    +'</code></td><td>'+esc(tr.status)+'</td><td>'
+    +esc(tr.total_ms)+' ms</td><td>'+tr.steps.map(s =>
+        esc(s.kind)+':'+esc(s.name)).join(' \\u2192 ')+'</td></tr>');
+  document.getElementById('traces').innerHTML =
+    '<tr><th>method</th><th>path</th><th>status</th><th>time</th>'
+    +'<th>steps</th></tr>'+rows.join('');
+}
+async function watch(){
+  let v=(await j('/ui/api/trace-version')).version;
+  for(;;){
+    try{
+      const nv=(await j('/ui/api/trace-version?since='+v)).version;
+      if(nv>v){v=nv;await renderTraces();}
+    }catch(e){await new Promise(r=>setTimeout(r,2000));}
+  }
+}
+renderGraph();renderTraces();watch();
+</script>"""
     return (
         "<!doctype html><html><head><title>rulemorph</title>"
         "<style>body{font-family:sans-serif;margin:2rem}"
@@ -300,7 +387,10 @@ def _ui_index_html(engine) -> str:
         "padding:.3rem .6rem}</style></head><body>"
         "<h1>rulemorph endpoints</h1>"
         f"<table><tr><th>method</th><th>path</th><th>steps</th></tr>{rows}"
-        "</table></body></html>")
+        "</table>"
+        "<h2>api graph</h2><div id='graph'>loading…</div>"
+        "<h2>traces (live)</h2><table id='traces'></table>"
+        f"{script}</body></html>")
 
 
 def cmd_serve(args) -> int:

@@ -119,6 +119,7 @@ class EndpointEngine:
     def __init__(self, spark, endpoint_file: str,
                  http_opener=None, trace_dir: str | None = None):
         self.spark = spark
+        self.endpoint_file = os.path.abspath(endpoint_file)
         self.base_dir = os.path.dirname(os.path.abspath(endpoint_file))
         self._http = http_opener or _default_http
         if trace_dir is not None:

@@ -93,6 +93,58 @@ class TraceStore:
         return out
 
 
+class TraceWatcher:
+    """Live trace-change notification — the polling mirror of the
+    reference's notify-based watcher (``trace_watch.rs:9``
+    ``start_trace_watcher``: fs watch + 1 s mtime poll feeding a
+    broadcast channel).  A daemon thread polls the trace dir's latest
+    mtime; when it moves, ``version`` bumps and all long-poll waiters
+    wake.  HTTP clients call ``wait_newer(since)`` (the stdlib-server
+    equivalent of the reference's SSE/broadcast push)."""
+
+    def __init__(self, data_dir: str, interval: float = 1.0):
+        import threading
+        self.data_dir = data_dir
+        self.interval = interval
+        self.version = 0
+        self._last = self._latest_mtime()
+        self._cond = threading.Condition()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="trace-watcher")
+
+    def start(self) -> "TraceWatcher":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _latest_mtime(self) -> float:
+        try:
+            return max((os.path.getmtime(os.path.join(self.data_dir, f))
+                        for f in os.listdir(self.data_dir)
+                        if f.startswith("trace-")), default=0.0)
+        except OSError:
+            return 0.0
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            m = self._latest_mtime()
+            if m > self._last:
+                self._last = m
+                with self._cond:
+                    self.version += 1
+                    self._cond.notify_all()
+
+    def wait_newer(self, since: int, timeout: float = 25.0) -> int:
+        """Block until ``version > since`` (or timeout); returns the
+        current version — the long-poll primitive."""
+        with self._cond:
+            self._cond.wait_for(lambda: self.version > since, timeout)
+            return self.version
+
+
 def build_api_graph(endpoint_file: str) -> dict:
     """Static endpoint → rule → (branch | network) dependency graph.
 

@@ -120,3 +120,62 @@ def test_request_tracing(spark, svc_dir):
         assert all(s["elapsed_ms"] >= 0 for s in t["steps"])
         # the branch output merged through step1
         assert t["steps"][0]["output"]["tag"] == "sub"
+
+
+def test_trace_watcher_and_live_ui_api(spark, svc_dir):
+    """VERDICT r2 next #8: the trace watcher (trace_watch.rs:9 mirror)
+    feeds the /ui API — a new trace appears over HTTP without a server
+    restart: the long-poll version bumps and /ui/api/traces returns
+    the fresh trace."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from rulemorph_spark.cli import _ui_index_html, make_http_server
+
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        httpd = make_http_server(eng, port=0,
+                                 ui_html=_ui_index_html(eng))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=30) as r:
+                return _json.loads(r.read().decode())
+
+        # graph + empty trace list served
+        graph = get("/ui/api/graph")
+        assert any(n["id"].startswith("endpoint:GET")
+                   for n in graph["nodes"])
+        assert get("/ui/api/traces")["traces"] == []
+        v0 = get("/ui/api/trace-version")["version"]
+
+        # long-poll in a thread, then trigger a traced request
+        got = {}
+
+        def poll():
+            got["v"] = get(f"/ui/api/trace-version?since={v0}")["version"]
+
+        pt = threading.Thread(target=poll)
+        pt.start()
+        with urllib.request.urlopen(base + "/things/5",
+                                    timeout=30) as r:
+            assert r.status == 200
+        pt.join(timeout=30)
+        assert not pt.is_alive()
+        assert got["v"] > v0  # watcher saw the new trace file
+        traces = get("/ui/api/traces")["traces"]
+        assert len(traces) == 1 and traces[0]["endpoint"] == \
+            "/things/{id}"
+        # the UI page itself serves with the live-refresh script
+        with urllib.request.urlopen(base + "/ui", timeout=30) as r:
+            page = r.read().decode()
+        assert "trace-version" in page and "renderGraph" in page
+        httpd.shutdown()
