@@ -52,6 +52,12 @@ def get_spark(app_name: str = "rulemorph-spark",
         .config("spark.sql.analyzer.maxIterations", "1000")
         .config("spark.ui.enabled", "false")
     )
+    # local-mode default driver memory is 1g — enough for the sf<=0.1
+    # gates, far too small for scale probes; only effective for the
+    # process's FIRST session (JVM already launched otherwise)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

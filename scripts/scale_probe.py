@@ -5,7 +5,17 @@ Evidence for the 100 TB design claims: a plan whose cost is dominated
 by fixed overhead at sf0.1 should grow sublinearly with N; a plan that
 shuffles the whole input should grow ~linearly and no worse.  Run:
 
-    python scripts/scale_probe.py [N]
+    python scripts/scale_probe.py [N] [--skew]
+
+``--skew`` (VERDICT r2 next #5) replicates ADVERSARIALLY instead of
+uniformly: ~30% of all document texts become ONE hot boilerplate text
+and ~30% of all embeddings become ONE hot vector.  That manufactures
+exactly the three open skew shapes — a hot LSH band bucket, one
+mega-cluster for SemDeDup, one boilerplate gram for dup-span removal —
+and the probe reports both wall-clock and the cap-engagement numbers
+(raw hot-bucket size vs star-capped edges, mega-cluster size vs the
+shard cap, hottest gram document frequency) that show the caps bound
+per-task work.
 
 Writes the replicated tables to a temp dir (never touches
 /root/testdata) and prints one JSON line per measured query.
@@ -25,9 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from pyspark.sql import functions as F
 
 
-def replicate(spark, src_dir: str, out_dir: str, n: int) -> None:
+def replicate(spark, src_dir: str, out_dir: str, n: int,
+              skew: bool = False,
+              tables: list[str] | None = None) -> None:
     """lineitem/orders/events replicated n× with shifted ids; the small
-    dims are left as-is (a 100 TB corpus grows facts, not regions)."""
+    dims are left as-is (a 100 TB corpus grows facts, not regions).
+    Replication is ONE crossJoin against a broadcast n-row replica
+    index (an n-way unionAll plan OOMs the driver at n=100).
+
+    ``skew=True`` additionally collapses ~30% of document texts onto
+    one hot boilerplate text and ~30% of embeddings onto one hot
+    vector (deterministic ``id % 10 < 3``), manufacturing a hot LSH
+    band, a SemDeDup mega-cluster and a boilerplate gram.
+    ``tables`` limits which fact tables are replicated."""
     shifts = {
         "lineitem": [("l_orderkey", 10_000_000)],
         "orders": [("o_orderkey", 10_000_000)],
@@ -41,30 +61,61 @@ def replicate(spark, src_dir: str, out_dir: str, n: int) -> None:
     }
     copy = ["region", "nation", "customer", "supplier", "part"]
     for t in copy:
+        if tables is not None and t not in tables:
+            continue
         spark.read.parquet(f"{src_dir}/{t}.parquet") \
             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    hot_text = hot_vec = None
+    if skew:
+        docs0 = spark.read.parquet(f"{src_dir}/documents.parquet")
+        # a mid-length real text keeps the gram load realistic
+        hot_text = (docs0.orderBy("doc_id")
+                    .select("text").limit(50).collect()[25]["text"])
+        hot_vec = (spark.read.parquet(f"{src_dir}/embeddings.parquet")
+                   .orderBy("vec_id").select("embedding")
+                   .limit(1).collect()[0]["embedding"])
+    reps = F.broadcast(spark.range(n).select(
+        F.col("id").alias("__rep__")))
     for t, keys in shifts.items():
+        if tables is not None and t not in tables:
+            continue
         base = spark.read.parquet(f"{src_dir}/{t}.parquet")
-        parts = []
-        for i in range(n):
-            p = base
-            for col, stride in keys:
-                p = p.withColumn(col, F.col(col) + F.lit(i * stride))
-            parts.append(p)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        out = base.crossJoin(reps)
+        for col, stride in keys:
+            out = out.withColumn(
+                col, F.col(col) + F.col("__rep__") * F.lit(stride))
+        out = out.drop("__rep__")
+        if skew and t == "documents":
+            out = out.withColumn(
+                "text", F.when(F.col("doc_id") % 10 < 3,
+                               F.lit(hot_text)).otherwise(F.col("text")))
+        if skew and t == "embeddings":
+            out = out.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 10 < 3,
+                       F.array(*[F.lit(float(x)) for x in hot_vec])
+                       .cast("array<float>"))
+                .otherwise(F.col("embedding")))
+        # spread the replicated rows: the base table may be one file,
+        # and 1 partition x n replicas would serialize every scan
+        out.repartition(max(32, min(n, 256))) \
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    n = int(args[0]) if args else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # N=100 replicas need real heap (local-mode default is 1g)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from rulemorph_spark.engine import get_spark
     import __spark_entry__ as entry
 
     spark = get_spark("scale-probe",
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if skew:
+        return _skew_probe(spark, src, n)
     qs = entry.queries()
     names = ["q_agg_pricing_summary", "q_dedup_exact", "q_window_rank",
              "q_sessionize", "q_asof_join", "q_lookup",
@@ -125,6 +176,82 @@ def main() -> None:
                 out[label] = round(sorted(samples)[1], 3)
             out["growth"] = round(out["t_big_s"] / out["t_base_s"], 2)
             print(json.dumps(out), flush=True)
+
+
+def _timed3(fn) -> float:
+    fn().write.format("noop").mode("overwrite").save()  # warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
+
+
+def _skew_probe(spark, src: str, n: int) -> None:
+    """Adversarial-skew probe: the three open skew shapes at Nx, with
+    cap-engagement diagnostics proving per-task work stays bounded."""
+    from rulemorph_spark.llm.dedup import (minhash_from_shingles,
+                                           lsh_band_keys,
+                                           minhash_lsh_candidates,
+                                           remove_dup_spans, shingles)
+    from rulemorph_spark.llm.semdedup import semdedup
+
+    with tempfile.TemporaryDirectory() as big:
+        replicate(spark, src, big, n, skew=True,
+                  tables=["documents", "embeddings"])
+        docs = spark.read.parquet(f"{big}/documents.parquet")
+        emb = spark.read.parquet(f"{big}/embeddings.parquet")
+        n_docs, n_vecs = docs.count(), emb.count()
+
+        # --- hot LSH band: raw bucket size vs star-capped edges -----
+        CAP = 64
+        banded = docs.select(
+            "doc_id",
+            F.posexplode(lsh_band_keys(
+                minhash_from_shingles(shingles(F.col("text"), 3), 8),
+                4, 2)).alias("band", "band_key"))
+        hot = (banded.groupBy("band", "band_key").count()
+               .agg(F.max("count").alias("m")).collect()[0]["m"])
+        edges = minhash_lsh_candidates(docs, "doc_id", "text",
+                                       max_bucket=CAP).count()
+        t_lsh = _timed3(lambda: minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket=CAP))
+        print(json.dumps({
+            "query": "op_lsh_candidates_skew", "scale_n": n,
+            "n_docs": n_docs, "hot_bucket_raw": int(hot),
+            "uncapped_pairs_of_hot_bucket": int(hot) * (int(hot) - 1) // 2,
+            "max_bucket_cap": CAP, "edges_emitted": int(edges),
+            "t_s": t_lsh}), flush=True)
+
+        # --- SemDeDup mega-cluster vs the shard cap ------------------
+        MAXC = 4096
+        mega = (emb.groupBy(F.xxhash64(F.col("embedding")
+                                       .cast("array<float>"))
+                            .alias("h")).count()
+                .agg(F.max("count").alias("m")).collect()[0]["m"])
+        t_sd = _timed3(lambda: semdedup(emb, "vec_id", "embedding",
+                                        k=8, iters=2, eps=0.05,
+                                        max_cluster=MAXC))
+        import math
+        print(json.dumps({
+            "query": "op_semdedup_skew", "scale_n": n,
+            "n_vecs": n_vecs, "mega_cluster_size": int(mega),
+            "max_cluster_cap": MAXC,
+            "shards_for_mega": math.ceil(int(mega) / MAXC),
+            "t_s": t_sd}), flush=True)
+
+        # --- boilerplate gram in dup-span removal --------------------
+        hot_gram_df = (docs.select(F.explode(F.array_distinct(
+            shingles(F.col("text"), 8))).alias("g"))
+            .groupBy("g").count()
+            .agg(F.max("count").alias("m")).collect()[0]["m"])
+        t_span = _timed3(lambda: remove_dup_spans(docs, n=8,
+                                                  min_docs=2))
+        print(json.dumps({
+            "query": "op_remove_dup_spans_skew", "scale_n": n,
+            "n_docs": n_docs, "hottest_gram_df": int(hot_gram_df),
+            "t_s": t_span}), flush=True)
 
 
 if __name__ == "__main__":
