@@ -32,12 +32,19 @@ compiles inline with ``@input`` = the current ``@out`` tree; its
 typed outputs deep-merge or return, still zero variant columns).
 
 A typed column cannot distinguish the reference's *missing* from a
-runtime SQL NULL; wherever the two could collide at runtime (nested
-refs through a nullable struct, ``get``, ``first``/``last`` of a
-possibly-empty array feeding a strict op, ``default``/``required``
-over such values) the ``maybe_missing`` flag forces a
-:class:`TypedFallback` so the variant engine — which does represent
-missing — decides.
+runtime SQL NULL by itself; wherever the two can collide at runtime
+the TVal carries a ``missing_when`` predicate Column (runtime
+tri-state, round 3): nested refs through a nullable struct are
+missing exactly when a prefix is NULL, ``first``/``last`` when the
+array is empty, ``get`` when the base/intermediate is null,
+``coalesce`` when all operands were absent, ``if`` when the taken
+branch is missing.  Strict ops then propagate missing and error only
+on true JSON nulls, ``default`` substitutes on exactly the missing
+rows, ``required`` raises the reference's missing-vs-null message,
+and the ``map`` step DROPS runtime-missing items — all in-plan,
+whole-stage codegen.  Only values whose NULL-ambiguity has no
+expressible predicate keep the ``maybe_missing``-without-predicate
+state and force a :class:`TypedFallback` to the variant engine.
 Anything else raises :class:`TypedFallback` and the
 caller reruns through the variant engine via ``to_variant_object``
 (`engine.transform_table`), so the fast path never changes semantics —
@@ -88,8 +95,27 @@ class TVal:
     # True when a runtime NULL in ``col`` may stand for *missing* (an
     # ``if`` with one statically-missing branch) rather than JSON null —
     # ops whose semantics differ on the two (``map``'s drop-missing)
-    # must fall back to the variant engine on such inputs
+    # must fall back to the variant engine on such inputs, UNLESS
+    # ``missing_when`` resolves the ambiguity
     maybe_missing: bool = False
+    # runtime tri-state (round 3): when set, the value is *missing* on
+    # exactly the rows where this boolean Column is true (col is NULL
+    # there); a NULL col elsewhere is JSON null.  Lets strict ops,
+    # default/required, map-drop and v1 comparisons implement the
+    # reference's missing semantics IN-PLAN instead of falling back.
+    missing_when: Column | None = None
+
+
+def _mw(v: "TVal") -> Column:
+    """``missing_when`` as a null-safe boolean (False when unset)."""
+    if v.missing_when is None:
+        return F.lit(False)
+    return F.coalesce(v.missing_when, F.lit(False))
+
+
+def _unresolved(v: "TVal") -> bool:
+    """NULL-ambiguous with no runtime resolution → must fall back."""
+    return v.maybe_missing and v.missing_when is None
 
 
 def _missing() -> TVal:
@@ -140,22 +166,33 @@ def _isnull(v: TVal) -> Column:
 
 def _seq(operands: list[TVal], path: str, col: Column, dtype,
          *, allow_null: bool = False) -> TVal:
-    """Missing-propagates / null-errors operand protocol, typed."""
+    """Missing-propagates / null-errors operand protocol, typed.
+
+    Operands carrying ``missing_when`` get the runtime tri-state: on
+    rows where an operand is missing the RESULT is missing (NULL +
+    propagated ``missing_when``); a NULL that is NOT missing errors.
+    Operands whose NULL-ambiguity has no runtime resolution still
+    defer to the variant engine."""
     if any(o.missing for o in operands):
         return _missing()
+    if any(_unresolved(o) for o in operands):
+        raise TypedFallback("strict op over maybe-missing operand")
+    mws = [o for o in operands if o.missing_when is not None]
     if not allow_null:
-        # a maybe_missing operand's runtime NULL could be *missing*
-        # (propagate) rather than JSON null (error) — the typed column
-        # can't tell them apart, so the strict protocol must defer to
-        # the variant engine (it would otherwise raise "must not be
-        # null" where the reference propagates missing)
-        if any(o.maybe_missing for o in operands):
-            raise TypedFallback("strict op over maybe-missing operand")
         for o in reversed(operands):
-            col = F.when(_isnull(o),
+            isn = _isnull(o)
+            if o.missing_when is not None:
+                isn = isn & ~_mw(o)      # missing is not a null error
+            col = F.when(isn,
                          _terr(dtype, "expr_error",
                                "expr arg must not be null", path)
                          ).otherwise(col)
+    if mws:
+        any_mw = _mw(mws[0])
+        for o in mws[1:]:
+            any_mw = any_mw | _mw(o)
+        col = F.when(any_mw, F.lit(None).cast(dtype)).otherwise(col)
+        return TVal(col, dtype, maybe_missing=True, missing_when=any_mw)
     return TVal(col, dtype)
 
 
@@ -303,18 +340,18 @@ def _py_literal(value, path: str) -> TVal:
     raise TypedFallback(f"container literal at {path}")
 
 
-def _navigate_schema(schema: T.StructType,
-                     tokens) -> tuple[Column, T.DataType, bool] | None:
+def _navigate_schema(schema: T.StructType, tokens
+                     ) -> tuple[Column, T.DataType, Column | None] | None:
     """Walk key tokens over the input schema; None = statically missing.
 
-    Returns ``(col, dtype, maybe_missing)``: a path that traverses an
-    intermediate struct can be runtime-missing (the intermediate is
-    NULL ⇒ the leaf is *missing*, not JSON null), which a typed column
-    cannot distinguish — the flag makes strict ops defer to the
-    variant engine on such refs instead of mis-raising "must not be
-    null" where the reference propagates missing.
+    Returns ``(col, dtype, missing_when)``: a path traversing an
+    intermediate struct is runtime-missing exactly when some PREFIX is
+    NULL (the leaf NULL then means *missing*, not JSON null) — that
+    predicate is returned so downstream ops apply the reference's
+    missing semantics in-plan (``missing_when`` tri-state).
     """
     col = None
+    mw: Column | None = None
     dt: T.DataType = schema
     for tok in tokens:
         if not isinstance(tok, Key):
@@ -329,6 +366,8 @@ def _navigate_schema(schema: T.StructType,
         sub = next((f for f in dt.fields if f.name == tok.name), None)
         if sub is None:
             return None
+        if col is not None:          # col is a struct prefix
+            mw = col.isNull() if mw is None else mw | col.isNull()
         col = F.col(tok.name) if col is None else col.getField(tok.name)
         dt = sub.dataType
     if col is None:  # empty path: whole record
@@ -341,17 +380,19 @@ def _navigate_schema(schema: T.StructType,
     # StructType leaves are allowed: the typed object ops (get/merge/
     # pick/omit/keys/values/entries/len) and struct-valued outputs
     # consume them natively
-    return col, dt, len(tokens) > 1
+    return col, dt, mw
 
 
 def _scalar_element_array(dt: T.ArrayType) -> bool:
-    """array<scalar> or nested arrays thereof — referencable on the
-    typed path (the array op set validates per-op dtypes itself)."""
+    """array<scalar|struct> or nested arrays thereof — referencable on
+    the typed path (the array op set validates per-op dtypes itself;
+    struct elements navigate via ``@item.field``, round 3)."""
     et = dt.elementType
     if isinstance(et, T.ArrayType):
         return _scalar_element_array(et)
-    return not isinstance(et, (T.StructType, T.MapType, T.VariantType,
-                               T.BinaryType))
+    if isinstance(et, T.StructType):
+        return True
+    return not isinstance(et, (T.MapType, T.VariantType, T.BinaryType))
 
 
 def _navigate_py(value, tokens):
@@ -395,8 +436,9 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
         nav = _navigate_schema(scope.schema, parse_path(ref.path))
         if nav is None:
             return _missing()
-        col, dt, mm = nav
-        return TVal(col, dt, maybe_missing=mm)
+        col, dt, mw = nav
+        return TVal(col, dt, maybe_missing=mw is not None,
+                    missing_when=mw)
     if ref.namespace == "context":
         if not scope.has_context:
             return _missing()
@@ -424,9 +466,10 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
                             f"undefined variable: @{name}", path)
         return scope.locals[name]
     if ref.namespace == "item":
-        # mirror core.py compile_ref (eval_v2_ref, v2_eval.rs:335-354):
-        # typed items are always scalar, so any navigation besides the
-        # ``index`` / leading-``value`` forms is statically missing
+        # mirror core.py compile_ref (eval_v2_ref, v2_eval.rs:335-354);
+        # struct items navigate statically (round 3) — a null item or
+        # null intermediate makes the leaf runtime-MISSING, tracked as
+        # the missing_when predicate
         if scope.item is None:
             raise RuleError("expr_error",
                             "@item is only available in map/filter "
@@ -440,7 +483,28 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
             tokens = tokens[1:]
         if not tokens:
             return scope.item
-        return _missing()
+        col, dt = scope.item.col, scope.item.dtype
+        mw: Column | None = None
+        for tok in tokens:
+            if not isinstance(tok, Key):
+                raise TypedFallback("@item array-index navigation")
+            if isinstance(dt, (T.MapType, T.VariantType)):
+                raise TypedFallback("@item navigation into dynamic "
+                                    "container")
+            if not isinstance(dt, T.StructType):
+                return _missing()
+            sub = next((f for f in dt.fields if f.name == tok.name),
+                       None)
+            if sub is None:
+                return _missing()
+            mw = col.isNull() if mw is None else mw | col.isNull()
+            col, dt = col.getField(tok.name), sub.dataType
+        if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
+            raise TypedFallback("@item yields array of non-scalar")
+        if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
+            raise TypedFallback("@item yields dynamic container")
+        return TVal(col, dt, maybe_missing=mw is not None,
+                    missing_when=mw)
     raise TypedFallback(f"@{ref.namespace} in typed mode")
 
 
@@ -498,36 +562,77 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         dt = _unify([then_v.dtype, else_v.dtype])
         if dt is None:
             raise TypedFallback("if branches with incompatible types")
-        col = F.when(F.coalesce(cond, F.lit(False)),
-                     _cast_to(then_v, dt)).otherwise(_cast_to(else_v, dt))
-        return TVal(col, dt, missing=then_v.missing and else_v.missing,
-                    maybe_missing=(then_v.missing != else_v.missing
-                                   or then_v.maybe_missing
-                                   or else_v.maybe_missing)), scope
+        c = F.coalesce(cond, F.lit(False))
+        col = F.when(c, _cast_to(then_v, dt)).otherwise(
+            _cast_to(else_v, dt))
+        if then_v.missing and else_v.missing:
+            return _missing(), scope
+        # runtime tri-state: the result is missing when the TAKEN
+        # branch is missing (statically or by its own missing_when);
+        # unresolved branches keep the result unresolved
+        def br_mw(v: TVal, taken: Column) -> Column | None:
+            if v.missing:
+                return taken
+            if v.missing_when is not None:
+                return taken & _mw(v)
+            if v.maybe_missing:
+                return None           # unresolved — no predicate
+            return F.lit(False)
+        tm, em = br_mw(then_v, c), br_mw(else_v, ~c)
+        maybe = (then_v.missing != else_v.missing
+                 or then_v.maybe_missing or else_v.maybe_missing)
+        if not maybe:
+            return TVal(col, dt), scope
+        if tm is None or em is None:
+            return TVal(col, dt, maybe_missing=True), scope
+        mw = tm | em
+        return TVal(col, dt, maybe_missing=True, missing_when=mw), scope
     if isinstance(step, RefStep):
         return compile_tref(step.ref, scope.child(pipe=cur), path), scope
     if isinstance(step, MapStep):
         # {map: [steps...]} — pipe value per element, steps folded
-        # (``v2_eval.rs:955-1046``); missing-dropping bodies fall back
+        # (``v2_eval.rs:955-1046``); per-element missing DROPS the
+        # item (tri-state path below); unresolved bodies fall back
         if cur.missing:
             return _missing(), scope
+        if _unresolved(cur):
+            raise TypedFallback("map over maybe-missing array")
         arr, et = _t_arr_in(cur, path, null_to_empty=False)
         out: dict[str, TVal] = {}
 
-        def run(x: Column, i: Column) -> Column:
+        def body(x: Column, i: Column) -> TVal:
             inner = _t_item_scope(scope, x, i, et)
             value = inner.pipe
             for j, s in enumerate(step.steps):
                 value, inner = compile_tstep(s, value, inner,
                                              f"{path}.map[{j}]")
-            if value.missing or value.maybe_missing \
+            if value.missing or _unresolved(value) \
                     or _is_null(value.dtype):
                 raise TypedFallback("map step may produce missing items")
             out["v"] = value
-            return value.col
+            return value
 
-        mapped = F.transform(arr, run)
-        return TVal(mapped, T.ArrayType(out["v"].dtype)), scope
+        probe = body(F.get(arr, 0), F.lit(0))   # dtype/shape discovery
+        if probe.missing_when is None:
+            mapped = F.transform(
+                arr, lambda x, i: body(x, i).col)
+        else:
+            # body can be runtime-missing per element → map DROPS
+            # those items (``v2_eval.rs:955-1046``): carry (value,
+            # missing) per element, filter, project — all in-plan
+            def pair(x: Column, i: Column) -> Column:
+                v = body(x, i)
+                return F.struct(v.col.alias("v"), _mw(v).alias("m"))
+
+            pairs = F.transform(arr, pair)
+            kept = F.filter(pairs, lambda p: ~F.coalesce(
+                p["m"], F.lit(False)))
+            mapped = F.transform(kept, lambda p: p["v"])
+        # a runtime-missing ARRAY propagates (v2 map passes null
+        # through; missing stays missing via the carried predicate)
+        return TVal(mapped, T.ArrayType(out["v"].dtype),
+                    maybe_missing=cur.maybe_missing,
+                    missing_when=cur.missing_when), scope
     raise TypedFallback(f"step {type(step).__name__} in typed mode")
 
 
@@ -657,6 +762,13 @@ def t_concat(scope, cur, args, path):
 
 @_treg("coalesce")
 def t_coalesce(scope, cur, args, path):
+    """first non-missing, non-null; all → missing
+    (``transform.rs:1434-1457``).  A runtime-missing operand's col is
+    already NULL, so F.coalesce skips it like the variant path; the
+    RESULT is missing exactly when it is NULL (coalesce can only
+    yield NULL when every operand was absent) — recorded as
+    ``missing_when`` so downstream strict ops propagate instead of
+    raising."""
     ops = _toperands(scope, cur, args, path)
     live = [o for o in ops if not o.missing and not _is_null(o.dtype)]
     dt = _unify([o.dtype for o in live])
@@ -664,7 +776,8 @@ def t_coalesce(scope, cur, args, path):
         raise TypedFallback("coalesce over mixed types")
     if not live:
         return _missing()
-    return TVal(F.coalesce(*[_cast_to(o, dt) for o in live]), dt)
+    col = F.coalesce(*[_cast_to(o, dt) for o in live])
+    return TVal(col, dt, maybe_missing=True, missing_when=col.isNull())
 
 
 def _t_unary_string(scope, cur, args, path, fn):
@@ -693,12 +806,19 @@ def t_uppercase(scope, cur, args, path):
 
 @_treg("to_string")
 def t_to_string(scope, cur, args, path):
-    # v2-native: null → "null" (typed path is v2-only)
+    # v2-native: null → "null", missing → missing (typed path is
+    # v2-only); runtime-missing rows stay NULL via the tri-state
     ops = _toperands(scope, cur, args, path)
     o = ops[0]
     if o.missing:
         return _missing()
+    if _unresolved(o):
+        raise TypedFallback("to_string over maybe-missing value")
     col = F.when(_isnull(o), F.lit("null")).otherwise(t_str(o, path))
+    if o.missing_when is not None:
+        col = F.when(_mw(o), F.lit(None).cast("string")).otherwise(col)
+        return TVal(col, T.StringType(), maybe_missing=True,
+                    missing_when=_mw(o))
     return TVal(col, T.StringType())
 
 
@@ -1203,7 +1323,12 @@ def t_get(scope, cur, args, path):
     if base.missing:
         return _missing()
     col, dt = base.col, base.dtype
-    traversed = False
+    # the result is missing when the base (or any intermediate) is
+    # null at runtime — tracked as a precise predicate so downstream
+    # ops keep the reference's missing semantics in-plan
+    mw = _mw(base) if base.missing_when is not None else None
+    if _unresolved(base):
+        raise TypedFallback("get over maybe-missing base")
     for tok in tokens:
         if not isinstance(tok, Key):
             raise TypedFallback("get with array index")
@@ -1214,17 +1339,13 @@ def t_get(scope, cur, args, path):
         sub = next((f for f in dt.fields if f.name == tok.name), None)
         if sub is None:
             return _missing()
+        mw = col.isNull() if mw is None else mw | col.isNull()
         col, dt = col.getField(tok.name), sub.dataType
-        traversed = True
     if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
         raise TypedFallback("get yields array of non-scalar")
     if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
         raise TypedFallback("get yields dynamic container")
-    # a NULL result can mean "base/intermediate was null ⇒ missing"
-    # as well as "field holds JSON null" — flag the ambiguity so
-    # strict consumers defer to the variant engine
-    return TVal(col, dt, maybe_missing=traversed
-                or base.maybe_missing)
+    return TVal(col, dt, maybe_missing=mw is not None, missing_when=mw)
 
 
 @_treg("merge")
@@ -1369,8 +1490,6 @@ def _t_key_paths(args, path, op_name: str) -> list[str]:
 def _t_pick_omit(scope, cur, args, path, *, pick: bool):
     keys = _t_key_paths(args, path, "pick" if pick else "omit")
     base = cur
-    if base.maybe_missing:
-        raise TypedFallback("pick/omit over maybe-missing base")
     if base.missing:
         return _missing()
     if not _is_struct(base.dtype):
@@ -1390,11 +1509,9 @@ def _t_pick_omit(scope, cur, args, path, *, pick: bool):
                               for f in fields])
     col = F.struct(*[base.col.getField(f.name).alias(f.name)
                      for f in fields])
-    col = F.when(base.col.isNull(),
-                 _terr(result_dt, "expr_error",
-                       "expr arg must not be null", path)
-                 ).otherwise(col)
-    return TVal(col, result_dt)
+    # the strict protocol handles null → error, runtime-missing →
+    # propagate, unresolved → fallback
+    return _seq([base], path, col, result_dt)
 
 
 @_treg("pick")
@@ -1479,14 +1596,16 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
     def op(scope, cur, args, path):
         ops = _toperands(scope, cur, args, path)
         left, right = ops[0], ops[1]
-        # v1 comparisons treat null as a VALUE (null == null is true)
-        # but *missing* propagates — a statically- or maybe-missing
-        # operand therefore needs the variant engine's seq protocol
-        if left.missing or right.missing or left.maybe_missing \
-                or right.maybe_missing:
-            raise TypedFallback("v1 comparison over missing operand")
+        if _unresolved(left) or _unresolved(right):
+            raise TypedFallback("v1 comparison over maybe-missing "
+                                "operand")
         if eq:
-            ln, rn = _isnull(left), _isnull(right)
+            # v1 converts missing → null before comparing (is_absent,
+            # compare_eq transform.rs:5480-5493): null==null true,
+            # one-sided null false.  A missing col is already NULL, so
+            # plain isNull gives exactly is_absent — statically
+            # missing, runtime-missing and JSON null all alike.
+            ln, rn = left.col.isNull(), right.col.isNull()
             canon_l = t_str(left, path,
                             "comparison operand must be stringifiable")
             canon_r = t_str(right, path,
@@ -1495,17 +1614,34 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
             if negate:
                 res = ~res
         elif name == "~=":
-            if not (_is_str(left.dtype) or _is_null(left.dtype)) or \
-                    not (_is_str(right.dtype) or _is_null(right.dtype)):
-                res = _terr("boolean", "expr_error",
-                            "value must be a string", path)
-            else:
-                res = F.rlike(left.col.cast("string"),
-                              right.col.cast("string"))
+            # variant: any non-string — including null AND missing
+            # (is_string of an absent value is not true) — errors
+            def s_or_err(v: TVal) -> Column:
+                if not _is_str(v.dtype):
+                    return _terr("string", "expr_error",
+                                 "value must be a string", path)
+                return F.when(v.col.isNull(),
+                              _terr("string", "expr_error",
+                                    "value must be a string", path)
+                              ).otherwise(v.col)
+            res = F.rlike(s_or_err(left), s_or_err(right))
         else:
-            res = pyop(
-                t_num(left, path, "comparison operand must be a number"),
-                t_num(right, path, "comparison operand must be a number"))
+            # variant to_number_strict: missing → NULL (comparison
+            # yields NULL), JSON null → error
+            def n_or_err(v: TVal) -> Column:
+                if v.missing:               # statically missing → NULL
+                    return F.lit(None).cast("double")
+                err_when = v.col.isNull()
+                if v.missing_when is not None:
+                    err_when = err_when & ~_mw(v)  # missing → NULL too
+                return F.when(err_when,
+                              _terr("double", "expr_error",
+                                    "comparison operand must be a "
+                                    "number", path)
+                              ).otherwise(t_num(
+                                  v, path,
+                                  "comparison operand must be a number"))
+            res = pyop(n_or_err(left), n_or_err(right))
         return TVal(res, T.BooleanType())
     T_OPS[name] = op
 
@@ -1754,21 +1890,23 @@ def t_max(scope, cur, args, path):
 @_treg("first")
 def t_first(scope, cur, args, path):
     """first element; empty → missing (``v2_eval.rs:2416-2430``) —
-    runtime-missing, so the TVal is flagged ``maybe_missing`` (ops
-    that distinguish missing from JSON null fall back on it; at the
-    mapping boundary both surface as table NULL)."""
+    runtime-missing exactly when the array is empty, tracked as the
+    ``missing_when`` predicate (strict consumers then propagate
+    missing in-plan instead of falling back)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     el = F.try_element_at(arr, F.lit(1))
-    return TVal(F.when(F.size(arr) == 0, F.lit(None).cast(et))
-                .otherwise(el), et, maybe_missing=True)
+    mw = F.size(arr) == 0
+    return TVal(F.when(mw, F.lit(None).cast(et)).otherwise(el), et,
+                maybe_missing=True, missing_when=mw)
 
 
 @_treg("last")
 def t_last(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     el = F.try_element_at(arr, F.size(arr))
-    return TVal(F.when(F.size(arr) == 0, F.lit(None).cast(et))
-                .otherwise(el), et, maybe_missing=True)
+    mw = F.size(arr) == 0
+    return TVal(F.when(mw, F.lit(None).cast(et)).otherwise(el), et,
+                maybe_missing=True, missing_when=mw)
 
 
 @_treg("flatten")
@@ -2134,10 +2272,10 @@ class TypedRuleCompiler:
                             "mapping must define source, value, or expr",
                             path)
 
-        # a maybe-missing value's runtime NULL could be *missing* —
-        # default substitution and the required-missing error message
-        # depend on the distinction, so defer to the variant engine
-        if value.maybe_missing and (m.has_default or m.required):
+        # an UNRESOLVED maybe-missing value (no runtime predicate)
+        # cannot drive default substitution or the required-missing
+        # error message — defer to the variant engine
+        if _unresolved(value) and (m.has_default or m.required):
             raise TypedFallback("default/required over maybe-missing "
                                 "value")
         # missing → default / required-error / skip (transform.rs:1006-1032)
@@ -2151,14 +2289,31 @@ class TypedRuleCompiler:
             return None
 
         col, dtype = value.col, value.dtype
+        mw = value.missing_when
+        if mw is not None and m.has_default:
+            # runtime-missing rows take the default (transform.rs:1006)
+            dv = _py_literal(m.default, path)
+            dt2 = _unify([dtype, dv.dtype])
+            if dt2 is None:
+                raise TypedFallback("default type incompatible with "
+                                    "typed value")
+            col = F.when(_mw(value), _cast_to(dv, dt2)).otherwise(
+                _cast_to(TVal(col, dtype), dt2))
+            dtype = dt2
+            mw = None                # defaulted — never missing now
         if m.value_type is not None:
-            casted = self._typed_cast(value, m.value_type, scope,
-                                      f"{path}.type")
+            casted = self._typed_cast(TVal(col, dtype), m.value_type,
+                                      scope, f"{path}.type")
             col, dtype = casted.col, casted.dtype
         if m.required:
+            is_miss = _mw(value) if mw is not None else F.lit(False)
+            on_miss = V.raise_err("missing_required",
+                                  "required value is missing",
+                                  path).cast(dtype)
             on_null = V.raise_err("missing_required",
                                   "required value is null", path).cast(dtype)
-            col = F.when(_isnull(value), on_null).otherwise(col)
+            col = (F.when(is_miss, on_miss)
+                   .when(_isnull(value), on_null).otherwise(col))
         elif m.value_type is not None:
             # cast never applies to null values (rule.py finish())
             col = F.when(_isnull(value), F.lit(None).cast(dtype)) \

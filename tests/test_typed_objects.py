@@ -196,23 +196,39 @@ def test_mixed_value_types_fall_back(spark):
     assert out.count() == 3
 
 
-def test_maybe_missing_defers_to_variant(spark):
-    """Nested refs through a nullable struct: runtime NULL could be
-    missing (null intermediate) — strict ops and default/required
-    must NOT run typed (regression for the mis-raised 'must not be
-    null')."""
-    from rulemorph_spark.compiler.typed import TypedFallback
+def test_tri_state_nested_ref_strict_op(spark):
+    """Nested refs through a nullable struct STAY TYPED via the
+    missing_when tri-state: the null-intermediate row propagates
+    missing through strict ops instead of mis-raising 'must not be
+    null' — and the plan remains variant-free."""
     df = spark.createDataFrame([(1, ("bob",)), (2, None)],
                                "id long, s struct<name:string>")
     rule = RULE % '"@input.s.name", {concat: ["!"]}'
-    with pytest.raises(TypedFallback):
-        transform_table(df, rule, mode="typed")
-    out = transform_table(df, rule, mode="auto")
-    got = {r["id"]: r["out"] for r in
-           out.select(F.to_json("id").cast("long").alias("id"),
-                      F.to_json("out").alias("out")).collect()}
-    assert got == {1: '"bob!"', 2: None}
-    # default over maybe-missing: row 2 must get the default
+    typed = transform_table(df, rule, mode="typed")
+    plan = typed._jdf.queryExecution().executedPlan().toString()
+    assert "variant" not in plan.lower()
+    got = {r["id"]: r["out"] for r in typed.collect()}
+    assert got == {1: "bob!", 2: None}
+    variant = transform_table(df, rule, mode="variant")
+    vgot = {r["id"]: r["out"] for r in
+            variant.select(F.to_json("id").cast("long").alias("id"),
+                           F.to_json("out").alias("out")).collect()}
+    assert vgot == {1: '"bob!"', 2: None}
+    # a true JSON null leaf still ERRORS in both engines
+    df2 = spark.createDataFrame([(3, (None,))],
+                                "id long, s struct<name:string>")
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception, match="must not be null"):
+            transform_table(df2, rule, mode=mode).collect()
+
+
+def test_tri_state_default_and_required(spark):
+    """default substitutes on exactly the runtime-missing rows;
+    required raises the reference's missing-vs-null messages — all on
+    the typed path."""
+    df = spark.createDataFrame(
+        [(1, ("bob",)), (2, None), (3, (None,))],
+        "id long, s struct<name:string>")
     rule_d = """
 version: 2
 input: {format: json}
@@ -223,30 +239,145 @@ mappings:
     source: input.s.name
     default: "anon"
 """
-    with pytest.raises(TypedFallback):
-        transform_table(df, rule_d, mode="typed")
-    got = {r["id"]: r["name"] for r in
-           transform_table(df, rule_d, mode="auto")
-           .select(F.to_json("id").cast("long").alias("id"),
-                   F.to_json("name").alias("name")).collect()}
-    assert got == {1: '"bob"', 2: '"anon"'}
+    typed = transform_table(df, rule_d, mode="typed")
+    got = {r["id"]: r["name"] for r in typed.collect()}
+    # row 2: s null → name missing → default; row 3: name IS null
+    # (present) → default does not apply (cast/copy keeps null)
+    assert got == {1: "bob", 2: "anon", 3: None}
+    vgot = {r["id"]: r["name"] for r in
+            transform_table(df, rule_d, mode="variant")
+            .select(F.to_json("id").cast("long").alias("id"),
+                    F.to_json("name").alias("name")).collect()}
+    assert vgot == {1: '"bob"', 2: '"anon"', 3: "null"}
+    rule_r = rule_d.replace('default: "anon"', "required: true")
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception, match="required value is"):
+            (transform_table(df.filter("id = 2"), rule_r, mode=mode)
+             .collect())
+    # message parity: missing vs null
+    errs = {}
+    for mode in ("typed", "variant"):
+        for rid, want in ((2, "missing"), (3, "null")):
+            with pytest.raises(Exception) as ei:
+                (transform_table(df.filter(f"id = {rid}"), rule_r,
+                                 mode=mode).collect())
+            errs[(mode, rid)] = str(ei.value)
+            assert f"required value is {want}" in str(ei.value), \
+                (mode, rid, str(ei.value)[:200])
 
 
-def test_first_of_empty_then_strict_op_defers(spark):
-    """first([]) is runtime-missing; piping it into concat must fall
-    back (regression: typed raised 'must not be null' where the
-    variant engine propagates missing)."""
-    from rulemorph_spark.compiler.typed import TypedFallback
+def test_tri_state_first_of_empty(spark):
+    """first([]) piped into concat stays typed: empty → missing →
+    propagates (NULL out); null ELEMENT still errors."""
     df = spark.createDataFrame([(1, []), (2, ["a"])],
                                "id long, arr array<string>")
     rule = RULE % '"@input.arr", {first: []}, {concat: ["y"]}'
-    with pytest.raises(TypedFallback):
-        transform_table(df, rule, mode="typed")
-    got = {r["id"]: r["out"] for r in
-           transform_table(df, rule, mode="auto")
-           .select(F.to_json("id").cast("long").alias("id"),
-                   F.to_json("out").alias("out")).collect()}
-    assert got == {1: None, 2: '"ay"'}
+    typed = transform_table(df, rule, mode="typed")
+    got = {r["id"]: r["out"] for r in typed.collect()}
+    assert got == {1: None, 2: "ay"}
+    dfn = spark.createDataFrame([(3, [None, "x"])],
+                                "id long, arr array<string>")
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception, match="must not be null"):
+            transform_table(dfn, rule, mode=mode).collect()
+
+
+def test_tri_state_coalesce_all_absent(spark):
+    """coalesce skips null AND missing; ALL absent → missing, which
+    must propagate through a following strict op (not error)."""
+    df = spark.createDataFrame([(1, "x", None), (2, None, None)],
+                               "id long, a string, b string")
+    rule = RULE % '"@input.a", {coalesce: ["@input.b"]}, {concat: ["!"]}'
+    typed = transform_table(df, rule, mode="typed")
+    got = {r["id"]: r["out"] for r in typed.collect()}
+    assert got == {1: "x!", 2: None}
+    vgot = {r["id"]: r["out"] for r in
+            transform_table(df, rule, mode="variant")
+            .select(F.to_json("id").cast("long").alias("id"),
+                    F.to_json("out").alias("out")).collect()}
+    assert vgot == {1: '"x!"', 2: None}
+
+
+def test_array_of_struct_item_navigation(spark):
+    """array<struct> columns are typed-referencable; @item.field
+    navigates statically inside filter and the map step, with v2
+    map's drop-missing for null elements."""
+    df = spark.createDataFrame(
+        [(1, [("a", 3), ("b", 7), (None, None)]),
+         (2, [])],
+        "id long, items array<struct<sku:string,qty:long>>")
+    # careful: element 3 of row 1 is a present struct with null fields
+    rule_f = RULE % ('"@input.items", '
+                     '{filter: [{gte: ["@item.qty", 5]}]}, {len: []}')
+    typed = transform_table(df, rule_f, mode="typed")
+    got = {r["id"]: r["out"] for r in typed.collect()}
+    assert got == {1: 1, 2: 0}
+    vgot = {r["id"]: r["out"] for r in
+            transform_table(df, rule_f, mode="variant")
+            .select(F.to_json("id").cast("long").alias("id"),
+                    F.to_json("out").alias("out")).collect()}
+    assert vgot == {1: "1", 2: "0"}
+    # map step extracting a field: NULL STRUCT elements drop (missing)
+    dfn = spark.createDataFrame(
+        [(1, [("a", 1), None, ("c", 2)])],
+        "id long, items array<struct<sku:string,qty:long>>")
+    rule_m = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: skus
+    expr: ["@input.items", {map: ["@item.sku"]}]
+"""
+    tg = {r["id"]: r["skus"] for r in
+          transform_table(dfn, rule_m, mode="typed").collect()}
+    vg = {r["id"]: r["skus"] for r in
+          transform_table(dfn, rule_m, mode="variant")
+          .select(F.to_json("id").cast("long").alias("id"),
+                  F.to_json("skus").alias("skus")).collect()}
+    assert tg == {1: ["a", "c"]}
+    assert vg == {1: '["a","c"]'}
+
+
+def test_v1_comparison_null_and_missing_parity(spark):
+    """v1 pipe comparisons: eq treats missing ≡ null (is_absent);
+    orderings ERROR on JSON null but yield null on missing; ~= errors
+    on null — all matching the variant engine on the typed path."""
+    df = spark.createDataFrame([(1, 3.0, "x")],
+                               "id long, a double, s string")
+    # eq with statically-missing operand ≡ null: "x" == missing → false
+    rule_eq = RULE % '"@input.s", {"==": ["@input.nope"]}'
+    t = {r["id"]: r["out"] for r in
+         transform_table(df, rule_eq, mode="typed").collect()}
+    v = {r["id"]: r["out"] for r in
+         transform_table(df, rule_eq, mode="variant")
+         .select(F.to_json("id").cast("long").alias("id"),
+                 F.to_json("out").alias("out")).collect()}
+    assert t == {1: False} and v == {1: "false"}
+    # ordering with a JSON-null operand errors in BOTH engines
+    dfn = spark.createDataFrame([(2, None, "x")],
+                                "id long, a double, s string")
+    rule_lt = RULE % '"@input.a", {"<": [5]}'
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception, match="must be a number"):
+            transform_table(dfn, rule_lt, mode=mode).collect()
+    # ordering with a statically-MISSING operand → null result, both
+    rule_lt_m = RULE % '"@input.nope", {"<": [5]}'
+    t = {r["id"]: r["out"] for r in
+         transform_table(df, rule_lt_m, mode="typed").collect()}
+    v = {r["id"]: str(r["out"]) for r in
+         transform_table(df, rule_lt_m, mode="variant")
+         .select(F.to_json("id").cast("long").alias("id"),
+                 F.to_json("out").alias("out")).collect()}
+    assert t == {1: None} and v == {1: "None"}
+    # ~= with a null operand errors in both engines
+    rule_re = RULE % '"@input.s", {"~=": ["@input.p"]}'
+    dfr = spark.createDataFrame([(3, "x", None)],
+                                "id long, s string, p string")
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception, match="must be a string"):
+            transform_table(dfr, rule_re, mode=mode).collect()
 
 
 def test_pipe_op_arity_enforced(spark):
