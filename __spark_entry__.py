@@ -633,7 +633,12 @@ def q_rule_typed_transform(spark, sf_dir):
     struct columns route the round-3 typed OBJECT ops (get / merge /
     pick / keys / len compile to struct expressions, zero variant
     decoding — `compiler/typed.py` "object ops on native struct
-    columns"; reference semantics ``transform.rs:4360-5143``)."""
+    columns"; reference semantics ``transform.rs:4360-5143``).
+
+    The `keys` op yields array<string>; the driver's canonicalizer
+    hashes pandas values and cannot sort a list column, so the gated
+    projection flattens it with array_join AFTER the typed transform —
+    the typed `keys` plan is still fully exercised in-plan."""
     from rulemorph_spark.engine import transform_table
     li = _t(spark, sf_dir, "lineitem")
     shaped = li.select(
@@ -642,7 +647,8 @@ def q_rule_typed_transform(spark, sf_dir):
                  F.col("l_linestatus").alias("status")).alias("fs"),
         F.struct(F.col("l_partkey").alias("part"),
                  F.col("l_suppkey").alias("supp")).alias("pk"))
-    return transform_table(shaped, _TYPED_TABLE_RULE, mode="typed")
+    out = transform_table(shaped, _TYPED_TABLE_RULE, mode="typed")
+    return out.withColumn("fs_keys", F.array_join("fs_keys", ","))
 
 
 _HOUR_US = 3_600_000_000
@@ -1497,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS BIGINT) AS qty_int,
                    l_returnflag AS flag_g,
                    l_partkey AS part_m,
-                   ['flag', 'status'] AS fs_keys,
+                   'flag' || ',' || 'status' AS fs_keys,
                    CAST(4 AS BIGINT) AS n_fields,
                    l_linestatus AS status_p
             FROM lineitem WHERE l_quantity >= 10

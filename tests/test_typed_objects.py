@@ -301,14 +301,23 @@ def test_tri_state_coalesce_all_absent(spark):
 def test_array_of_struct_item_navigation(spark):
     """array<struct> columns are typed-referencable; @item.field
     navigates statically inside filter and the map step, with v2
-    map's drop-missing for null elements."""
+    map's drop-missing for null elements.
+
+    Reference predicate semantics (``docs/rules_spec_en.md:341-355``,
+    ``v2_parser.rs:438-482``): filter predicates are PIPES; a lone
+    condition dict parses as an object LITERAL, whose evaluation on a
+    non-empty array raises "value must be a boolean" at runtime.  A
+    bare comparison over a null operand raises "comparison operand
+    must be a number" (v1 comparison semantics) — so the counting
+    shape pre-filters null qty with the spec's own ``!=`` example."""
     df = spark.createDataFrame(
         [(1, [("a", 3), ("b", 7), (None, None)]),
          (2, [])],
         "id long, items array<struct<sku:string,qty:long>>")
     # careful: element 3 of row 1 is a present struct with null fields
     rule_f = RULE % ('"@input.items", '
-                     '{filter: [{gte: ["@item.qty", 5]}]}, {len: []}')
+                     '{filter: [["@item.qty", {"!=": null}]]}, '
+                     '{filter: [["@item.qty", {gte: [5]}]]}, {len: []}')
     typed = transform_table(df, rule_f, mode="typed")
     got = {r["id"]: r["out"] for r in typed.collect()}
     assert got == {1: 1, 2: 0}
@@ -317,6 +326,21 @@ def test_array_of_struct_item_navigation(spark):
             .select(F.to_json("id").cast("long").alias("id"),
                     F.to_json("out").alias("out")).collect()}
     assert vgot == {1: "1", 2: "0"}
+    # lone-dict predicate = object literal → reference runtime error
+    # on the non-empty array (variant engine; typed raises
+    # TypedFallback at compile since the literal is mixed-type)
+    rule_lit = RULE % ('"@input.items", '
+                       '{filter: [{gte: ["@item.qty", 5]}]}, {len: []}')
+    with pytest.raises(Exception, match="value must be a boolean"):
+        transform_table(df, rule_lit, mode="variant").collect()
+    # bare comparison over the null-qty element → reference v1 error
+    # in BOTH engines
+    rule_gte = RULE % ('"@input.items", '
+                       '{filter: [["@item.qty", {gte: [5]}]]}, {len: []}')
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception,
+                           match="comparison operand must be a number"):
+            transform_table(df, rule_gte, mode=mode).collect()
     # map step extracting a field: NULL STRUCT elements drop (missing)
     dfn = spark.createDataFrame(
         [(1, [("a", 1), None, ("c", 2)])],
