@@ -68,6 +68,25 @@ class YamlLocator:
             return None
         return self._locations.get(path)
 
+    def location_for_nearest(self, path: str | None) -> YamlLocation | None:
+        """Location of ``path`` or its closest recorded ancestor.
+
+        Warning paths can point inside inline flow collections
+        (``mappings[0].expr[1].filter[0]``), which the index resolves
+        only to the owning key — walk up one component at a time
+        (``.key`` or ``[i]`` alike) until a recorded position is found.
+        """
+        import re
+        while path:
+            loc = self._locations.get(path)
+            if loc is not None:
+                return loc
+            trimmed = re.sub(r"(\.[^.\[\]]+|\[\d+\])$", "", path)
+            if trimmed == path:
+                return None
+            path = trimmed
+        return None
+
     def _record(self, path: str, line: int, column: int) -> None:
         self._locations.setdefault(path, YamlLocation(line, column))
 

@@ -244,9 +244,18 @@ class McpServer:
             if not errors:
                 warnings = collect_rule_warnings(rule)
                 if warnings:
-                    result["warnings"] = [
-                        {"code": w.code, "message": w.message,
-                         "path": w.path} for w in warnings]
+                    from ..locator import YamlLocator
+                    locator = YamlLocator(args["rules"])
+                    wout = []
+                    for w in warnings:
+                        obj = {"code": w.code, "message": w.message,
+                               "path": w.path}
+                        loc = (locator.location_for_nearest(w.path)
+                               if w.path else None)
+                        if loc is not None:
+                            obj["line"], obj["column"] = loc
+                        wout.append(obj)
+                    result["warnings"] = wout
             return json.dumps(result)
         if name == "generate_dto":
             from ..dto import generate_dto

@@ -501,6 +501,37 @@ _PIPE_LITERAL_MSG = (
     "object is a literal value, not an op call; make it the only "
     "element or pipe from a value first.")
 
+# predicate-taking array ops and the comparison op names (incl. aliases,
+# docs/rules_spec_en.md:341-347) whose lone-dict shape is the footgun
+_PREDICATE_OPS = ("filter", "partition", "find", "find_index")
+_COMPARISON_OPS = frozenset((
+    "==", "!=", ">", ">=", "<", "<=", "~=",
+    "eq", "ne", "gt", "gte", "lt", "lte", "match"))
+_PREDICATE_LITERAL_MSG = (
+    "%s predicate is a lone object whose key is a comparison op; the "
+    "reference parses a lone object as a LITERAL value, which fails "
+    "with 'value must be a boolean' at runtime on any non-empty array. "
+    "Write the predicate as a pipe: [\"@item...\", {%s: [...]}].")
+
+
+def _predicate_literal_warnings(op: str, args, pred_path: str,
+                                out: list[RuleWarning]) -> None:
+    """Warn when a filter/partition/find/find_index predicate arg is a
+    lone condition-shaped dict (single comparison-op key).  The
+    reference grammar makes a lone object a literal (``v2_parser.rs:
+    438-482``), so the rule compiles but errors only when a non-empty
+    array is evaluated — a warning, not an error, because empty-array
+    rows never trigger it."""
+    if op not in _PREDICATE_OPS or not isinstance(args, list) or not args:
+        return
+    pred = args[0]
+    if (isinstance(pred, dict) and len(pred) == 1
+            and next(iter(pred)) in _COMPARISON_OPS):
+        key = next(iter(pred))
+        out.append(RuleWarning(
+            "predicate_literal_condition_object",
+            _PREDICATE_LITERAL_MSG % (op, key), pred_path))
+
 
 def _v2_pipe_warnings(node, path: str, out: list[RuleWarning]) -> None:
     """Lint a v2 expr position for the literal-object-start footgun."""
@@ -525,6 +556,8 @@ def _v2_step_warnings(step, path: str, out: list[RuleWarning]) -> None:
     if isinstance(step.get("op"), str):
         args = step.get("args")
         if isinstance(args, list):
+            _predicate_literal_warnings(step["op"], args,
+                                        f"{path}.args[0]", out)
             for i, a in enumerate(args):
                 _v2_pipe_warnings(a, f"{path}.args[{i}]", out)
         return
@@ -549,6 +582,7 @@ def _v2_step_warnings(step, path: str, out: list[RuleWarning]) -> None:
     if len(step) == 1:
         (k, v), = step.items()
         if isinstance(v, list):
+            _predicate_literal_warnings(k, v, f"{path}.{k}[0]", out)
             for i, a in enumerate(v):
                 _v2_pipe_warnings(a, f"{path}.{k}[{i}]", out)
         else:

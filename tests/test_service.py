@@ -378,3 +378,26 @@ def test_ui_page_served():
         assert "/users/{id}" in html and "2 step(s)" in html
     finally:
         httpd.shutdown()
+
+
+def test_validate_rules_warning_with_yaml_location():
+    """Predicate-literal lint surfaces through validate_rules with a
+    nearest-ancestor YAML position (locator.location_for_nearest)."""
+    from rulemorph_spark.service.mcp import McpServer
+    server = McpServer()
+    rules = (
+        "version: 2\n"
+        "input: {format: json}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr: [\"@input.xs\", {filter: [{gte: [\"@item.q\", 5]}]}]\n")
+    resp = server.handle({
+        "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+        "params": {"name": "validate_rules",
+                   "arguments": {"rules": rules}}})
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert payload["valid"] is True
+    (w,) = payload["warnings"]
+    assert w["code"] == "predicate_literal_condition_object"
+    assert w["path"] == "mappings[0].expr[1].filter[0]"
+    assert (w["line"], w["column"]) == (5, 5)  # the expr key's line

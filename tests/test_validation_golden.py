@@ -201,3 +201,47 @@ def test_v2_footgun_warning_in_steps_and_nested_args():
     got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
     assert got == [("v2_pipe_literal_object_start",
                     "steps[0].mappings[0].expr[1].map[0].args[0]")]
+
+
+def test_predicate_literal_condition_object_warning():
+    """filter/partition/find/find_index with a lone condition-shaped
+    dict predicate: the reference parses it as an object LITERAL
+    (v2_parser.rs:438-482) that errors at runtime only on non-empty
+    arrays — lint it (docs/rules_spec_en.md:341-355)."""
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 2\n"
+        "input: {format: json}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr: [\"@input.xs\", {filter: [{gte: [\"@item.q\", 5]}]}]\n"
+        "  - target: b\n"
+        "    expr: [\"@input.xs\", {find: [{\"==\": [\"@item\", 1]}]}]\n"
+        "  - target: ok_pipe\n"
+        "    expr: [\"@input.xs\", {filter: [[\"@item.q\", {gte: [5]}]]}]\n"
+        "  - target: ok_object_op\n"
+        "    expr: [\"@input.o\", {pick: [k]}]\n"
+    )
+    got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
+    assert got == [
+        ("predicate_literal_condition_object",
+         "mappings[0].expr[1].filter[0]"),
+        ("predicate_literal_condition_object",
+         "mappings[1].expr[1].find[0]"),
+    ]
+
+
+def test_predicate_literal_warning_op_form_and_partition():
+    from rulemorph_spark.validator import collect_rule_warnings
+    rule = parse_rule_file(
+        "version: 2\n"
+        "input: {format: json}\n"
+        "mappings:\n"
+        "  - target: a\n"
+        "    expr:\n"
+        "      - \"@input.xs\"\n"
+        "      - {op: partition, args: [{\"<\": [\"@item\", 80]}]}\n"
+    )
+    got = [(w.code, w.path) for w in collect_rule_warnings(rule)]
+    assert got == [("predicate_literal_condition_object",
+                    "mappings[0].expr[1].args[0]")]
