@@ -77,22 +77,43 @@ def main():
 
     # criterion-comparable methodology (BASELINE.md anchors to the
     # reference's criterion benches, which time WARMED iterations): one
-    # untimed warm-up execution per query, then the MEDIAN of three
-    # timed runs (robust to shared-host noise spikes). Cold first-run
-    # cost (codegen + AQE replan) is reported separately as cold_total.
+    # untimed warm-up execution per query, then the MEDIAN of six timed
+    # runs taken in TWO passes over the whole query set (pass A, then
+    # pass B after every other query has run).  Two passes separated by
+    # minutes of bench wall time make environment drift measurable:
+    # per-query {min, median, max} plus the pass-B-minus-pass-A median
+    # delta are emitted as "dispersion" (VERDICT r3 next #4 — r3's
+    # uniform +20% on untouched queries was invisible in a lone
+    # median).  Cold first-run cost (codegen + AQE replan) is reported
+    # separately as cold_total.
     cold_total = 0.0
+    samples: dict[str, list[float]] = {n: [] for n in headline}
     for name in headline:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold_total += time.perf_counter() - t0
-        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[1], 3)
+            samples[name].append(time.perf_counter() - t0)
+    for name in headline:  # pass B: re-time after the full first pass
+        fn = qs[name]
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    dispersion: dict[str, dict] = {}
+    for name in headline:
+        ss = sorted(samples[name])
+        a = sorted(samples[name][:3])[1]
+        b = sorted(samples[name][3:])[1]
+        timings[name] = round(ss[len(ss) // 2], 3)
+        dispersion[name] = {"min": round(ss[0], 3),
+                            "median": timings[name],
+                            "max": round(ss[-1], 3),
+                            "pass_delta": round(b - a, 3)}
 
     # round-2 corpus operators, reported separately so the headline
     # total stays comparable with BENCH_r01's query set
@@ -132,13 +153,17 @@ def main():
                      ("bm25_search", _bm25),
                      ("ppl_buckets", _ppl)):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples = []
+        ss = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        corpus_ops[name] = round(sorted(samples)[1], 3)
+            ss.append(time.perf_counter() - t0)
+        ss.sort()
+        corpus_ops[name] = round(ss[1], 3)
+        dispersion[name] = {"min": round(ss[0], 3),
+                            "median": corpus_ops[name],
+                            "max": round(ss[-1], 3)}
 
     duckdb_timings = _duckdb_baseline(sf_dir, headline,
                                       entry.oracle_sql(),
@@ -161,6 +186,10 @@ def main():
         "unit": "sec",
         "queries": timings,
         "corpus_ops": corpus_ops,
+        # per-query spread over 6 timed runs in 2 separated passes;
+        # pass_delta = passB median - passA median (drift over bench
+        # wall time — r3's unexplained +20% motivated this)
+        "dispersion": dispersion,
         "cold_total": round(cold_total, 3),
         # measured same-machine/same-data baseline (VERDICT r2 next #3):
         # each headline query's oracle_sql() timed in DuckDB (native
