@@ -340,27 +340,52 @@ def _py_literal(value, path: str) -> TVal:
     raise TypedFallback(f"container literal at {path}")
 
 
-def _navigate_schema(schema: T.StructType, tokens
-                     ) -> tuple[Column, T.DataType, Column | None] | None:
-    """Walk key tokens over the input schema; None = statically missing.
+def _walk_tokens(col: Column | None, dt: T.DataType, tokens,
+                 mw: Column | None
+                 ) -> tuple[Column, T.DataType, Column | None] | None:
+    """Shared static token walk for @input / @item; None = statically
+    missing.  Mirrors the variant engine's ``navigate``
+    (``variant.py:202-213``, reference path semantics
+    ``transform.rs:1006-1080``):
 
-    Returns ``(col, dtype, missing_when)``: a path traversing an
-    intermediate struct is runtime-missing exactly when some PREFIX is
-    NULL (the leaf NULL then means *missing*, not JSON null) — that
-    predicate is returned so downstream ops apply the reference's
-    missing semantics in-plan (``missing_when`` tri-state).
+    - ``Key`` on a struct: field access; a NULL struct PREFIX makes the
+      leaf runtime-missing (tracked in ``mw``), a NULL leaf is JSON
+      null;
+    - ``Key`` on a map (round 4): ``try_element_at`` probe; an absent
+      key — or a NULL map, or a key not castable to the map's key type
+      — is runtime-missing, a stored NULL value is JSON null;
+    - ``Index`` on an array (round 4): 0-based ``try_element_at``;
+      negative / out-of-bounds / non-array — statically or at runtime —
+      is missing, a stored NULL element is JSON null;
+    - ``Key`` on an array / ``Index`` on a struct or map: statically
+      missing, like the variant engine's failed container cast;
+    - variants stay a ``TypedFallback`` — genuinely dynamic.
     """
-    col = None
-    mw: Column | None = None
-    dt: T.DataType = schema
     for tok in tokens:
-        if not isinstance(tok, Key):
-            raise TypedFallback("array index navigation")
-        if isinstance(dt, (T.MapType, T.VariantType)):
+        if isinstance(dt, T.VariantType):
             # the variant engine navigates INTO dynamic containers;
             # statically we cannot, and returning "missing" here would
             # silently diverge — defer
             raise TypedFallback("navigation into dynamic container")
+        if isinstance(tok, Index):
+            if (col is None or not isinstance(dt, T.ArrayType)
+                    or tok.index < 0):
+                return None
+            oob = F.coalesce(F.size(col) <= tok.index, F.lit(True))
+            mw = oob if mw is None else mw | oob
+            col = F.try_element_at(col, F.lit(tok.index + 1))
+            dt = dt.elementType
+            continue
+        if isinstance(dt, T.MapType):
+            if col is None:
+                return None
+            key = F.lit(tok.name).try_cast(dt.keyType)
+            absent = F.coalesce(~F.map_contains_key(col, key),
+                                F.lit(True))
+            mw = absent if mw is None else mw | absent
+            col = F.try_element_at(col, key)
+            dt = dt.valueType
+            continue
         if not isinstance(dt, T.StructType):
             return None
         sub = next((f for f in dt.fields if f.name == tok.name), None)
@@ -372,6 +397,24 @@ def _navigate_schema(schema: T.StructType, tokens
         dt = sub.dataType
     if col is None:  # empty path: whole record
         raise TypedFallback("whole-record reference")
+    return col, dt, mw
+
+
+def _navigate_schema(schema: T.StructType, tokens
+                     ) -> tuple[Column, T.DataType, Column | None] | None:
+    """Walk path tokens over the input schema; None = statically
+    missing.
+
+    Returns ``(col, dtype, missing_when)``: a path traversing an
+    intermediate struct is runtime-missing exactly when some PREFIX is
+    NULL (the leaf NULL then means *missing*, not JSON null) — that
+    predicate is returned so downstream ops apply the reference's
+    missing semantics in-plan (``missing_when`` tri-state).
+    """
+    nav = _walk_tokens(None, schema, tokens, None)
+    if nav is None:
+        return None
+    col, dt, mw = nav
     if isinstance(dt, T.ArrayType):
         if not _scalar_element_array(dt):
             raise TypedFallback("array of non-scalar input field")
@@ -483,22 +526,13 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
             tokens = tokens[1:]
         if not tokens:
             return scope.item
-        col, dt = scope.item.col, scope.item.dtype
-        mw: Column | None = None
-        for tok in tokens:
-            if not isinstance(tok, Key):
-                raise TypedFallback("@item array-index navigation")
-            if isinstance(dt, (T.MapType, T.VariantType)):
-                raise TypedFallback("@item navigation into dynamic "
-                                    "container")
-            if not isinstance(dt, T.StructType):
-                return _missing()
-            sub = next((f for f in dt.fields if f.name == tok.name),
-                       None)
-            if sub is None:
-                return _missing()
-            mw = col.isNull() if mw is None else mw | col.isNull()
-            col, dt = col.getField(tok.name), sub.dataType
+        nav = _walk_tokens(scope.item.col, scope.item.dtype, tokens,
+                           _mw(scope.item)
+                           if scope.item.missing_when is not None
+                           else None)
+        if nav is None:
+            return _missing()
+        col, dt, mw = nav
         if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
             raise TypedFallback("@item yields array of non-scalar")
         if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
