@@ -199,13 +199,37 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
 
         def _ui_api(self, path: str, query) -> bool:
             if path == "/ui/api/traces":
-                traces = (engine.trace_store.list()
-                          if engine.trace_store is not None else [])
-                self._send_json({"traces": traces})
+                if engine.trace_store is None:
+                    self._send_json({"traces": []})
+                elif dict(query).get("summary"):
+                    self._send_json(
+                        {"traces": engine.trace_store.summaries()})
+                else:
+                    self._send_json({"traces": engine.trace_store.list()})
+                return True
+            if path == "/ui/api/trace":
+                tid = dict(query).get("id", "")
+                doc = (engine.trace_store.get(tid)
+                       if engine.trace_store is not None else None)
+                if doc is None:
+                    self._send_json({"error": "not found"})
+                else:
+                    self._send_json(doc)
+                return True
+            if path == "/ui/api/trace-graph":
+                from .service.trace import build_trace_graph, layout_layers
+                tid = dict(query).get("id", "")
+                doc = (engine.trace_store.get(tid)
+                       if engine.trace_store is not None else None)
+                if doc is None:
+                    self._send_json({"error": "not found"})
+                else:
+                    self._send_json(layout_layers(build_trace_graph(doc)))
                 return True
             if path == "/ui/api/graph":
-                from .service.trace import build_api_graph
-                self._send_json(build_api_graph(engine.endpoint_file))
+                from .service.trace import build_api_graph, layout_layers
+                self._send_json(
+                    layout_layers(build_api_graph(engine.endpoint_file)))
                 return True
             if path == "/ui/api/trace-version":
                 since = int(dict(query).get("since", -1))
@@ -335,62 +359,12 @@ def cmd_ui(args) -> int:
 
 
 def _ui_index_html(engine) -> str:
-    """Overview page: endpoint table + API dependency graph + LIVE
-    trace list (long-polls /ui/api/trace-version; a new trace appears
-    without reload — the reference UI's watcher-driven refresh,
-    ``trace_watch.rs`` + ``App.tsx``)."""
-    rows = "".join(
-        f"<tr><td>{e.method}</td><td><code>{e.path}</code></td>"
-        f"<td>{len(e.steps)} step(s)</td></tr>"
-        for e in engine.endpoints)
-    script = """
-<script>
-async function j(u){const r=await fetch(u);return r.json();}
-function esc(s){const d=document.createElement('span');
-  d.textContent=String(s);return d.innerHTML;}
-async function renderGraph(){
-  const g=await j('/ui/api/graph');
-  const out=[];
-  for(const e of g.edges){
-    out.push('<li><code>'+esc(e.from)+'</code> \\u2192 <code>'
-             +esc(e.to)+'</code> <em>('+esc(e.kind)+')</em></li>');
-  }
-  document.getElementById('graph').innerHTML =
-    out.length? '<ul>'+out.join('')+'</ul>' : '<p>no references</p>';
-}
-async function renderTraces(){
-  const t=await j('/ui/api/traces');
-  const rows=t.traces.slice(-50).reverse().map(tr =>
-    '<tr><td>'+esc(tr.method)+'</td><td><code>'+esc(tr.path)
-    +'</code></td><td>'+esc(tr.status)+'</td><td>'
-    +esc(tr.total_ms)+' ms</td><td>'+tr.steps.map(s =>
-        esc(s.kind)+':'+esc(s.name)).join(' \\u2192 ')+'</td></tr>');
-  document.getElementById('traces').innerHTML =
-    '<tr><th>method</th><th>path</th><th>status</th><th>time</th>'
-    +'<th>steps</th></tr>'+rows.join('');
-}
-async function watch(){
-  let v=(await j('/ui/api/trace-version')).version;
-  for(;;){
-    try{
-      const nv=(await j('/ui/api/trace-version?since='+v)).version;
-      if(nv>v){v=nv;await renderTraces();}
-    }catch(e){await new Promise(r=>setTimeout(r,2000));}
-  }
-}
-renderGraph();renderTraces();watch();
-</script>"""
-    return (
-        "<!doctype html><html><head><title>rulemorph</title>"
-        "<style>body{font-family:sans-serif;margin:2rem}"
-        "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
-        "padding:.3rem .6rem}</style></head><body>"
-        "<h1>rulemorph endpoints</h1>"
-        f"<table><tr><th>method</th><th>path</th><th>steps</th></tr>{rows}"
-        "</table>"
-        "<h2>api graph</h2><div id='graph'>loading…</div>"
-        "<h2>traces (live)</h2><table id='traces'></table>"
-        f"{script}</body></html>")
+    """The browser SPA (two views: API-graph overview + live trace
+    detail — ``service/ui.py``, porting the reference UI's
+    ``App.tsx``/``view_mode.ts`` behaviors; traces stay live via the
+    ``trace_watch.rs``-mirror long-poll)."""
+    from .service.ui import ui_index_html
+    return ui_index_html(engine)
 
 
 def cmd_serve(args) -> int:

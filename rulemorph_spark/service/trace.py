@@ -92,6 +92,23 @@ class TraceStore:
                     out.append(json.load(fh))
         return out
 
+    def get(self, trace_id: str) -> dict | None:
+        """Single trace by id (the SPA's on-selection fetch)."""
+        if "/" in trace_id or os.sep in trace_id:
+            return None
+        path = os.path.join(self.data_dir, f"trace-{trace_id}.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                return json.load(fh)
+        except OSError:
+            return None
+
+    def summaries(self) -> list[dict]:
+        """Light list rows sorted by started_at (TraceListItem)."""
+        rows = [summarize_trace(doc) for doc in self.list()]
+        rows.sort(key=lambda r: r.get("started_at") or 0)
+        return rows
+
 
 class TraceWatcher:
     """Live trace-change notification — the polling mirror of the
@@ -216,3 +233,115 @@ def build_api_graph(endpoint_file: str) -> dict:
                           "to": f"{kind or 'rule'}:{rel}", "kind": "catch"})
     return {"nodes": sorted(nodes.values(), key=lambda n: n["id"]),
             "edges": edges}
+
+
+# --- UI view models ------------------------------------------------------
+# Server-side ports of the reference SPA's pure view logic
+# (``rulemorph_ui/ui/src/App.tsx``): trace summaries (TraceListItem
+# shape, App.tsx:19), the trace detail graph (buildOverviewGraph,
+# App.tsx:305 — here over this engine's flat step traces), duration
+# formatting (formatDuration, App.tsx:151) and layered DAG layout
+# (layoutGraph, App.tsx:831 — dagre replaced with longest-path
+# layering).  Keeping them in Python makes the views unit-testable
+# without a browser; the /ui page is a thin SVG renderer over them.
+
+
+def summarize_trace(doc: dict) -> dict:
+    """TraceListItem: the light list row (id + status line, no step
+    payloads — the SPA fetches the full trace on selection)."""
+    return {
+        "trace_id": doc.get("trace_id"),
+        "endpoint": doc.get("endpoint"),
+        "method": doc.get("method"),
+        "path": doc.get("path"),
+        "status": doc.get("status"),
+        "total_ms": doc.get("total_ms"),
+        "started_at": doc.get("started_at"),
+        "n_steps": len(doc.get("steps") or []),
+        "error": any(s.get("error") for s in doc.get("steps") or []),
+    }
+
+
+def format_duration_ms(ms) -> str:
+    """µs below 1 ms, else ms — the reference's formatDuration
+    (App.tsx:151-166) on this engine's millisecond timings."""
+    if ms is None:
+        return ""
+    if ms < 1.0:
+        return f"{ms * 1000:.0f} µs"
+    if ms < 1000.0:
+        return f"{ms:.1f} ms"
+    return f"{ms / 1000.0:.2f} s"
+
+
+def build_trace_graph(doc: dict) -> dict:
+    """Trace detail graph: request → step chain → reply, catch steps
+    hanging off the failing step (buildOverviewGraph semantics over
+    flat steps; error nodes flagged like traceNodeHasError,
+    App.tsx:277)."""
+    nodes: list[dict] = []
+    edges: list[dict] = []
+    req_id = "request"
+    nodes.append({"id": req_id, "kind": "request",
+                  "label": f"{doc.get('method')} {doc.get('path')}",
+                  "error": False, "elapsed_ms": None})
+    prev = req_id
+    failed_from: str | None = None
+    for i, s in enumerate(doc.get("steps") or []):
+        nid = f"s{i}:{s.get('name')}"
+        err = bool(s.get("error"))
+        nodes.append({"id": nid, "kind": s.get("kind"),
+                      "label": s.get("name"), "error": err,
+                      "elapsed_ms": s.get("elapsed_ms")})
+        src = failed_from if (s.get("kind") == "catch"
+                              and failed_from is not None) else prev
+        edges.append({"from": src, "to": nid,
+                      "label": format_duration_ms(s.get("elapsed_ms")),
+                      "kind": s.get("kind"), "error": err})
+        if err:
+            failed_from = nid
+        prev = nid
+    status = doc.get("status")
+    nodes.append({"id": "response", "kind": "response",
+                  "label": f"{status}" if status is not None else "—",
+                  "error": bool(status and int(status) >= 500),
+                  "elapsed_ms": doc.get("total_ms")})
+    edges.append({"from": prev, "to": "response",
+                  "label": format_duration_ms(doc.get("total_ms")),
+                  "kind": "reply", "error": False})
+    return {"nodes": nodes, "edges": edges}
+
+
+def layout_layers(graph: dict) -> dict:
+    """Longest-path layering for a small DAG (the SPA's layoutGraph /
+    dagre stand-in): each node gets ``layer`` (x rank from roots) and
+    ``row`` (stable y order within its layer).  Cycles (defensive —
+    the walkers cannot emit them) are broken by visit order."""
+    nodes = {n["id"]: dict(n) for n in graph["nodes"]}
+    out_edges: dict[str, list[str]] = {nid: [] for nid in nodes}
+    indeg = {nid: 0 for nid in nodes}
+    for e in graph["edges"]:
+        if e["from"] in nodes and e["to"] in nodes:
+            out_edges[e["from"]].append(e["to"])
+            indeg[e["to"]] += 1
+    layer = {nid: 0 for nid in nodes}
+    # Kahn order; on cycle leftovers keep layer 0
+    from collections import deque
+    q = deque(nid for nid, d in indeg.items() if d == 0)
+    topo = []
+    while q:
+        nid = q.popleft()
+        topo.append(nid)
+        for dst in out_edges[nid]:
+            layer[dst] = max(layer[dst], layer[nid] + 1)
+            indeg[dst] -= 1
+            if indeg[dst] == 0:
+                q.append(dst)
+    rows: dict[int, int] = {}
+    for n in nodes.values():
+        lay = layer[n["id"]]
+        n["layer"] = lay
+        n["row"] = rows.get(lay, 0)
+        rows[lay] = n["row"] + 1
+    return {"nodes": [nodes[n["id"]] for n in graph["nodes"]],
+            "edges": graph["edges"]}

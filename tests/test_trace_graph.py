@@ -179,3 +179,120 @@ def test_trace_watcher_and_live_ui_api(spark, svc_dir):
             page = r.read().decode()
         assert "trace-version" in page and "renderGraph" in page
         httpd.shutdown()
+
+
+# -- UI view models (App.tsx port: service/trace.py + service/ui.py) ----
+
+def test_trace_summaries_and_get(spark, svc_dir):
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        eng.handle_request("GET", "/things/5")
+        eng.handle_request("GET", "/things/6")
+        rows = eng.trace_store.summaries()
+        assert len(rows) == 2
+        assert [set(r) for r in rows] == [
+            {"trace_id", "endpoint", "method", "path", "status",
+             "total_ms", "started_at", "n_steps", "error"}] * 2
+        assert rows[0]["started_at"] <= rows[1]["started_at"]
+        assert all(r["error"] is False and r["n_steps"] == 3
+                   for r in rows)
+        doc = eng.trace_store.get(rows[0]["trace_id"])
+        assert doc is not None and len(doc["steps"]) == 3
+        assert eng.trace_store.get("nope") is None
+        assert eng.trace_store.get("../escape") is None
+
+
+def test_build_trace_graph_chain_and_error_catch():
+    from rulemorph_spark.service.trace import build_trace_graph
+    doc = {"method": "GET", "path": "/x", "status": 200,
+           "total_ms": 3.5,
+           "steps": [
+               {"name": "a.yaml", "kind": "step", "elapsed_ms": 1.0},
+               {"name": "n.yaml", "kind": "network", "elapsed_ms": 2.0,
+                "error": "boom"},
+               {"name": "h.yaml", "kind": "catch", "elapsed_ms": 0.5},
+               {"name": "reply", "kind": "reply", "elapsed_ms": 0.0}]}
+    g = build_trace_graph(doc)
+    ids = [n["id"] for n in g["nodes"]]
+    assert ids == ["request", "s0:a.yaml", "s1:n.yaml", "s2:h.yaml",
+                   "s3:reply", "response"]
+    by_to = {e["to"]: e["from"] for e in g["edges"]}
+    # catch hangs off the FAILING step, the chain continues after it
+    assert by_to["s2:h.yaml"] == "s1:n.yaml"
+    assert by_to["s3:reply"] == "s2:h.yaml"
+    err = {n["id"]: n["error"] for n in g["nodes"]}
+    assert err["s1:n.yaml"] is True and err["s0:a.yaml"] is False
+
+
+def test_layout_layers_longest_path():
+    from rulemorph_spark.service.trace import layout_layers
+    g = {"nodes": [{"id": "a"}, {"id": "b"}, {"id": "c"},
+                   {"id": "d"}],
+         "edges": [{"from": "a", "to": "b"}, {"from": "a", "to": "c"},
+                   {"from": "b", "to": "c"}, {"from": "c", "to": "d"}]}
+    out = layout_layers(g)
+    lay = {n["id"]: n["layer"] for n in out["nodes"]}
+    assert lay == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # rows are stable 0..k within each layer
+    rows = [(n["layer"], n["row"]) for n in out["nodes"]]
+    assert len(set(rows)) == len(rows)
+
+
+def test_format_duration_units():
+    from rulemorph_spark.service.trace import format_duration_ms
+    assert format_duration_ms(0.25) == "250 µs"
+    assert format_duration_ms(12.34) == "12.3 ms"
+    assert format_duration_ms(2500.0) == "2.50 s"
+
+
+def test_ui_spa_endpoints_round_trip(spark, svc_dir):
+    """/ui/api/trace, /ui/api/trace-graph and ?summary=1 serve the SPA
+    data layer over HTTP; the page carries both views."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from rulemorph_spark.cli import _ui_index_html, make_http_server
+
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        httpd = make_http_server(eng, port=0,
+                                 ui_html=_ui_index_html(eng))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=30) as r:
+                return _json.loads(r.read().decode())
+
+        with urllib.request.urlopen(base + "/things/7", timeout=30):
+            pass
+        rows = get("/ui/api/traces?summary=1")["traces"]
+        assert len(rows) == 1 and "steps" not in rows[0]
+        tid = rows[0]["trace_id"]
+        doc = get(f"/ui/api/trace?id={tid}")
+        assert doc["trace_id"] == tid and len(doc["steps"]) == 3
+        tg = get(f"/ui/api/trace-graph?id={tid}")
+        assert [n["id"] for n in tg["nodes"]][0] == "request"
+        assert all("layer" in n and "row" in n for n in tg["nodes"])
+        assert get("/ui/api/trace?id=zzz") == {"error": "not found"}
+        # the API graph now carries layout for the SVG renderer
+        ag = get("/ui/api/graph")
+        assert all("layer" in n for n in ag["nodes"])
+        with urllib.request.urlopen(base + "/ui", timeout=30) as r:
+            page = r.read().decode()
+        for marker in ("renderGraph", "trace-version",
+                       "data-view='overview'", "data-view='trace'",
+                       "trace-graph"):
+            assert marker in page, marker
+        httpd.shutdown()
