@@ -623,6 +623,12 @@ mappings:
     expr: ["@input.fs", {merge: ["@input.pk"]}, {len: []}]
   - target: status_p
     expr: ["@input.fs", {pick: ["status"]}, {get: ["status"]}]
+  - target: rf0
+    expr: ["@input.rfs[0]"]
+  - target: oob
+    expr: ["@input.rfs[7]", {coalesce: ["none"]}]
+  - target: fm_rf
+    expr: ["@input.fm.rf", {concat: ["@input.fm.ls"]}]
 """
 
 
@@ -638,7 +644,12 @@ def q_rule_typed_transform(spark, sf_dir):
     The `keys` op yields array<string>; the driver's canonicalizer
     hashes pandas values and cannot sort a list column, so the gated
     projection flattens it with array_join AFTER the typed transform —
-    the typed `keys` plan is still fully exercised in-plan."""
+    the typed `keys` plan is still fully exercised in-plan.
+
+    Round 4: the rfs array and fm map columns route the typed STATIC
+    NAVIGATION paths (`compiler/typed.py:_walk_tokens`) — `[0]` /
+    out-of-bounds `[7]`-is-missing on an array column, key probes on a
+    map column — under the driver gate."""
     from rulemorph_spark.engine import transform_table
     li = _t(spark, sf_dir, "lineitem")
     shaped = li.select(
@@ -646,7 +657,11 @@ def q_rule_typed_transform(spark, sf_dir):
         F.struct(F.col("l_returnflag").alias("flag"),
                  F.col("l_linestatus").alias("status")).alias("fs"),
         F.struct(F.col("l_partkey").alias("part"),
-                 F.col("l_suppkey").alias("supp")).alias("pk"))
+                 F.col("l_suppkey").alias("supp")).alias("pk"),
+        F.array(F.col("l_returnflag"),
+                F.col("l_linestatus")).alias("rfs"),
+        F.create_map(F.lit("rf"), F.col("l_returnflag"),
+                     F.lit("ls"), F.col("l_linestatus")).alias("fm"))
     out = transform_table(shaped, _TYPED_TABLE_RULE, mode="typed")
     return out.withColumn("fs_keys", F.array_join("fs_keys", ","))
 
@@ -1505,7 +1520,10 @@ def oracle_sql() -> dict[str, str]:
                    l_partkey AS part_m,
                    'flag' || ',' || 'status' AS fs_keys,
                    CAST(4 AS BIGINT) AS n_fields,
-                   l_linestatus AS status_p
+                   l_linestatus AS status_p,
+                   l_returnflag AS rf0,
+                   'none' AS oob,
+                   l_returnflag || l_linestatus AS fm_rf
             FROM lineitem WHERE l_quantity >= 10
         """,
         "q_events_time_window": """
