@@ -74,6 +74,11 @@ function setView(v){S.view=v;S.selNode=null;render();}
 function nodePos(n){return {x:40+n.layer*230,y:46+n.row*74};}
 
 function drawGraph(g,onSel){
+  if(!g||!g.nodes||!g.nodes.length){
+    document.getElementById('canvas').innerHTML=
+      '<p class="muted">empty graph</p>';
+    return;
+  }
   const W=Math.max(...g.nodes.map(n=>nodePos(n).x))+240;
   const H=Math.max(...g.nodes.map(n=>nodePos(n).y))+90;
   const pos={};g.nodes.forEach(n=>pos[n.id]=nodePos(n));
