@@ -1363,18 +1363,13 @@ def t_get(scope, cur, args, path):
     mw = _mw(base) if base.missing_when is not None else None
     if _unresolved(base):
         raise TypedFallback("get over maybe-missing base")
-    for tok in tokens:
-        if not isinstance(tok, Key):
-            raise TypedFallback("get with array index")
-        if isinstance(dt, (T.MapType, T.VariantType)):
-            raise TypedFallback("get into dynamic container")
-        if not isinstance(dt, T.StructType):
-            return _missing()       # statically absent
-        sub = next((f for f in dt.fields if f.name == tok.name), None)
-        if sub is None:
-            return _missing()
-        mw = col.isNull() if mw is None else mw | col.isNull()
-        col, dt = col.getField(tok.name), sub.dataType
+    # the same static walk as @input/@item refs (round 4): array
+    # indexes and map keys navigate natively, mirroring the variant
+    # op's V.navigate
+    nav = _walk_tokens(col, dt, tokens, mw)
+    if nav is None:
+        return _missing()           # statically absent
+    col, dt, mw = nav
     if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
         raise TypedFallback("get yields array of non-scalar")
     if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):

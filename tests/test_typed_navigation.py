@@ -185,3 +185,32 @@ def test_variant_column_still_falls_back(spark):
         .select("id", F.parse_json("j").alias("v"))
     with pytest.raises(TypedFallback):
         transform_table(df, RULE % '"@input.v.a"', mode="typed")
+
+
+def test_get_op_with_index_and_map_paths(spark):
+    """the object op `get` shares the static walk: bracket indexes and
+    map keys in the path compile typed, with variant parity."""
+    df = spark.createDataFrame(
+        [(1, ([("a", 3), ("b", 7)], {"c": "x"})),
+         (2, ([], {}))],
+        "id long, o struct<items:array<struct<sku:string,qty:long>>,"
+        "attrs:map<string,string>>")
+    for expr, expect in [
+        ('"@input.o", {get: ["items[1].sku"]}', {1: "b", 2: None}),
+        ('"@input.o", {get: ["items[9].sku"]}, {coalesce: ["f"]}',
+         {1: "f", 2: "f"}),
+        ('"@input.o", {get: ["attrs.c"]}', {1: "x", 2: None}),
+    ]:
+        rule = RULE % expr
+        got = {r["id"]: r["out"] for r in
+               transform_table(df, rule, mode="typed").collect()}
+        assert got == expect, expr
+        vgot = {r["id"]: r["out"] for r in
+                transform_table(df, rule, mode="variant")
+                .select(F.to_json("id").cast("long").alias("id"),
+                        F.to_json("out").alias("out")).collect()}
+        for k, v in expect.items():
+            if v is None:
+                assert vgot[k] in (None, "null"), (expr, k)
+            else:
+                assert vgot[k] == f'"{v}"', (expr, k, vgot[k])
