@@ -153,8 +153,9 @@ def test_map_value_containers_navigate_through(spark):
 
 
 def test_int_keyed_map_is_missing_not_fallback(spark):
-    """non-castable key on an int-keyed map → missing (the variant
-    bridge stringifies keys, so 'color' is equally absent there)."""
+    """non-castable key segment on an int-keyed map → missing (typed
+    path; the variant bridge cannot ingest non-string-keyed maps at
+    all, so there is nothing to diverge from)."""
     df = spark.createDataFrame([(1, {5: "v"})],
                                "id long, m map<bigint,string>")
     got = transform_table(df, RULE % '"@input.m.color"',
@@ -214,3 +215,17 @@ def test_get_op_with_index_and_map_paths(spark):
                 assert vgot[k] in (None, "null"), (expr, k)
             else:
                 assert vgot[k] == f'"{v}"', (expr, k, vgot[k])
+
+
+def test_numeric_keyed_map_numeric_path_segment(spark):
+    """`@input.m.5` (Key('5') token) on map<bigint,string> casts the
+    segment to the key type.  Typed-only: Spark's to_variant_object
+    rejects non-string map keys outright, so the variant bridge cannot
+    even ingest this table — the typed path EXCEEDS the variant engine
+    on numeric-keyed maps."""
+    df = spark.createDataFrame([(1, {5: "five"}), (2, {7: "seven"})],
+                               "id long, m map<bigint,string>")
+    rule = RULE % '"@input.m.5", {coalesce: ["absent"]}'
+    got = {r["id"]: r["out"] for r in
+           transform_table(df, rule, mode="typed").collect()}
+    assert got == {1: "five", 2: "absent"}
