@@ -229,3 +229,124 @@ def test_numeric_keyed_map_numeric_path_segment(spark):
     got = {r["id"]: r["out"] for r in
            transform_table(df, rule, mode="typed").collect()}
     assert got == {1: "five", 2: "absent"}
+
+
+def test_randomized_navigation_parity_sweep(spark):
+    """Seeded random sweep: nested struct/array/map schemas × random
+    ref paths (valid, invalid, OOB) — typed and variant engines must
+    agree on every JSON-comparable result.  Typed-only shapes
+    (TypedFallback) are skipped but counted; the sweep must exercise a
+    healthy number of comparable cases."""
+    import json as _json
+    import random
+
+    rng = random.Random(20260814)
+    SCALARS = [("long", lambda: rng.randrange(100)),
+               ("string", lambda: rng.choice(["a", "b", "zz"])),
+               ("boolean", lambda: rng.random() < 0.5)]
+
+    def gen_type(depth):
+        roll = rng.random()
+        if depth <= 0 or roll < 0.35:
+            return rng.choice(SCALARS)[0]
+        if roll < 0.6:
+            n = rng.randrange(1, 3)
+            return {f"f{j}": gen_type(depth - 1) for j in range(n)}
+        if roll < 0.8:
+            return [gen_type(depth - 1)]
+        return ("map", gen_type(depth - 1))
+
+    def ddl(t):
+        if isinstance(t, str):
+            return t
+        if isinstance(t, dict):
+            inner = ",".join(f"{k}:{ddl(v)}" for k, v in t.items())
+            return f"struct<{inner}>"
+        if isinstance(t, list):
+            return f"array<{ddl(t[0])}>"
+        return f"map<string,{ddl(t[1])}>"
+
+    def gen_value(t, null_p=0.25):
+        if rng.random() < null_p:
+            return None
+        if t == "long":
+            return rng.randrange(100)
+        if t == "string":
+            return rng.choice(["a", "b", "zz"])
+        if t == "boolean":
+            return rng.random() < 0.5
+        if isinstance(t, dict):
+            return {k: gen_value(v) for k, v in t.items()}
+        if isinstance(t, list):
+            return [gen_value(t[0]) for _ in range(rng.randrange(0, 3))]
+        keys = rng.sample(["k1", "k2", "k3"], rng.randrange(0, 3))
+        return {k: gen_value(t[1]) for k in keys}
+
+    def gen_path(t):
+        segs = []
+        while not isinstance(t, str):
+            if isinstance(t, dict):
+                if rng.random() < 0.12:
+                    segs.append(f".nope{rng.randrange(3)}")
+                    break
+                k = rng.choice(list(t))
+                segs.append(f".{k}")
+                t = t[k]
+            elif isinstance(t, list):
+                segs.append(f"[{rng.randrange(0, 4)}]")
+                t = t[0]
+            else:
+                segs.append(f".k{rng.randrange(1, 5)}")
+                t = t[1]
+            if rng.random() < 0.25:
+                break
+        return "".join(segs).lstrip(".")
+
+    compared = skipped = 0
+    for si in range(8):
+        schema = {f"c{j}": gen_type(2) for j in range(2)}
+        schema_ddl = ", ".join(f"{k} {ddl(v)}" for k, v in schema.items())
+        pyrows = [[i] + [gen_value(schema[f"c{j}"]) for j in range(2)]
+                  for i in range(6)]
+        df = spark.createDataFrame(
+            [tuple(r) for r in pyrows], f"id long, {schema_ddl}")
+        for _ in range(6):
+            root = rng.choice(list(schema))
+            sub = gen_path(schema[root])
+            ref = f"@input.{root}" + (("." + sub) if sub
+                                      and not sub.startswith("[") else sub)
+            rule = RULE % f'"{ref}"'
+            try:
+                typed = transform_table(df, rule, mode="typed")
+            except TypedFallback:
+                skipped += 1
+                continue
+            variant = transform_table(df, rule, mode="variant")
+            tcols = [f.name for f in typed.schema.fields]
+
+            def norm(v):
+                if hasattr(v, "asDict"):
+                    return {k: norm(x)
+                            for k, x in v.asDict(recursive=False).items()}
+                if isinstance(v, dict):
+                    return {k: norm(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [norm(x) for x in v]
+                return v
+
+            if "out" in tcols:
+                tg = {r["id"]: norm(r["out"])
+                      for r in typed.collect()}
+            else:  # statically missing: typed drops the column
+                tg = {r["id"]: None for r in df.select("id").collect()}
+            vg = {}
+            for r in variant.select(
+                    F.col("id").try_cast("long").alias("id"),
+                    F.to_json("out").alias("out")).collect():
+                vg[r["id"]] = (None if r["out"] is None
+                               else _json.loads(r["out"]))
+            # variant JSON-null and missing both land as None here,
+            # matching typed's SQL NULL conflation in table mode
+            assert tg == vg, (ref, schema_ddl, tg, vg)
+            compared += 1
+    assert compared >= 20, (compared, skipped)
