@@ -500,13 +500,57 @@ def transform_table(df: DataFrame, rule_text_or_rule,
     return _transform_table_variant(df, rule, context, base_dir)
 
 
+def _map_keys_need_stringify(dt) -> bool:
+    from pyspark.sql import types as T
+    if isinstance(dt, T.MapType):
+        return (not isinstance(dt.keyType, T.StringType)
+                or _map_keys_need_stringify(dt.valueType))
+    if isinstance(dt, T.ArrayType):
+        return _map_keys_need_stringify(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_map_keys_need_stringify(f.dataType) for f in dt.fields)
+    return False
+
+
+def _stringify_map_keys(col: Column, dt) -> Column:
+    """Cast non-string map keys to string, recursively — Spark's
+    ``to_variant_object`` refuses ``map<int,...>`` outright, but JSON
+    objects have string keys anyway, so the bridge renders key 5 as
+    "5" (the typed path's key-cast navigation finds it under the same
+    segment).  NULL containers pass through untouched."""
+    from pyspark.sql import types as T
+    if not _map_keys_need_stringify(dt):
+        return col
+    if isinstance(dt, T.MapType):
+        out = col
+        if _map_keys_need_stringify(dt.valueType):
+            out = F.transform_values(
+                out, lambda k, v: _stringify_map_keys(v, dt.valueType))
+        if not isinstance(dt.keyType, T.StringType):
+            out = F.transform_keys(
+                out, lambda k, v: k.cast("string"))
+        return out
+    if isinstance(dt, T.ArrayType):
+        return F.transform(
+            col, lambda x: _stringify_map_keys(x, dt.elementType))
+    # struct: rebuild fields, preserving NULL-struct rows (a bare
+    # F.struct over fields of a NULL struct yields a non-null struct
+    # of NULLs, which would corrupt missing semantics)
+    rebuilt = F.struct(*[
+        _stringify_map_keys(col.getField(f.name), f.dataType).alias(f.name)
+        for f in dt.fields])
+    return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+
+
 def _transform_table_variant(df: DataFrame, rule, context,
                              base_dir: str = ".") -> DataFrame:
     """General-engine table path: bridge rows to variant records via
     ``to_variant_object`` (single JVM expression, no JSON text)."""
     from .compiler.rule import Builder, OutTree
 
-    record = F.to_variant_object(F.struct(*[F.col(c) for c in df.columns]))
+    record = F.to_variant_object(F.struct(*[
+        _stringify_map_keys(F.col(f.name), f.dataType).alias(f.name)
+        for f in df.schema.fields]))
     builder = Builder(df.select(record.alias("__record__")))
     compiled = RuleCompiler(rule, context=context,
                             base_dir=base_dir).compile(

@@ -153,9 +153,9 @@ def test_map_value_containers_navigate_through(spark):
 
 
 def test_int_keyed_map_is_missing_not_fallback(spark):
-    """non-castable key segment on an int-keyed map → missing (typed
-    path; the variant bridge cannot ingest non-string-keyed maps at
-    all, so there is nothing to diverge from)."""
+    """non-castable key segment on an int-keyed map → missing (the
+    bridge stringifies keys, so 'color' is equally absent on the
+    variant side — see test_variant_bridge_stringifies...)."""
     df = spark.createDataFrame([(1, {5: "v"})],
                                "id long, m map<bigint,string>")
     got = transform_table(df, RULE % '"@input.m.color"',
@@ -219,16 +219,20 @@ def test_get_op_with_index_and_map_paths(spark):
 
 def test_numeric_keyed_map_numeric_path_segment(spark):
     """`@input.m.5` (Key('5') token) on map<bigint,string> casts the
-    segment to the key type.  Typed-only: Spark's to_variant_object
-    rejects non-string map keys outright, so the variant bridge cannot
-    even ingest this table — the typed path EXCEEDS the variant engine
-    on numeric-keyed maps."""
+    segment to the key type; the variant bridge stringifies map keys
+    (to_variant_object rejects non-string keys), so both engines find
+    key 5 under segment '5'."""
     df = spark.createDataFrame([(1, {5: "five"}), (2, {7: "seven"})],
                                "id long, m map<bigint,string>")
     rule = RULE % '"@input.m.5", {coalesce: ["absent"]}'
     got = {r["id"]: r["out"] for r in
            transform_table(df, rule, mode="typed").collect()}
     assert got == {1: "five", 2: "absent"}
+    vgot = {r["id"]: r["out"] for r in
+            transform_table(df, rule, mode="variant")
+            .select(F.to_json("id").cast("long").alias("id"),
+                    F.to_json("out").alias("out")).collect()}
+    assert vgot == {1: '"five"', 2: '"absent"'}
 
 
 def test_randomized_navigation_parity_sweep(spark):
@@ -350,3 +354,36 @@ def test_randomized_navigation_parity_sweep(spark):
             assert tg == vg, (ref, schema_ddl, tg, vg)
             compared += 1
     assert compared >= 20, (compared, skipped)
+
+
+def test_variant_bridge_stringifies_nonstring_map_keys(spark):
+    """to_variant_object refuses map<bigint,...>; the bridge casts
+    keys to string first (JSON objects are string-keyed anyway), so
+    the VARIANT engine works on these tables too and agrees with the
+    typed key-cast navigation — incl. nested maps and null structs."""
+    df = spark.createDataFrame(
+        [(1, {5: "five"}, ({7: 70},)),
+         (2, {9: "nine"}, None)],
+        "id long, m map<bigint,string>, "
+        "s struct<inner:map<bigint,bigint>>")
+    rule = RULE % '"@input.m.5", {coalesce: ["absent"]}'
+    for mode in ("typed", "variant"):
+        out = transform_table(df, rule, mode=mode)
+        if mode == "variant":
+            got = {r["id"]: r["out"] for r in out.select(
+                F.to_json("id").cast("long").alias("id"),
+                F.to_json("out").alias("out")).collect()}
+            assert got == {1: '"five"', 2: '"absent"'}
+        else:
+            got = {r["id"]: r["out"] for r in out.collect()}
+            assert got == {1: "five", 2: "absent"}
+    # nested under a struct + a NULL struct row stays missing
+    rule2 = RULE % '"@input.s.inner.7", {coalesce: [-1]}'
+    vgot = {r["id"]: r["out"] for r in
+            transform_table(df, rule2, mode="variant").select(
+                F.to_json("id").cast("long").alias("id"),
+                F.to_json("out").alias("out")).collect()}
+    assert vgot == {1: "70", 2: "-1"}
+    tgot = {r["id"]: r["out"] for r in
+            transform_table(df, rule2, mode="typed").collect()}
+    assert tgot == {1: 70, 2: -1}
