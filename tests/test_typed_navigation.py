@@ -258,7 +258,8 @@ def test_randomized_navigation_parity_sweep(spark):
             return {f"f{j}": gen_type(depth - 1) for j in range(n)}
         if roll < 0.8:
             return [gen_type(depth - 1)]
-        return ("map", gen_type(depth - 1))
+        return ("map", gen_type(depth - 1),
+                rng.choice(["string", "bigint"]))
 
     def ddl(t):
         if isinstance(t, str):
@@ -268,7 +269,7 @@ def test_randomized_navigation_parity_sweep(spark):
             return f"struct<{inner}>"
         if isinstance(t, list):
             return f"array<{ddl(t[0])}>"
-        return f"map<string,{ddl(t[1])}>"
+        return f"map<{t[2]},{ddl(t[1])}>"
 
     def gen_value(t, null_p=0.25):
         if rng.random() < null_p:
@@ -283,7 +284,9 @@ def test_randomized_navigation_parity_sweep(spark):
             return {k: gen_value(v) for k, v in t.items()}
         if isinstance(t, list):
             return [gen_value(t[0]) for _ in range(rng.randrange(0, 3))]
-        keys = rng.sample(["k1", "k2", "k3"], rng.randrange(0, 3))
+        pool = (["k1", "k2", "k3"] if t[2] == "string"
+                else [1, 2, 3])
+        keys = rng.sample(pool, rng.randrange(0, 3))
         return {k: gen_value(t[1]) for k in keys}
 
     def gen_path(t):
@@ -300,7 +303,10 @@ def test_randomized_navigation_parity_sweep(spark):
                 segs.append(f"[{rng.randrange(0, 4)}]")
                 t = t[0]
             else:
-                segs.append(f".k{rng.randrange(1, 5)}")
+                if t[2] == "string":
+                    segs.append(f".k{rng.randrange(1, 5)}")
+                else:
+                    segs.append(f".{rng.randrange(1, 5)}")
                 t = t[1]
             if rng.random() < 0.25:
                 break
