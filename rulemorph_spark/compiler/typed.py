@@ -340,6 +340,67 @@ def _py_literal(value, path: str) -> TVal:
     raise TypedFallback(f"container literal at {path}")
 
 
+_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _has_temporal(dt: T.DataType) -> bool:
+    if isinstance(dt, _TEMPORAL):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_temporal(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_temporal(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return _has_temporal(dt.valueType)
+    return False
+
+
+def _strfy_temporal_type(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, _TEMPORAL):
+        return T.StringType()
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strfy_temporal_type(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strfy_temporal_type(f.dataType),
+                          f.nullable) for f in dt.fields])
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType,
+                         _strfy_temporal_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _strfy_temporal_col(col: Column, dt: T.DataType) -> Column:
+    """date/timestamp values enter the rules domain as their Spark
+    string rendering (ISO-like; covered by the reference's default
+    parse chain, ``transform.rs:5601-5633``) — the reference's data
+    model is JSON, where dates ARE strings (SURVEY §1.2).  NULL
+    containers pass through untouched."""
+    if not _has_temporal(dt):
+        return col
+    if isinstance(dt, _TEMPORAL):
+        return col.cast("string")
+    if isinstance(dt, T.ArrayType):
+        return F.transform(
+            col, lambda x: _strfy_temporal_col(x, dt.elementType))
+    if isinstance(dt, T.MapType):
+        return F.transform_values(
+            col, lambda k, v: _strfy_temporal_col(v, dt.valueType))
+    rebuilt = F.struct(*[
+        _strfy_temporal_col(col.getField(f.name), f.dataType).alias(f.name)
+        for f in dt.fields])
+    return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+
+
+def _strfy_temporal(col: Column, dt: T.DataType
+                    ) -> tuple[Column, T.DataType]:
+    if not _has_temporal(dt):
+        return col, dt
+    return _strfy_temporal_col(col, dt), _strfy_temporal_type(dt)
+
+
 def _walk_tokens(col: Column | None, dt: T.DataType, tokens,
                  mw: Column | None
                  ) -> tuple[Column, T.DataType, Column | None] | None:
@@ -397,6 +458,7 @@ def _walk_tokens(col: Column | None, dt: T.DataType, tokens,
         dt = sub.dataType
     if col is None:  # empty path: whole record
         raise TypedFallback("whole-record reference")
+    col, dt = _strfy_temporal(col, dt)
     return col, dt, mw
 
 

@@ -500,44 +500,54 @@ def transform_table(df: DataFrame, rule_text_or_rule,
     return _transform_table_variant(df, rule, context, base_dir)
 
 
-def _map_keys_need_stringify(dt) -> bool:
+def _bridge_needs_rewrite(dt) -> bool:
     from pyspark.sql import types as T
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return True
     if isinstance(dt, T.MapType):
         return (not isinstance(dt.keyType, T.StringType)
-                or _map_keys_need_stringify(dt.valueType))
+                or _bridge_needs_rewrite(dt.valueType))
     if isinstance(dt, T.ArrayType):
-        return _map_keys_need_stringify(dt.elementType)
+        return _bridge_needs_rewrite(dt.elementType)
     if isinstance(dt, T.StructType):
-        return any(_map_keys_need_stringify(f.dataType) for f in dt.fields)
+        return any(_bridge_needs_rewrite(f.dataType) for f in dt.fields)
     return False
 
 
-def _stringify_map_keys(col: Column, dt) -> Column:
-    """Cast non-string map keys to string, recursively — Spark's
-    ``to_variant_object`` refuses ``map<int,...>`` outright, but JSON
-    objects have string keys anyway, so the bridge renders key 5 as
-    "5" (the typed path's key-cast navigation finds it under the same
-    segment).  NULL containers pass through untouched."""
+def _bridge_normalize(col: Column, dt) -> Column:
+    """Normalize columns into the rules domain before
+    ``to_variant_object``, recursively:
+
+    - non-string map keys → string (``to_variant_object`` refuses
+      ``map<int,...>`` outright; JSON objects are string-keyed anyway,
+      and the typed path's key-cast navigation finds key 5 under the
+      same "5" segment);
+    - date/timestamp values → their Spark string rendering, matching
+      the typed boundary (``compiler/typed.py:_strfy_temporal`` — the
+      reference's data model is JSON, where dates ARE strings).
+
+    NULL containers pass through untouched; structs rebuild behind a
+    NULL guard (a bare F.struct over fields of a NULL struct yields a
+    non-null struct of NULLs, corrupting missing semantics)."""
     from pyspark.sql import types as T
-    if not _map_keys_need_stringify(dt):
+    if not _bridge_needs_rewrite(dt):
         return col
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return col.cast("string")
     if isinstance(dt, T.MapType):
         out = col
-        if _map_keys_need_stringify(dt.valueType):
+        if _bridge_needs_rewrite(dt.valueType):
             out = F.transform_values(
-                out, lambda k, v: _stringify_map_keys(v, dt.valueType))
+                out, lambda k, v: _bridge_normalize(v, dt.valueType))
         if not isinstance(dt.keyType, T.StringType):
             out = F.transform_keys(
                 out, lambda k, v: k.cast("string"))
         return out
     if isinstance(dt, T.ArrayType):
         return F.transform(
-            col, lambda x: _stringify_map_keys(x, dt.elementType))
-    # struct: rebuild fields, preserving NULL-struct rows (a bare
-    # F.struct over fields of a NULL struct yields a non-null struct
-    # of NULLs, which would corrupt missing semantics)
+            col, lambda x: _bridge_normalize(x, dt.elementType))
     rebuilt = F.struct(*[
-        _stringify_map_keys(col.getField(f.name), f.dataType).alias(f.name)
+        _bridge_normalize(col.getField(f.name), f.dataType).alias(f.name)
         for f in dt.fields])
     return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
 
@@ -549,7 +559,7 @@ def _transform_table_variant(df: DataFrame, rule, context,
     from .compiler.rule import Builder, OutTree
 
     record = F.to_variant_object(F.struct(*[
-        _stringify_map_keys(F.col(f.name), f.dataType).alias(f.name)
+        _bridge_normalize(F.col(f.name), f.dataType).alias(f.name)
         for f in df.schema.fields]))
     builder = Builder(df.select(record.alias("__record__")))
     compiled = RuleCompiler(rule, context=context,

@@ -393,3 +393,42 @@ def test_variant_bridge_stringifies_nonstring_map_keys(spark):
     tgot = {r["id"]: r["out"] for r in
             transform_table(df, rule2, mode="typed").collect()}
     assert tgot == {1: 70, 2: -1}
+
+
+def test_temporal_columns_enter_rules_as_strings(spark):
+    """date/timestamp columns cross into the rules domain as their
+    Spark string rendering in BOTH engines (the data model is JSON —
+    dates are strings), so date ops work on typed parquet tables."""
+    import datetime
+    df = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 2),
+          datetime.datetime(2020, 1, 2, 3, 4, 5),
+          [datetime.date(2021, 6, 7)],
+          (datetime.date(2022, 3, 4),)),
+         (2, None, None, [], None)],
+        "id long, d date, ts timestamp_ntz, ds array<date>, "
+        "s struct<when:date>")
+    # strict date ops over row 2's NULL date would (correctly) raise
+    # the reference's null-pipe error, so op cases run on row 1 only
+    cases = [
+        (df, '"@input.d"', {1: "2020-01-02", 2: None}),
+        (df.filter("id = 1"),
+         '"@input.d", {date_format: ["%Y/%m/%d", "%Y-%m-%d"]}',
+         {1: "2020/01/02"}),
+        (df.filter("id = 1"), '"@input.ts", {to_unixtime: ["s"]}',
+         {1: 1577934245}),
+        (df, '"@input.ds[0]"', {1: "2021-06-07", 2: None}),
+        (df, '"@input.s.when"', {1: "2022-03-04", 2: None}),
+    ]
+    import json as _json
+    for frame, expr, expect in cases:
+        rule = RULE % expr
+        tgot = {r["id"]: r["out"] for r in
+                transform_table(frame, rule, mode="typed").collect()}
+        assert tgot == expect, ("typed", expr, tgot)
+        vgot = {r["id"]: (None if r["out"] is None
+                          else _json.loads(r["out"]))
+                for r in transform_table(frame, rule, mode="variant")
+                .select(F.to_json("id").cast("long").alias("id"),
+                        F.to_json("out").alias("out")).collect()}
+        assert vgot == expect, ("variant", expr, vgot)
