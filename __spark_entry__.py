@@ -629,6 +629,10 @@ mappings:
     expr: ["@input.rfs[7]", {coalesce: ["none"]}]
   - target: fm_rf
     expr: ["@input.fm.rf", {concat: ["@input.fm.ls"]}]
+  - target: ship_day
+    expr:
+      - "@input.l_shipdate"
+      - date_format: ["%Y.%m.%d", "%Y-%m-%d %H:%M:%S"]
 """
 
 
@@ -1523,7 +1527,8 @@ def oracle_sql() -> dict[str, str]:
                    l_linestatus AS status_p,
                    l_returnflag AS rf0,
                    'none' AS oob,
-                   l_returnflag || l_linestatus AS fm_rf
+                   l_returnflag || l_linestatus AS fm_rf,
+                   strftime(l_shipdate, '%Y.%m.%d') AS ship_day
             FROM lineitem WHERE l_quantity >= 10
         """,
         "q_events_time_window": """
