@@ -247,7 +247,8 @@ def test_randomized_navigation_parity_sweep(spark):
     rng = random.Random(20260814)
     SCALARS = [("long", lambda: rng.randrange(100)),
                ("string", lambda: rng.choice(["a", "b", "zz"])),
-               ("boolean", lambda: rng.random() < 0.5)]
+               ("boolean", lambda: rng.random() < 0.5),
+               ("date", None)]
 
     def gen_type(depth):
         roll = rng.random()
@@ -280,6 +281,10 @@ def test_randomized_navigation_parity_sweep(spark):
             return rng.choice(["a", "b", "zz"])
         if t == "boolean":
             return rng.random() < 0.5
+        if t == "date":
+            import datetime
+            return datetime.date(2020, rng.randrange(1, 13),
+                                 rng.randrange(1, 28))
         if isinstance(t, dict):
             return {k: gen_value(v) for k, v in t.items()}
         if isinstance(t, list):
