@@ -328,3 +328,47 @@ def test_json_file_reader_shape_hint_skips_sniff(spark, tmp_path):
         records_from_json_file(spark, str(nd), "items", shape="ndjson")
     with _pytest.raises(TransformEngineError):
         records_from_json_file(spark, str(nd), None, shape="nope")
+
+
+def test_transform_table_under_structured_streaming(spark, tmp_path):
+    """transform_table's compiled plan is pure projections + filter,
+    so the SAME call runs unchanged over a streaming DataFrame — rules
+    as streaming ETL over typed sources, both engine paths."""
+    from pyspark.sql import functions as F
+
+    from rulemorph_spark.engine import transform_table
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 12.0, "A"), (2, 5.0, "B"), (3, 30.0, "C")],
+        "id long, qty double, flag string").write.parquet(src)
+    rule = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.qty", 10]}
+mappings:
+  - target: id
+    source: id
+  - target: tag
+    expr: ["@input.flag", {concat: ["-", ["@input.qty",
+                                          {to_string: []}]]}]
+"""
+    for mode in ("typed", "variant"):
+        sdf = spark.readStream.schema(
+            "id long, qty double, flag string").parquet(src)
+        out = transform_table(sdf, rule, mode=mode)
+        assert out.isStreaming
+        outd = str(tmp_path / f"out_{mode}")
+        q = (out.writeStream.format("parquet").option("path", outd)
+             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(outd)
+        if mode == "variant":
+            got = got.select(F.to_json("id").cast("long").alias("id"),
+                             F.to_json("tag").alias("tag"))
+            rows = sorted((r["id"], r["tag"]) for r in got.collect())
+            assert rows == [(1, '"A-12"'), (3, '"C-30"')]
+        else:
+            rows = sorted((r["id"], r["tag"]) for r in got.collect())
+            assert rows == [(1, "A-12"), (3, "C-30")]
