@@ -797,7 +797,34 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
     pyop = {"gt": operator.gt, "gte": operator.ge,
             "lt": operator.lt, "lte": operator.le}[op]
     if _is_num(left.dtype) and _is_num(right.dtype):
-        res = pyop(left.col.cast("double"), right.col.cast("double"))
+        ld, rd = left.col.cast("double"), right.col.cast("double")
+        res = pyop(ld, rd)
+
+        # pushdown-safe widened conjunct for LONG columns: the f64
+        # comparison (reference semantics, v2_eval.rs numeric compare)
+        # wraps the column in a lossy long→double cast that Spark's
+        # UnwrapCastInBinaryComparison won't unwrap, so parquet gets NO
+        # min/max pruning.  A bound widened by more than the max f64
+        # rounding error for int64 (ulp/2 at 2^63 = 512 → use 1024) is
+        # IMPLIED by the f64 result, so AND-ing it is a no-op on the
+        # value — and when the other side is a literal the whole
+        # conjunct constant-folds to `col >= lit`, which pushes.  NULLs
+        # line up: the conjunct is NULL exactly when a side is NULL,
+        # and NULL & NULL / NULL & TRUE keep the comparison's NULL.
+        def widen(col: Column, other_d: Column, lower: bool) -> Column:
+            safe = F.abs(other_d) <= F.lit(float(2 ** 62))
+            if lower:
+                bound = (F.floor(other_d) - F.lit(1024)).cast("long")
+                keep = col >= bound
+            else:
+                bound = (F.ceil(other_d) + F.lit(1024)).cast("long")
+                keep = col <= bound
+            return F.when(safe, keep).otherwise(F.lit(True))
+
+        if isinstance(left.dtype, T.LongType):
+            res = res & widen(left.col, rd, lower=op in ("gt", "gte"))
+        if isinstance(right.dtype, T.LongType):
+            res = res & widen(right.col, ld, lower=op in ("lt", "lte"))
         if lenient_on() and not (left.missing or right.missing):
             # lenient (when/record_when) null handling would wrap this
             # in CASE WHEN isnull(..) THEN NULL — but a plain numeric

@@ -319,3 +319,43 @@ mappings:
     plan = _plan(transform_table(df, rule, mode="typed"))
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity",
                      plan), plan[:600]
+
+
+def test_record_when_ordering_pushdown_on_long_column(spark, tmp_path):
+    """f64 comparison over a LONG column blocks parquet pushdown
+    (lossy cast, UnwrapCastInBinaryComparison skips it); the typed
+    compiler AND-s an implied rounding-widened bound on the bare
+    column, which folds to a pushable literal filter — values stay
+    exactly f64-compare (reference numeric semantics)."""
+    import re
+
+    from rulemorph_spark.engine import transform_table
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id qty").write.parquet(p)
+    df = spark.read.parquet(p)
+    rule = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.qty", 100]}
+mappings:
+  - target: id
+    source: id
+"""
+    out = transform_table(df, rule, mode="typed")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(qty," in m.group(1), plan[:500]
+    assert out.count() == 900
+    # rounding-zone magnitudes: typed == variant == python f64 compare
+    big = 2 ** 62 + 1024
+    df2 = spark.createDataFrame(
+        [(1, big), (2, big - 4096), (3, -big)], "id long, qty long")
+    rule2 = ("version: 2\ninput: {format: json}\n"
+             f"record_when: {{gte: [\"@input.qty\", {big}]}}\n"
+             "mappings:\n  - target: id\n    source: id\n")
+    t = sorted(r["id"] for r in
+               transform_table(df2, rule2, mode="typed").collect())
+    expect = sorted(i for i, q in ((1, big), (2, big - 4096), (3, -big))
+                    if float(q) >= float(big))
+    assert t == expect
