@@ -342,7 +342,7 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
 
 def _compare(op: str, left: Column, right: Column, path: str) -> Column:
     if op in ("eq", "ne"):
-        eq = V.strict_json(left) == V.strict_json(right)
+        eq = V.v2_eq(left, right)
         return eq if op == "eq" else ~eq
     if op == "match":
         s = F.when(V.is_string(left), left.try_cast("string")).otherwise(

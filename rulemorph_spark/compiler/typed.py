@@ -777,10 +777,22 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
         # eqNullSafe has exactly the null≡null semantics AND pushes to
         # parquet as an EqualNullSafe filter.
         if _is_num(left.dtype) and _is_num(right.dtype):
-            if _is_int(left.dtype) and _is_int(right.dtype):
+            # serde_json kind-aware number equality (Number PartialEq;
+            # mirrored in the variant engine's V.v2_eq): integers never
+            # equal floats, floats compare by f64 value.  Static
+            # classes: integral dtypes = serde integer; double / float
+            # / decimal = serde float (the JSON data model has no
+            # decimal — a decimal column is a float that parsed with a
+            # scale).  Mixed-class eq is null≡null only, which also
+            # pushes to parquet as plain IsNull filters.
+            l_int, r_int = _is_int(left.dtype), _is_int(right.dtype)
+            if l_int and r_int:
                 eq = left.col.eqNullSafe(right.col)
+            elif l_int != r_int:
+                eq = ln & rn
             else:
-                eq = _json_num_repr(left).eqNullSafe(_json_num_repr(right))
+                eq = left.col.cast("double").eqNullSafe(
+                    right.col.cast("double"))
         elif (_is_str(left.dtype) and _is_str(right.dtype)) or \
                 (_is_bool(left.dtype) and _is_bool(right.dtype)):
             eq = left.col.eqNullSafe(right.col)

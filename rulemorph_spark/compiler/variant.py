@@ -245,3 +245,30 @@ def strict_json(v: Column) -> Column:
     canonical form; missing is canonicalized to the same text as null
     (v2 eq treats missing == null, ``v2_eval.rs:1140-1147``)."""
     return F.coalesce(F.to_json(v), F.lit("null"))
+
+
+def v2_eq(l: Column, r: Column) -> Column:
+    """v2 strict equality (``compare_values_eq``, ``v2_eval.rs:
+    1140-1147``) with serde_json's KIND-AWARE number semantics
+    (``serde_json`` ``Number`` PartialEq: PosInt/NegInt vs Float are
+    distinct variants, so an integer NEVER equals a float even when
+    numerically equal, while floats compare by f64 value — ``1e2 ==
+    100.0`` is true, ``100 == 100.0`` is false).
+
+    Kinds map onto variant schemas: BIGINT = serde integer; DECIMAL /
+    DOUBLE = serde float (non-scientific JSON floats parse as DECIMAL,
+    scientific as DOUBLE — both Float in serde).  Integer pairs compare
+    by exact canonical text, float pairs by f64 value; everything else
+    (strings, bools, containers, null≡missing) keeps the canonical-text
+    compare."""
+    ln, rn = is_number(l), is_number(r)
+    l_int = typeof(l) == "BIGINT"
+    r_int = typeof(r) == "BIGINT"
+    text_eq = strict_json(l) == strict_json(r)
+    num_eq = (
+        F.when(l_int != r_int, F.lit(False))
+        .when(l_int, text_eq)                     # int/int: exact text
+        .otherwise(l.try_cast("double").eqNullSafe(
+            r.try_cast("double"))))               # float/float: f64
+    return F.when(F.coalesce(ln & rn, F.lit(False)), num_eq) \
+        .otherwise(text_eq)

@@ -437,3 +437,57 @@ def test_temporal_columns_enter_rules_as_strings(spark):
                 .select(F.to_json("id").cast("long").alias("id"),
                         F.to_json("out").alias("out")).collect()}
         assert vgot == expect, ("variant", expr, vgot)
+
+
+def test_v2_eq_number_kinds_serde_semantics(spark):
+    """v2 condition equality follows serde_json Number PartialEq
+    (v2_eval.rs:1140 via serde `l == r`): integer vs float NEVER equal
+    even when numerically equal; floats compare by f64 value (1e2 ==
+    100.0); null ≡ missing.  Both engines, document and table modes."""
+    import json as _json
+
+    from rulemorph_spark.engine import transform
+
+    rule = """
+version: 2
+input: {format: json}
+record_when: {eq: ["@input.x", %s]}
+mappings:
+  - target: x
+    source: x
+"""
+    cases = [
+        ("100.0", [{"x": 100}, {"x": 100.0}], [{"x": 100.0}]),
+        ("100", [{"x": 100}, {"x": 100.0}], [{"x": 100}]),
+        ("1.5", [{"x": 1.5}, {"x": 2}], [{"x": 1.5}]),
+    ]
+    for lit, data, expect in cases:
+        got = transform(spark, rule % lit,
+                        input_text=_json.dumps(data))
+        assert got == expect, (lit, got)
+    # scientific float == plain float (both serde Float 100.0; the
+    # scientific form comes from the JSON data — YAML 1.1 reads a bare
+    # 1e2 literal as a string)
+    got = transform(spark, rule % "100.0",
+                    input_text='[{"x": 1e2}, {"x": 100}]')
+    assert got == [{"x": 100.0}], got
+    # typed table parity incl. a decimal column (float class)
+    import decimal
+    df = spark.createDataFrame(
+        [(1, 100, 100.0, decimal.Decimal("100.00")),
+         (2, 7, 7.5, decimal.Decimal("7.50"))],
+        "id long, i long, d double, dec decimal(10,2)")
+    r2 = """
+version: 2
+input: {format: json}
+record_when: {eq: ["@input.%s", %s]}
+mappings:
+  - target: id
+    source: id
+"""
+    for col, lit, expect in [("i", "100.0", 0), ("i", "100", 1),
+                             ("d", "100.0", 1), ("d", "100", 0),
+                             ("dec", "100.0", 1), ("dec", "100", 0)]:
+        t = transform_table(df, r2 % (col, lit), mode="typed").count()
+        v = transform_table(df, r2 % (col, lit), mode="variant").count()
+        assert t == v == expect, (col, lit, t, v)
