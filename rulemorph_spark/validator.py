@@ -59,6 +59,11 @@ class Validator:
         if rule.version not in (1, 2):
             self.push("InvalidVersion", "version must be 1 or 2", "version")
         self._validate_input()
+        if rule.steps is None and not rule.mappings:
+            # MissingMappings (validator.rs:43-47)
+            self.push("MissingMappings",
+                      "mappings is required when steps is not set",
+                      "mappings")
         if rule.steps is not None and rule.mappings:
             self.push("StepsMappingExclusive",
                       "steps and mappings are mutually exclusive", "steps")
@@ -101,6 +106,15 @@ class Validator:
 
     def _validate_input(self):
         inp = self.rule.input
+        # section presence mirrors validator.rs:427-447
+        if inp.format == "csv" and inp.csv is None:
+            self.push("MissingCsvSection",
+                      "input.csv is required when format=csv",
+                      "input.csv")
+        if inp.format == "json" and inp.json is None:
+            self.push("MissingJsonSection",
+                      "input.json is required when format=json",
+                      "input.json")
         if inp.format == "csv":
             csv = inp.csv
             if csv is not None:

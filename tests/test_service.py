@@ -186,11 +186,14 @@ def test_mcp_protocol(spark):
     init = server.handle({"jsonrpc": "2.0", "id": 1,
                           "method": "initialize", "params": {}})
     assert init["result"]["serverInfo"]["name"] == "rulemorph-spark"
+    assert "resources" in init["result"]["capabilities"]
     tools = server.handle({"jsonrpc": "2.0", "id": 2,
                            "method": "tools/list"})
     names = {t["name"] for t in tools["result"]["tools"]}
     assert names == {"transform", "validate_rules", "generate_dto",
-                     "analyze_input"}
+                     "list_ops", "analyze_input",
+                     "generate_rules_from_base",
+                     "generate_rules_from_dto"}
 
     rules = ("version: 2\ninput:\n  format: json\n  json: {}\n"
              "mappings:\n  - target: up\n    expr: [\"@input.s\","
@@ -198,27 +201,29 @@ def test_mcp_protocol(spark):
     call = server.handle({
         "jsonrpc": "2.0", "id": 3, "method": "tools/call",
         "params": {"name": "transform",
-                   "arguments": {"rules": rules,
-                                 "input": '[{"s": "hi"}]'}}})
+                   "arguments": {"rules_text": rules,
+                                 "input_text": '[{"s": "hi"}]'}}})
     out = json.loads(call["result"]["content"][0]["text"])
     assert out == [{"up": "HI"}]
 
     bad = server.handle({
         "jsonrpc": "2.0", "id": 4, "method": "tools/call",
         "params": {"name": "validate_rules",
-                   "arguments": {"rules": rules.replace("uppercase",
-                                                        "nope_op")}}})
-    payload = json.loads(bad["result"]["content"][0]["text"])
-    assert payload["valid"] is False
-    assert payload["errors"][0]["code"] == "UnknownOp"
+                   "arguments": {"rules_text": rules.replace(
+                       "uppercase", "nope_op")}}})
+    assert bad["result"]["isError"] is True
+    assert bad["result"]["content"][0]["text"] == "validation failed"
+    errors = bad["result"]["meta"]["errors"]
+    assert errors[0]["code"] == "UnknownOp"
+    assert errors[0]["type"] == "validation"
 
 
 def test_analyze_input():
     result = analyze_input('[{"a": 1, "b": {"c": "x"}}, {"a": null}]')
-    assert result["records"] == 2
-    paths = {f["path"]: f["types"] for f in result["fields"]}
-    assert paths["a"] == ["int", "null"]
-    assert paths["b.c"] == ["string"]
+    assert result["summary"]["records"] == 2
+    paths = {f["path"]: f["types"] for f in result["paths"]}
+    assert paths["a"] == {"number": 1, "null": 1}
+    assert paths["b.c"] == {"string": 1}
 
 
 def test_http_server_round_trip(spark, engine_dir):
@@ -280,7 +285,7 @@ def test_mcp_prompts_surface():
     assert "{{rules_text}}" in msg["content"]  # missing args stay as-is
     bad = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "prompts/get",
                       "params": {"name": "nope"}})
-    assert bad["result"]["isError"]
+    assert bad["error"]["code"] == -32602
 
 
 # ---------------------------------------------------------------------
@@ -387,17 +392,16 @@ def test_validate_rules_warning_with_yaml_location():
     server = McpServer()
     rules = (
         "version: 2\n"
-        "input: {format: json}\n"
+        "input: {format: json, json: {}}\n"
         "mappings:\n"
         "  - target: a\n"
         "    expr: [\"@input.xs\", {filter: [{gte: [\"@item.q\", 5]}]}]\n")
     resp = server.handle({
         "jsonrpc": "2.0", "id": 9, "method": "tools/call",
         "params": {"name": "validate_rules",
-                   "arguments": {"rules": rules}}})
-    payload = json.loads(resp["result"]["content"][0]["text"])
-    assert payload["valid"] is True
-    (w,) = payload["warnings"]
+                   "arguments": {"rules_text": rules}}})
+    assert resp["result"]["content"][0]["text"] == "ok"
+    (w,) = resp["result"]["meta"]["warnings"]
     assert w["code"] == "predicate_literal_condition_object"
     assert w["path"] == "mappings[0].expr[1].filter[0]"
     assert (w["line"], w["column"]) == (5, 5)  # the expr key's line
