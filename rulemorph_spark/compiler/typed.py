@@ -134,6 +134,27 @@ def _is_int(dt) -> bool:
     return isinstance(dt, _INT_T)
 
 
+def _is_dec0(dt) -> bool:
+    return isinstance(dt, T.DecimalType) and dt.scale == 0
+
+
+def _int_kind_col(tv) -> Column:
+    """Per-row serde number-kind gate for eq (v2_eval.rs:1140 via
+    serde Number PartialEq): integral dtypes are always integer kind;
+    a scale-0 decimal is integer kind only in PosInt territory
+    (i64::MAX, u64::MAX] — below, the value can only have been a
+    float-written literal; above, serde overflows to Float."""
+    if _is_int(tv.dtype):
+        return F.lit(True)
+    if _is_dec0(tv.dtype):
+        d = tv.col.cast("decimal(38,0)")
+        return ((d > F.lit("9223372036854775807")
+                 .cast("decimal(38,0)"))
+                & (d <= F.lit("18446744073709551615")
+                   .cast("decimal(38,0)")))
+    return F.lit(False)
+
+
 def _is_num(dt) -> bool:
     return isinstance(dt, _NUM_T)
 
@@ -314,7 +335,18 @@ def _py_literal(value, path: str) -> TVal:
     if isinstance(value, bool):
         return TVal(F.lit(value), T.BooleanType())
     if isinstance(value, int):
-        return TVal(F.lit(value).cast("long"), T.LongType())
+        if -(2 ** 63) <= value < 2 ** 63:
+            return TVal(F.lit(value).cast("long"), T.LongType())
+        # beyond int64: serde PosInt (u64) stays integer kind, which
+        # maps onto a scale-0 decimal here (mirrors the variant
+        # engine's DECIMAL(p,0) classification in V._serde_int_kind);
+        # magnitudes beyond decimal(38) have no exact carrier
+        if abs(value) < 10 ** 38:
+            import decimal as _decimal
+            return TVal(F.lit(_decimal.Decimal(value))
+                        .cast(T.DecimalType(38, 0)),
+                        T.DecimalType(38, 0))
+        raise TypedFallback("integer literal beyond decimal(38,0)")
     if isinstance(value, float):
         return TVal(F.lit(value), T.DoubleType())
     if isinstance(value, str):
@@ -786,7 +818,22 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             # scale).  Mixed-class eq is null≡null only, which also
             # pushes to parquet as plain IsNull filters.
             l_int, r_int = _is_int(left.dtype), _is_int(right.dtype)
-            if l_int and r_int:
+            if _is_dec0(left.dtype) or _is_dec0(right.dtype):
+                # scale-0 decimals carry a PER-VALUE kind: values in
+                # (i64::MAX, u64::MAX] are serde PosInt (integer kind,
+                # exact compare), the rest are float kind (f64) —
+                # mirrors V._serde_int_kind (round-5 u64-boundary fix)
+                lk, rk = _int_kind_col(left), _int_kind_col(right)
+                exact = left.col.cast("decimal(38,0)").eqNullSafe(
+                    right.col.cast("decimal(38,0)"))
+                f64 = left.col.cast("double").eqNullSafe(
+                    right.col.cast("double"))
+                eq = (F.when(ln & rn, F.lit(True))
+                      .when(ln | rn, F.lit(False))
+                      .when(lk & rk, exact)
+                      .when(~lk & ~rk, f64)
+                      .otherwise(F.lit(False)))
+            elif l_int and r_int:
                 eq = left.col.eqNullSafe(right.col)
             elif l_int != r_int:
                 eq = ln & rn

