@@ -70,8 +70,23 @@ class Validator:
         if rule.has_record_when:
             self._check_when(rule.record_when, "record_when")
         if rule.steps is not None:
+            if rule.version != 2:
+                # InvalidStep (validator.rs:54-59)
+                self.push("InvalidStep",
+                          "steps is only supported in version 2", "steps")
             for si, step in enumerate(rule.steps):
                 spath = f"steps[{si}]"
+                kinds = sum([step.mappings is not None,
+                             step.has_record_when,
+                             step.asserts is not None,
+                             step.branch is not None])
+                if kinds != 1:
+                    # InvalidStep (validator.rs:76-92)
+                    self.push("InvalidStep",
+                              "step must contain exactly one of "
+                              "mappings/record_when/asserts/branch",
+                              spath)
+                    continue
                 if step.mappings is not None:
                     self._validate_mappings(step.mappings,
                                             f"{spath}.mappings")
@@ -80,17 +95,72 @@ class Validator:
                                      f"{spath}.record_when")
                 if step.asserts is not None:
                     for ai, a in enumerate(step.asserts):
-                        self._check_when(a.when,
-                                         f"{spath}.asserts[{ai}].when")
+                        apath = f"{spath}.asserts[{ai}]"
+                        if (not a.error.code.strip()
+                                or not a.error.message.strip()):
+                            # InvalidStep (validator.rs:119-126)
+                            self.push(
+                                "InvalidStep",
+                                "asserts.error.code and message are "
+                                "required", f"{apath}.error")
+                        self._check_when(a.when, f"{apath}.when")
                 if step.branch is not None:
                     self._check_when(step.branch.when,
                                      f"{spath}.branch.when")
-                    self.out_open = True
+                    if not step.branch.then.strip():
+                        # InvalidStep (validator.rs:171-177)
+                        self.push("InvalidStep", "branch.then is required",
+                                  f"{spath}.branch.then")
+                    if step.branch.else_ is not None \
+                            and not step.branch.else_.strip():
+                        # InvalidStep (validator.rs:178-186)
+                        self.push("InvalidStep",
+                                  "branch.else must not be empty",
+                                  f"{spath}.branch.else")
+                    if not step.branch.return_:
+                        # only a merging branch leaves its targets in
+                        # @out for later steps (validator.rs:187-189)
+                        self.out_open = True
         else:
             self._validate_mappings(rule.mappings, "mappings")
-        if self.rule.finalize is not None and self.rule.finalize.has_wrap:
-            self._check_wrap(self.rule.finalize.wrap, "finalize.wrap")
+        self._validate_finalize()
         return self.errors
+
+    def _validate_finalize(self):
+        """Finalize shape checks (``validate_finalize``,
+        validator.rs:202-259): v2-only, sort path/order, filter must
+        be a v2 condition (with @item in scope), wrap exprs."""
+        fin = self.rule.finalize
+        if fin is None:
+            return
+        if self.rule.version != 2:
+            self.push("InvalidFinalize",
+                      "finalize is only supported in version 2",
+                      "finalize")
+            return
+        if fin.has_filter:
+            f = fin.filter
+            if isinstance(f, dict) and ("op" in f or "ref" in f
+                                        or "chain" in f):
+                self.push("InvalidFinalize",
+                          "finalize.filter must be a v2 condition",
+                          "finalize.filter")
+            else:
+                self._check_when(f, "finalize.filter", item_scope=True)
+        if fin.sort is not None:
+            try:
+                parse_path(fin.sort.by, error_code="InvalidPath")
+                if not fin.sort.by:
+                    raise RuleError("InvalidPath", "empty path")
+            except RuleError:
+                self.push("InvalidPath", "finalize.sort.by is invalid",
+                          "finalize.sort.by")
+            if fin.sort.order not in ("asc", "desc"):
+                self.push("InvalidFinalize",
+                          "finalize.sort.order must be asc or desc",
+                          "finalize.sort.order")
+        if fin.has_wrap:
+            self._check_wrap(fin.wrap, "finalize.wrap")
 
     def _check_wrap(self, node, path: str):
         if isinstance(node, dict):
@@ -132,9 +202,15 @@ class Validator:
     def _validate_mappings(self, mappings: list[Mapping], base: str):
         for i, m in enumerate(mappings):
             mpath = f"{base}[{i}]"
+            if not m.target.strip():
+                # MissingTarget (validator.rs:305-311)
+                self.push("MissingTarget", "mapping.target is required",
+                          f"{mpath}.target")
             target_tokens = None
             try:
                 tokens = parse_path(m.target, error_code="InvalidPath")
+                if not tokens:
+                    raise RuleError("InvalidPath", "empty target path")
                 if any(isinstance(t, Index) for t in tokens):
                     self.push("InvalidPath",
                               "target must not contain array indexes",
@@ -189,10 +265,12 @@ class Validator:
 
     # -- when typing ---------------------------------------------------
 
-    def _check_when(self, raw, path: str):
+    def _check_when(self, raw, path: str, *, item_scope: bool = False):
         """Static when-type check: literals and ops that can never yield a
         boolean are flagged (``validator.rs`` InvalidWhenType; fixtures
-        v09/v10/tv26_v05)."""
+        v09/v10/tv26_v05).  ``item_scope`` admits ``@item`` refs —
+        finalize.filter evaluates per record with the record bound to
+        @item (V2Scope::new().with_item(), validator.rs:222)."""
         if isinstance(raw, bool):
             return
         if isinstance(raw, (str, int, float)) and not (
@@ -216,17 +294,20 @@ class Validator:
             for key in ("all", "any"):
                 if key in raw and isinstance(raw[key], list):
                     for j, c in enumerate(raw[key]):
-                        self._check_when(c, f"{path}.{key}[{j}]")
+                        self._check_when(c, f"{path}.{key}[{j}]",
+                                         item_scope=item_scope)
                     return
             for key in ("eq", "ne", "gt", "gte", "lt", "lte", "match"):
                 if key in raw:
                     if isinstance(raw[key], list):
                         for j, a in enumerate(raw[key]):
                             self._check_expr(a, f"{path}.{key}[{j}]",
-                                             allow_scalar=True)
+                                             allow_scalar=True,
+                                             item_scope=item_scope)
                     return
         if isinstance(raw, list):
-            self._check_expr(raw, path, allow_scalar=True)
+            self._check_expr(raw, path, allow_scalar=True,
+                             item_scope=item_scope)
 
     # -- expression validation ----------------------------------------
 

@@ -102,9 +102,88 @@ def replicate(spark, src_dir: str, out_dir: str, n: int,
             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def _typed_probe(spark, n: int) -> None:
+    """Round-5 probe (VERDICT r4 next #8): the round-4 typed paths at
+    Nx — (a) typed navigation over map/array/struct columns must stay
+    a zero-exchange narrow projection (growth ~ rows, no shuffle);
+    (b) the widened-bound long-column ordering pushdown must engage
+    parquet row-group pruning, so a selective record_when grows FAR
+    slower than the variant path that decodes every row."""
+    from rulemorph_spark.engine import transform_table
+
+    base_rows, big_rows = 600_000, 600_000 * n
+    gen = ["id",
+           "id AS qty",  # monotonic → row-group min/max prune
+           "map('k1', id % 1000, 'k2', id % 7) AS attrs",
+           "array(id % 10, id % 100, id % 1000) AS arr",
+           "named_struct('a', id % 997, 'b', concat('v', id % 13)) "
+           "AS meta"]
+    nav_rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: k1
+    expr: ["@input.attrs.k1"]
+  - target: second
+    expr: ["@input.arr[1]"]
+  - target: ma
+    expr: ["@input.meta.a", {add: [1]}]
+"""
+    push_rule_t = """
+version: 2
+input: {format: json}
+record_when: {gte: ["@input.qty", %d]}
+mappings:
+  - target: id
+    source: id
+"""
+    with tempfile.TemporaryDirectory() as tmp:
+        dirs = {}
+        for label, rows in (("base", base_rows), ("big", big_rows)):
+            p = f"{tmp}/{label}"
+            # sortWithinPartitions keeps qty runs ordered per file so
+            # parquet row-group stats are tight (the layout a real
+            # ingest with Z-order/sort compaction produces)
+            spark.range(rows).selectExpr(*gen) \
+                .repartitionByRange(max(32, min(n, 256)), "id") \
+                .sortWithinPartitions("id") \
+                .write.mode("overwrite").parquet(p)
+            dirs[label] = p
+
+        out = {"probe": "typed_navigation", "scale_n": n}
+        for label, p in dirs.items():
+            df = spark.read.parquet(p)
+            res = transform_table(df, nav_rule, mode="typed")
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:400]
+            out[f"t_{label}_s"] = _timed3(lambda r=res: r)
+        out["growth"] = round(out["t_big_s"] / out["t_base_s"], 2)
+        out["rows_ratio"] = n
+        out["exchanges"] = 0
+        print(json.dumps(out), flush=True)
+
+        # selective filter: top ~0.5% of the BIG table's qty domain
+        lit = int(big_rows * 0.995)
+        out = {"probe": "long_pushdown_prune", "scale_n": n,
+               "selectivity": 0.005}
+        big_df = spark.read.parquet(dirs["big"])
+        typed = transform_table(big_df, push_rule_t % lit, mode="typed")
+        plan = typed._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(qty," in plan, plan[:600]
+        out["pushed"] = True
+        out["t_typed_s"] = _timed3(lambda: typed)
+        var = transform_table(big_df, push_rule_t % lit, mode="variant")
+        out["t_variant_s"] = _timed3(lambda: var)
+        out["typed_speedup"] = round(out["t_variant_s"]
+                                     / out["t_typed_s"], 1)
+        print(json.dumps(out), flush=True)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--skew", "--typed")]
     skew = "--skew" in sys.argv[1:]
+    typed = "--typed" in sys.argv[1:]
     n = int(args[0]) if args else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # N=100 replicas need real heap (local-mode default is 1g)
@@ -114,6 +193,8 @@ def main() -> None:
 
     spark = get_spark("scale-probe",
                       cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if typed:
+        return _typed_probe(spark, n)
     if skew:
         return _skew_probe(spark, src, n)
     qs = entry.queries()
