@@ -494,7 +494,8 @@ def _walk_tokens(col: Column | None, dt: T.DataType, tokens,
     return col, dt, mw
 
 
-def _navigate_schema(schema: T.StructType, tokens
+def _navigate_schema(schema: T.StructType, tokens, *,
+                     allow_map: bool = False
                      ) -> tuple[Column, T.DataType, Column | None] | None:
     """Walk path tokens over the input schema; None = statically
     missing.
@@ -504,6 +505,11 @@ def _navigate_schema(schema: T.StructType, tokens
     NULL (the leaf NULL then means *missing*, not JSON null) — that
     predicate is returned so downstream ops apply the reference's
     missing semantics in-plan (``missing_when`` tri-state).
+
+    ``allow_map`` admits a string-keyed scalar-valued MapType leaf —
+    only set when the consuming pipe's first step is a ``get``, which
+    navigates maps natively (round 5); every other op keeps the
+    fallback so map equality/merge/etc. stay on the variant engine.
     """
     nav = _walk_tokens(None, schema, tokens, None)
     if nav is None:
@@ -512,6 +518,11 @@ def _navigate_schema(schema: T.StructType, tokens
     if isinstance(dt, T.ArrayType):
         if not _scalar_element_array(dt):
             raise TypedFallback("array of non-scalar input field")
+    elif allow_map and isinstance(dt, T.MapType) \
+            and _is_str(dt.keyType) \
+            and (_is_str(dt.valueType) or _is_num(dt.valueType)
+                 or _is_bool(dt.valueType)):
+        pass
     elif isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
         raise TypedFallback("non-scalar input field")
     # StructType leaves are allowed: the typed object ops (get/merge/
@@ -564,13 +575,15 @@ def _navigate_tree(tree: dict, tokens) -> TVal:
     return node
 
 
-def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
+def compile_tref(ref: Ref, scope: TScope, path: str, *,
+                 allow_map: bool = False) -> TVal:
     if ref.namespace == "input":
         if ref.path == "":
             raise TypedFallback("whole-record reference")
         if scope.input_tree is not None:
             return _navigate_tree(scope.input_tree, parse_path(ref.path))
-        nav = _navigate_schema(scope.schema, parse_path(ref.path))
+        nav = _navigate_schema(scope.schema, parse_path(ref.path),
+                               allow_map=allow_map)
         if nav is None:
             return _missing()
         col, dt, mw = nav
@@ -638,12 +651,24 @@ def compile_tref(ref: Ref, scope: TScope, path: str) -> TVal:
 
 # --- pipe compilation ---------------------------------------------------
 
+def _leads_with_get(pipe: Pipe) -> bool:
+    """True when the pipe's first step is a ``get`` — the one op that
+    consumes a map-typed seed natively (static keys via _walk_tokens,
+    dynamic keys via _t_get_dynamic)."""
+    if not pipe.steps:
+        return False
+    s = pipe.steps[0]
+    return (isinstance(s, OpStep)
+            and OP_ALIASES.get(s.op, s.op) == "get")
+
+
 def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
     start = pipe.start
     if isinstance(start, StartLiteral):
         cur = _py_literal(start.value, path)
     elif isinstance(start, StartRef):
-        cur = compile_tref(start.ref, scope, path)
+        cur = compile_tref(start.ref, scope, path,
+                           allow_map=_leads_with_get(pipe))
     elif isinstance(start, StartPipeValue):
         cur = scope.pipe if scope.pipe is not None else _missing()
     else:  # pragma: no cover
@@ -1490,13 +1515,62 @@ def _t_obj_guard(ops: list[TVal], path: str):
     return live or None
 
 
+def _t_get_dynamic(scope, cur, args, path):
+    """Dynamic (per-row) get key, typed-native for string-keyed maps
+    of scalars (round 5; closes the ``dynamic get path`` fallback for
+    the properties-map shape).  Parity target is the VARIANT engine's
+    dynamic get (``ops_object.op_get``): the dynamic string is ONE
+    key — full dynamic dot-paths are unsupported engine-wide — with
+    null base → missing, missing key-arg → missing, JSON-null key →
+    ``expr arg must not be null``, non-string key → missing."""
+    base = cur
+    if base.missing:
+        return _missing()
+    if _unresolved(base):
+        raise TypedFallback("get over maybe-missing base")
+    dt = base.dtype
+    if not (isinstance(dt, T.MapType) and _is_str(dt.keyType)):
+        raise TypedFallback("dynamic get over non-map base")
+    vt = dt.valueType
+    if not (_is_str(vt) or _is_num(vt) or _is_bool(vt)):
+        raise TypedFallback("dynamic get over non-scalar map values")
+    key = compile_tpipe(args[0], scope.child(pipe=cur),
+                        f"{path}.args[0]")
+    if key.missing:
+        return _missing()
+    if _unresolved(key):
+        raise TypedFallback("dynamic get key maybe-missing")
+
+    base_null = _isnull(base)
+    key_null = _isnull(key)
+    if key.missing_when is not None:
+        key_null = key_null & ~_mw(key)  # missing key-arg ≠ null key
+    err = _terr(vt, "expr_error", "expr arg must not be null", path)
+    if _is_str(key.dtype):
+        val = F.try_element_at(base.col, key.col)
+        contains = F.coalesce(
+            F.map_contains_key(base.col, key.col), F.lit(False))
+    else:
+        val = F.lit(None).cast(vt)
+        contains = F.lit(False)
+    col = (F.when(base_null, F.lit(None).cast(vt))
+           .when(key_null, err)
+           .otherwise(val))
+    mw = base_null | (~key_null & ~contains)
+    if base.missing_when is not None:
+        mw = _mw(base) | mw
+    if key.missing_when is not None:
+        mw = _mw(key) | mw
+    return TVal(col, vt, maybe_missing=True, missing_when=mw)
+
+
 @_treg("get")
 def t_get(scope, cur, args, path):
     """Value at literal dot path; absent → missing; null base → missing
     (``transform.rs:4419-4474``)."""
     lit = _t_literal_arg(args[0]) if args else None
     if args and lit is None:
-        raise TypedFallback("dynamic get path")
+        return _t_get_dynamic(scope, cur, args, path)
     if not isinstance(lit, str) or not lit:
         raise RuleError("expr_error", "path must be a non-empty string",
                         path)

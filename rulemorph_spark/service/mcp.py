@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import sys
 from pathlib import Path
-from typing import Any
 
 from . import mcp_tools
 from .mcp_tools import InvalidParams, ToolError

@@ -787,3 +787,81 @@ def test_typed_array_agg_float_falls_back(spark):
     # auto mode: variant engine renders the f64 sum (4 → integral int)
     out = transform_table(df, rule, mode="auto")
     assert _rows_variant(out)[0]["s"] == 4
+
+
+def test_dynamic_get_typed_native_over_map(spark):
+    """Round 5 (VERDICT r4 next #7): a dynamic ``get`` key over a
+    string-keyed scalar map compiles on the TYPED path (no
+    TypedFallback — previously the whole rule paid variant decode for
+    one dynamic path).  Parity target is the variant engine's dynamic
+    get: the dynamic string is ONE key (dotted strings do NOT
+    deep-navigate), null base → missing, absent key → missing
+    (default applies), JSON-null key → `expr arg must not be null`.
+    """
+    import json as _json
+
+    import pytest
+
+    from rulemorph_spark.compiler.typed import (TypedFallback,
+                                                TypedRuleCompiler)
+    from rulemorph_spark.engine import transform_table
+    from rulemorph_spark.errors import extract_engine_error
+    from rulemorph_spark.model import parse_rule_file
+
+    df = spark.createDataFrame(
+        [(1, {"a": 10, "b": 20}, "a"),
+         (2, {"a": 1}, "zz"),
+         (3, None, "a"),
+         (5, {"k.y": 7}, "k.y")],
+        "id long, m map<string,bigint>, k string")
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: v
+    expr: ["@input.m", {get: ["@input.k"]}]
+    required: false
+    default: -1
+"""
+    # compiles typed — the fallback is GONE for this shape
+    out = TypedRuleCompiler(parse_rule_file(rule)).compile(df)
+    typed = {r["id"]: r["v"] for r in out.collect()}
+    variant = {_json.loads(r["id"]): _json.loads(r["v"]) for r in
+               transform_table(df, rule, mode="variant")
+               .select(F.to_json("id").alias("id"),
+                       F.to_json("v").alias("v")).collect()}
+    assert typed == variant == {1: 10, 2: -1, 3: -1, 5: 7}
+
+    # static literal get over a map base is typed-native too
+    rule_static = rule.replace('{get: ["@input.k"]}', '{get: ["a"]}')
+    out2 = TypedRuleCompiler(parse_rule_file(rule_static)).compile(df)
+    assert {r["id"]: r["v"] for r in out2.collect()} == \
+        {1: 10, 2: 1, 3: -1, 5: -1}
+
+    # JSON-null key errors identically in both engines
+    dfn = spark.createDataFrame([(4, {"x": 5}, None)],
+                                "id long, m map<string,bigint>, k string")
+    errs = []
+    for mode in ("typed", "variant"):
+        with pytest.raises(Exception) as exc:
+            transform_table(dfn, rule, mode=mode).collect()
+        ee = extract_engine_error(exc.value)
+        errs.append((ee.kind, ee.message))
+    assert errs[0] == errs[1] == ("ExprError",
+                                  "expr arg must not be null")
+
+    # non-get consumers of a map column still fall back (map equality
+    # must stay on the variant engine's canonical-text compare)
+    rule_eq = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: same
+    expr: ["@input.m", {eq: ["@input.m"]}]
+"""
+    with pytest.raises(TypedFallback):
+        TypedRuleCompiler(parse_rule_file(rule_eq)).compile(df)
