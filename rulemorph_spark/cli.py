@@ -228,8 +228,13 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
                 return True
             if path == "/ui/api/graph":
                 from .service.trace import build_api_graph, layout_layers
-                self._send_json(
-                    layout_layers(build_api_graph(engine.endpoint_file)))
+                if engine.endpoint_file is None:  # ui-only mode
+                    self._send_json({"nodes": [], "edges": [],
+                                     "layers": []})
+                else:
+                    self._send_json(
+                        layout_layers(
+                            build_api_graph(engine.endpoint_file)))
                 return True
             if path == "/ui/api/trace-version":
                 since = int(dict(query).get("since", -1))
@@ -321,14 +326,56 @@ def cmd_validate_rules_dir(args) -> int:
     return 2
 
 
+class _TraceOnlyEngine:
+    """``--api-mode ui-only`` (reference ``UiApiMode::UiOnly``,
+    ``rulemorph_cli/src/main.rs:146-151``): browse a data dir of
+    traces in the UI without loading a rules engine — no Spark
+    session, endpoint requests 404, the API graph is empty."""
+
+    def __init__(self, data_dir: str):
+        from .service.trace import TraceStore
+        self.trace_store = TraceStore(data_dir)
+        self.endpoint_file = None
+        self.endpoints = []
+
+    def handle_request(self, *args, **kwargs):
+        return 404, {}, {"kind": "NotFound",
+                         "message": "no endpoint engine in ui-only mode"}
+
+
 def cmd_ui(args) -> int:
     """Serve the endpoint engine plus a minimal browser UI (reference:
     ``rulemorph_cli/src/main.rs:162`` → ``run_ui``; the reference ships
     a bundled SPA — here the UI is a single status/explorer page over
-    the same engine API)."""
+    the same engine API).  ``--api-mode ui-only`` serves the trace
+    views from ``--data-dir`` without an engine; ``--no-ui`` serves
+    the engine API without the page."""
     from .engine import get_spark
     from .errors import RuleError
     from .service.endpoint import EndpointEngine
+
+    if args.api_mode in ("ui-only", "ui_only", "native"):
+        data_dir = args.data_dir or args.trace_dir
+        if not data_dir:
+            print("--data-dir is required with --api-mode ui-only",
+                  file=sys.stderr)
+            return 2
+        engine = _TraceOnlyEngine(data_dir)
+        ui_html = None if args.no_ui else _ui_index_html(engine)
+        httpd = make_http_server(engine, args.host, args.port,
+                                 ui_html=ui_html)
+        print(f"ui on http://{args.host}:{httpd.server_address[1]}/ui",
+              file=sys.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+
+    if not args.rules_dir:
+        print("-d/--rules-dir is required unless --api-mode ui-only",
+              file=sys.stderr)
+        return 2
     endpoint_file = os.path.join(args.rules_dir, "endpoint.yaml")
     from .service.rules_dir import validate_rules_dir
     errors = validate_rules_dir(args.rules_dir)
@@ -346,7 +393,7 @@ def cmd_ui(args) -> int:
     except RuleError as e:
         _emit_validation_errors([e], "text")
         return 2
-    ui_html = _ui_index_html(engine)
+    ui_html = None if args.no_ui else _ui_index_html(engine)
     httpd = make_http_server(engine, args.host, args.port,
                              ui_html=ui_html)
     print(f"ui on http://{args.host}:{httpd.server_address[1]}/ui",
@@ -663,11 +710,17 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_validate_rules_dir)
 
     p = sub.add_parser("ui")
-    p.add_argument("-d", "--rules-dir", required=True,
-                   help="directory containing endpoint.yaml")
+    p.add_argument("-d", "--rules-dir",
+                   help="directory containing endpoint.yaml "
+                        "(required unless --api-mode ui-only)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("-p", "--port", type=int, default=8080)
     p.add_argument("--trace-dir")
+    p.add_argument("--data-dir",
+                   help="trace data dir for --api-mode ui-only")
+    p.add_argument("--api-mode", default="rules",
+                   choices=["rules", "ui-only", "ui_only", "native"])
+    p.add_argument("--no-ui", action="store_true")
     p.set_defaults(fn=cmd_ui)
 
     p = sub.add_parser("pipeline")

@@ -296,3 +296,63 @@ def test_ui_spa_endpoints_round_trip(spark, svc_dir):
                        "trace-graph"):
             assert marker in page, marker
         httpd.shutdown()
+
+
+def test_ui_only_mode_serves_traces_without_engine(spark, svc_dir):
+    """``ui --api-mode ui-only`` (reference ``UiApiMode::UiOnly``,
+    rulemorph_cli/src/main.rs:146-151): the trace views serve from a
+    data dir with NO rules engine — endpoint requests 404, the API
+    graph is empty, traces list/read work."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from rulemorph_spark.cli import _TraceOnlyEngine, make_http_server
+    from rulemorph_spark.cli import _ui_index_html
+
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        eng.handle_request("GET", "/things/5")
+
+        ui_eng = _TraceOnlyEngine(trace_dir)
+        httpd = make_http_server(ui_eng, port=0,
+                                 ui_html=_ui_index_html(ui_eng))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/ui/api/traces?summary=1"
+                    ) as r:
+                rows = _json.loads(r.read())["traces"]
+            assert len(rows) == 1 and rows[0]["path"] == "/things/5"
+
+            tid = rows[0]["trace_id"]
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/ui/api/trace?id={tid}"
+                    ) as r:
+                assert r.status == 200
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/ui/api/graph") as r:
+                graph = _json.loads(r.read())
+            assert graph["nodes"] == [] and graph["edges"] == []
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/ui") as r:
+                assert "rulemorph" in r.read().decode()
+
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/things/5")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
