@@ -249,6 +249,87 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
                 return True
             return False
 
+        def _send_error(self, status: int, message: str) -> None:
+            # reference ApiError shape (server.rs:241-246)
+            data = json.dumps({"error": message}).encode("utf-8")
+            self.send_response(status)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _internal_api(self, method: str, path: str,
+                          body: str | None) -> bool:
+            """The reference server's ``/internal/*`` routes
+            (server.rs:59-64): traces list/read, bundle import, the
+            data-dir API graph, and the SSE trace stream."""
+            from .service import server as srv
+            store = getattr(engine, "trace_store", None)
+            if store is None:
+                self._send_error(500, "trace store not configured")
+                return True
+            data_dir = store.data_dir
+            if method == "GET" and path == "/internal/traces":
+                self._send_json(
+                    {"traces": srv.trace_meta_list(data_dir)})
+                return True
+            if method == "GET" and path.startswith("/internal/traces/"):
+                tid = path[len("/internal/traces/"):]
+                doc = srv.get_trace(data_dir, tid)
+                if doc is None:
+                    self._send_error(404, "trace not found")
+                else:
+                    self._send_json({"trace": doc})
+                return True
+            if method == "POST" and path == "/internal/import":
+                try:
+                    payload = json.loads(body or "")
+                    bundle = payload["bundle_path"]
+                except (ValueError, KeyError, TypeError):
+                    self._send_error(400, "bundle_path is required")
+                    return True
+                try:
+                    self._send_json(
+                        srv.import_bundle(data_dir, bundle))
+                except OSError as e:
+                    self._send_error(500, str(e))
+                return True
+            if method == "GET" and path == "/internal/api-graph":
+                self._send_json(srv.build_api_graph_dir(data_dir))
+                return True
+            if method == "GET" and path == "/internal/stream":
+                self._sse_stream()
+                return True
+            return False
+
+        def _sse_stream(self) -> None:
+            """``/internal/stream`` (server.rs:200-210): an SSE feed
+            emitting ``event: traces`` whenever a trace lands, with
+            15 s keep-alives; backed by the TraceWatcher poll."""
+            self.send_response(200)
+            self.send_header("content-type", "text/event-stream")
+            self.send_header("cache-control", "no-cache")
+            self.end_headers()
+            version = watcher.version if watcher is not None else 0
+            try:
+                while True:
+                    if watcher is None:
+                        self.wfile.write(b": keep-alive\n\n")
+                        self.wfile.flush()
+                        import time as _t
+                        _t.sleep(15.0)
+                        continue
+                    newer = watcher.wait_newer(version, timeout=15.0)
+                    if newer > version:
+                        version = newer
+                        self.wfile.write(
+                            b"event: traces\ndata: updated\n\n")
+                    else:
+                        self.wfile.write(b": keep-alive\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return
+
         def _run(self, method: str):
             parts = urlsplit(self.path)
             if ui_html is not None and method == "GET" \
@@ -269,9 +350,17 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
             length = int(self.headers.get("content-length") or 0)
             body = (self.rfile.read(length).decode("utf-8")
                     if length else None)
+            if parts.path.startswith("/internal/"):
+                if self._internal_api(method, parts.path, body):
+                    return
             headers = dict(self.headers.items())
+            # the reference server nests the rules API under /api/*
+            # (server.rs:53); bare paths stay routable for direct use
+            engine_path = parts.path
+            if engine_path == "/api" or engine_path.startswith("/api/"):
+                engine_path = engine_path[len("/api"):] or "/"
             status, hdrs, payload = engine.handle_request(
-                method, parts.path, query, headers, body)
+                method, engine_path, query, headers, body)
             data = json.dumps(payload).encode("utf-8")
             self.send_response(int(status))
             sent = set()

@@ -356,3 +356,115 @@ def test_ui_only_mode_serves_traces_without_engine(spark, svc_dir):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_internal_server_routes(spark, svc_dir):
+    """The reference server's route surface (server.rs:50-66):
+    /api/* rules prefix, /internal/traces (+/{id}), /internal/import
+    (trace bundle), /internal/api-graph (data-dir walk), and the
+    /internal/stream SSE feed."""
+    import json as _json
+    import socket
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from rulemorph_spark.cli import make_http_server
+
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    with tempfile.TemporaryDirectory() as trace_dir, \
+            tempfile.TemporaryDirectory() as bundle:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        eng.handle_request("GET", "/things/5")
+
+        # a bundle: one server-layout trace + one rule file
+        os.makedirs(f"{bundle}/traces/run1")
+        os.makedirs(f"{bundle}/rules")
+        with open(f"{bundle}/traces/run1/abc.json", "w") as fh:
+            _json.dump({"trace_id": "abc", "status": "error",
+                        "timestamp": "2026-08-14T00:00:00Z",
+                        "summary": {"duration_ms": 7,
+                                    "record_total": 3}}, fh)
+        with open(f"{bundle}/rules/r.yaml", "w") as fh:
+            fh.write("version: 2\ninput: {format: json, json: {}}\n"
+                     "steps:\n  - branch:\n"
+                     "      when: {eq: ['@input.k', 'x']}\n"
+                     "      then: ./missing_child.yaml\n")
+
+        httpd = make_http_server(eng, port=0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            # /api/* prefix routes into the same endpoint engine
+            with urllib.request.urlopen(f"{base}/api/things/9") as r:
+                assert r.status == 200
+
+            # import the bundle, then list metas
+            req = urllib.request.Request(
+                f"{base}/internal/import",
+                data=_json.dumps({"bundle_path": bundle}).encode(),
+                headers={"content-type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req) as r:
+                result = _json.loads(r.read())
+            assert result == {"imported": 1, "trace_ids": ["abc"],
+                              "rules_imported": 1}
+
+            with urllib.request.urlopen(
+                    f"{base}/internal/traces") as r:
+                metas = _json.loads(r.read())["traces"]
+            by_id = {m["trace_id"]: m for m in metas}
+            assert "abc" in by_id
+            assert by_id["abc"]["status"] == "error"
+            assert by_id["abc"]["duration_us"] == 7000
+            assert by_id["abc"]["summary"]["record_total"] == 3
+            # the engine-written flat trace is indexed too
+            assert len(metas) >= 2
+
+            with urllib.request.urlopen(
+                    f"{base}/internal/traces/abc") as r:
+                doc = _json.loads(r.read())["trace"]
+            assert doc["trace_id"] == "abc"
+            try:
+                urllib.request.urlopen(f"{base}/internal/traces/nope")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+                assert _json.loads(e.read())["error"] == \
+                    "trace not found"
+
+            # data-dir API graph sees the imported rule + its dangling
+            # branch target as a missing placeholder
+            with urllib.request.urlopen(
+                    f"{base}/internal/api-graph") as r:
+                graph = _json.loads(r.read())
+            kinds = {n["id"]: n["kind"] for n in graph["nodes"]}
+            assert kinds.get("rules/r.yaml") == "normal"
+            assert kinds.get("rules/missing_child.yaml") == "missing"
+            assert {"source": "rules/r.yaml",
+                    "target": "rules/missing_child.yaml",
+                    "kind": "branch", "label": "branch: then"} in \
+                graph["edges"]
+
+            # SSE stream: a new trace produces an `event: traces`
+            sock = socket.create_connection(("127.0.0.1", port),
+                                            timeout=10)
+            sock.sendall(b"GET /internal/stream HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            eng.handle_request("GET", "/things/6")  # new trace lands
+            deadline_data = b""
+            sock.settimeout(10)
+            while b"event: traces" not in deadline_data:
+                chunk = sock.recv(4096)
+                assert chunk, "stream closed early"
+                deadline_data += chunk
+            assert b"text/event-stream" in deadline_data
+            sock.close()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
