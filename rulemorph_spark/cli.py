@@ -474,8 +474,9 @@ def cmd_ui(args) -> int:
         return 2
     try:
         spark = get_spark("rulemorph-ui")
-        engine = EndpointEngine(spark, endpoint_file,
-                                trace_dir=args.trace_dir)
+        engine = EndpointEngine(
+            spark, endpoint_file, trace_dir=args.trace_dir,
+            internal_base=f"http://{args.host}:{args.port}")
     except OSError as e:
         print(f"failed to load endpoint rules: {e}", file=sys.stderr)
         return 1
@@ -509,8 +510,9 @@ def cmd_serve(args) -> int:
     from .errors import RuleError
     try:
         spark = get_spark("rulemorph-serve")
-        engine = EndpointEngine(spark, args.endpoint,
-                                trace_dir=args.trace_dir)
+        engine = EndpointEngine(
+            spark, args.endpoint, trace_dir=args.trace_dir,
+            internal_base=f"http://{args.host}:{args.port}")
     except OSError as e:
         print(f"failed to load endpoint rules: {e}", file=sys.stderr)
         return 1

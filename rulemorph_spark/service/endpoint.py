@@ -117,8 +117,12 @@ class EndpointEngine:
     """Load endpoint.yaml + referenced rules; serve requests in-process."""
 
     def __init__(self, spark, endpoint_file: str,
-                 http_opener=None, trace_dir: str | None = None):
+                 http_opener=None, trace_dir: str | None = None,
+                 internal_base: str = ""):
         self.spark = spark
+        # exposed to every step as @context.config.internal_base
+        # (EngineConfig, endpoint_engine.rs:45-55; config_json :1140)
+        self.internal_base = internal_base
         self.endpoint_file = os.path.abspath(endpoint_file)
         self.base_dir = os.path.dirname(os.path.abspath(endpoint_file))
         self._http = http_opener or _default_http
@@ -227,10 +231,9 @@ class EndpointEngine:
             if step.when is not None and not self._eval_when(
                     step.when, current):
                 continue
-            context = None
-            if step.with_ is not None:
-                params = self._eval_with(step.with_, current)
-                context = {"params": params}
+            params = (self._eval_with(step.with_, current)
+                      if step.with_ is not None else None)
+            context = self._step_context(params=params)
             try:
                 def run_step(cur=current, ctx=context, rule=step.rule):
                     return self._run_rule_file(rule, cur, ctx)
@@ -246,6 +249,18 @@ class EndpointEngine:
         if trace is not None:
             trace.record("reply", "reply", current, lambda: reply[2])
         return reply
+
+    def _step_context(self, params=None, error=None) -> dict:
+        """Per-step @context document (``step_context``,
+        endpoint_engine.rs:1148-1163): always carries
+        ``config.internal_base``; ``params`` from the step's ``with``
+        and ``error`` for catch handlers are merged in."""
+        ctx: dict = {"config": {"internal_base": self.internal_base}}
+        if params is not None:
+            ctx["params"] = params
+        if error is not None:
+            ctx["error"] = error
+        return ctx
 
     def _reply(self, endpoint: EndpointDef, final):
         status = self._eval_expr(endpoint.reply_status, final)
@@ -281,7 +296,7 @@ class EndpointEngine:
             return None
         handler_out = self._run_rule_file(
             target, current if current is not None else {},
-            {"error": err.to_json()})
+            self._step_context(error=err.to_json()))
         status = handler_out.get("status", 500) \
             if isinstance(handler_out, dict) else 500
         if not isinstance(status, int):

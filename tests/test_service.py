@@ -405,3 +405,33 @@ def test_validate_rules_warning_with_yaml_location():
     assert w["code"] == "predicate_literal_condition_object"
     assert w["path"] == "mappings[0].expr[1].filter[0]"
     assert (w["line"], w["column"]) == (5, 5)  # the expr key's line
+
+
+def test_step_context_carries_internal_base(spark, tmp_path):
+    """Every step context includes @context.config.internal_base
+    (EngineConfig surface, endpoint_engine.rs:45-55 + step_context
+    :1148) — rules use it to build URLs against the local server."""
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /base
+    steps:
+      - rule: base.yaml
+    reply:
+      status: 200
+      body: "@input"
+""")
+    (tmp_path / "base.yaml").write_text("""
+version: 2
+input: {format: json, json: {}}
+mappings:
+  - target: base_url
+    expr: ["@context.config.internal_base"]
+""")
+    eng = EndpointEngine(spark, f"{tmp_path}/endpoint.yaml",
+                         internal_base="http://127.0.0.1:9999")
+    status, _, body = eng.handle_request("GET", "/base")
+    assert status == 200
+    assert body == {"base_url": "http://127.0.0.1:9999"}
