@@ -916,6 +916,38 @@ def q_rule_typed_arrays(spark, sf_dir):
                       "n_uniq", "has_spark", "long_words")
 
 
+_DYN_GET_RULE = """
+version: 2
+input: {format: json}
+mappings:
+  - target: event_id
+    source: event_id
+  - target: kv
+    expr: ["@input.m", {get: ["@input.key"]}]
+    required: false
+    default: -1
+"""
+
+
+def q_dynamic_get_props(spark, sf_dir):
+    """per-row dynamic ``get`` key over a string-keyed map — typed-
+    native since round 5 (``compiler/typed._t_get_dynamic``): the
+    events ``props`` JSON parses into a map column and the key is
+    chosen per row from ``event_type``; absent keys take the mapping
+    default.  The whole rule stays on the typed path (no variant
+    decode) as a narrow zero-shuffle projection."""
+    from rulemorph_spark.engine import transform_table
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("k"))
+        .otherwise(F.lit("absent")).alias("key"))
+    out = transform_table(df, _DYN_GET_RULE, mode="typed")
+    return out.select("event_id",
+                      F.col("kv").cast("bigint").alias("kv"))
+
+
 def q_doc_chunks(spark, sf_dir):
     """document chunking: overlapping 32-token windows (stride 24) —
     the context-window prep step of a pretraining pipeline.  Narrow
@@ -1152,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rule_typed_transform": q_rule_typed_transform,
         "q_rule_typed_steps": q_rule_typed_steps,
         "q_rule_typed_arrays": q_rule_typed_arrays,
+        "q_dynamic_get_props": q_dynamic_get_props,
         # event-time / sessionization / joins
         "q_events_time_window": q_events_time_window,
         "q_sessionize": q_sessionize,
@@ -1602,6 +1635,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rev >= 70000 THEN 'high' ELSE 'mid' END
                        AS band
             FROM s WHERE rev >= 40000
+        """,
+        "q_dynamic_get_props": """
+            SELECT event_id,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN COALESCE(CAST(json_extract(props, '$.k')
+                                           AS BIGINT), -1)
+                        ELSE -1 END AS kv
+            FROM events
         """,
         "q_rule_typed_arrays": """
             WITH w AS (

@@ -586,3 +586,43 @@ mappings:
         resp["result"]["content"][0]["text"])
     assert out["input"]["format"] == "csv"
     assert out["mappings"][0]["source"] == "name"
+
+
+def test_generate_rules_from_dto_nested_types(client):
+    """Object-typed fields recurse into dotted targets with
+    optionality inherited from the parent
+    (build_mappings_for_type, main.rs:4128-4171)."""
+    from rulemorph_spark.model import parse_rule_file
+    dto = """
+export interface Record {
+  id: string;
+  user?: User;
+}
+export interface User {
+  name: string;
+  age: number;
+}
+"""
+    resp = client.call("generate_rules_from_dto",
+                       {"dto_text": dto, "dto_language": "typescript",
+                        "input_json": {"id": "1",
+                                       "user": {"name": "Ada",
+                                                "age": 30}}}, rid=60)
+    rule = parse_rule_file(resp["result"]["content"][0]["text"])
+    by_target = {m.target: m for m in rule.mappings}
+    assert set(by_target) == {"id", "user.name", "user.age"}
+    assert by_target["id"].required is True
+    # parent optionality propagates to nested fields
+    assert by_target["user.name"].required is False
+    assert by_target["user.age"].required is False
+    assert by_target["user.age"].value_type == "float"  # ts number
+
+
+def test_generate_rules_from_dto_unknown_type_errors(client):
+    resp = client.call("generate_rules_from_dto",
+                       {"dto_text": "export interface Record "
+                                    "{ x: Mystery; }",
+                        "dto_language": "typescript",
+                        "input_json": {"x": 1}}, rid=61)
+    assert resp["result"]["isError"] is True
+    assert "unknown dto type" in resp["result"]["content"][0]["text"]
