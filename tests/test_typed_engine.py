@@ -865,3 +865,31 @@ mappings:
 """
     with pytest.raises(TypedFallback):
         TypedRuleCompiler(parse_rule_file(rule_eq)).compile(df)
+
+
+def test_dynamic_get_lenient_record_when_parity(spark):
+    """Dynamic get inside record_when (lenient mode): null key rows
+    downgrade the would-be error to false in BOTH engines; null base
+    and absent keys are missing -> false."""
+    import json as _json
+
+    from rulemorph_spark.engine import transform_table
+
+    df = spark.createDataFrame(
+        [(1, {"a": 10}, "a"), (2, {"a": 1}, "a"),
+         (3, {"a": 10}, None), (4, None, "a"), (5, {"a": 10}, "zz")],
+        "id long, m map<string,bigint>, k string")
+    rule = """
+version: 2
+input: {format: json}
+record_when: ["@input.m", {get: ["@input.k"]}, {gte: [5]}]
+mappings:
+  - target: id
+    source: id
+"""
+    t = sorted(r["id"] for r in
+               transform_table(df, rule, mode="typed").collect())
+    v = sorted(_json.loads(r["id"]) for r in
+               transform_table(df, rule, mode="variant")
+               .select(F.to_json("id").alias("id")).collect())
+    assert t == v == [1]
