@@ -174,6 +174,12 @@ def main():
         _rule_engine_typed(spark, sf_dir), 3)
     timings["rule_engine_typed_lookup"] = round(
         _rule_engine_typed_lookup(spark), 3)
+    ext = _rule_engine_extended(spark)
+    if ext is not None:
+        timings["rule_engine_extended"] = round(ext[0], 3)
+        extended_compile_s = round(ext[1], 3)
+    else:
+        extended_compile_s = None
 
     total = round(sum(timings.values()), 3)
     common = [n for n in headline if duckdb_timings.get(n)]
@@ -198,6 +204,10 @@ def main():
         # DuckDB is a best-in-class single-node OLAP engine, so <= ~2x
         # is the "within 2x of a native engine" reading of the gate.
         "duckdb": duckdb_timings,
+        # one-time parse+compile+analysis cost of the extended anchor
+        # (the reference bench re-parses per iteration; this engine
+        # compiles once — see _rule_engine_extended docstring)
+        "rule_engine_extended_compile_s": extended_compile_s,
         "spark_vs_duckdb_ratio": ratio,
         "duckdb_note": "oracles compute the same RESULT, not always "
                        "the same WORK: q_multimodal_probe's oracle is "
@@ -308,6 +318,57 @@ def _timed(df, runs: int = 3) -> float:
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
     return sorted(samples)[len(samples) // 2]
+
+
+_EXT_RULES_PATH = ("/root/reference/crates/rulemorph/tests/fixtures/"
+                   "t13_expr_extended/rules.yaml")
+
+
+def _rule_engine_extended(spark, n_records: int = 5000
+                          ) -> tuple[float, float] | None:
+    """The reference's ``transform_extended_parse_rule`` bench shape
+    (``benches/transform_bench.rs:74-84``): the t13 extended-expr rule
+    — twelve expression mappings across string/regex/numeric/base/date
+    ops — over 5000 records of the bench's constant extended input.
+
+    The criterion bench re-parses the YAML every iteration because the
+    reference interpreter's cost model is per-record re-evaluation;
+    this engine compiles a rule ONCE into a Catalyst plan, so the
+    honest split is (execute_s, compile_s): the steady-state per-batch
+    execution of the compiled plan, and the one-time parse+compile+
+    analysis cost it amortizes (at 100 TB the latter is noise; on this
+    5000-row toy it dominates).  Returns None when the reference
+    fixture tree is unavailable."""
+    import json as _json
+
+    from rulemorph_spark.compiler.rule import Builder, RuleCompiler
+    from rulemorph_spark.model import parse_rule_file
+
+    try:
+        with open(_EXT_RULES_PATH, encoding="utf-8") as fh:
+            rule_text = fh.read()
+    except OSError:
+        return None
+    record = _json.dumps({  # build_extended_input, transform_bench.rs
+        "text": "abc-123-abc", "regex_text": "a1b2c3", "csv": "a,b,c",
+        "pad": "7", "num_a": 80.6, "num_b": "2.5", "num_c": 3,
+        "base_value": 255, "date_simple": "2024-01-02 03:04:05",
+        "date_tz": "2024-01-02T03:04:05+09:00",
+        "unix_s": "1970-01-01T00:00:01Z",
+        "unix_ms": "1970-01-01T00:00:00.123Z"})
+    records = spark.range(n_records).select(
+        F.col("id").alias("__idx__"),
+        F.parse_json(F.lit(record)).alias("__record__"))
+
+    t0 = time.perf_counter()
+    rule = parse_rule_file(rule_text)
+    builder = Builder(records)
+    compiled = RuleCompiler(rule).compile(builder, F.col("__record__"))
+    out = (builder.df.withColumn("__keep__", compiled.keep)
+           .filter("__keep__").select(compiled.out_json().alias("j")))
+    out.schema  # force analysis — part of the one-time compile cost
+    compile_s = time.perf_counter() - t0
+    return _timed(out), compile_s
 
 
 # the reference's PERF_RULES verbatim shape (tests/performance.rs:6-30)

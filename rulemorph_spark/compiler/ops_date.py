@@ -182,6 +182,52 @@ def _try_parse(value: Column, chrono_fmt: str, path: str,
     return F.coalesce(*cands) if len(cands) > 1 else cands[0]
 
 
+def _fmt_gate_regex(chrono_fmt: str) -> str:
+    """Loose structural regex for one chrono format: digit tokens →
+    ``\\d+``, month names → letters, offsets → ``Z|±hh[:]mm``,
+    literals escaped.  Used to SKIP formats in the default chain whose
+    shape can't match — each skipped format saves an exception-driven
+    ``try_to_timestamp`` attempt per row (the default chain is ~23
+    formats; ungated, a late-chain match paid every earlier failure).
+    Deliberately LOOSER than the real parser: a false positive only
+    costs the parse attempt it would have made anyway; it must never
+    reject a value the format would parse."""
+    out = ["^"]
+    i, n = 0, len(chrono_fmt)
+    while i < n:
+        ch = chrono_fmt[i]
+        if ch == "%" and i + 1 < n:
+            if chrono_fmt[i:i + 3] == "%.f":
+                out.append(r"(\.\d+)?")
+                i += 3
+                continue
+            if chrono_fmt[i:i + 3] == "%:z":
+                out.append(r"(Z|z|[+-]\d{2}:?\d{2})")
+                i += 3
+                continue
+            tok = chrono_fmt[i:i + 2]
+            if tok == "%z":
+                out.append(r"(Z|z|[+-]\d{2}:?\d{2})")
+            elif tok in ("%b", "%B", "%a", "%A"):
+                out.append(r"[A-Za-z.]+")
+            else:  # %Y %m %d %H %M %S %y … all numeric
+                out.append(r"\d+")
+            i += 2
+            continue
+        out.append(re.escape(ch))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def _gated_parse(value: Column, chrono_fmt: str, path: str,
+                 tz_seconds: int | None) -> Column:
+    gate = _fmt_gate_regex(chrono_fmt)
+    return F.when(value.rlike(gate),
+                  _try_parse(value, chrono_fmt, path, tz_seconds)) \
+        .otherwise(F.lit(None).cast("timestamp"))
+
+
 def parse_datetime_utc(value: Column, formats: list[str] | None,
                        tz_seconds: int | None, path: str) -> Column:
     """Full default/explicit parse chain → (ts_utc, input_offset_seconds).
@@ -194,7 +240,7 @@ def parse_datetime_utc(value: Column, formats: list[str] | None,
     if formats is None:
         chain = _RFC3339 + _DEFAULT_WITH_TZ
         for f in chain:
-            c = _try_parse(value, f, path, tz_seconds)
+            c = _gated_parse(value, f, path, tz_seconds)
             cands.append(c)
             offset_cands.append((c, _extract_offset_seconds(value)))
         # RFC2822 (spark patterns directly, weekday prefix stripped)
@@ -204,7 +250,7 @@ def parse_datetime_utc(value: Column, formats: list[str] | None,
             cands.append(c)
             offset_cands.append((c, _extract_offset_seconds(value)))
         for f in _DEFAULT_NAIVE:
-            c = _try_parse(value, f, path, tz_seconds)
+            c = _gated_parse(value, f, path, tz_seconds)
             cands.append(c)
             offset_cands.append((c, F.lit(None).cast("int")))
     else:
@@ -319,12 +365,21 @@ def op_date_format(scope: Scope, cur, args, path):
         tz = _lit_str_arg(args[2], path, "timezone")
         tz_seconds = parse_tz_literal(str(tz), path)
 
-    ts, input_off = parse_datetime_utc(value, input_formats, tz_seconds, path)
-    if tz_seconds is not None:
-        render_off = F.lit(tz_seconds)
-    else:
-        render_off = input_off  # render in the input's own offset (chrono)
-    result = _render(ts, out_fmt, render_off, path)
+    # let-bind the string value, then the parsed (ts, offset) pair:
+    # the default-chain parse references the value once per tried
+    # format, and _render references the parse result once per output
+    # component — unbound, the whole parse tree inlined into every
+    # component (~100k-char plans for one call; round 5)
+    def render(ts: Column, input_off: Column) -> Column:
+        if tz_seconds is not None:
+            render_off = F.lit(tz_seconds)
+        else:
+            render_off = input_off  # render in the input's own offset
+        return _render(ts, out_fmt, render_off, path)
+
+    result = V.let(value, lambda v: V.let_many(
+        list(parse_datetime_utc(v, input_formats, tz_seconds, path)),
+        render))
     return seq_strict(ops, path, result.cast(V.VT))
 
 
@@ -350,9 +405,11 @@ def op_to_unixtime(scope: Scope, cur, args, path):
         tz = str(_lit_str_arg(args[1], path, "timezone"))
         tz_seconds = parse_tz_literal(tz, path)
 
-    ts, _ = parse_datetime_utc(value, None, tz_seconds, path)
-    if unit == "ms":
-        result = (F.unix_micros(ts) / 1000).cast("long")
-    else:
-        result = F.unix_timestamp(ts).cast("long")
+    def to_epoch(v: Column) -> Column:
+        ts, _ = parse_datetime_utc(v, None, tz_seconds, path)
+        if unit == "ms":
+            return (F.unix_micros(ts) / 1000).cast("long")
+        return F.unix_timestamp(ts).cast("long")
+
+    result = V.let(value, to_epoch)  # bind: parse references v per format
     return seq_strict(ops, path, result.cast(V.VT))

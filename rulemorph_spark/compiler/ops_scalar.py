@@ -234,65 +234,86 @@ def op_div(scope, cur, args, path):
 
 def _numeric_fold(scope, cur, args, path, op, exact_two=False):
     """f64 fold over operands; numeric strings accepted; integral results
-    re-emitted as ints; non-finite results error (``transform.rs:2375-2435``)."""
+    re-emitted as ints; non-finite results error (``transform.rs:2375-2435``).
+
+    Operands are let-bound ONCE (``V.let_many``) before the fold: every
+    piece below — ``to_number_strict``'s type dispatch, the finite
+    guard, int re-emission, and ``seq_strict``'s null protocol — refers
+    to an operand several times, and with v1 NESTED ``{op, args}``
+    arguments each reference used to inline the full sub-expression, so
+    a 3-deep arithmetic tree exploded multiplicatively (the t13 `mul`
+    shape executed 5000 rows in ~3 s; ~50× faster bound — round 5)."""
     ops = _operands(scope, cur, args, path)
     if exact_two and cur_version() < 2 and len(ops) != 2:
         from ..errors import RuleError
         raise RuleError("invalid_args",
                         f"{op} requires exactly two operands", path)
-    nums = [V.to_number_strict(o, path, "operand must be a number")
-            for o in ops]
-    acc = nums[0]
-    for n in nums[1:]:
-        if op == "+":
-            acc = acc + n
-        elif op == "-":
-            acc = acc - n
-        elif op == "*":
-            acc = acc * n
-        else:
-            acc = acc / n  # Spark double /0 → NULL? guarded below
-    if cur_version() >= 2:
-        # v2-native arithmetic: raw f64 result (no int re-emission,
-        # v2_eval.rs:1848-1928); explicit division-by-zero error
-        result = acc.cast(V.VT)
+    version = cur_version()
+
+    def build(*bound) -> Column:
+        nums = [V.to_number_strict(o, path, "operand must be a number")
+                for o in bound]
+        acc = nums[0]
+        for n in nums[1:]:
+            if op == "+":
+                acc = acc + n
+            elif op == "-":
+                acc = acc - n
+            elif op == "*":
+                acc = acc * n
+            else:
+                acc = acc / n  # Spark double /0 → NULL? guarded below
+        if version >= 2:
+            # v2-native arithmetic: raw f64 result (no int re-emission,
+            # v2_eval.rs:1848-1928); explicit division-by-zero error
+            result = acc.cast(V.VT)
+            if op == "/":
+                zero_guard = F.lit(False)
+                for n in nums[1:]:
+                    zero_guard = zero_guard | (n == 0.0)
+                result = F.when(zero_guard,
+                                rerr("expr_error", "division by zero",
+                                     path).cast(V.VT)).otherwise(result)
+            return seq_strict(list(bound), path, result)
         if op == "/":
-            zero_guard = F.lit(False)
-            for n in nums[1:]:
-                zero_guard = zero_guard | (n == 0.0)
-            result = F.when(zero_guard, rerr("expr_error",
-                                             "division by zero",
-                                             path).cast(V.VT)).otherwise(result)
-        return seq_strict(ops, path, result)
-    if op == "/":
-        # IEEE: x/0 → ±inf in Rust; Spark double division by zero → NULL.
-        acc = F.when(nums[1] == 0.0, F.lit(float("inf")) * F.signum(nums[0])
-                     ).otherwise(acc)
-    finite = ~(F.isnan(acc) | (F.abs(acc) == F.lit(float("inf"))))
-    result = F.when(finite, V.num_to_variant(acc)).otherwise(
-        rerr("expr_error", "number result is not finite", path).cast(V.VT))
-    return seq_strict(ops, path, result)
+            # IEEE: x/0 → ±inf in Rust; Spark double /0 → NULL.
+            acc = F.when(nums[1] == 0.0,
+                         F.lit(float("inf")) * F.signum(nums[0])
+                         ).otherwise(acc)
+        finite = ~(F.isnan(acc) | (F.abs(acc) == F.lit(float("inf"))))
+        result = F.when(finite, V.num_to_variant(acc)).otherwise(
+            rerr("expr_error", "number result is not finite",
+                 path).cast(V.VT))
+        return seq_strict(list(bound), path, result)
+
+    return V.let_many(ops, build)
 
 
 @register("round")
 def op_round(scope, cur, args, path):
     """Half-away-from-zero with optional scale (``transform.rs:2437-2515``)."""
     ops = _operands(scope, cur, args, path)
-    number = V.to_number_strict(ops[0], path, "operand must be a number")
-    if len(ops) == 2:
-        scale = _as_i64(ops[1], path, "scale must be a non-negative integer")
-        scale = F.when((scale < 0) | (scale > 308), rerr(
-            "expr_error", "scale must be a non-negative integer",
-            path).cast("long")).otherwise(scale)
-    else:
-        scale = F.lit(0).cast("long")
-    factor = F.pow(F.lit(10.0), scale.cast("double"))
-    scaled = number * factor
-    # Rust f64::round = half away from zero
-    rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
-        F.ceil(scaled - 0.5))
-    result = rounded.cast("double") / factor
-    return seq_strict(ops, path, V.num_to_variant(result))
+
+    def build(*bound) -> Column:  # operands let-bound (see _numeric_fold)
+        number = V.to_number_strict(bound[0], path,
+                                    "operand must be a number")
+        if len(bound) == 2:
+            scale = _as_i64(bound[1], path,
+                            "scale must be a non-negative integer")
+            scale = F.when((scale < 0) | (scale > 308), rerr(
+                "expr_error", "scale must be a non-negative integer",
+                path).cast("long")).otherwise(scale)
+        else:
+            scale = F.lit(0).cast("long")
+        factor = F.pow(F.lit(10.0), scale.cast("double"))
+        scaled = number * factor
+        # Rust f64::round = half away from zero
+        rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+            F.ceil(scaled - 0.5))
+        result = rounded.cast("double") / factor
+        return seq_strict(list(bound), path, V.num_to_variant(result))
+
+    return V.let_many(ops, build)
 
 
 @register("to_base")
