@@ -30,6 +30,36 @@ def _operands(scope: Scope, cur: Column, args, path: str) -> list[Column]:
                     for i, a in enumerate(args)]
 
 
+def _operands_bound(scope: Scope, cur: Column, args, path: str, build):
+    """``_operands`` + one let-binding of STEP-BEARING args before
+    ``build`` consumes them.
+
+    The pipe value (index 0) is already a bound leaf (compile_step
+    lets it) and plain ref/literal args are cheap, but an arg that
+    carries steps is a computed sub-tree the op body references
+    several times — type dispatch, the null protocol, guards.
+    Unbound, nested v1 ``{op, args}`` arguments duplicated the whole
+    sub-tree per reference, growing plans ~16× per nesting level
+    (right-nested concat: 1.9k → 27k → 440k plan chars; round 5)."""
+    cols = _operands(scope, cur, args, path)
+    heavy = sorted(i for i, a in enumerate(args, start=1) if a.steps)
+    if not heavy:
+        return build(*cols)
+    if len(heavy) == 1:  # V.let passes fn straight to the Spark lambda
+        h = heavy[0]
+        return V.let(cols[h],
+                     lambda x: build(*[x if i == h else c
+                                       for i, c in enumerate(cols)]))
+    hset = set(heavy)
+
+    def wrap(*bound) -> Column:
+        it = iter(bound)
+        return build(*[next(it) if i in hset else c
+                       for i, c in enumerate(cols)])
+
+    return V.let_many([cols[i] for i in heavy], wrap)
+
+
 def seq_strict(operands: list[Column], path: str, result: Column,
                *, allow_null: bool = False) -> Column:
     """Wrap ``result`` with the missing-propagates / null-errors protocol."""
@@ -60,18 +90,21 @@ def _as_i64(o: Column, path: str, msg: str) -> Column:
 
 @register("concat")
 def op_concat(scope, cur, args, path):
-    ops = _operands(scope, cur, args, path)
-    parts = [V.to_string_strict(o, path, "concat parts must be stringifiable")
-             for o in ops]
-    return seq_strict(ops, path, F.concat(*parts).cast(V.VT))
+    def build(*ops):
+        parts = [V.to_string_strict(o, path,
+                                    "concat parts must be stringifiable")
+                 for o in ops]
+        return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT))
+    return _operands_bound(scope, cur, args, path, build)
 
 
 @register("coalesce")
 def op_coalesce(scope, cur, args, path):
     # first non-missing, non-null (transform.rs:1434-1457); all → missing
-    ops = _operands(scope, cur, args, path)
-    guarded = [F.when(~V.is_absent(o), o) for o in ops]
-    return F.coalesce(*guarded, F.lit(None).cast(V.VT))
+    def build(*ops):
+        guarded = [F.when(~V.is_absent(o), o) for o in ops]
+        return F.coalesce(*guarded, F.lit(None).cast(V.VT))
+    return _operands_bound(scope, cur, args, path, build)
 
 
 @register("to_string")
@@ -117,26 +150,30 @@ def op_uppercase(scope, cur, args, path):
 def op_replace(scope, cur, args, path):
     """Four modes (``transform.rs:2162-2236``): default literal-FIRST,
     ``all`` literal-all, ``regex`` regex-first, ``regex_all`` regex-all."""
-    ops = _operands(scope, cur, args, path)
-    value = _as_string(ops[0], path)
-    pattern = _as_string(ops[1], path)
-    replacement = _as_string(ops[2], path)
-    mode = _as_string(ops[3], path) if len(ops) == 4 else F.lit("__first__")
+    def build(*ops):
+        value = _as_string(ops[0], path)
+        pattern = _as_string(ops[1], path)
+        replacement = _as_string(ops[2], path)
+        mode = (_as_string(ops[3], path) if len(ops) == 4
+                else F.lit("__first__"))
 
-    lit_first = _replace_literal_first(value, pattern, replacement)
-    lit_all = F.replace(value, pattern, replacement)
-    rx_first = _replace_regex_first(value, pattern, replacement)
-    rx_all = F.regexp_replace(value, pattern, replacement)
+        lit_first = _replace_literal_first(value, pattern, replacement)
+        lit_all = F.replace(value, pattern, replacement)
+        rx_first = _replace_regex_first(value, pattern, replacement)
+        rx_all = F.regexp_replace(value, pattern, replacement)
 
-    result = (
-        F.when(mode == "__first__", lit_first)
-        .when(mode == "all", lit_all)
-        .when(mode == "regex", rx_first)
-        .when(mode == "regex_all", rx_all)
-        .otherwise(rerr("expr_error", "replace mode must be all|regex|regex_all",
-                        path).cast("string"))
-    )
-    return seq_strict(ops, path, result.cast(V.VT))
+        result = (
+            F.when(mode == "__first__", lit_first)
+            .when(mode == "all", lit_all)
+            .when(mode == "regex", rx_first)
+            .when(mode == "regex_all", rx_all)
+            .otherwise(rerr("expr_error",
+                            "replace mode must be all|regex|regex_all",
+                            path).cast("string"))
+        )
+        return seq_strict(list(ops), path, result.cast(V.VT))
+
+    return _operands_bound(scope, cur, args, path, build)
 
 
 def _replace_literal_first(value, pattern, replacement):
@@ -167,37 +204,42 @@ def _replace_regex_first(value, pattern, replacement):
 @register("split")
 def op_split(scope, cur, args, path):
     """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``)."""
-    import re as _re
-    ops = _operands(scope, cur, args, path)
-    value = _as_string(ops[0], path)
-    delim = _as_string(ops[1], path)
-    delim_checked = F.when(delim == "", rerr(
-        "expr_error", "split delimiter must not be empty",
-        path).cast("string")).otherwise(delim)
-    # F.split takes a regex → escape the literal delimiter per row
-    escaped = F.regexp_replace(delim_checked,
-                               F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
-                               F.lit(r"\\$1"))
-    parts = F.split(value, escaped, F.lit(-1))
-    arr = F.transform(parts, lambda x: x.cast(V.VT))
-    return seq_strict(ops, path, V.arr_to_variant(arr))
+    def build(*ops):
+        value = _as_string(ops[0], path)
+        delim = _as_string(ops[1], path)
+        delim_checked = F.when(delim == "", rerr(
+            "expr_error", "split delimiter must not be empty",
+            path).cast("string")).otherwise(delim)
+        # F.split takes a regex -> escape the literal delimiter per row
+        escaped = F.regexp_replace(
+            delim_checked,
+            F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
+            F.lit(r"\\$1"))
+        parts = F.split(value, escaped, F.lit(-1))
+        arr = F.transform(parts, lambda x: x.cast(V.VT))
+        return seq_strict(list(ops), path, V.arr_to_variant(arr))
+
+    return _operands_bound(scope, cur, args, path, build)
 
 
 def _pad(scope, cur, args, path, *, start: bool):
-    ops = _operands(scope, cur, args, path)
-    value = _as_string(ops[0], path)
-    length = _as_i64(ops[1], path, "pad length must be a non-negative integer")
-    length = F.when(length < 0, rerr(
-        "expr_error", "pad length must be a non-negative integer",
-        path).cast("long")).otherwise(length)
-    pad = _as_string(ops[2], path) if len(ops) == 3 else F.lit(" ")
-    fn = F.lpad if start else F.rpad
-    padded = fn(value, length.cast("int"), pad)
-    # Spark lpad/rpad truncate long values & mishandle empty pad; the
-    # reference returns the value unchanged (transform.rs:2356-2373)
-    result = F.when((F.length(value) >= length) | (pad == ""),
-                    value).otherwise(padded)
-    return seq_strict(ops, path, result.cast(V.VT))
+    def build(*ops):
+        value = _as_string(ops[0], path)
+        length = _as_i64(ops[1], path,
+                         "pad length must be a non-negative integer")
+        length = F.when(length < 0, rerr(
+            "expr_error", "pad length must be a non-negative integer",
+            path).cast("long")).otherwise(length)
+        pad = _as_string(ops[2], path) if len(ops) == 3 else F.lit(" ")
+        fn = F.lpad if start else F.rpad
+        padded = fn(value, length.cast("int"), pad)
+        # Spark lpad/rpad truncate long values & mishandle empty pad;
+        # the reference returns the value unchanged (:2356-2373)
+        result = F.when((F.length(value) >= length) | (pad == ""),
+                        value).otherwise(padded)
+        return seq_strict(list(ops), path, result.cast(V.VT))
+
+    return _operands_bound(scope, cur, args, path, build)
 
 
 @register("pad_start")
@@ -243,8 +285,7 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
     arguments each reference used to inline the full sub-expression, so
     a 3-deep arithmetic tree exploded multiplicatively (the t13 `mul`
     shape executed 5000 rows in ~3 s; ~50× faster bound — round 5)."""
-    ops = _operands(scope, cur, args, path)
-    if exact_two and cur_version() < 2 and len(ops) != 2:
+    if exact_two and cur_version() < 2 and len(args) != 1:
         from ..errors import RuleError
         raise RuleError("invalid_args",
                         f"{op} requires exactly two operands", path)
@@ -286,14 +327,12 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                  path).cast(V.VT))
         return seq_strict(list(bound), path, result)
 
-    return V.let_many(ops, build)
+    return _operands_bound(scope, cur, args, path, build)
 
 
 @register("round")
 def op_round(scope, cur, args, path):
     """Half-away-from-zero with optional scale (``transform.rs:2437-2515``)."""
-    ops = _operands(scope, cur, args, path)
-
     def build(*bound) -> Column:  # operands let-bound (see _numeric_fold)
         number = V.to_number_strict(bound[0], path,
                                     "operand must be a number")
@@ -313,22 +352,26 @@ def op_round(scope, cur, args, path):
         result = rounded.cast("double") / factor
         return seq_strict(list(bound), path, V.num_to_variant(result))
 
-    return V.let_many(ops, build)
+    return _operands_bound(scope, cur, args, path, build)
 
 
 @register("to_base")
 def op_to_base(scope, cur, args, path):
     """int → base-2..36 lowercase digits (``transform.rs:2517-2574``)."""
-    ops = _operands(scope, cur, args, path)
-    number = _as_i64(ops[0], path, "value must be an integer")
-    base = _as_i64(ops[1], path, "base must be an integer")
-    base = F.when((base < 2) | (base > 36), rerr(
-        "expr_error", "base must be between 2 and 36",
-        path).cast("long")).otherwise(base)
-    digits = F.lower(F.call_function("conv", F.abs(number).cast("string"),
-                                     F.lit(10), base.cast("int")))
-    result = F.when(number < 0, F.concat(F.lit("-"), digits)).otherwise(digits)
-    return seq_strict(ops, path, result.cast(V.VT))
+    def build(*ops):
+        number = _as_i64(ops[0], path, "value must be an integer")
+        base = _as_i64(ops[1], path, "base must be an integer")
+        base = F.when((base < 2) | (base > 36), rerr(
+            "expr_error", "base must be between 2 and 36",
+            path).cast("long")).otherwise(base)
+        digits = F.lower(F.call_function("conv",
+                                         F.abs(number).cast("string"),
+                                         F.lit(10), base.cast("int")))
+        result = F.when(number < 0,
+                        F.concat(F.lit("-"), digits)).otherwise(digits)
+        return seq_strict(list(ops), path, result.cast(V.VT))
+
+    return _operands_bound(scope, cur, args, path, build)
 
 
 # --- logical ops ---------------------------------------------------------
@@ -347,7 +390,12 @@ def _and_or(scope, cur, args, path, *, is_and: bool):
     """Short-circuits on false/true before later args can error; missing
     args are skipped but make a non-short-circuited result missing
     (``transform.rs:5340-5388``)."""
-    ops = _operands(scope, cur, args, path)
+    return _operands_bound(scope, cur, args, path,
+                           lambda *ops: _and_or_build(list(ops), path,
+                                                      is_and=is_and))
+
+
+def _and_or_build(ops, path, *, is_and: bool):
     flags = [F.when(o.isNull(), F.lit(None)).otherwise(
         V.to_bool_strict(o, path, "value must be a boolean")) for o in ops]
     any_missing = flags[0].isNull()
@@ -390,7 +438,10 @@ def _v1_eq(left: Column, right: Column, path: str) -> Column:
 def _v1_compare_op(name, pyop=None, eq=False, negate=False):
     @register(name)
     def _op(scope, cur, args, path):
-        ops = _operands(scope, cur, args, path)
+        return _operands_bound(scope, cur, args, path,
+                               lambda *ops: _cmp_build(ops, path))
+
+    def _cmp_build(ops, path):
         left, right = ops[0], ops[1]
         if eq:
             res = _v1_eq(left, right, path)

@@ -189,9 +189,16 @@ class RuleCompiler:
     # -- expression helpers -------------------------------------------
 
     def _expr_pipe(self, raw, path: str):
-        if self.rule.version >= 2 and is_v2_expr(raw):
-            return parse_expr(raw)
-        return v1_expr_to_pipe(raw)
+        # parse errors carry the mapping path (the reference reports e.g.
+        # "mappings[0].expr" for a bad ref — v1_pipe_ref.rs:4-21)
+        try:
+            if self.rule.version >= 2 and is_v2_expr(raw):
+                return parse_expr(raw)
+            return v1_expr_to_pipe(raw)
+        except RuleError as e:
+            if e.path is None:
+                raise RuleError(e.code, e.message, path) from None
+            raise
 
     def _compile_when(self, raw, scope: Scope, path: str) -> Column:
         """when/record_when → boolean Column; errors → NULL (warn+skip,

@@ -46,6 +46,31 @@ def test_deep_pipe_compiles_and_runs(spark):
     assert out == [{"out": expected}]
 
 
+def _nested_v1_concat(depth: int):
+    """Right-nested v1 {op,args} tree: every level adds a computed
+    (step-bearing) operand in a NON-first position — the shape that
+    inlined the whole sub-tree per reference before ``_operands_bound``
+    (ops_scalar.py) let-bound step-bearing args (plans grew ~16× per
+    level and died at depth 4)."""
+    expr = {"ref": "input.a"}
+    for _ in range(depth):
+        expr = {"op": "concat",
+                "args": [expr,
+                         {"op": "concat", "args": [{"ref": "input.b"}, "-"]}]}
+    return expr
+
+
+def test_nested_v1_operand_tree_compiles_and_runs(spark):
+    depth = 8
+    rule = {"version": 1, "input": {"format": "json", "json": {}},
+            "mappings": [{"target": "out", "expr": _nested_v1_concat(depth)}]}
+    t0 = time.time()
+    out = transform(spark, json.dumps(rule),
+                    input_text='{"a": "x", "b": "y"}')
+    assert time.time() - t0 < 60
+    assert out == [{"out": "x" + "y-" * depth}]
+
+
 def test_long_out_chain_variant_and_typed(spark):
     n = 40
     rule = _out_chain_rule(n)
