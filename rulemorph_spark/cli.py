@@ -170,7 +170,8 @@ def cmd_generate(args) -> int:
 
 
 def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
-                     ui_html: str | None = None):
+                     ui_html: str | None = None,
+                     ui_dir: str | None = None):
     """stdlib HTTP front end over ``EndpointEngine`` — the reference's
     axum server surface (``rulemorph_server``); with ``ui_html`` the
     ``/ui`` path serves the browser page (``ui`` command) and the
@@ -330,8 +331,43 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
             except (BrokenPipeError, ConnectionResetError):
                 return
 
+        def _serve_ui_file(self, rel: str) -> None:
+            """Static SPA asset from ``ui_dir`` — the reference's
+            ``UiSource::Filesystem`` (server lib.rs:102-108, the
+            ``--ui-dir`` flag)."""
+            import mimetypes
+            target = os.path.normpath(os.path.join(ui_dir,
+                                                   rel or "index.html"))
+            if not target.startswith(os.path.normpath(ui_dir) + os.sep) \
+                    and target != os.path.normpath(ui_dir):
+                self._send_error(404, "not found")
+                return
+            if os.path.isdir(target):
+                target = os.path.join(target, "index.html")
+            if not os.path.isfile(target):
+                self._send_error(404, "not found")
+                return
+            ctype = (mimetypes.guess_type(target)[0]
+                     or "application/octet-stream")
+            with open(target, "rb") as fh:
+                data = fh.read()
+            self.send_response(200)
+            self.send_header("content-type", ctype)
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def _run(self, method: str):
             parts = urlsplit(self.path)
+            if ui_dir is not None and method == "GET":
+                p = parts.path.rstrip("/")
+                if p in ("", "/ui"):
+                    self._serve_ui_file("index.html")
+                    return
+                if parts.path.startswith("/ui/") \
+                        and not parts.path.startswith("/ui/api/"):
+                    self._serve_ui_file(parts.path[len("/ui/"):])
+                    return
             if ui_html is not None and method == "GET" \
                     and parts.path.rstrip("/") in ("", "/ui"):
                 data = ui_html.encode("utf-8")
@@ -443,6 +479,12 @@ def cmd_ui(args) -> int:
     from .errors import RuleError
     from .service.endpoint import EndpointEngine
 
+    ui_dir = getattr(args, "ui_dir", None)
+    if ui_dir is not None and not os.path.isdir(ui_dir):
+        # reference: resolve_ui_source bails (server lib.rs:105-107)
+        print(f"ui directory not found: {ui_dir}", file=sys.stderr)
+        return 1
+
     if args.api_mode in ("ui-only", "ui_only", "native"):
         data_dir = args.data_dir or args.trace_dir
         if not data_dir:
@@ -450,9 +492,11 @@ def cmd_ui(args) -> int:
                   file=sys.stderr)
             return 2
         engine = _TraceOnlyEngine(data_dir)
-        ui_html = None if args.no_ui else _ui_index_html(engine)
+        ui_html = (None if args.no_ui or ui_dir
+                   else _ui_index_html(engine))
         httpd = make_http_server(engine, args.host, args.port,
-                                 ui_html=ui_html)
+                                 ui_html=ui_html,
+                                 ui_dir=None if args.no_ui else ui_dir)
         print(f"ui on http://{args.host}:{httpd.server_address[1]}/ui",
               file=sys.stderr)
         try:
@@ -483,9 +527,10 @@ def cmd_ui(args) -> int:
     except RuleError as e:
         _emit_validation_errors([e], "text")
         return 2
-    ui_html = None if args.no_ui else _ui_index_html(engine)
+    ui_html = None if args.no_ui or ui_dir else _ui_index_html(engine)
     httpd = make_http_server(engine, args.host, args.port,
-                             ui_html=ui_html)
+                             ui_html=ui_html,
+                             ui_dir=None if args.no_ui else ui_dir)
     print(f"ui on http://{args.host}:{httpd.server_address[1]}/ui",
           file=sys.stderr)
     try:
@@ -809,6 +854,9 @@ def main(argv=None) -> int:
     p.add_argument("--trace-dir")
     p.add_argument("--data-dir",
                    help="trace data dir for --api-mode ui-only")
+    p.add_argument("--ui-dir",
+                   help="serve SPA assets from this directory instead "
+                        "of the built-in page (main.rs:111)")
     p.add_argument("--api-mode", default="rules",
                    choices=["rules", "ui-only", "ui_only", "native"])
     p.add_argument("--no-ui", action="store_true")

@@ -337,6 +337,39 @@ request: {method: GET, url: "lit:http://x"}
     assert any(c[1] == "bad_rule.yaml" for c in codes)  # unknown op
 
 
+def test_validate_rules_dir_branch_reference_missing(tmp_path):
+    """A transform rule reached through a step whose ``branch.then``
+    targets a missing file reports ReadFailed — mirrors
+    ``rulemorph_endpoint/tests/rules_dir_validation.rs``
+    (validate_rules_dir_branch_reference_missing)."""
+    from rulemorph_spark.service.rules_dir import validate_rules_dir
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/test
+    steps:
+      - rule: ./hello.yaml
+    reply:
+      status: 200
+""")
+    (tmp_path / "hello.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+steps:
+  - branch:
+      when: { eq: [1, 1] }
+      then: ./missing.yaml
+      return: true
+""")
+    errors = validate_rules_dir(str(tmp_path))
+    assert any(e.code == "ReadFailed" and
+               os.path.basename(e.file) == "missing.yaml" for e in errors)
+
+
 def test_cli_validate_rules_dir(engine_dir, tmp_path):
     import subprocess, sys
     r = subprocess.run(
@@ -383,6 +416,60 @@ def test_ui_page_served():
         assert "/users/{id}" in html and "2 step(s)" in html
     finally:
         httpd.shutdown()
+
+
+def test_ui_dir_serves_filesystem_spa(tmp_path):
+    """``--ui-dir`` serves static SPA assets from the filesystem in
+    place of the built-in page (reference ``UiSource::Filesystem``,
+    server lib.rs:102-108); traversal outside the dir 404s."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from rulemorph_spark.cli import make_http_server
+
+    (tmp_path / "index.html").write_text("<html>CUSTOM-SPA</html>")
+    (tmp_path / "assets").mkdir()
+    (tmp_path / "assets" / "app.js").write_text("console.log(1)")
+
+    class _E:
+        endpoints = []
+
+        def handle_request(self, *a):  # pragma: no cover
+            return 200, {}, {}
+
+    httpd = make_http_server(_E(), port=0, ui_dir=str(tmp_path))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(f"{base}/ui").read().decode()
+        assert html == "<html>CUSTOM-SPA</html>"
+        js = urllib.request.urlopen(
+            f"{base}/ui/assets/app.js").read().decode()
+        assert js == "console.log(1)"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/ui/assets/../../etc/passwd")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/ui/missing.css")
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_ui_dir_not_found_errors():
+    """A nonexistent --ui-dir fails fast like the reference's
+    resolve_ui_source bail (server lib.rs:105-107)."""
+    import subprocess
+    import sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "-m", "rulemorph_spark.cli", "ui",
+         "--api-mode", "ui-only", "--data-dir", "/tmp",
+         "--ui-dir", "/nonexistent/ui/dir"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 1
+    assert "ui directory not found" in r.stderr
 
 
 def test_validate_rules_warning_with_yaml_location():
