@@ -171,13 +171,18 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
     if n == 4:
         return _v2_lookup(compiled[0], compiled[1], compiled[2],
                           compiled[3], path, first_only)
-    # n == 3: explicit (from,key,value) when args[0] is an array,
-    # else implicit (key,value,get) over the pipe value
+    # n == 3: explicit (from,key,value) when args[0] is an array —
+    # or MISSING while the pipe value is present (v2_eval.rs:2696-2725:
+    # use_explicit_from matches Array | Missing, so a missing from
+    # yields Missing rather than an implicit-form key error); else
+    # implicit (key,value,get) over the pipe value.
     explicit = _v2_lookup(compiled[0], compiled[1], compiled[2], None,
                           path, first_only)
     implicit = _v2_lookup(cur, compiled[0], compiled[1], compiled[2],
                           path, first_only)
-    return F.when(V.is_array(compiled[0]), explicit).otherwise(
+    use_explicit = V.is_array(compiled[0]) | \
+        (compiled[0].isNull() & ~cur.isNull())
+    return F.when(use_explicit, explicit).otherwise(
         F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(implicit))
 
 

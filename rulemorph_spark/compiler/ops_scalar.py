@@ -387,28 +387,37 @@ def op_or(scope, cur, args, path):
 
 
 def _and_or(scope, cur, args, path, *, is_and: bool):
-    """Short-circuits on false/true before later args can error; missing
+    """Short-circuits on false/true BEFORE later args can error; missing
     args are skipped but make a non-short-circuited result missing
-    (``transform.rs:5340-5388``)."""
-    return _operands_bound(scope, cur, args, path,
-                           lambda *ops: _and_or_build(list(ops), path,
-                                                      is_and=is_and))
+    (``transform.rs:5340-5388``).
 
+    Each operand is let-bound inside the previous level's ``otherwise``
+    branch, so a later arg's sub-tree (which may raise) is only
+    evaluated when no earlier arg already decided the result —
+    ``or: [[1, {divide: [0]}]]`` over a true pipe value must return
+    true, not divide-by-zero (``v2_eval.rs``
+    ``test_eval_op_and_or_short_circuit``).  A flat ``let_many`` of all
+    operands (as ``_operands_bound`` does) would force-evaluate every
+    arg up front and break that contract."""
+    ops = _operands(scope, cur, args, path)
 
-def _and_or_build(ops, path, *, is_and: bool):
-    flags = [F.when(o.isNull(), F.lit(None)).otherwise(
-        V.to_bool_strict(o, path, "value must be a boolean")) for o in ops]
-    any_missing = flags[0].isNull()
-    for f in flags[1:]:
-        any_missing = any_missing | f.isNull()
-    final = F.when(any_missing, F.lit(None).cast(V.VT)).otherwise(
-        V.bool_to_variant(F.lit(is_and)))
-    result = final
-    for f in reversed(flags):
-        short = ~f if is_and else f  # and: stop on false; or: stop on true
-        result = F.when(F.coalesce(short, F.lit(False)),
-                        V.bool_to_variant(F.lit(not is_and))).otherwise(result)
-    return result
+    def level(i: int, any_missing: Column) -> Column:
+        if i == len(ops):
+            return F.when(any_missing, F.lit(None).cast(V.VT)).otherwise(
+                V.bool_to_variant(F.lit(is_and)))
+
+        def body(x: Column) -> Column:
+            flag = F.when(x.isNull(), F.lit(None)).otherwise(
+                V.to_bool_strict(x, path, "value must be a boolean"))
+            # and: stop on false; or: stop on true
+            short = ~flag if is_and else flag
+            return F.when(F.coalesce(short, F.lit(False)),
+                          V.bool_to_variant(F.lit(not is_and))).otherwise(
+                level(i + 1, any_missing | flag.isNull()))
+
+        return V.let(ops[i], body)
+
+    return level(0, F.lit(False))
 
 
 @register("not")
