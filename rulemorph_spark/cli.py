@@ -397,13 +397,17 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0,
                 engine_path = engine_path[len("/api"):] or "/"
             status, hdrs, payload = engine.handle_request(
                 method, engine_path, query, headers, body)
-            data = json.dumps(payload).encode("utf-8")
+            from rulemorph_spark.service.endpoint import NO_BODY
+            no_body = payload is NO_BODY
+            data = b"" if no_body else json.dumps(payload).encode("utf-8")
             self.send_response(int(status))
             sent = set()
             for k, v in (hdrs or {}).items():
                 self.send_header(k, v)
                 sent.add(k.lower())
-            if "content-type" not in sent:
+            # a bodyless reply carries no content-type
+            # (reply_body_omitted_returns_empty_body)
+            if "content-type" not in sent and not no_body:
                 self.send_header("content-type", "application/json")
             self.send_header("content-length", str(len(data)))
             self.end_headers()

@@ -241,9 +241,14 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
             raise RuleError("unknown_op", f"unknown op: {step.op}", path)
         lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
         n = len(step.args)
-        # the pipe value is an implicit extra operand, so v1-converted ops
-        # may carry one fewer explicit arg than the v2 range
-        if n < lo - 1 or (hi is not None and n > hi):
+        # native v2 steps use the exact pipe-context range the reference
+        # enforces both at validation (v2_validator.rs:812-863) and at
+        # eval ("fold requires exactly two arguments", v2_eval.rs:2336);
+        # only v1-converted standalone ops (first arg hoisted to the
+        # pipe start) may carry one fewer explicit arg
+        v1_form = step.origin_first_arg is not None or step.v1_chain
+        min_n = lo - 1 if v1_form else lo
+        if n < min_n or (hi is not None and n > hi):
             raise RuleError(
                 "invalid_args",
                 f"{step.op} expects between {lo} and {hi if hi is not None else 'inf'} args, got {n}",

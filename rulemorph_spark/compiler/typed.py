@@ -688,7 +688,9 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         if step.op in OP_ARITY or op in OP_ARITY:
             lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
             n = len(step.args)
-            if n < lo - 1 or (hi is not None and n > hi):
+            v1_form = step.origin_first_arg is not None or step.v1_chain
+            min_n = lo - 1 if v1_form else lo
+            if n < min_n or (hi is not None and n > hi):
                 raise RuleError(
                     "invalid_args",
                     f"{step.op} expects between {lo} and "

@@ -79,6 +79,10 @@ class OpStep:
     # the original IR is kept so ops can recognize compile-time-constant
     # operands (e.g. @context collections for lookup fast paths)
     origin_first_arg: "Pipe | None" = None
+    # v1 chain ops count the pipe value as an implicit operand, so their
+    # minimum explicit-arg count is one below the v2 pipe-context range
+    # (validate_chain_op's ``args.len() + 1``, validator.rs:891)
+    v1_chain: bool = False
 
 
 @dataclass(frozen=True)
@@ -336,7 +340,7 @@ def v1_expr_to_pipe(value: JsonValue) -> Pipe:
                 if not (isinstance(item, dict) and "op" in item):
                     raise _err("expr.chain items after first must be op")
                 args = tuple(v1_expr_to_pipe(a) for a in item.get("args", []))
-                steps.append(OpStep(op=item["op"], args=args))
+                steps.append(OpStep(op=item["op"], args=args, v1_chain=True))
             return Pipe(start=start, steps=tuple(steps))
     # literal (string literals in v1 are plain literals, no @ parsing)
     return Pipe(start=StartLiteral(value))

@@ -76,6 +76,10 @@ class EndpointDef:
 
 _DUR_RE = re.compile(r"^(\d+)(ms|s)$")
 
+# reply with no body: empty HTTP body, no content-type header
+# (endpoint_engine.rs ``reply_body_omitted_returns_empty_body``)
+NO_BODY = object()
+
 
 def _parse_duration(text: str, what: str) -> float:
     m = _DUR_RE.match(str(text))
@@ -161,7 +165,17 @@ class EndpointEngine:
                        query: list[tuple[str, str]] | dict | None = None,
                        headers: dict[str, str] | None = None,
                        body_text: str | None = None):
-        """→ (status, headers, body_json)."""
+        """→ (status, headers, body_json) — body is ``NO_BODY`` when the
+        reply declares no body.
+
+        Mirrors ``EndpointEngine::handle_request``
+        (endpoint_engine.rs:321-592): input-phase errors route to the
+        endpoint catch with a leniently-rebuilt fallback input and skip
+        the steps but still build the reply; step errors try the step
+        catch (execution continues) then the endpoint catch (remaining
+        steps skipped); a reply-eval error runs the endpoint catch and
+        retries the reply once.  A catch handler's output becomes the
+        pipeline value — it never shapes the response directly."""
         endpoint, params = self._match(method, path)
         if endpoint is None:
             return 404, {"content-type": "application/json"}, {
@@ -171,14 +185,52 @@ class EndpointEngine:
             from .trace import RequestTrace
             trace = RequestTrace(endpoint=endpoint.path, method=method,
                                  path=path)
+        query, headers = query or [], headers or {}
+        skip_steps = False
         try:
-            request_input = self._build_input(method, params, query or [],
-                                              headers or {}, body_text)
-            result = self._execute(endpoint, request_input, trace)
+            # -- input phase (build_input + input mappings) -----------
+            try:
+                current = self._build_input(method, params, query,
+                                            headers, body_text)
+                if endpoint.input is not None:
+                    def run_input(cur=current):
+                        return self._apply_mappings_rule(
+                            endpoint.input, cur, self._config_context())
+                    current = (trace.record("input", "input", current,
+                                            run_input)
+                               if trace is not None else run_input())
+            except EndpointError as err:
+                # fallback input keeps whatever parsed (handle_input_
+                # error: invalid body keeps the query; duplicate query
+                # degrades to an empty query map)
+                fallback = self._fallback_input(method, params, query,
+                                                headers, body_text)
+                handled = self._run_catch(endpoint.catch, err, fallback,
+                                          None)
+                if handled is None:
+                    raise
+                current = handled
+                skip_steps = True
+
+            # -- steps -------------------------------------------------
+            if not skip_steps:
+                current = self._run_steps(endpoint, current, trace)
+
+            # -- reply (endpoint catch retries once) --------------------
+            try:
+                result = self._reply(endpoint, current)
+            except EndpointError as err:
+                handled = self._run_catch(endpoint.catch, err, current,
+                                          None)
+                if handled is None:
+                    raise
+                result = self._reply(endpoint, handled)
+            if trace is not None:
+                body = None if result[2] is NO_BODY else result[2]
+                trace.record("reply", "reply", current, lambda: body)
         except EndpointError as err:
-            handled = self._route_catch(endpoint.catch, err, None)
-            result = handled if handled is not None else (
-                500, {"content-type": "application/json"}, err.to_json())
+            result = (500, {"content-type": "application/json"},
+                      err.to_json())
         if trace is not None:
             trace.status = result[0]
             self.trace_store.write(trace)
@@ -220,20 +272,18 @@ class EndpointEngine:
 
     # ------------------------------------------------------------------
 
-    def _execute(self, endpoint: EndpointDef, request_input, trace=None):
-        current = request_input
-        if endpoint.input is not None:
-            def run_input(cur=current):
-                return self._apply_mappings_rule(endpoint.input, cur, None)
-            current = (trace.record("input", "input", current, run_input)
-                       if trace is not None else run_input())
+    def _run_steps(self, endpoint: EndpointDef, current, trace=None):
+        """Step loop (endpoint_engine.rs:406-531): ``with`` is the RAW
+        YAML value exposed as ``@context.params`` (never expr-evaluated,
+        ``step_context(step.with.as_ref(), ..)``); a step error tries
+        the step catch (output becomes the pipe value, execution
+        CONTINUES) then the endpoint catch (output becomes the pipe
+        value, remaining steps are SKIPPED), else bubbles."""
         for step in endpoint.steps:
             if step.when is not None and not self._eval_when(
                     step.when, current):
                 continue
-            params = (self._eval_with(step.with_, current)
-                      if step.with_ is not None else None)
-            context = self._step_context(params=params)
+            context = self._step_context(params=step.with_)
             try:
                 def run_step(cur=current, ctx=context, rule=step.rule):
                     return self._run_rule_file(rule, cur, ctx)
@@ -241,26 +291,60 @@ class EndpointEngine:
                                         run_step)
                            if trace is not None else run_step())
             except EndpointError as err:
-                handled = self._route_catch(step.catch, err, current)
-                if handled is None:
-                    raise
-                return handled
-        reply = self._reply(endpoint, current)
-        if trace is not None:
-            trace.record("reply", "reply", current, lambda: reply[2])
-        return reply
+                handled = self._run_catch(step.catch, err, current,
+                                          step.with_)
+                if handled is not None:
+                    current = handled
+                    continue
+                handled = self._run_catch(endpoint.catch, err, current,
+                                          None)
+                if handled is not None:
+                    current = handled
+                    break
+                raise
+        return current
+
+    def _config_context(self) -> dict:
+        """``config_json`` (endpoint_engine.rs:1141-1147)."""
+        return {"config": {"internal_base": self.internal_base}}
 
     def _step_context(self, params=None, error=None) -> dict:
         """Per-step @context document (``step_context``,
         endpoint_engine.rs:1148-1163): always carries
         ``config.internal_base``; ``params`` from the step's ``with``
         and ``error`` for catch handlers are merged in."""
-        ctx: dict = {"config": {"internal_base": self.internal_base}}
+        ctx = self._config_context()
         if params is not None:
             ctx["params"] = params
         if error is not None:
             ctx["error"] = error
         return ctx
+
+    def _fallback_input(self, method, params, query, headers, body_text):
+        """Lenient @input rebuild for input-phase catch handlers
+        (``handle_input_error``, endpoint_engine.rs:347-380): a
+        duplicate-query error degrades the query map to empty; an
+        invalid JSON body is omitted while the query survives."""
+        if isinstance(query, dict):
+            query = list(query.items())
+        qmap: dict[str, str] = {}
+        for k, v in query:
+            if k in qmap:
+                qmap = {}
+                break
+            qmap[k] = v
+        hmap: dict[str, str] = {}
+        for k, v in headers.items():
+            lk = k.lower()
+            hmap[lk] = f"{hmap[lk]},{v}" if lk in hmap else v
+        record = {"method": method.upper(), "path": params,
+                  "query": qmap, "headers": hmap}
+        if body_text:
+            try:
+                record["body"] = json.loads(body_text)
+            except json.JSONDecodeError:
+                pass
+        return record
 
     def _reply(self, endpoint: EndpointDef, final):
         status = self._eval_expr(endpoint.reply_status, final)
@@ -269,16 +353,25 @@ class EndpointEngine:
                                 f"reply status must be 100-599, got "
                                 f"{status!r}")
         headers = dict(endpoint.reply_headers)
-        body = None
-        if endpoint.has_reply_body:
-            body = self._eval_expr(endpoint.reply_body, final,
-                                   missing_as_null=True)
+        if not endpoint.has_reply_body:
+            # no declared body → empty HTTP body, no content-type
+            # (reply_body_omitted_returns_empty_body)
+            return status, headers, NO_BODY
+        body = self._eval_expr(endpoint.reply_body, final,
+                               missing_as_null=True)
         headers.setdefault("content-type", "application/json")
         return status, headers, body
 
-    def _route_catch(self, catch: dict | None, err: EndpointError,
-                     current):
-        """``CatchSpec::match_target`` (``endpoint_engine.rs:1487-1514``)."""
+    def _run_catch(self, catch: dict | None, err: EndpointError,
+                   input_, params=None, base_dir: str | None = None):
+        """``run_catch`` (endpoint_engine.rs:1057-1087) +
+        ``CatchSpec::match_target`` (:1487-1514): the matched handler
+        rule runs over ``input_`` with ``@context.error`` (and the
+        step's ``params`` when routed from a step catch); its output —
+        {} when record_when filters — is returned for the caller to
+        thread back into the pipeline.  None = no route matched.
+        ``base_dir`` anchors relative targets (a network rule's catch
+        resolves against the network rule's directory)."""
         if not catch:
             return None
         target = None
@@ -294,14 +387,21 @@ class EndpointEngine:
             target = catch.get("default")
         if target is None:
             return None
-        handler_out = self._run_rule_file(
-            target, current if current is not None else {},
-            self._step_context(error=err.to_json()))
-        status = handler_out.get("status", 500) \
-            if isinstance(handler_out, dict) else 500
-        if not isinstance(status, int):
-            status = 500
-        return status, {"content-type": "application/json"}, handler_out
+        full = target if os.path.isabs(target) else os.path.join(
+            base_dir or self.base_dir, target)
+        rule = self._load_rule(full)
+        if isinstance(rule, NetworkRule):
+            raise EndpointError("Invalid", "catch rule must be normal")
+        try:
+            out = transform_record(
+                self.spark, rule,
+                input_ if input_ is not None else {},
+                context=self._step_context(params=params,
+                                           error=err.to_json()),
+                base_dir=os.path.dirname(full))
+        except (TransformEngineError, RuleError) as e:
+            raise EndpointError("Transform", str(e))
+        return out if out is not None else {}
 
     # -- rule execution -------------------------------------------------
 
@@ -310,13 +410,20 @@ class EndpointEngine:
             else os.path.join(self.base_dir, rel_path)
         if full in self._rule_cache:
             return self._rule_cache[full]
-        with open(full, encoding="utf-8") as fh:
-            doc = yaml.safe_load(fh)
-        if doc.get("type") == "network":
-            rule = self._parse_network(doc, os.path.dirname(full))
-        else:
-            doc.pop("type", None)
-            rule = parse_rule_dict(doc)
+        try:
+            with open(full, encoding="utf-8") as fh:
+                doc = yaml.safe_load(fh)
+            if doc.get("type") == "network":
+                rule = self._parse_network(doc, os.path.dirname(full))
+            else:
+                doc.pop("type", None)
+                rule = parse_rule_dict(doc)
+        except OSError as e:
+            raise EndpointError("Invalid", f"cannot load rule: {e}")
+        except RuleError as e:
+            # rule load/compile errors surface as Invalid endpoint
+            # errors (load_rule_kind → EndpointError::invalid)
+            raise EndpointError("Invalid", str(e))
         self._rule_cache[full] = rule
         return rule
 
@@ -333,11 +440,15 @@ class EndpointEngine:
         if backoff not in ("fixed", "linear", "exponential"):
             raise RuleError("invalid_rule",
                             "retry backoff must be fixed|linear|exponential")
+        timeout_s = _parse_duration(doc.get("timeout", "30s"), "timeout")
+        if timeout_s <= 0:
+            # (compile_network_rule_rejects_zero_timeout)
+            raise RuleError("invalid_rule", "timeout must be > 0")
         return NetworkRule(
             method=method,
             url_expr=req.get("url"),
             headers=req.get("headers") or {},
-            timeout_s=_parse_duration(doc.get("timeout", "30s"), "timeout"),
+            timeout_s=timeout_s,
             select=doc.get("select"),
             body_expr=doc.get("body"),
             body_map=doc.get("body_map"),
@@ -351,21 +462,25 @@ class EndpointEngine:
         )
 
     def _run_rule_file(self, rel_path: str, record, context):
-        rule = self._load_rule(rel_path)
+        full = rel_path if os.path.isabs(rel_path) \
+            else os.path.join(self.base_dir, rel_path)
+        rule = self._load_rule(full)
         if isinstance(rule, NetworkRule):
             try:
                 return self._run_network(rule, record, context)
             except EndpointError as err:
-                handled = self._route_catch(rule.catch, err, record)
+                # network-level catch: the handler output IS the step
+                # result (endpoint_engine.rs:837-856); relative targets
+                # resolve against the network rule's directory
+                handled = self._run_catch(rule.catch, err, record,
+                                          base_dir=rule.base_dir)
                 if handled is None:
                     raise
-                # network-level catch returns the handler output as the
-                # step result, not a reply
-                return handled[2]
+                return handled
         try:
             out = transform_record(self.spark, rule, record,
                                    context=context,
-                                   base_dir=self.base_dir)
+                                   base_dir=os.path.dirname(full))
         except (TransformEngineError, RuleError) as e:
             raise EndpointError("Transform", str(e))
         if out is None:
@@ -375,16 +490,11 @@ class EndpointEngine:
 
     def _run_network(self, rule: NetworkRule, record, context):
         url = self._eval_expr(rule.url_expr, record, context=context)
-        if not isinstance(url, str):
-            raise EndpointError("Invalid", "network url must be a string")
-        body = None
-        if rule.body_expr is not None:
-            body = self._eval_expr(rule.body_expr, record, context=context)
-        elif rule.body_map is not None:
-            body = self._apply_mappings_rule(rule.body_map, record, context)
-        elif rule.body_rule is not None:
-            sub = os.path.join(rule.base_dir, rule.body_rule)
-            body = self._run_rule_file(sub, record, context)
+        if not isinstance(url, str) or isinstance(url, bool):
+            # (eval_expr_string: "expected string, got ...")
+            raise EndpointError("Invalid",
+                                f"expected string, got {_kind(url)}")
+        body = self._build_network_body(rule, record, context)
 
         attempt = 0
         while True:
@@ -419,6 +529,29 @@ class EndpointEngine:
                 time.sleep(delay)
             attempt += 1
 
+    def _build_network_body(self, rule: NetworkRule, record, context):
+        """``build_network_body`` (endpoint_engine.rs:940-971): body
+        expr missing → no body; body_map filtered → {}; body_rule
+        filtered by record_when → no body (NOT an error)."""
+        if rule.body_expr is not None:
+            return self._eval_expr(rule.body_expr, record, context=context)
+        if rule.body_map is not None:
+            return self._apply_mappings_rule(rule.body_map, record,
+                                             context)
+        if rule.body_rule is not None:
+            sub = os.path.join(rule.base_dir, rule.body_rule)
+            body_rule = self._load_rule(sub)
+            if isinstance(body_rule, NetworkRule):
+                raise EndpointError("Invalid",
+                                    "body_rule must be a normal rule")
+            try:
+                return transform_record(self.spark, body_rule, record,
+                                        context=context,
+                                        base_dir=os.path.dirname(sub))
+            except (TransformEngineError, RuleError) as e:
+                raise EndpointError("Transform", str(e))
+        return None
+
     # -- expression helpers --------------------------------------------
 
     def _apply_mappings_rule(self, mappings, record, context):
@@ -427,8 +560,12 @@ class EndpointEngine:
             "input": {"format": "json", "json": {}},
             "mappings": mappings,
         })
-        out = transform_record(self.spark, rule, record, context=context,
-                               base_dir=self.base_dir)
+        try:
+            out = transform_record(self.spark, rule, record,
+                                   context=context,
+                                   base_dir=self.base_dir)
+        except (TransformEngineError, RuleError) as e:
+            raise EndpointError("Transform", str(e))
         return out if out is not None else {}
 
     def _eval_expr(self, raw, record, *, context=None,
@@ -457,14 +594,26 @@ class EndpointEngine:
             "record_when": raw,
             "mappings": [{"target": "ok", "value": True}],
         })
+        # when conditions see @context.config (eval_v2_condition with
+        # config_json, endpoint_engine.rs:411-417)
         out = transform_record(self.spark, rule, record,
+                               context=self._config_context(),
                                base_dir=self.base_dir)
         return out is not None
 
-    def _eval_with(self, raw, record):
-        if isinstance(raw, dict):
-            return {k: self._eval_expr(v, record) for k, v in raw.items()}
-        return self._eval_expr(raw, record)
+
+def _kind(value) -> str:
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "number"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, list):
+        return "array"
+    return "object"
 
 
 def _default_http(method: str, url: str, headers: dict, body,

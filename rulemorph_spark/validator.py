@@ -30,14 +30,127 @@ class ValidationError:
     column: int | None = None
 
 
-# ops that statically never return a boolean (for when-type checks)
-_NON_BOOL_OPS = {"concat", "to_string", "trim", "lowercase", "uppercase",
-                 "replace", "split", "pad_start", "pad_end", "+", "-", "*",
-                 "/", "add", "subtract", "multiply", "divide", "round",
-                 "to_base", "date_format", "to_unixtime", "string", "int",
-                 "float", "keys", "values", "entries", "len", "merge",
-                 "deep_merge", "from_entries", "object_flatten",
-                 "object_unflatten"}
+# v1 arity in EFFECTIVE operand counts (validator.rs:1307-1580
+# ``validate_op`` / :876-1060 ``validate_chain_op`` — both enforce the
+# same range; a standalone op's effective count is ``len(args)``, a
+# chain op's is ``len(args) + 1`` for the implicit pipe value).  Ops
+# absent here (concat/coalesce/first/last/casts/named aliases) get no
+# v1 per-op arity check, matching the reference's default match arm.
+_V1_ARITY: dict[str, tuple[int, int | None]] = {}
+for _op in ("trim", "lowercase", "uppercase", "to_string", "len", "not",
+            "keys", "values", "entries", "object_flatten",
+            "object_unflatten", "unzip", "unique", "sum", "avg", "min",
+            "max"):
+    _V1_ARITY[_op] = (1, 1)
+for _op in ("split", "get", "pick", "omit", "map", "filter", "flat_map",
+            "group_by", "key_by", "partition", "distinct_by", "find",
+            "find_index", "take", "drop", "chunk", "index_of", "contains",
+            "reduce", "-", "/", "to_base",
+            "==", "!=", "<", "<=", ">", ">=", "~="):
+    _V1_ARITY[_op] = (2, 2)
+for _op in ("pad_start", "pad_end", "slice", "sort_by"):
+    _V1_ARITY[_op] = (2, 3)
+for _op in ("merge", "deep_merge", "zip", "+", "*", "and", "or"):
+    _V1_ARITY[_op] = (2, None)
+for _op in ("from_entries", "flatten", "round"):
+    _V1_ARITY[_op] = (1, 2)
+_V1_ARITY["replace"] = (3, 4)
+_V1_ARITY["fold"] = (3, 3)
+_V1_ARITY["zip_with"] = (3, None)
+_V1_ARITY["date_format"] = (2, 4)
+_V1_ARITY["to_unixtime"] = (1, 3)
+
+_COUNT_WORDS = {1: "one", 2: "two", 3: "three", 4: "four"}
+
+
+def _v1_arity_message(lo: int, hi: int | None) -> str:
+    """The reference's InvalidArgs wording per range shape
+    (validator.rs:1331-1580)."""
+    if hi is None:
+        return f"expr.args must contain at least {_COUNT_WORDS[lo]} items"
+    if lo == hi:
+        plural = "item" if lo == 1 else "items"
+        return f"expr.args must contain exactly {_COUNT_WORDS[lo]} {plural}"
+    if hi == lo + 1:
+        return (f"expr.args must contain {_COUNT_WORDS[lo]} or "
+                f"{_COUNT_WORDS[hi]} items")
+    return (f"expr.args must contain {_COUNT_WORDS[lo]} to "
+            f"{_COUNT_WORDS[hi]} items")
+
+
+# v1 when-typing (``bool_expr_kind``, validator.rs:747-836): ops that
+# statically NEVER return a boolean vs ops that always do; everything
+# else (find/first/last/casts/reduce/fold/unknown) is Maybe.  coalesce
+# is recursive: NotBool if any arg is, Bool only if all args are.
+_V1_NOT_BOOL_OPS = {
+    "concat", "to_string", "trim", "lowercase", "uppercase", "replace",
+    "split", "pad_start", "pad_end", "lookup", "lookup_first", "merge",
+    "deep_merge", "get", "pick", "omit", "keys", "values", "entries",
+    "len", "from_entries", "object_flatten", "object_unflatten", "map",
+    "filter", "flat_map", "flatten", "take", "drop", "slice", "chunk",
+    "zip", "zip_with", "unzip", "group_by", "key_by", "partition",
+    "unique", "distinct_by", "sort_by", "find_index", "index_of", "sum",
+    "avg", "min", "max", "+", "-", "*", "/", "round", "to_base",
+    "date_format", "to_unixtime"}
+_V1_BOOL_OPS = {"and", "or", "not", "contains",
+                "==", "!=", "<", "<=", ">", ">=", "~="}
+
+# v2 result-type inference for expr conditions (``infer_v2_expr_type``
+# + ``infer_op_result_type``, v2_validator.rs:241-310): only these op
+# families have a known non-bool result; everything else is Unknown
+# and passes the when-type check.
+_V2_STRING_OPS = {"trim", "lowercase", "uppercase", "concat", "to_string"}
+_V2_NUMBER_OPS = {"+", "-", "*", "/", "add", "subtract", "multiply",
+                  "divide"}
+
+
+def _v2_pipe_kind(pipe: "IR.Pipe") -> str:
+    """'bool' | 'unknown' | 'notbool' result kind of a v2 pipe — the
+    last step decides (``infer_pipe_type``, v2_validator.rs:249-255)."""
+    if isinstance(pipe.start, IR.StartLiteral):
+        kind = "bool" if isinstance(pipe.start.value, bool) else "notbool"
+    else:
+        kind = "unknown"
+    for step in pipe.steps:
+        if isinstance(step, IR.OpStep):
+            if (step.op in _V2_STRING_OPS or step.op in _V2_NUMBER_OPS
+                    or step.op == "lookup"):
+                kind = "notbool"
+            else:
+                kind = "unknown"
+        elif isinstance(step, IR.MapStep):
+            kind = "notbool"  # arrays are definitely not bool
+        else:
+            kind = "unknown"
+    return kind
+
+
+def _v1_bool_kind(raw) -> str:
+    """'bool' | 'maybe' | 'notbool' for a raw v1 expr node."""
+    if isinstance(raw, dict):
+        if "ref" in raw:
+            return "maybe"
+        if "op" in raw:
+            op = raw.get("op")
+            if op in _V1_NOT_BOOL_OPS:
+                return "notbool"
+            if op in _V1_BOOL_OPS:
+                return "bool"
+            if op == "coalesce":
+                saw_maybe = False
+                for a in raw.get("args") or []:
+                    kind = _v1_bool_kind(a)
+                    if kind == "notbool":
+                        return "notbool"
+                    if kind == "maybe":
+                        saw_maybe = True
+                return "maybe" if saw_maybe else "bool"
+            return "maybe"
+        if "chain" in raw:
+            return "maybe"
+    if isinstance(raw, bool):
+        return "bool"
+    return "notbool"  # non-bool literal (incl. null)
 
 
 class Validator:
@@ -48,6 +161,12 @@ class Validator:
         # after a branch step, @out may contain the branch rule's targets
         # (merged output, transform.rs:524) — forward-ref checks relax
         self.out_open = False
+        # (target, @out dep paths) per v2 mapping expr, for cycle
+        # detection (validator.rs:555-586); deps are collected only
+        # while out_open is false — a merging branch makes the graph
+        # unreliable (validator.rs:580-583)
+        self.v2_deps: list[tuple[str, set[str]]] = []
+        self._collect_deps: set[str] | None = None
 
     def push(self, code: str, message: str, path: str):
         self.errors.append(ValidationError(code, message, path))
@@ -121,10 +240,47 @@ class Validator:
                         # only a merging branch leaves its targets in
                         # @out for later steps (validator.rs:187-189)
                         self.out_open = True
+            # cycle check spans every step's mappings (validator.rs:195)
+            self._check_cycles("steps")
         else:
             self._validate_mappings(rule.mappings, "mappings")
+            if rule.version == 2:
+                # (validator.rs:518-520)
+                self._check_cycles("mappings")
         self._validate_finalize()
         return self.errors
+
+    def _check_cycles(self, base: str):
+        """Cyclic @out dependencies among v2 mapping targets
+        (``validate_no_cyclic_dependencies``, v2_validator.rs:958-980).
+        Matches the reference DFS exactly, including its quirk of not
+        unwinding ``rec_stack`` on the found-a-cycle early return — so
+        every later target that can reach an already-found cycle is
+        also reported."""
+        if not self.v2_deps:
+            return
+        graph: dict[str, set[str]] = dict(self.v2_deps)  # last dup wins
+        visited: set[str] = set()
+        stack: set[str] = set()
+
+        def has_cycle(node: str) -> bool:
+            if node in stack:
+                return True
+            if node in visited:
+                return False
+            visited.add(node)
+            stack.add(node)
+            for dep in graph.get(node, ()):
+                if has_cycle(dep):
+                    return True
+            stack.discard(node)
+            return False
+
+        for target, _ in self.v2_deps:
+            if has_cycle(target):
+                self.push("CyclicDependency",
+                          "cyclic dependency detected involving target: "
+                          f"{target}", f"{base}.{target}")
 
     def _validate_finalize(self):
         """Finalize shape checks (``validate_finalize``,
@@ -250,7 +406,17 @@ class Validator:
             if m.has_when:
                 self._check_when(m.when, f"{mpath}.when")
             if m.has_expr:
+                # only v2 exprs contribute to the @out dependency graph
+                # (validator.rs:584-586); when/source never do
+                collect = (self.rule.version >= 2 and IR.is_v2_expr(m.expr)
+                           and not self.out_open)
+                if collect:
+                    self._collect_deps = set()
                 self._check_expr(m.expr, f"{mpath}.expr")
+                if collect:
+                    if self._collect_deps:
+                        self.v2_deps.append((m.target, self._collect_deps))
+                    self._collect_deps = None
             if m.source is not None:
                 self._check_source(m.source, f"{mpath}.source")
 
@@ -258,10 +424,29 @@ class Validator:
                 self.produced.append(target_tokens)
 
     def _check_source(self, source: str, path: str):
-        ns = source.split(".", 1)[0] if "." in source else None
-        if ns is not None and ns not in ("input", "context", "out"):
+        """``validate_source`` (validator.rs:654-694): dotted sources
+        must be namespaced input|context|out with a non-empty tail;
+        dotless sources are input-relative; the path must parse; out
+        sources are forward-checked."""
+        if "." in source:
+            ns, _, rest = source.partition(".")
+            if not rest or ns not in ("input", "context", "out"):
+                self.push("InvalidRefNamespace",
+                          "ref namespace must be input|context|out", path)
+                return
+        elif not source:
             self.push("InvalidRefNamespace",
-                      "source namespace must be input|context|out", path)
+                      "ref namespace must be input|context|out", path)
+            return
+        else:
+            ns, rest = "input", source
+        if ns == "out":
+            self._check_out_ref(rest, path)
+            return
+        try:
+            parse_path(rest, error_code="InvalidPath")
+        except RuleError:
+            self.push("InvalidPath", "path is invalid", path)
 
     # -- when typing ---------------------------------------------------
 
@@ -273,22 +458,33 @@ class Validator:
         @item (V2Scope::new().with_item(), validator.rs:222)."""
         if isinstance(raw, bool):
             return
-        if isinstance(raw, (str, int, float)) and not (
-                isinstance(raw, str) and (raw.startswith("@") or raw == "$"
-                                          or raw.startswith("lit:"))):
+        if isinstance(raw, (str, int, float)):
+            if (self.rule.version >= 2 and isinstance(raw, str)
+                    and (raw.startswith("@") or raw == "$")):
+                # Unknown-typed v2 expr condition — passes the type
+                # check, but the ref itself still validates
+                self._check_v2_expr(raw, path, item_scope=item_scope)
+                return
+            # non-bool literal: v1 strings always (bool_expr_kind:
+            # Literal → NotBool); v2 ``lit:`` escapes are String-typed
+            # expr conditions (infer_json_type → is_definitely_not_bool)
             self.push("InvalidWhenType",
                       "when/record_when must evaluate to boolean", path)
             return
         if isinstance(raw, dict):
-            if "ref" in raw:
-                self._check_v1_expr(raw, path)
-                return
-            if "op" in raw:
-                if raw.get("op") in _NON_BOOL_OPS:
+            if "ref" in raw or "op" in raw or "chain" in raw:
+                if _v1_bool_kind(raw) == "notbool":
                     self.push("InvalidWhenType",
                               "when/record_when must evaluate to boolean",
                               path)
                 self._check_v1_expr(raw, path)
+                return
+            if self.rule.version < 2:
+                # v1 has no condition dicts: a plain object is a
+                # non-bool literal (validate_when_expr)
+                self.push("InvalidWhenType",
+                          "when/record_when must evaluate to boolean",
+                          path)
                 return
             # v2 condition forms
             for key in ("all", "any"):
@@ -300,14 +496,42 @@ class Validator:
             for key in ("eq", "ne", "gt", "gte", "lt", "lte", "match"):
                 if key in raw:
                     if isinstance(raw[key], list):
+                        if len(raw[key]) != 2:
+                            # (validate_v2_comparison,
+                            # v2_validator.rs:641-650)
+                            self.push(
+                                "InvalidArgs",
+                                "comparison requires exactly 2 "
+                                f"arguments, got {len(raw[key])}", path)
                         for j, a in enumerate(raw[key]):
                             self._check_expr(a, f"{path}.{key}[{j}]",
                                              allow_scalar=True,
                                              item_scope=item_scope)
                     return
+            # any other object is a literal-object expr condition —
+            # Object is definitely not bool
+            self.push("InvalidWhenType",
+                      "condition must evaluate to boolean", path)
+            return
         if isinstance(raw, list):
+            if self.rule.version < 2:
+                # v1: a literal array is never a boolean
+                self.push("InvalidWhenType",
+                          "when/record_when must evaluate to boolean",
+                          path)
+                return
             self._check_expr(raw, path, allow_scalar=True,
                              item_scope=item_scope)
+            if raw:
+                try:
+                    pipe = IR.parse_pipe(raw)
+                except RuleError:
+                    return
+                if _v2_pipe_kind(pipe) == "notbool":
+                    # expr-condition typing (validate_v2_condition,
+                    # v2_validator.rs:621-631)
+                    self.push("InvalidWhenType",
+                              "condition must evaluate to boolean", path)
 
     # -- expression validation ----------------------------------------
 
@@ -331,63 +555,160 @@ class Validator:
                                    acc_scope=acc_scope)
                 return
             if "op" in raw:
-                op = raw.get("op")
-                if not is_valid_op(op):
-                    self.push("UnknownOp", f"unknown op: {op}",
-                              f"{path}.op")
-                args = raw.get("args", [])
-                child_item = item_scope or op in (
-                    "map", "filter", "flat_map", "group_by", "key_by",
-                    "partition", "distinct_by", "sort_by", "find",
-                    "find_index", "zip_with", "reduce", "fold")
-                child_acc = acc_scope or op in ("reduce", "fold")
-                if op in ("lookup", "lookup_first") and len(args) >= 2:
-                    if not isinstance(args[1], str):
-                        self.push("InvalidArgs",
-                                  "lookup key_path must be a string literal",
-                                  f"{path}.args[1]")
-                for j, a in enumerate(args):
-                    self._check_v1_expr(a, f"{path}.args[{j}]",
-                                        item_scope=child_item,
-                                        acc_scope=child_acc)
+                self._check_v1_op(raw, path, chain_ctx=False,
+                                  item_scope=item_scope,
+                                  acc_scope=acc_scope)
                 return
             if "chain" in raw:
-                for j, c in enumerate(raw.get("chain") or []):
-                    self._check_v1_expr(c, f"{path}.chain[{j}]",
-                                        item_scope=item_scope,
-                                        acc_scope=acc_scope)
+                chain = raw.get("chain")
+                if not isinstance(chain, list) or not chain:
+                    # InvalidExprShape (validator.rs:845-851)
+                    self.push("InvalidExprShape",
+                              "expr.chain must be a non-empty array",
+                              f"{path}.chain")
+                    return
+                for j, c in enumerate(chain):
+                    cpath = f"{path}.chain[{j}]"
+                    if j == 0:
+                        self._check_v1_expr(c, cpath,
+                                            item_scope=item_scope,
+                                            acc_scope=acc_scope)
+                    elif isinstance(c, dict) and "op" in c:
+                        self._check_v1_op(c, cpath, chain_ctx=True,
+                                          item_scope=item_scope,
+                                          acc_scope=acc_scope)
+                    else:
+                        # InvalidExprShape (validator.rs:864-870)
+                        self.push("InvalidExprShape",
+                                  "expr.chain items after first must be op",
+                                  cpath)
                 return
         # literals are fine
 
+    def _check_v1_op(self, raw: dict, path: str, *, chain_ctx: bool,
+                     item_scope: bool, acc_scope: bool):
+        """One v1 op node (``validate_op`` validator.rs:1307 standalone /
+        ``validate_chain_op`` :876 in chain position).  Both enforce the
+        same per-op range on the EFFECTIVE operand count — a chain op's
+        implicit pipe value counts as one operand."""
+        op = raw.get("op")
+        if not is_valid_op(op):
+            self.push("UnknownOp", "expr.op is not supported",
+                      f"{path}.op")
+        args = raw.get("args", [])
+        if not isinstance(args, list):
+            args = []
+        if not chain_ctx and not args:
+            # standalone ops always need operands (validator.rs:1322-1328)
+            self.push("InvalidArgs", "expr.args must be a non-empty array",
+                      f"{path}.args")
+        if op in ("lookup", "lookup_first"):
+            self._check_v1_lookup_args(args, path, chain_ctx=chain_ctx)
+        elif op in _V1_ARITY:
+            lo, hi = _V1_ARITY[op]
+            effective = len(args) + (1 if chain_ctx else 0)
+            if effective < lo or (hi is not None and effective > hi):
+                self.push("InvalidArgs", _v1_arity_message(lo, hi),
+                          f"{path}.args")
+        child_item = item_scope or op in (
+            "map", "filter", "flat_map", "group_by", "key_by",
+            "partition", "distinct_by", "sort_by", "find",
+            "find_index", "zip_with", "reduce", "fold")
+        child_acc = acc_scope or op in ("reduce", "fold")
+        for j, a in enumerate(args):
+            self._check_v1_expr(a, f"{path}.args[{j}]",
+                                item_scope=child_item,
+                                acc_scope=child_acc)
+
+    def _check_v1_lookup_args(self, args: list, path: str, *,
+                              chain_ctx: bool):
+        """``validate_lookup_args`` (validator.rs:1582-1625) /
+        ``validate_lookup_args_chain`` (:1627-1670): arity, then the
+        key/output path args must be non-empty string literals that
+        parse as paths.  Positions shift by one in chain form (the
+        collection comes from the pipe value)."""
+        lo, hi = (2, 3) if chain_ctx else (3, 4)
+        if not (lo <= len(args) <= hi):
+            self.push(
+                "InvalidArgs",
+                "lookup args must be [key_path, match_value, output_path?]"
+                " in chain" if chain_ctx else
+                "lookup args must be "
+                "[collection, key_path, match_value, output_path?]",
+                f"{path}.args")
+            return
+        key_idx = 0 if chain_ctx else 1
+        positions = [(key_idx, "key_path")]
+        if len(args) == hi:
+            positions.append((hi - 1, "output_path"))
+        for idx, name in positions:
+            arg = args[idx]
+            if not isinstance(arg, str) or not arg:
+                self.push("InvalidArgs",
+                          f"lookup {name} must be a non-empty string "
+                          "literal", f"{path}.args[{idx}]")
+                continue
+            try:
+                parse_path(arg, error_code="InvalidPath")
+            except RuleError:
+                self.push("InvalidArgs", f"lookup {name} is invalid",
+                          f"{path}.args[{idx}]")
+
     def _check_v1_ref(self, ref_path: str, path: str, *, item_scope=False,
                       acc_scope=False):
-        ns = ref_path.split(".", 1)[0].split("[", 1)[0]
-        if ns in ("input", "context"):
+        """``validate_ref`` (validator.rs:1593-1612 parse_ref + the
+        namespace match): a v1 ref must be ``ns.path`` with a non-empty
+        path, the path must parse, and item/acc refs are scope-gated
+        AND must start with value/index (item) or value (acc)."""
+        ns, sep, rest = ref_path.partition(".")
+        if not sep or not rest or ns not in ("input", "context", "out",
+                                             "item", "acc"):
+            self.push("InvalidRefNamespace",
+                      "ref namespace must be input|context|out|item|acc",
+                      path)
+            return
+        if ns == "item" and not item_scope:
+            self.push("InvalidRefNamespace",
+                      "item refs are only allowed inside array ops", path)
+            return
+        if ns == "acc" and not acc_scope:
+            self.push("InvalidRefNamespace",
+                      "acc refs are only allowed inside reduce/fold ops",
+                      path)
             return
         if ns == "out":
-            rest = ref_path[len("out"):].lstrip(".")
             self._check_out_ref(rest, path)
             return
+        try:
+            tokens = parse_path(rest, error_code="InvalidPath")
+        except RuleError:
+            self.push("InvalidPath", "path is invalid", path)
+            return
         if ns == "item":
-            if not item_scope:
-                self.push("InvalidRefNamespace",
-                          "item is only available within array ops", path)
-            return
-        if ns == "acc":
-            if not acc_scope:
-                self.push("InvalidRefNamespace",
-                          "acc is only available within reduce/fold", path)
-            return
-        self.push("InvalidRefNamespace",
-                  "ref namespace must be input|context|out", path)
+            first = tokens[0] if tokens else None
+            if not (isinstance(first, Key)
+                    and first.name in ("value", "index")):
+                self.push("InvalidPath",
+                          "item ref must start with value or index", path)
+        elif ns == "acc":
+            first = tokens[0] if tokens else None
+            if not (isinstance(first, Key) and first.name == "value"):
+                self.push("InvalidPath",
+                          "acc ref must start with value", path)
 
     def _check_out_ref(self, rest: str, path: str):
-        if rest == "" or self.out_open:
+        if self._collect_deps is not None and rest:
+            self._collect_deps.add(rest)
+        if rest == "":
             return
+        # path syntax is checked even when forward refs are allowed
+        # (validate_v2_ref runs validate_path_syntax unconditionally)
         try:
             tokens = [t.name for t in parse_path(rest) if isinstance(t, Key)]
         except RuleError:
             self.push("InvalidPath", "invalid out ref path", path)
+            return
+        if self.out_open:
             return
         for prev in self.produced:
             shorter, longer = sorted((prev, tokens), key=len)
@@ -441,7 +762,9 @@ class Validator:
                 return
             lo, hi = OP_ARITY[step.op]
             n = len(step.args)
-            if n < lo - 1 or (hi is not None and n > hi):
+            # exact pipe-context range (validate_op_args_count,
+            # v2_validator.rs:784-808) — v2 steps never hoist an arg
+            if n < lo or (hi is not None and n > hi):
                 self.push("InvalidArgs",
                           f"{step.op} arg count {n} out of range", path)
             from .registry import ITEM_SCOPED_FIRST_ARG
@@ -467,13 +790,20 @@ class Validator:
                 locals_.add(name)
             return
         if isinstance(step, IR.IfStep):
-            self._check_pipe_like(step.then_branch, f"{path}.then",
+            # (validate_v2_if_step, v2_validator.rs: cond is validated
+            # with the same scope, then/else in child scopes)
+            self._check_v2_condition(step.cond, f"{path}.if.cond",
+                                     item_scope=item_scope,
+                                     acc_scope=acc_scope, locals_=locals_)
+            self._check_pipe_like(step.then_branch, f"{path}.if.then",
                                   item_scope=item_scope,
-                                  acc_scope=acc_scope, locals_=locals_)
+                                  acc_scope=acc_scope,
+                                  locals_=set(locals_))
             if step.else_branch is not None:
-                self._check_pipe_like(step.else_branch, f"{path}.else",
+                self._check_pipe_like(step.else_branch, f"{path}.if.else",
                                       item_scope=item_scope,
-                                      acc_scope=acc_scope, locals_=locals_)
+                                      acc_scope=acc_scope,
+                                      locals_=set(locals_))
             return
         if isinstance(step, IR.MapStep):
             for j, s in enumerate(step.steps):
@@ -483,6 +813,42 @@ class Validator:
         if isinstance(step, IR.RefStep):
             self._check_v2_ref(step.ref, path, item_scope=item_scope,
                                acc_scope=acc_scope, locals_=locals_)
+
+    def _check_v2_condition(self, cond, path: str, *, item_scope,
+                            acc_scope, locals_):
+        """``validate_v2_condition`` (v2_validator.rs:586-633): all/any
+        recurse, comparisons need exactly 2 args, expr conditions are
+        type-checked against ``is_definitely_not_bool``."""
+        if isinstance(cond, IR.CondAll):
+            for i, c in enumerate(cond.conditions):
+                self._check_v2_condition(c, f"{path}.all[{i}]",
+                                         item_scope=item_scope,
+                                         acc_scope=acc_scope,
+                                         locals_=locals_)
+            return
+        if isinstance(cond, IR.CondAny):
+            for i, c in enumerate(cond.conditions):
+                self._check_v2_condition(c, f"{path}.any[{i}]",
+                                         item_scope=item_scope,
+                                         acc_scope=acc_scope,
+                                         locals_=locals_)
+            return
+        if isinstance(cond, IR.CondCompare):
+            if len(cond.args) != 2:
+                self.push("InvalidArgs",
+                          "comparison requires exactly 2 arguments, got "
+                          f"{len(cond.args)}", path)
+            for j, arg in enumerate(cond.args):
+                self._check_pipe_like(arg, f"{path}.args[{j}]",
+                                      item_scope=item_scope,
+                                      acc_scope=acc_scope, locals_=locals_)
+            return
+        if isinstance(cond, IR.CondExpr):
+            self._check_pipe_like(cond.expr, path, item_scope=item_scope,
+                                  acc_scope=acc_scope, locals_=locals_)
+            if _v2_pipe_kind(cond.expr) == "notbool":
+                self.push("InvalidWhenType",
+                          "condition must evaluate to boolean", path)
 
     def _check_pipe_like(self, pipe: IR.Pipe, path: str, *, item_scope,
                          acc_scope, locals_):
@@ -496,7 +862,11 @@ class Validator:
 
     def _check_v2_ref(self, ref: IR.Ref, path: str, *, item_scope,
                       acc_scope, locals_):
+        """Mirrors ``validate_v2_ref`` (v2_validator.rs:699-748): every
+        namespace's subpath must parse (``validate_path_syntax``), with
+        ``@item.index``/``@item.value`` admitted as-is."""
         if ref.namespace in ("input", "context"):
+            self._check_path_syntax(ref.path, path)
             return
         if ref.namespace == "out":
             self._check_out_ref(ref.path, path)
@@ -505,16 +875,28 @@ class Validator:
             if not item_scope:
                 self.push("InvalidItemRef",
                           "@item is only available in map/filter ops", path)
+            elif ref.path not in ("", "index", "value"):
+                self._check_path_syntax(ref.path, path)
             return
         if ref.namespace == "acc":
             if not acc_scope:
                 self.push("InvalidAccRef",
                           "@acc is only available in reduce/fold", path)
+            else:
+                self._check_path_syntax(ref.path, path)
             return
         if ref.namespace == "local":
             if ref.local_name not in locals_:
                 self.push("UndefinedVariable",
                           f"undefined variable: @{ref.local_name}", path)
+
+    def _check_path_syntax(self, ref_path: str, path: str):
+        if not ref_path:
+            return  # empty path addresses the whole namespace
+        try:
+            parse_path(ref_path, error_code="InvalidPath")
+        except RuleError:
+            self.push("InvalidPath", "invalid path syntax", path)
 
 
 def validate_rule(rule: RuleFile) -> list[ValidationError]:

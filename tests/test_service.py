@@ -162,9 +162,12 @@ def test_endpoint_catch_invalid_body(spark, engine_dir):
     eng = EndpointEngine(spark, f"{engine_dir}/endpoint.yaml")
     status, _, body = eng.handle_request(
         "POST", "/echo", body_text="{not json")
-    # endpoint catch → error_handler.yaml decides status + payload
-    assert status == 400
-    assert body["error_kind"] == "Invalid"
+    # endpoint catch output becomes the pipeline value and feeds the
+    # NORMAL reply (handle_input_error, endpoint_engine.rs:347-380):
+    # status stays the endpoint's literal 201, body "@input.body" is
+    # missing on the handler output → null
+    assert status == 201
+    assert body is None
 
 
 def test_endpoint_duplicate_query_key(spark, engine_dir):
