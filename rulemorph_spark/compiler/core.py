@@ -321,15 +321,15 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
             result = result | compile_condition(c, scope, path)
         return result
     if isinstance(cond, CondCompare):
+        if len(cond.args) != 2:
+            # an EVAL error, not a parse error (v2_eval.rs:1103-1110) —
+            # so a mapping `when` downgrades it to the warning channel
+            return rerr(
+                "expr_error",
+                "comparison requires exactly 2 arguments, got "
+                f"{len(cond.args)}", path).cast("boolean")
         args = [compile_pipe(a, scope, f"{path}.{cond.op}[{i}]")
                 for i, a in enumerate(cond.args)]
-        if len(args) != 2:
-            # single-arg comparisons use the pipe value as the left side
-            if len(args) == 1 and scope.pipe is not None:
-                args = [scope.pipe, args[0]]
-            else:
-                raise RuleError("invalid_args",
-                                f"{cond.op} requires 2 arguments", path)
         left, right = args
         return _compare(cond.op, left, right, path)
     if isinstance(cond, CondExpr):

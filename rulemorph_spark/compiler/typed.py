@@ -806,14 +806,13 @@ def compile_tcondition(cond: Condition, scope: TScope,
             result = result | compile_tcondition(c, scope, path)
         return result
     if isinstance(cond, CondCompare):
+        if len(cond.args) != 2:
+            # eval-time error, mirror of core.compile_condition
+            return _terr("boolean", "expr_error",
+                         "comparison requires exactly 2 arguments, got "
+                         f"{len(cond.args)}", path)
         args = [compile_tpipe(a, scope, f"{path}.{cond.op}[{i}]")
                 for i, a in enumerate(cond.args)]
-        if len(args) != 2:
-            if len(args) == 1 and scope.pipe is not None:
-                args = [scope.pipe, args[0]]
-            else:
-                raise RuleError("invalid_args",
-                                f"{cond.op} requires 2 arguments", path)
         return _t_compare(cond.op, args[0], args[1], path)
     if isinstance(cond, CondExpr):
         v = compile_tpipe(cond.expr, scope, path)

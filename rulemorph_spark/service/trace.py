@@ -53,6 +53,10 @@ class RequestTrace:
         return output
 
     def to_json(self):
+        # duration_us per node and a top-level ok/error record status
+        # mirror the reference trace fields (build_step_trace /
+        # build_trace_emits_top_level_status, endpoint_engine.rs)
+        total_ms = sum(s.elapsed_ms for s in self.steps)
         return {
             "trace_id": str(uuid.uuid4()),
             "endpoint": self.endpoint,
@@ -60,10 +64,15 @@ class RequestTrace:
             "path": self.path,
             "started_at": self.started_at,
             "status": self.status,
-            "total_ms": round(sum(s.elapsed_ms for s in self.steps), 3),
+            "record_status": ("error" if any(s.error is not None
+                                             for s in self.steps)
+                              else "ok"),
+            "total_ms": round(total_ms, 3),
+            "duration_us": int(total_ms * 1000),
             "steps": [{
                 "name": s.name, "kind": s.kind, "input": s.input,
                 "output": s.output, "elapsed_ms": round(s.elapsed_ms, 3),
+                "duration_us": int(s.elapsed_ms * 1000),
                 "error": s.error,
             } for s in self.steps],
         }

@@ -468,3 +468,69 @@ def test_internal_server_routes(spark, svc_dir):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_api_graph_dir_op_summaries(tmp_path):
+    """Mirror of the api_graph.rs inline tests (:493-586): endpoint ops
+    carry every step ref, network ops carry the body_rule ref under the
+    ``body_rule`` label, and finalize ops list the enabled clauses —
+    all with data-dir-relative ref ids."""
+    import json as _json
+
+    from rulemorph_spark.service.server import build_api_graph_dir
+
+    sub = tmp_path / "api_rules"
+    sub.mkdir()
+    (sub / "endpoint.yaml").write_text(
+        "version: 2\ntype: endpoint\nendpoints:\n"
+        "  - method: GET\n    path: /users/{id}\n    steps:\n"
+        "      - rule: ./a.yaml\n      - rule: ./b.yaml\n"
+        "    reply: {status: 200}\n")
+    (sub / "network.yaml").write_text(
+        "version: 2\ntype: network\nrequest:\n"
+        "  method: POST\n  url: https://example.com\n"
+        "timeout: 1s\nbody_rule: ./body.yaml\n")
+    (sub / "rule.yaml").write_text(
+        "version: 2\ninput: {format: json, json: {}}\nmappings: []\n"
+        "finalize:\n  filter: {eq: ['@input.kind', 'lit:a']}\n"
+        "  limit: 10\n")
+
+    graph = build_api_graph_dir(str(tmp_path))
+    nodes = {n["id"]: n for n in graph["nodes"]}
+
+    # endpoint_ops_include_all_step_refs
+    ep_ops = nodes["api_rules/endpoint.yaml"]["ops"]
+    refs = [r for op in ep_ops for r in op.get("refs", [])]
+    assert "api_rules/a.yaml" in refs
+    assert "api_rules/b.yaml" in refs
+
+    # network_ops_include_body_rule_ref
+    net_ops = nodes["api_rules/network.yaml"]["ops"]
+    body_op = next(op for op in net_ops if op["label"] == "body_rule")
+    assert body_op["refs"] == ["api_rules/body.yaml"]
+
+    # normal_ops_include_finalize
+    rule_ops = nodes["api_rules/rule.yaml"]["ops"]
+    fin = next(op for op in rule_ops if op["label"] == "finalize")
+    assert "filter" in fin["detail"] and "limit" in fin["detail"]
+
+
+def test_trace_nodes_include_duration_us_and_record_status(spark, svc_dir):
+    """Reference trace fields: every node carries ``duration_us``
+    (rule_nodes_include_step_duration_us / mapping_ops_include_
+    duration_us) and the document a top-level ok/error status
+    (build_trace_emits_top_level_status)."""
+    import json as _json
+
+    with tempfile.TemporaryDirectory() as td:
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=lambda *a: (200, {"up": True}),
+                             trace_dir=td)
+        eng.handle_request("GET", "/things/5")
+        docs = [fn for fn in os.listdir(td) if fn.endswith(".json")]
+        with open(os.path.join(td, docs[0])) as fh:
+            doc = _json.load(fh)
+    assert doc["record_status"] == "ok"
+    assert isinstance(doc["duration_us"], int)
+    assert doc["steps"], "expected trace nodes"
+    assert all(isinstance(s["duration_us"], int) for s in doc["steps"])

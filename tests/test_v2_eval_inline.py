@@ -383,6 +383,28 @@ def test_condition_expr_missing_is_false(spark):
     assert _cond_result(spark, "@input.active", {}) is False
 
 
+def test_condition_comparison_arity_eval_error(spark):
+    """Comparisons take exactly 2 args AT EVAL (v2_eval.rs:1103-1110):
+    inside an if step the error is a hard ExprError..."""
+    err = _eval_err(spark, [0, {"if": {"cond": {"eq": [1]},
+                                       "then": ["lit:T"],
+                                       "else": ["lit:F"]}}])
+    assert "exactly 2 arguments" in getattr(err, "message", str(err))
+
+
+def test_condition_comparison_arity_when_warns_and_skips(spark):
+    """...while in a mapping `when` the same eval error downgrades to
+    the warning channel and skips the mapping."""
+    from rulemorph_spark.engine import transform_with_warnings
+    rule = {"version": 2, "input": {"format": "json"}, "mappings": [
+        {"target": "a", "value": 1},
+        {"target": "b", "value": 2, "when": {"eq": [1]}}]}
+    out, warnings = transform_with_warnings(spark, json.dumps(rule),
+                                            input_text="[{}]")
+    assert out == [{"a": 1}]
+    assert len(warnings) == 1 and warnings[0]["path"] == "mappings[1].when"
+
+
 def test_condition_with_pipe_value(spark):
     expr = [150, {"if": {"cond": {"gt": ["$", 100]},
                          "then": ["lit:T"], "else": ["lit:F"]}}]
