@@ -107,12 +107,7 @@ def _run_transform(args, *, discard: bool) -> int:
     except RuleError as e:
         _emit_validation_errors([e], args.error_format)
         return 2
-    for w in warnings:
-        if args.error_format == "json":
-            print(json.dumps({"warning": w}), file=sys.stderr)
-        else:
-            print(f"warning[{w['kind']}]: {w['message']} at {w['path']} "
-                  f"({w['records']} records)", file=sys.stderr)
+    _emit_transform_warnings(warnings, args.error_format)
 
     if discard:
         return 0
@@ -136,6 +131,35 @@ def _run_transform(args, *, discard: bool) -> int:
     else:
         sys.stdout.write(text)
     return 0
+
+
+def _emit_transform_warnings(warnings, error_format: str) -> None:
+    """``emit_transform_warnings`` (rulemorph_cli/src/main.rs:652-678):
+    text = one ``W <Kind> path=<p> msg="<m>"`` line per warning; json =
+    ONE stderr line holding the array of ``{"type": "warning", ...}``
+    objects.  This engine aggregates identical warnings across records,
+    so each object also carries a ``records`` count."""
+    if not warnings:
+        return
+    if error_format == "json":
+        values = []
+        for w in warnings:
+            v = {"type": "warning", "kind": w["kind"],
+                 "message": w["message"]}
+            if w.get("path") is not None:
+                v["path"] = w["path"]
+            v["records"] = w.get("records", 1)
+            values.append(v)
+        print(json.dumps(values), file=sys.stderr)
+        return
+    for w in warnings:
+        parts = [f"W {w['kind']}"]
+        if w.get("path") is not None:
+            parts.append(f"path={w['path']}")
+        parts.append(f'msg="{w["message"]}"')
+        if w.get("records", 1) > 1:
+            parts.append(f"records={w['records']}")
+        print(" ".join(parts), file=sys.stderr)
 
 
 def cmd_preflight(args) -> int:

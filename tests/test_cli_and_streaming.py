@@ -372,3 +372,30 @@ mappings:
         else:
             rows = sorted((r["id"], r["tag"]) for r in got.collect())
             assert rows == [(1, "A-12"), (3, "C-30")]
+
+
+def test_cli_transform_emits_warnings_json():
+    """``transform_emits_warnings_json`` (cli.rs:174-198): with
+    ``-e json`` the warnings land on stderr as ONE json array of
+    ``{"type": "warning", "kind": ...}`` objects, exit code 0."""
+    base = f"{FIXTURES}/t10_when_compare"
+    r = _run_cli("transform", "-r", f"{base}/rules.yaml",
+                 "-i", f"{base}/input.json", "-e", "json")
+    assert r.returncode == 0, r.stderr
+    line = [ln for ln in r.stderr.splitlines()
+            if ln.startswith("[")][-1]
+    values = json.loads(line)
+    assert values[0]["type"] == "warning"
+    assert values[0]["kind"] == "ExprError"
+
+
+def test_cli_transform_warnings_text_format():
+    """Text warnings use the reference's ``W <Kind> path=.. msg=".."``
+    shape (emit_transform_warnings, main.rs:658-667)."""
+    base = f"{FIXTURES}/t10_when_compare"
+    r = _run_cli("transform", "-r", f"{base}/rules.yaml",
+                 "-i", f"{base}/input.json")
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stderr.splitlines() if ln.startswith("W ")]
+    assert lines and lines[0].startswith("W ExprError")
+    assert 'msg="' in lines[0]
