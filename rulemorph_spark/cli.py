@@ -20,29 +20,54 @@ def _load_text(path: str) -> str:
 
 
 def _emit_validation_errors(errors, error_format: str):
-    # duck-typed over ValidationError and RuleError (no line/column)
+    """``emit_validation_errors`` (rulemorph_cli/src/main.rs:538-604):
+    json = one stderr array of ``{"type": "validation", "code", ...}``
+    (path/line/column only when present); text = ``E <Code> path=..
+    line=N col=N msg=".."`` per error.  Duck-typed over
+    ValidationError and RuleError (no line/column)."""
     if error_format == "json":
         payload = []
         for e in errors:
-            obj = {"code": e.code, "message": e.message, "path": e.path}
+            obj = {"type": "validation", "code": e.code,
+                   "message": e.message}
+            if e.path is not None:
+                obj["path"] = e.path
             if getattr(e, "line", None) is not None:
                 obj["line"], obj["column"] = e.line, e.column
             payload.append(obj)
         print(json.dumps(payload), file=sys.stderr)
     else:
         for e in errors:
-            loc = f" at {e.path}" if e.path else ""
+            parts = [f"E {e.code}"]
+            if e.path is not None:
+                parts.append(f"path={e.path}")
             if getattr(e, "line", None) is not None:
-                loc += f" (line {e.line}, col {e.column})"
-            print(f"error[{e.code}]: {e.message}{loc}", file=sys.stderr)
+                parts.append(f"line={e.line}")
+                parts.append(f"col={e.column}")
+            parts.append(f'msg="{e.message}"')
+            print(" ".join(parts), file=sys.stderr)
 
 
 def _emit_transform_error(err, error_format: str):
+    """``emit_transform_error`` (main.rs:624-650): json = one stderr
+    ARRAY holding a single ``{"type": "transform", "kind", "message",
+    "path"?}``; text = ``E <Kind> path=.. msg=".."``."""
+    from .errors import normalize_kind
+    kind = normalize_kind(getattr(err, "kind", None)
+                          or getattr(err, "code", "ExprError"))
+    path = getattr(err, "path", None)
     if error_format == "json":
-        print(json.dumps({"kind": err.kind, "message": err.message,
-                          "path": err.path}), file=sys.stderr)
+        value = {"type": "transform", "kind": kind,
+                 "message": err.message}
+        if path is not None:
+            value["path"] = path
+        print(json.dumps([value]), file=sys.stderr)
     else:
-        print(f"error[{err.kind}]: {err}", file=sys.stderr)
+        parts = [f"E {kind}"]
+        if path is not None:
+            parts.append(f"path={path}")
+        parts.append(f'msg="{err.message}"')
+        print(" ".join(parts), file=sys.stderr)
 
 
 def cmd_validate(args) -> int:
@@ -105,8 +130,11 @@ def _run_transform(args, *, discard: bool) -> int:
         _emit_transform_error(e, args.error_format)
         return 3
     except RuleError as e:
-        _emit_validation_errors([e], args.error_format)
-        return 2
+        # compile/parse failures during transform surface as TRANSFORM
+        # errors, exit 3 (the reference's v2 parse errors become
+        # TransformError ExprError; exit 2 is reserved for -v)
+        _emit_transform_error(e, args.error_format)
+        return 3
     _emit_transform_warnings(warnings, args.error_format)
 
     if discard:

@@ -29,7 +29,9 @@ class RulesDirError:
     column: int | None = None
 
     def to_json(self) -> dict:
-        out = {"code": self.code, "file": self.file,
+        # shape of ``rules_dir_error_json`` (rulemorph_cli/src/main.rs
+        # :604-622): typed entries with the offending file
+        out = {"type": "rules_dir", "code": self.code, "file": self.file,
                "message": self.message}
         if self.path is not None:
             out["path"] = self.path

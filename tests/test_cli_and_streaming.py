@@ -91,8 +91,9 @@ def test_cli_missing_file():
 
 
 def test_cli_rule_error_emits_clean_json(workdir):
-    # a RuleError raised at compile time (no .line/.column attrs) must
-    # produce error JSON + exit 2, not an AttributeError crash
+    # a RuleError raised at compile time (no .line/.column attrs) maps
+    # to the TRANSFORM error channel like the reference's v2 parse
+    # errors (TransformError ExprError, exit 3) — not a crash
     bad = os.path.join(workdir, "bad_expr.yaml")
     with open(bad, "w") as fh:
         fh.write("""
@@ -104,11 +105,12 @@ mappings:
 """)
     r = _run_cli("transform", "-r", bad, "-i",
                  os.path.join(workdir, "input.json"), "-e", "json")
-    assert r.returncode == 2, r.stderr
+    assert r.returncode == 3, r.stderr
     line = [ln for ln in r.stderr.splitlines()
             if ln.startswith("[")][-1]
     payload = json.loads(line)
-    assert payload[0]["code"] == "expr_error"
+    assert payload[0]["type"] == "transform"
+    assert payload[0]["kind"] == "ExprError"
 
 
 def test_streaming_rejects_finalize(spark):
@@ -399,3 +401,49 @@ def test_cli_transform_warnings_text_format():
     lines = [ln for ln in r.stderr.splitlines() if ln.startswith("W ")]
     assert lines and lines[0].startswith("W ExprError")
     assert 'msg="' in lines[0]
+
+
+def test_cli_preflight_success_returns_zero():
+    """``preflight_success_returns_zero`` (cli.rs:51-66)."""
+    base = f"{FIXTURES}/p01_preflight_ok"
+    r = _run_cli("preflight", "-r", f"{base}/rules.yaml",
+                 "-i", f"{base}/input.json")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == ""  # preflight discards output
+
+
+def test_cli_preflight_json_errors():
+    """``preflight_json_errors`` (cli.rs:68-92): exit 3 with one stderr
+    array of ``{"type": "transform", "kind": "TypeCastFailed"}``."""
+    base = f"{FIXTURES}/p03_preflight_type_cast_failed"
+    r = _run_cli("preflight", "-r", f"{base}/rules.yaml",
+                 "-i", f"{base}/input.json", "-e", "json")
+    assert r.returncode == 3, r.stderr
+    line = [ln for ln in r.stderr.splitlines()
+            if ln.startswith("[")][-1]
+    payload = json.loads(line)
+    assert payload[0]["type"] == "transform"
+    assert payload[0]["kind"] == "TypeCastFailed"
+
+
+def test_cli_validation_error_shapes():
+    """``emit_validation_errors`` shapes (main.rs:538-604): json array
+    entries carry type=validation + code; text lines are
+    ``E <Code> ... msg=".."``."""
+    import tempfile as _tf
+    with _tf.TemporaryDirectory() as d:
+        bad = os.path.join(d, "bad.yaml")
+        with open(bad, "w") as fh:
+            fh.write("version: 1\ninput: {format: csv}\nmappings: []\n")
+        r = _run_cli("validate", "-r", bad, "-e", "json")
+        assert r.returncode == 2
+        payload = json.loads(
+            [ln for ln in r.stderr.splitlines() if ln.startswith("[")][-1])
+        codes = [e["code"] for e in payload]
+        assert codes == ["MissingCsvSection", "MissingMappings"]
+        assert all(e["type"] == "validation" for e in payload)
+        r = _run_cli("validate", "-r", bad)
+        assert r.returncode == 2
+        lines = [ln for ln in r.stderr.splitlines() if ln.startswith("E ")]
+        assert lines[0].startswith("E MissingCsvSection path=input.csv")
+        assert 'msg="' in lines[0]
