@@ -447,3 +447,33 @@ def test_cli_validation_error_shapes():
         lines = [ln for ln in r.stderr.splitlines() if ln.startswith("E ")]
         assert lines[0].startswith("E MissingCsvSection path=input.csv")
         assert 'msg="' in lines[0]
+
+
+def test_cli_transform_writes_output_file(tmp_path):
+    """``transform_writes_output_file`` (cli.rs:145-172): -o creates
+    nested parent dirs and writes the expected JSON."""
+    base = f"{FIXTURES}/t01_csv_basic"
+    out_path = tmp_path / "nested" / "out.json"
+    r = _run_cli("transform", "-r", f"{base}/rules.yaml",
+                 "-i", f"{base}/input.csv", "-o", str(out_path))
+    assert r.returncode == 0, r.stderr
+    with open(f"{base}/expected.json") as fh:
+        expected = json.load(fh)
+    assert json.loads(out_path.read_text()) == expected
+
+
+def test_cli_transform_validate_flag_exit_2():
+    """``transform_validate_flag_reports_validation_error``
+    (cli.rs:201-219): -v validates first and exits 2."""
+    rules = f"{FIXTURES}/v01_missing_mapping_value/rules.yaml"
+    inp = f"{FIXTURES}/t01_csv_basic/input.csv"
+    r = _run_cli("transform", "-r", rules, "-i", inp, "-v")
+    assert r.returncode == 2, r.stderr
+
+
+def test_cli_generate_rust_dto():
+    """``generate_outputs_rust_dto`` (cli.rs:222-238)."""
+    base = f"{FIXTURES}/dto01_basic"
+    r = _run_cli("generate", "-r", f"{base}/rules.yaml", "-l", "rust")
+    assert r.returncode == 0, r.stderr
+    assert "pub struct" in r.stdout
