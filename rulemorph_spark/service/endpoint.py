@@ -209,6 +209,11 @@ class EndpointEngine:
                                           None)
                 if handled is None:
                     raise
+                if trace is not None and trace.steps \
+                        and trace.steps[-1].error is not None:
+                    node = trace.steps[-1]
+                    node.output, node.error = handled, None
+                    node.status = "ok"
                 current = handled
                 skip_steps = True
 
@@ -279,9 +284,23 @@ class EndpointEngine:
         the step catch (output becomes the pipe value, execution
         CONTINUES) then the endpoint catch (output becomes the pipe
         value, remaining steps are SKIPPED), else bubbles."""
+        def mark_handled(handled):
+            # the reference traces a catch-handled step as a single
+            # "ok" node whose output is the handler output
+            # (endpoint_engine.rs:460-512); rewrite the error node the
+            # failing run just recorded
+            if trace is not None and trace.steps:
+                node = trace.steps[-1]
+                node.output, node.error, node.status = handled, None, "ok"
+
         for step in endpoint.steps:
             if step.when is not None and not self._eval_when(
                     step.when, current):
+                if trace is not None:
+                    from .trace import StepTrace
+                    trace.steps.append(StepTrace(
+                        step.rule, "step", current, current,
+                        status="skipped"))
                 continue
             context = self._step_context(params=step.with_)
             try:
@@ -294,11 +313,13 @@ class EndpointEngine:
                 handled = self._run_catch(step.catch, err, current,
                                           step.with_)
                 if handled is not None:
+                    mark_handled(handled)
                     current = handled
                     continue
                 handled = self._run_catch(endpoint.catch, err, current,
                                           None)
                 if handled is not None:
+                    mark_handled(handled)
                     current = handled
                     break
                 raise

@@ -27,6 +27,14 @@ class StepTrace:
     output: object = None
     elapsed_ms: float = 0.0
     error: object = None
+    # ok|error|skipped — the reference's per-node status
+    # (build_step_trace; when-skipped steps trace as "skipped")
+    status: str | None = None
+
+    def resolved_status(self) -> str:
+        if self.status is not None:
+            return self.status
+        return "error" if self.error is not None else "ok"
 
 
 @dataclass
@@ -73,6 +81,7 @@ class RequestTrace:
                 "name": s.name, "kind": s.kind, "input": s.input,
                 "output": s.output, "elapsed_ms": round(s.elapsed_ms, 3),
                 "duration_us": int(s.elapsed_ms * 1000),
+                "status": s.resolved_status(),
                 "error": s.error,
             } for s in self.steps],
         }

@@ -716,3 +716,78 @@ mappings:
     status, _, body = eng.handle_request("GET", "/api/test")
     assert status == 200
     assert body == {}
+
+
+# --- trace node statuses: skipped / catch-handled ok ----------------------
+
+def test_trace_marks_skipped_and_catch_handled_steps(spark, tmp_path):
+    """When-skipped steps trace as ``skipped`` nodes and catch-handled
+    steps as a single ``ok`` node carrying the handler output
+    (build_step_trace statuses, endpoint_engine.rs:406-512)."""
+    import json as _json
+    import os
+
+    files = {
+        "endpoint.yaml": """
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/t
+    steps:
+      - rule: ./skipme.yaml
+        when: { eq: ["@input.query.go", "lit:yes"] }
+      - rule: ./fail.yaml
+        catch:
+          default: ./catch.yaml
+    reply:
+      status: 200
+      body: "@input"
+""",
+        "skipme.yaml": """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "skipped"
+    value: true
+""",
+        "fail.yaml": """
+version: 2
+input:
+  format: json
+  json: {}
+record_when:
+  eq: [1, 2]
+mappings:
+  - target: "never"
+    value: 1
+""",
+        "catch.yaml": """
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: "caught"
+    value: true
+""",
+    }
+    trace_dir = tmp_path / "traces"
+    for name, text in files.items():
+        (tmp_path / name).write_text(text)
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         trace_dir=str(trace_dir))
+    status, _, body = eng.handle_request("GET", "/api/t")
+    assert status == 200 and body == {"caught": True}
+
+    docs = [fn for fn in os.listdir(trace_dir) if fn.endswith(".json")]
+    with open(trace_dir / docs[0]) as fh:
+        doc = _json.load(fh)
+    by_name = {s["name"]: s for s in doc["steps"]}
+    assert by_name["./skipme.yaml"]["status"] == "skipped"
+    handled = by_name["./fail.yaml"]
+    assert handled["status"] == "ok" and handled["error"] is None
+    assert handled["output"] == {"caught": True}
+    assert doc["record_status"] == "ok"
