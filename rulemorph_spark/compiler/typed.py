@@ -104,6 +104,13 @@ class TVal:
     # default/required, map-drop and v1 comparisons implement the
     # reference's missing semantics IN-PLAN instead of falling back.
     missing_when: Column | None = None
+    # True when ``col`` may embed per-row error cells (raise-on-eval,
+    # added by the strict null protocol or static type errors).  A
+    # downstream op must NOT discard such a column in favor of a
+    # static decision (e.g. get of a schema-absent field → missing)
+    # because the variant engine's in-order evaluation would raise the
+    # upstream error first — those sites defer to the variant bridge.
+    errs: bool = False
 
 
 def _mw(v: "TVal") -> Column:
@@ -208,13 +215,16 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
                          _terr(dtype, "expr_error",
                                "expr arg must not be null", path)
                          ).otherwise(col)
+    errs = (not allow_null and bool(operands)) \
+        or any(o.errs for o in operands)
     if mws:
         any_mw = _mw(mws[0])
         for o in mws[1:]:
             any_mw = any_mw | _mw(o)
         col = F.when(any_mw, F.lit(None).cast(dtype)).otherwise(col)
-        return TVal(col, dtype, maybe_missing=True, missing_when=any_mw)
-    return TVal(col, dtype)
+        return TVal(col, dtype, maybe_missing=True, missing_when=any_mw,
+                    errs=errs)
+    return TVal(col, dtype, errs=errs)
 
 
 # --- static coercions ---------------------------------------------------
@@ -1591,13 +1601,20 @@ def t_get(scope, cur, args, path):
     # op's V.navigate
     nav = _walk_tokens(col, dt, tokens, mw)
     if nav is None:
+        if base.errs:
+            # the base column may embed per-row errors (e.g. a strict
+            # op erroring on null rows) — a static missing would
+            # silently drop them, so defer to the variant engine's
+            # in-order evaluation
+            raise TypedFallback("get of absent field over errorable base")
         return _missing()           # statically absent
     col, dt, mw = nav
     if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
         raise TypedFallback("get yields array of non-scalar")
     if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
         raise TypedFallback("get yields dynamic container")
-    return TVal(col, dt, maybe_missing=mw is not None, missing_when=mw)
+    return TVal(col, dt, maybe_missing=mw is not None, missing_when=mw,
+                errs=base.errs)
 
 
 @_treg("merge")
@@ -1611,12 +1628,14 @@ def t_merge(scope, cur, args, path):
     bad = next(((j, o) for j, o in live
                 if not _is_struct(o.dtype)), None)
     if bad is not None:
-        j, o = bad
-        msg = ("expr arg must not be null" if _is_null(o.dtype)
-               else "expr arg must be object")
         dt = next((o2.dtype for _, o2 in live if _is_struct(o2.dtype)),
                   T.StructType([T.StructField("_", T.NullType())]))
-        return TVal(_terr(dt, "expr_error", msg, path), dt)
+        # _seq evaluates operands in order: an earlier operand's
+        # per-row error or null wins over the static type error,
+        # matching the variant seq_strict order
+        return _seq([o for _, o in live], path,
+                    _terr(dt, "expr_error", "expr arg must be object",
+                          path), dt)
     # union of fields, rightmost operand that declares a key wins
     # (a declared key with a NULL value is JSON null — it still wins,
     # exactly like the variant map_zip_with coalesce)
@@ -1636,7 +1655,7 @@ def t_merge(scope, cur, args, path):
                         _terr(result_dt, "expr_error",
                               "expr arg must not be null", path)
                         ).otherwise(merged)
-    return TVal(merged, result_dt)
+    return TVal(merged, result_dt, errs=True)
 
 
 def _t_deep_merge2(lc: Column, ldt, rc: Column, rdt):
@@ -1745,10 +1764,14 @@ def _t_pick_omit(scope, cur, args, path, *, pick: bool):
     if base.missing:
         return _missing()
     if not _is_struct(base.dtype):
-        msg = ("expr arg must not be null" if _is_null(base.dtype)
-               else "expr arg must be object")
+        # route through the operand protocol so an upstream per-row
+        # error/null fires FIRST, like the variant engine's in-order
+        # evaluation (a null base is "must not be null", not the
+        # static type error)
         dt = T.StructType([T.StructField("_", T.NullType())])
-        return TVal(_terr(dt, "expr_error", msg, path), dt)
+        return _seq([base], path,
+                    _terr(dt, "expr_error", "expr arg must be object",
+                          path), dt)
     if pick:
         fields = [f for k in keys
                   for f in base.dtype.fields if f.name == k]
