@@ -793,11 +793,20 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             kept = F.filter(pairs, lambda p: ~F.coalesce(
                 p["m"], F.lit(False)))
             mapped = F.transform(kept, lambda p: p["v"])
-        # a runtime-missing ARRAY propagates (v2 map passes null
-        # through; missing stays missing via the carried predicate)
-        return TVal(mapped, T.ArrayType(out["v"].dtype),
+        # a runtime-missing ARRAY propagates via the carried predicate;
+        # a runtime NULL that is NOT missing errors — the v2 map step
+        # requires an array ("map step requires array, got Null",
+        # v2_eval.rs:973; variant op_map parity)
+        result_dt = T.ArrayType(out["v"].dtype)
+        not_missing = (~_mw(cur) if cur.missing_when is not None
+                       else F.lit(True))
+        mapped = F.when(
+            arr.isNull() & not_missing,
+            _terr(result_dt, "expr_error", "map requires an array",
+                  path)).otherwise(mapped)
+        return TVal(mapped, result_dt,
                     maybe_missing=cur.maybe_missing,
-                    missing_when=cur.missing_when), scope
+                    missing_when=cur.missing_when, errs=True), scope
     raise TypedFallback(f"step {type(step).__name__} in typed mode")
 
 

@@ -178,3 +178,19 @@ def test_random_object_pipes_parity(spark):
         spark, df, (1, 2, 3), _OBJ_OPS,
         ["@input.obj"], seed=565656, iters=30)
     assert compared >= 10, (compared, skipped)
+
+
+def test_map_step_over_null_array_errors_both_engines(spark):
+    """The v2 map step requires an array — a runtime JSON null errors
+    ("map step requires array", v2_eval.rs:973) in BOTH engines, while
+    a missing input stays missing (fuzz-found typed divergence: null
+    used to pass through as null)."""
+    df = spark.createDataFrame([(1, [1, 2]), (2, None)],
+                               "id long, nums array<long>")
+    rule = RULE % '"@input.nums", {map: [{multiply: [2]}]}'
+    for mode in ("typed", "variant"):
+        kind, res = _run(df.filter(F.col("id") == 2), rule, mode)
+        assert kind == "err", (mode, res)
+        assert res["message"] == "map requires an array", (mode, res)
+        kind, res = _run(df.filter(F.col("id") == 1), rule, mode)
+        assert kind == "ok" and res == {1: [2.0, 4.0]}, (mode, res)
