@@ -194,3 +194,40 @@ def test_map_step_over_null_array_errors_both_engines(spark):
         assert res["message"] == "map requires an array", (mode, res)
         kind, res = _run(df.filter(F.col("id") == 1), rule, mode)
         assert kind == "ok" and res == {1: [2.0, 4.0]}, (mode, res)
+
+
+def test_random_condition_comparisons_parity(spark):
+    """Strict v2 condition comparisons (eq/ne/gt/gte/lt/lte) over
+    random column/literal pairs through an if step, typed vs variant —
+    pins _t_compare against v2_eq/compare ordering semantics
+    (numbers, strings, bools, nulls, cross-type)."""
+    rng = random.Random(909090)
+    df = spark.createDataFrame(
+        [(1, 7, 2.5, "b", True),
+         (2, -3, 7.0, "B", False),
+         (3, 0, -0.0, "", None),
+         (4, None, None, None, True)],
+        "id long, i long, x double, s string, b boolean")
+    refs = ['"@input.i"', '"@input.x"', '"@input.s"', '"@input.b"']
+    lits = ["7", "7.0", "-3", "0", '"lit:b"', '"lit:"', "true", "false",
+            "null"]
+    compared = skipped = 0
+    for _ in range(40):
+        op = rng.choice(["eq", "ne", "gt", "gte", "lt", "lte"])
+        left = rng.choice(refs + lits)
+        right = rng.choice(refs + lits)
+        cond = f'{{{op}: [[{left}], [{right}]]}}'
+        expr = (f'"$", {{if: {{cond: {cond}, '
+                f'then: ["lit:T"], else: ["lit:F"]}}}}')
+        rule = RULE % expr
+        try:
+            tkind, tres = _run(df, rule, "typed")
+        except TypedFallback:
+            skipped += 1
+            continue
+        vkind, vres = _run(df, rule, "variant")
+        assert tkind == vkind, (cond, tkind, tres, vkind, vres)
+        if tkind == "ok":
+            assert tres == vres, (cond, tres, vres)
+        compared += 1
+    assert compared >= 20, (compared, skipped)
