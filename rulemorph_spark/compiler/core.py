@@ -357,13 +357,16 @@ def _compare(op: str, left: Column, right: Column, path: str) -> Column:
             rerr("expr_error", "match pattern must be a string", path)
             .cast("string"))
         return F.coalesce(F.rlike(s, pat), F.lit(False))
-    # orderings: numeric first, then both-non-numeric-strings lexicographic
+    # orderings (compare_values_ord, v2_eval.rs:1150-1177): numeric
+    # first when BOTH parse as f64 (numeric strings included), else
+    # both-strings lexicographic — even when one side is a numeric
+    # string ("5" vs "a" is lexicographic, not an error)
     ln = _numeric_or_null(left)
     rn = _numeric_or_null(right)
     ls = F.when(V.is_string(left), left.try_cast("string"))
     rs = F.when(V.is_string(right), right.try_cast("string"))
     num_ok = ln.isNotNull() & rn.isNotNull()
-    str_ok = ls.isNotNull() & rs.isNotNull() & ln.isNull() & rn.isNull()
+    str_ok = ls.isNotNull() & rs.isNotNull()
     import operator
     pyop = {"gt": operator.gt, "gte": operator.ge,
             "lt": operator.lt, "lte": operator.le}[op]

@@ -287,12 +287,19 @@ def op_unzip(scope, cur, args, path):
     # re-scan the array once per column
     def body(arr: Column) -> Column:
         first_row = V.as_array(F.try_element_at(arr, F.lit(1)))
-        width_ok = F.forall(arr, lambda row: V.is_array(row) &
-                            (F.size(V.as_array(row)) == F.size(first_row)))
-        width_checked = F.when(
-            width_ok, F.size(first_row)).otherwise(
-            rerr("expr_error", "unzip items must have the same length",
-                 path).cast("int"))
+        # two distinct failures like the reference (transform.rs:
+        # 3625-3645): a non-array item vs an array of the wrong length
+        all_arrays = F.forall(arr, V.is_array)
+        width_ok = F.forall(arr, lambda row:
+                            F.size(V.as_array(row)) == F.size(first_row))
+        width_checked = (
+            F.when(~F.coalesce(all_arrays, F.lit(True)),
+                   rerr("expr_error", "unzip items must be arrays",
+                        path).cast("int"))
+            .when(width_ok, F.size(first_row))
+            .otherwise(rerr("expr_error",
+                            "unzip items must have the same length",
+                            path).cast("int")))
 
         def with_width(wc: Column) -> Column:
             cols = F.transform(
@@ -404,10 +411,20 @@ def op_sort_by(scope, cur, args, path):
     def key(x, i):
         value = compile_pipe(key_fn_expr, _item_scope(scope, x, i), path)
         t = V.typeof(value)
-        ok = V.is_number(value) | (t == "STRING") | (t == "BOOLEAN")
-        return F.when(ok, value).otherwise(
-            rerr("expr_error", "sort key must be number, string, or boolean",
-                 path).cast(V.VT))
+        num = V.is_number(value)
+        d = value.try_cast("double")
+        # number keys must be finite (eval_v2_sort_key,
+        # v2_eval.rs:1515-1530; SortKey::Number carries a plain f64)
+        finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+        ok = num | (t == "STRING") | (t == "BOOLEAN")
+        return (F.when(num & ~F.coalesce(finite, F.lit(False)),
+                       rerr("expr_error",
+                            "sort_by key must be a finite number",
+                            path).cast(V.VT))
+                .when(ok, value)
+                .otherwise(rerr("expr_error",
+                                "sort_by key must be string/number/bool",
+                                path).cast(V.VT)))
 
     decorated = F.transform(
         _with_index(arr),
@@ -435,7 +452,18 @@ def op_sort_by(scope, cur, args, path):
             F.when(a["i"] < b["i"], -1).when(a["i"] > b["i"], 1).otherwise(0))
 
     sorted_arr = F.array_sort(decorated, cmp)
-    return V.arr_to_variant(F.transform(sorted_arr, lambda p: p["v"]))
+    result = V.arr_to_variant(F.transform(sorted_arr, lambda p: p["v"]))
+    # every key must share one kind across the array (v2_eval.rs:2218,
+    # transform.rs:3939); evaluating the kinds also forces each key's
+    # own per-element error first, like the reference's in-order loop
+    kind = F.array_distinct(F.transform(
+        decorated, lambda p: F.when(V.is_number(p["k"]), F.lit("n"))
+        .when(V.typeof(p["k"]) == "STRING", F.lit("s"))
+        .otherwise(F.lit("b"))))
+    return F.when(F.size(kind) > 1,
+                  rerr("expr_error",
+                       "sort_by keys must be all the same type",
+                       path).cast(V.VT)).otherwise(result)
 
 
 @register("find")

@@ -277,8 +277,10 @@ def _v1_lookup(collection: Column, key_tokens, match_value: Column,
 def _v2_lookup(from_value: Column, match_key: Column, match_value: Column,
                get_field: Column | None, path: str,
                first_only: bool) -> Column:
+    op_name = "lookup_first" if first_only else "lookup"
     arr = F.when(V.is_array(from_value), from_value.try_cast(V.ARR_T)) \
-           .otherwise(rerr("expr_error", "lookup 'from' must be an array",
+           .otherwise(rerr("expr_error",
+                           f"{op_name} 'from' must be an array",
                            path).cast(V.ARR_T))
     key_str = V.to_string_strict(match_key, path,
                                  "lookup match_key must be a string")

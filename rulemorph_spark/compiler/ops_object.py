@@ -564,10 +564,17 @@ def op_from_entries(scope, cur, args, path):
                                            path)
         obj_key = F.try_element_at(obj, F.lit("key"))
         obj_val = F.try_element_at(obj, F.lit("value"))
+        kpath = F.concat(epath, F.lit(".key"))
         key_from_obj = F.when(
-            obj_key.isNull() | V.is_vnull(obj_key),
+            obj_key.isNull(),
+            # absent key vs JSON-null key are distinct errors at the
+            # entry's .key path (transform.rs:4776-4791)
             rerr_dyn("expr_error", "entry must contain key",
-                     epath).cast("string")
+                     kpath).cast("string")
+        ).when(
+            V.is_vnull(obj_key),
+            rerr_dyn("expr_error", "entry key must not be null",
+                     kpath).cast("string")
         ).otherwise(V.to_string_strict(obj_key, path))
         return F.struct(
             F.when(pair.isNotNull() & pair_ok, key_from_pair)
@@ -584,7 +591,8 @@ def op_from_entries(scope, cur, args, path):
             .otherwise(F.when(obj_val.isNull(),
                               rerr_dyn("expr_error",
                                        "entry must contain value",
-                                       epath).cast(V.VT))
+                                       F.concat(epath, F.lit(".value"))
+                                       ).cast(V.VT))
                        .otherwise(obj_val)).alias("value"),
         )
     built = V.map_to_variant(

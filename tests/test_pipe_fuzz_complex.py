@@ -210,7 +210,7 @@ def test_random_condition_comparisons_parity(spark):
         "id long, i long, x double, s string, b boolean")
     refs = ['"@input.i"', '"@input.x"', '"@input.s"', '"@input.b"']
     lits = ["7", "7.0", "-3", "0", '"lit:b"', '"lit:"', "true", "false",
-            "null"]
+            "null", '"lit:7"', '"lit:-3.5"']
     compared = skipped = 0
     for _ in range(40):
         op = rng.choice(["eq", "ne", "gt", "gte", "lt", "lte"])

@@ -350,6 +350,11 @@ def _cond_result(spark, cond, record=None, context=None):
     ({"ne": ["a", "b"]}, True),
     ({"gt": [20, 10]}, True),
     ({"gt": ["B", "A"]}, True),         # non-numeric strings: lexicographic
+    # compare_values_ord: numeric only when BOTH parse as f64, else
+    # both-strings lexicographic — "5" vs "a" is lex, not an error
+    ({"gt": ["5", "a"]}, False),
+    ({"lt": ["5", "a"]}, True),
+    ({"gt": ["5", "3"]}, True),         # both numeric strings: numeric
     ({"lt": [5, 10]}, True),
     ({"gte": [10, 10]}, True),
     ({"lte": [5, 10]}, True),
@@ -451,6 +456,20 @@ def test_nested_if(spark):
     assert _eval(spark, expr_for(50)) == "bronze"
     assert _eval(spark, expr_for(200)) == "silver"
     assert _eval(spark, expr_for(600)) == "gold"
+
+
+def test_sort_by_mixed_key_kinds_error(spark):
+    """Every sort key must share one kind (v2_eval.rs:2218,
+    transform.rs:3939); bools order false < true; non-scalar keys and
+    mixed kinds are ExprErrors."""
+    assert _eval(spark, ["@input.v", {"sort_by": [["@item"]]}],
+                 {"v": [True, False, True]}) == [False, True, True]
+    err = _eval_err(spark, ["@input.v", {"sort_by": [["@item"]]}],
+                    {"v": [1, "a"]})
+    assert "all the same type" in getattr(err, "message", str(err))
+    err = _eval_err(spark, ["@input.v", {"sort_by": [["@item"]]}],
+                    {"v": [{"x": 1}]})
+    assert "string/number/bool" in getattr(err, "message", str(err))
 
 
 # =======================================================================
