@@ -331,6 +331,14 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
         args = [compile_pipe(a, scope, f"{path}.{cond.op}[{i}]")
                 for i, a in enumerate(cond.args)]
         left, right = args
+        if cond.op == "match":
+            from .ops_scalar import _literal_pattern, java_regex_invalid
+            lit = _literal_pattern(cond.args[1])
+            if lit is not None and java_regex_invalid(lit):
+                # reference: "regex pattern is invalid" ExprError
+                # (transform.rs:43) instead of a raw Spark regex error
+                return rerr("expr_error", "regex pattern is invalid",
+                            path).cast("boolean")
         return _compare(cond.op, left, right, path)
     if isinstance(cond, CondExpr):
         value = compile_pipe(cond.expr, scope, path)

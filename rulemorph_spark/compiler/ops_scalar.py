@@ -444,19 +444,52 @@ def _v1_eq(left: Column, right: Column, path: str) -> Column:
     )
 
 
+def java_regex_invalid(pattern: str) -> bool:
+    """True when the JVM's ``java.util.regex`` rejects the pattern —
+    the dialect ``rlike`` will actually execute.  A broken literal
+    pattern must surface the reference's ExprError ("regex pattern is
+    invalid", transform.rs:43) instead of letting Spark's raw
+    INVALID_PARAMETER_VALUE escape the error envelope."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(pattern)
+        return False
+    except Exception:
+        return True
+
+
+def _literal_pattern(arg) -> str | None:
+    from ..expr_ir import StartLiteral
+    if isinstance(arg.start, StartLiteral) and not arg.steps \
+            and isinstance(arg.start.value, str):
+        return arg.start.value
+    return None
+
+
 def _v1_compare_op(name, pyop=None, eq=False, negate=False):
     @register(name)
     def _op(scope, cur, args, path):
-        return _operands_bound(scope, cur, args, path,
-                               lambda *ops: _cmp_build(ops, path))
+        bad_pattern = False
+        if name == "~=" and args:
+            lit = _literal_pattern(args[-1])
+            bad_pattern = lit is not None and java_regex_invalid(lit)
+        return _operands_bound(
+            scope, cur, args, path,
+            lambda *ops: _cmp_build(ops, path, bad_pattern))
 
-    def _cmp_build(ops, path):
+    def _cmp_build(ops, path, bad_pattern=False):
         left, right = ops[0], ops[1]
         if eq:
             res = _v1_eq(left, right, path)
             if negate:
                 res = ~res
         elif name == "~=":
+            if bad_pattern:
+                return rerr("expr_error", "regex pattern is invalid",
+                            path).cast(V.VT)
             s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
                 rerr("expr_error", "value must be a string", path)
                 .cast("string"))

@@ -830,6 +830,12 @@ def compile_tcondition(cond: Condition, scope: TScope,
             return _terr("boolean", "expr_error",
                          "comparison requires exactly 2 arguments, got "
                          f"{len(cond.args)}", path)
+        if cond.op == "match":
+            from .ops_scalar import _literal_pattern, java_regex_invalid
+            lit = _literal_pattern(cond.args[1])
+            if lit is not None and java_regex_invalid(lit):
+                return _terr("boolean", "expr_error",
+                             "regex pattern is invalid", path)
         args = [compile_tpipe(a, scope, f"{path}.{cond.op}[{i}]")
                 for i, a in enumerate(cond.args)]
         return _t_compare(cond.op, args[0], args[1], path)
@@ -1898,6 +1904,14 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
             if negate:
                 res = ~res
         elif name == "~=":
+            from .ops_scalar import _literal_pattern, java_regex_invalid
+            if args:
+                lit = _literal_pattern(args[-1])
+                if lit is not None and java_regex_invalid(lit):
+                    return TVal(_terr("boolean", "expr_error",
+                                      "regex pattern is invalid", path),
+                                T.BooleanType(), errs=True)
+
             # variant: any non-string — including null AND missing
             # (is_string of an absent value is not true) — errors
             def s_or_err(v: TVal) -> Column:

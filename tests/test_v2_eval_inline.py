@@ -713,3 +713,20 @@ def test_lookup_then_multiply(spark):
                       {"multiply": [1.1]}],
               {}, {"departments": DEPARTMENTS})
     assert abs(r - 55000.0) < 0.001
+
+
+def test_match_invalid_literal_pattern_is_expr_error(spark):
+    """A literal pattern that does not compile surfaces the reference's
+    ExprError ("regex pattern is invalid", transform.rs:38-45) in both
+    the op and condition positions — never a raw Spark regex error."""
+    from rulemorph_spark.errors import normalize_kind
+    err = _eval_err(spark, ["lit:abc", {"~=": ["lit:[unclosed"]}])
+    assert "regex pattern is invalid" in getattr(err, "message", str(err))
+    kind = getattr(err, "kind", getattr(err, "code", None))
+    assert normalize_kind(kind) == "ExprError"
+    err = _eval_err(spark, [0, {"if": {"cond":
+                                       {"match": ["lit:abc",
+                                                  "lit:[unclosed"]},
+                                       "then": ["lit:T"],
+                                       "else": ["lit:F"]}}])
+    assert "regex pattern is invalid" in getattr(err, "message", str(err))
