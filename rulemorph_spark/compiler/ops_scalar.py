@@ -61,13 +61,16 @@ def _operands_bound(scope: Scope, cur: Column, args, path: str, build):
 
 
 def seq_strict(operands: list[Column], path: str, result: Column,
-               *, allow_null: bool = False) -> Column:
-    """Wrap ``result`` with the missing-propagates / null-errors protocol."""
+               *, allow_null: bool = False,
+               null_msg: str = "expr arg must not be null") -> Column:
+    """Wrap ``result`` with the missing-propagates / null-errors
+    protocol; ``null_msg`` lets ops with a dedicated null message
+    (concat, transform.rs:1423) keep the reference wording."""
     for o in reversed(operands):
         inner = result
         if not allow_null:
             inner = F.when(V.is_vnull(o),
-                           rerr("expr_error", "expr arg must not be null",
+                           rerr("expr_error", null_msg,
                                 path)).otherwise(inner)
         result = F.when(o.isNull(), F.lit(None)).otherwise(inner)
     return result.cast(V.VT)
@@ -94,7 +97,8 @@ def op_concat(scope, cur, args, path):
         parts = [V.to_string_strict(o, path,
                                     "concat parts must be stringifiable")
                  for o in ops]
-        return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT))
+        return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT),
+                          null_msg="concat does not accept null")
     return _operands_bound(scope, cur, args, path, build)
 
 

@@ -193,7 +193,8 @@ def _isnull(v: TVal) -> Column:
 
 
 def _seq(operands: list[TVal], path: str, col: Column, dtype,
-         *, allow_null: bool = False) -> TVal:
+         *, allow_null: bool = False,
+         null_msg: str = "expr arg must not be null") -> TVal:
     """Missing-propagates / null-errors operand protocol, typed.
 
     Operands carrying ``missing_when`` get the runtime tri-state: on
@@ -212,8 +213,7 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
             if o.missing_when is not None:
                 isn = isn & ~_mw(o)      # missing is not a null error
             col = F.when(isn,
-                         _terr(dtype, "expr_error",
-                               "expr arg must not be null", path)
+                         _terr(dtype, "expr_error", null_msg, path)
                          ).otherwise(col)
     errs = (not allow_null and bool(operands)) \
         or any(o.errs for o in operands)
@@ -990,7 +990,8 @@ def t_concat(scope, cur, args, path):
     ops = _toperands(scope, cur, args, path)
     parts = [t_str(o, path, "concat parts must be stringifiable")
              for o in ops]
-    return _seq(ops, path, F.concat(*parts), T.StringType())
+    return _seq(ops, path, F.concat(*parts), T.StringType(),
+                null_msg="concat does not accept null")
 
 
 @_treg("coalesce")
