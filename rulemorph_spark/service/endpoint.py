@@ -522,6 +522,11 @@ class EndpointEngine:
             try:
                 status, resp_body = self._http(
                     rule.method, url, rule.headers, body, rule.timeout_s)
+            except ValueError as e:
+                # malformed header names/values (the reference's
+                # "invalid header name"/"invalid header value") or a
+                # bad URL surface as Invalid, not a raw client crash
+                raise EndpointError("Invalid", str(e))
             except TimeoutError:
                 err = EndpointError("Timeout", "timeout")
                 status, resp_body = None, None

@@ -791,3 +791,34 @@ mappings:
     assert handled["status"] == "ok" and handled["error"] is None
     assert handled["output"] == {"caught": True}
     assert doc["record_status"] == "ok"
+
+
+def test_invalid_header_value_is_endpoint_error(spark, tmp_path):
+    """Malformed request headers surface as Invalid endpoint errors
+    (the reference's "invalid header name"/"invalid header value"
+    checks), not a raw HTTP-client crash."""
+    eng = _engine(spark, tmp_path, {
+        "endpoint.yaml": """
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/test
+    steps:
+      - rule: ./net.yaml
+    reply:
+      status: 200
+""",
+        "net.yaml": """
+version: 2
+type: network
+request:
+  method: GET
+  url: "http://127.0.0.1:1/x"
+  headers:
+    x-bad: "evil\\r\\ninjected: 1"
+timeout: 1s
+"""})
+    status, _, body = eng.handle_request("GET", "/api/test")
+    assert status == 500
+    assert body["kind"] in ("Invalid", "Network")
