@@ -31,3 +31,10 @@ def test_oracles_cover_queries():
     # every query is oracle-gated (bit votes and float buckets replay in
     # DuckDB via ('0x'||hex)::BIGINT arithmetic)
     assert qs - oracles == set()
+
+
+def test_registry_fits_driver_window():
+    # The driver's correctness gate records at most 50 queries; a 51st
+    # entry silently falls off the gate (it happened to q_shingle_edges
+    # in round 5).  New queries must merge into composites instead.
+    assert len(entry_mod.queries()) <= 50
