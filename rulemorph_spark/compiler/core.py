@@ -368,21 +368,29 @@ def _compare(op: str, left: Column, right: Column, path: str) -> Column:
     # orderings (compare_values_ord, v2_eval.rs:1150-1177): numeric
     # first when BOTH parse as f64 (numeric strings included), else
     # both-strings lexicographic — even when one side is a numeric
-    # string ("5" vs "a" is lexicographic, not an error)
+    # string ("5" vs "a" is lexicographic, not an error).  Error split
+    # mirrors the reference exactly: a *missing* operand (SQL-NULL
+    # variant) errs "cannot compare missing values" (v2_eval.rs:1175);
+    # present-but-incomparable values — JSON null included, it is a
+    # Value in the reference — err "cannot compare values of different
+    # types" (v2_eval.rs:1169).
     ln = _numeric_or_null(left)
     rn = _numeric_or_null(right)
     ls = F.when(V.is_string(left), left.try_cast("string"))
     rs = F.when(V.is_string(right), right.try_cast("string"))
     num_ok = ln.isNotNull() & rn.isNotNull()
     str_ok = ls.isNotNull() & rs.isNotNull()
+    miss = V.is_missing(left) | V.is_missing(right)
     import operator
     pyop = {"gt": operator.gt, "gte": operator.ge,
             "lt": operator.lt, "lte": operator.le}[op]
     return (
-        F.when(num_ok, pyop(ln, rn))
+        F.when(miss, rerr("expr_error", "cannot compare missing values",
+                          path).cast("boolean"))
+        .when(num_ok, pyop(ln, rn))
         .when(str_ok, pyop(ls, rs))
         .otherwise(rerr("expr_error",
-                        "comparison operands must be numbers or strings",
+                        "cannot compare values of different types",
                         path).cast("boolean"))
     )
 

@@ -902,7 +902,18 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             return _terr("boolean", "expr_error",
                          "match operand must be a string", path)
         return F.coalesce(F.rlike(left.col, right.col), F.lit(False))
-    # orderings: numeric first, then both-string lexicographic
+    # orderings: numeric first, then both-string lexicographic.  Error
+    # split per the reference (compare_values_ord): a *missing* operand
+    # errs "cannot compare missing values" (v2_eval.rs:1175); a
+    # present-but-incomparable value — JSON null included — errs
+    # "cannot compare values of different types" (v2_eval.rs:1169).
+    # NULL-ambiguous operands can't tell the two apart statically →
+    # variant bridge.
+    if _unresolved(left) or _unresolved(right):
+        raise TypedFallback("v2 ordering over maybe-missing operand")
+    l_miss = F.lit(True) if left.missing else _mw(left)
+    r_miss = F.lit(True) if right.missing else _mw(right)
+    miss_any = l_miss | r_miss
     import operator
     pyop = {"gt": operator.gt, "gte": operator.ge,
             "lt": operator.lt, "lte": operator.le}[op]
@@ -958,13 +969,17 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
         rc = both if _is_str(right.dtype) else right.col.cast("double")
         res = F.when(sd.isNotNull(), pyop(lc, rc)).otherwise(
             _terr("boolean", "expr_error",
-                  "comparison operands must be numbers or strings", path))
+                  "cannot compare values of different types", path))
     else:
         res = _terr("boolean", "expr_error",
-                    "comparison operands must be numbers or strings", path)
-    return F.when(ln | rn, _terr("boolean", "expr_error",
-                                 "comparison operands must be numbers or "
-                                 "strings", path)).otherwise(res)
+                    "cannot compare values of different types", path)
+    return (
+        F.when(miss_any, _terr("boolean", "expr_error",
+                               "cannot compare missing values", path))
+        .when(ln | rn, _terr("boolean", "expr_error",
+                             "cannot compare values of different types",
+                             path))
+        .otherwise(res))
 
 
 # --- ops ----------------------------------------------------------------
