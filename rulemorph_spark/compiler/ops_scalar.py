@@ -30,7 +30,8 @@ def _operands(scope: Scope, cur: Column, args, path: str) -> list[Column]:
                     for i, a in enumerate(args)]
 
 
-def _operands_bound(scope: Scope, cur: Column, args, path: str, build):
+def _operands_bound(scope: Scope, cur: Column, args, path: str, build,
+                    *, short=V.is_absent):
     """``_operands`` + one let-binding of STEP-BEARING args before
     ``build`` consumes them.
 
@@ -40,34 +41,74 @@ def _operands_bound(scope: Scope, cur: Column, args, path: str, build):
     several times — type dispatch, the null protocol, guards.
     Unbound, nested v1 ``{op, args}`` arguments duplicated the whole
     sub-tree per reference, growing plans ~16× per nesting level
-    (right-nested concat: 1.9k → 27k → 440k plan chars; round 5)."""
+    (right-nested concat: 1.9k → 27k → 440k plan chars; round 5).
+
+    ``short``: the reference evaluates args IN ORDER and stops at the
+    first missing (→ op missing) or null (→ error) operand
+    (``op_concat``, ``transform.rs:1403-1432``), so a later arg's
+    sub-tree — which may raise — must never evaluate on rows where an
+    earlier operand already decided the result.  ``V.let`` binds via
+    ``array(col)``, which IS evaluated per row, so each heavy arg is
+    bound behind ``F.when(~<earlier short-circuit>, col)`` — the CASE
+    (and Spark's lazily-evaluated OR) keeps the sub-tree unevaluated
+    on short-circuited rows (r6 fuzz divergence: ``concat(missing,
+    ÷0-chain)`` must be missing, not a division error).  Pass a
+    different predicate for ops with another protocol (coalesce stops
+    at the first PRESENT operand) or ``short=None`` for ops that
+    always evaluate every operand (v1 comparisons)."""
     cols = _operands(scope, cur, args, path)
     heavy = sorted(i for i, a in enumerate(args, start=1) if a.steps)
     if not heavy:
         return build(*cols)
-    if len(heavy) == 1:  # V.let passes fn straight to the Spark lambda
-        h = heavy[0]
-        return V.let(cols[h],
-                     lambda x: build(*[x if i == h else c
-                                       for i, c in enumerate(cols)]))
-    hset = set(heavy)
 
-    def wrap(*bound) -> Column:
-        it = iter(bound)
-        return build(*[next(it) if i in hset else c
-                       for i, c in enumerate(cols)])
+    def go(hs, acc):
+        if not hs:
+            return build(*acc)
+        h = hs[0]
+        c = acc[h]
+        if short is not None:
+            pre = short(acc[0])
+            for j in range(1, h):
+                pre = pre | short(acc[j])
+            c = F.when(~pre, c)
+        return V.let(c, lambda x: go(hs[1:],
+                                     [x if i == h else cc
+                                      for i, cc in enumerate(acc)]))
 
-    return V.let_many([cols[i] for i in heavy], wrap)
+    return go(heavy, cols)
+
+
+def _chk(col: Column) -> Column:
+    """Zero-length check probe: evaluates ``col`` (raising its embedded
+    errors) and contributes nothing; never NULL."""
+    return F.coalesce(F.substring(col.cast("string"), 1, 0), F.lit(""))
 
 
 def seq_strict(operands: list[Column], path: str, result: Column,
                *, allow_null: bool = False,
-               null_msg: str = "expr arg must not be null") -> Column:
+               null_msg: str = "expr arg must not be null",
+               checks: "list[Column | None] | None" = None) -> Column:
     """Wrap ``result`` with the missing-propagates / null-errors
     protocol; ``null_msg`` lets ops with a dedicated null message
-    (concat, transform.rs:1423) keep the reference wording."""
-    for o in reversed(operands):
+    (concat, transform.rs:1423) keep the reference wording.
+
+    ``checks[i]``: optional per-operand OP-SPECIFIC check probe (a
+    zero-length string that raises on failure).  The reference runs
+    these INSIDE its per-arg loop — conversion / divide-by-zero happen
+    for operand i before operand i+1's missing short-circuit
+    (op_concat transform.rs:1403-1432; v2 arith v2_eval.rs:1848-1928)
+    — so the probe weaves in after operand i's own missing/null
+    handling and before everything later."""
+    for i in reversed(range(len(operands))):
+        o = operands[i]
         inner = result
+        if checks is not None and checks[i] is not None:
+            # collapse-proof weave (see typed._force): unreachable
+            # then-branch keeps SimplifyConditionals from dropping
+            # the condition when inner folds to NULL
+            inner = F.when(F.length(checks[i]) >= 1,
+                           F.raise_error(F.lit("unreachable probe"))
+                           ).otherwise(inner)
         if not allow_null:
             inner = F.when(V.is_vnull(o),
                            rerr("expr_error", null_msg,
@@ -97,18 +138,24 @@ def op_concat(scope, cur, args, path):
         parts = [V.to_string_strict(o, path,
                                     "concat parts must be stringifiable")
                  for o in ops]
+        # per-arg value_to_string runs inside the reference loop:
+        # concat(array_lit, missing) is a stringify error, not missing
         return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT),
-                          null_msg="concat does not accept null")
+                          null_msg="concat does not accept null",
+                          checks=[_chk(pt) for pt in parts])
     return _operands_bound(scope, cur, args, path, build)
 
 
 @register("coalesce")
 def op_coalesce(scope, cur, args, path):
-    # first non-missing, non-null (transform.rs:1434-1457); all → missing
+    # first non-missing, non-null (transform.rs:1434-1457); all → missing.
+    # the reference stops EVALUATING at the first present operand, so
+    # a later arg binds only while every earlier operand is absent
     def build(*ops):
         guarded = [F.when(~V.is_absent(o), o) for o in ops]
         return F.coalesce(*guarded, F.lit(None).cast(V.VT))
-    return _operands_bound(scope, cur, args, path, build)
+    return _operands_bound(scope, cur, args, path, build,
+                           short=lambda c: ~V.is_absent(c))
 
 
 @register("to_string")
@@ -298,8 +345,11 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
     def build(*bound) -> Column:
         nums = [V.to_number_strict(o, path, "operand must be a number")
                 for o in bound]
+        # per-arg conversion runs inside the reference loop, so a
+        # non-numeric operand errors before a LATER operand's missing
+        checks: list = [_chk(n) for n in nums]
         acc = nums[0]
-        for n in nums[1:]:
+        for i, n in enumerate(nums[1:], start=1):
             if op == "+":
                 acc = acc + n
             elif op == "-":
@@ -307,19 +357,20 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
             elif op == "*":
                 acc = acc * n
             else:
+                if version >= 2:
+                    # v2: each divisor's zero check happens when that
+                    # arg is reached (v2_eval.rs:1919-1925):
+                    # divide(x, 0, missing) raises, divide(x, missing,
+                    # 0) is missing
+                    zerr = rerr("expr_error", "division by zero", path)
+                    checks[i] = F.when(n == 0.0, zerr.cast("string")
+                                       ).otherwise(checks[i])
                 acc = acc / n  # Spark double /0 → NULL? guarded below
         if version >= 2:
             # v2-native arithmetic: raw f64 result (no int re-emission,
-            # v2_eval.rs:1848-1928); explicit division-by-zero error
-            result = acc.cast(V.VT)
-            if op == "/":
-                zero_guard = F.lit(False)
-                for n in nums[1:]:
-                    zero_guard = zero_guard | (n == 0.0)
-                result = F.when(zero_guard,
-                                rerr("expr_error", "division by zero",
-                                     path).cast(V.VT)).otherwise(result)
-            return seq_strict(list(bound), path, result)
+            # v2_eval.rs:1848-1928)
+            return seq_strict(list(bound), path, acc.cast(V.VT),
+                              checks=checks)
         if op == "/":
             # IEEE: x/0 → ±inf in Rust; Spark double /0 → NULL.
             acc = F.when(nums[1] == 0.0,
@@ -329,7 +380,7 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
         result = F.when(finite, V.num_to_variant(acc)).otherwise(
             rerr("expr_error", "number result is not finite",
                  path).cast(V.VT))
-        return seq_strict(list(bound), path, result)
+        return seq_strict(list(bound), path, result, checks=checks)
 
     return _operands_bound(scope, cur, args, path, build)
 
@@ -480,9 +531,13 @@ def _v1_compare_op(name, pyop=None, eq=False, negate=False):
         if name == "~=" and args:
             lit = _literal_pattern(args[-1])
             bad_pattern = lit is not None and java_regex_invalid(lit)
+        # v1 compare evaluates BOTH operands unconditionally
+        # (eval_compare, transform.rs:5439-5459 — missing folds to
+        # null via eval_expr_value_or_null_at, no short-circuit)
         return _operands_bound(
             scope, cur, args, path,
-            lambda *ops: _cmp_build(ops, path, bad_pattern))
+            lambda *ops: _cmp_build(ops, path, bad_pattern),
+            short=None)
 
     def _cmp_build(ops, path, bad_pattern=False):
         left, right = ops[0], ops[1]

@@ -404,7 +404,10 @@ class RuleCompiler:
                         guard = F.when(
                             keep & ~returned &
                             ~F.coalesce(cond, F.lit(False)),
-                            V.raise_err("assert_failed", a.error.message,
+                            V.raise_err("assert_failed",
+                                        f"assert failed: "
+                                        f"{a.error.code}: "
+                                        f"{a.error.message}",
                                         apath, a.error.code).cast("boolean")
                         ).otherwise(F.lit(True))
                         keep = builder.add(keep & guard, "k")

@@ -110,7 +110,20 @@ class TVal:
     # static decision (e.g. get of a schema-absent field → missing)
     # because the variant engine's in-order evaluation would raise the
     # upstream error first — those sites defer to the variant bridge.
-    errs: bool = False
+    # Default TRUE (round 6): a manually-constructed TVal is assumed
+    # tainted unless the site explicitly marks it pristine — the safe
+    # direction, since a wrong True only costs a variant fallback
+    # while a wrong False silently drops per-row errors (three r5 fuzz
+    # bugs + the r6 _seq static-missing probe were all of that class).
+    errs: bool = True
+    # True when the value is ROW-INDEPENDENT (literals, and ops whose
+    # operands are all const — tracked best-effort, default False).
+    # Needed because Catalyst may constant-fold two branches of a CASE
+    # into identical constants and then discard the CONDITION, raises
+    # included (SimplifyConditionals) — sites that rely on a condition
+    # raising must fall back when both branches may fold (r6 fuzz: an
+    # all-constant pipe ending in an if over a missing-compare).
+    const: bool = False
 
 
 def _mw(v: "TVal") -> Column:
@@ -126,11 +139,12 @@ def _unresolved(v: "TVal") -> bool:
 
 
 def _missing() -> TVal:
-    return TVal(F.lit(None), T.NullType(), missing=True)
+    return TVal(F.lit(None), T.NullType(), missing=True, errs=False,
+                const=True)
 
 
 def _tnull() -> TVal:
-    return TVal(F.lit(None), T.NullType())
+    return TVal(F.lit(None), T.NullType(), errs=False, const=True)
 
 
 _INT_T = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -185,6 +199,43 @@ def _terr(dtype, kind: str, message: str, path: str) -> Column:
     return V.raise_err(kind, message, path, None).cast(dtype)
 
 
+def _probe0(o: "TVal") -> Column:
+    """Zero-length, never-NULL string probe that FORCES evaluation of
+    ``o.col`` (fires its embedded per-row errors) without contributing
+    text."""
+    if isinstance(o.dtype, (T.ArrayType, T.MapType)):
+        p = F.size(o.col).cast("string")
+    elif isinstance(o.dtype, T.StructType):
+        p = F.to_json(o.col)
+    else:
+        p = o.col.cast("string")
+    return F.coalesce(F.substring(p, 1, 0), F.lit(""))
+
+
+def _terr_forced(operands: list["TVal"], dtype, kind: str, message: str,
+                 path: str) -> Column:
+    """``_terr`` that evaluates errs-carrying operands FIRST.
+
+    A static error guard can constant-fold into an unconditional raise
+    (``divide: [0]`` → ``when(lit(0)==0.0, raise)``), dropping every
+    reference to the operand columns — so an upstream per-row error
+    that the reference would surface first (operands evaluate before
+    the op's own checks) silently vanishes.  Embedding a zero-length
+    probe of each tainted operand into the raise MESSAGE makes Spark
+    evaluate them before raising, restoring the reference order (r6
+    fuzz: add(null,1) → coalesce → divide-by-literal-0 must raise the
+    null error, not division by zero)."""
+    if lenient_on():
+        return F.lit(None).cast(dtype)
+    probes = [_probe0(o) for o in operands
+              if o.errs and not o.missing and not _is_null(o.dtype)]
+    if not probes:
+        return _terr(dtype, kind, message, path)
+    from ..errors import encode_engine_error
+    encoded = encode_engine_error(kind, message, path, None)
+    return F.raise_error(F.concat(F.lit(encoded), *probes)).cast(dtype)
+
+
 def _isnull(v: TVal) -> Column:
     """Runtime JSON-null test (missing handled statically by callers)."""
     if _is_null(v.dtype):
@@ -192,39 +243,152 @@ def _isnull(v: TVal) -> Column:
     return v.col.isNull()
 
 
+def _chk(col: Column) -> Column:
+    """Zero-length check probe: evaluates ``col`` (raising embedded
+    errors) and contributes no text; never NULL."""
+    return F.coalesce(F.substring(col.cast("string"), 1, 0), F.lit(""))
+
+
+def _force(probe: Column, col: Column) -> Column:
+    """Evaluate ``probe`` before ``col`` collapse-proof: a plain
+    ``when(len(probe) >= 0, col)`` is discarded by SimplifyConditionals
+    whenever ``col`` is NULL (both branches fold identical) — so the
+    then-branch is an unreachable raise (the probe is '' whenever it
+    did not itself raise), keeping the branches distinct while the
+    condition still evaluates the probe per row."""
+    return F.when(F.length(probe) >= 1,
+                  F.raise_error(F.lit("unreachable probe"))
+                  ).otherwise(col)
+
+
 def _seq(operands: list[TVal], path: str, col: Column, dtype,
          *, allow_null: bool = False,
-         null_msg: str = "expr arg must not be null") -> TVal:
+         null_msg: str = "expr arg must not be null",
+         checks: "list[Column | None] | None" = None) -> TVal:
     """Missing-propagates / null-errors operand protocol, typed.
 
-    Operands carrying ``missing_when`` get the runtime tri-state: on
-    rows where an operand is missing the RESULT is missing (NULL +
-    propagated ``missing_when``); a NULL that is NOT missing errors.
-    Operands whose NULL-ambiguity has no runtime resolution still
-    defer to the variant engine."""
-    if any(o.missing for o in operands):
+    The reference protocol is POSITIONAL (e.g. ``op_concat``,
+    ``transform.rs:1403-1432``): each operand in order is evaluated
+    (its errors fire), then *missing* short-circuits the whole op to
+    missing WITHOUT touching later operands, then *null* errors.  So
+    ``concat(null, missing)`` is a null error while
+    ``concat(missing, ÷0-chain)`` is missing with the later chain
+    never evaluated (r6 fuzz divergence: the old "any static missing →
+    missing" shortcut got both wrong whenever an earlier operand could
+    be null or carry per-row errors).  Rebuilt here as one ordered
+    CASE whose lazy branch evaluation reproduces the reference's
+    short-circuit exactly — embedded operand errors fire when their
+    operand is reached and are suppressed when an earlier operand went
+    missing, with no variant fallback needed.
+
+    ``checks[i]``: optional per-operand OP-SPECIFIC check, a
+    zero-length string column that raises when operand i fails it.
+    The reference interleaves these with the missing/null protocol
+    (v2 arith converts each arg to a number — and checks each divisor
+    for zero — INSIDE the per-arg loop, v2_eval.rs:1848-1928; v1
+    concat value_to_strings per arg, transform.rs:1403-1432), so
+    ``divide(x, 0, missing)`` is a division-by-zero error while
+    ``divide(x, missing, 0)`` is missing."""
+    if operands and operands[0].missing:
+        # first operand statically missing: nothing after it ever
+        # evaluates in the reference — the whole op is missing
         return _missing()
     if any(_unresolved(o) for o in operands):
         raise TypedFallback("strict op over maybe-missing operand")
-    mws = [o for o in operands if o.missing_when is not None]
-    if not allow_null:
-        for o in reversed(operands):
+    # Force tainted operands to EVALUATE (in order) before the op's
+    # value computes: an op whose result is a constant raise (static
+    # type error, literal ÷0) otherwise drops every operand reference
+    # once Catalyst folds the isNull probes of non-nullable operands
+    # (IsNull(coalesce(x, lit)) → false), silently discarding upstream
+    # per-row errors the reference raises first (r6 fuzz: add(null,2)
+    # → coalesce(…, 1) → trim must raise the null error, not trim's
+    # type error).  The probe condition references the operand cols,
+    # so it can't constant-fold; it is always true at runtime.
+    missing_capable = any(o.missing or o.missing_when is not None
+                          for o in operands)
+    tainted = [o for o in operands
+               if o.errs and not o.missing and not _is_null(o.dtype)]
+    if tainted and missing_capable:
+        # only a missing short-circuit can leave the value path dead
+        # (dropping operand references); constant-raise results are
+        # forced at their op sites via _terr_forced instead — keeping
+        # this probe narrow matters, every extra operand reference
+        # multiplies the expression tree per pipe level
+        col = _force(F.concat(*[_probe0(o) for o in tainted]), col)
+    # An errorable operand FOLLOWED by a possibly-missing one can lose
+    # its raise: on the missing rows the value path is dead, leaving
+    # only this operand's isNull/missing probes to force evaluation —
+    # and Catalyst folds those probes away when the operand is
+    # statically non-nullable (IsNull(coalesce(x, lit)) → false), so
+    # the raise silently vanishes (r6: coalesce(err, 1) → concat with
+    # a missing arg returned null where the reference raises).  The
+    # variant bridge evaluates through value bindings and is immune.
+    first_missing = next((k for k, o in enumerate(operands) if o.missing),
+                         len(operands))
+    live = operands[:min(first_missing + 1, len(operands))]
+    for i, o in enumerate(live):
+        if o.errs and not o.missing and any(
+                p.missing or p.missing_when is not None
+                for p in live[i + 1:]):
+            raise TypedFallback("missing short-circuit after errorable "
+                                "operand")
+
+    # build backward so operand 0's checks end up outermost
+    any_missing = False
+    for i in reversed(range(len(operands))):
+        o = operands[i]
+        if o.missing:
+            # everything after this operand is dead (reference
+            # returns missing here) — including later error cells
+            col = F.lit(None).cast(dtype)
+            any_missing = True
+            continue
+        mp = _mw(o) if o.missing_when is not None else None
+        if checks is not None and checks[i] is not None:
+            # op-specific check for THIS operand runs after its
+            # missing/null handling and before later operands
+            col = _force(checks[i], col)
+        if not allow_null:
             isn = _isnull(o)
-            if o.missing_when is not None:
-                isn = isn & ~_mw(o)      # missing is not a null error
+            if mp is not None:
+                isn = isn & ~mp          # missing is not a null error
             col = F.when(isn,
                          _terr(dtype, "expr_error", null_msg, path)
                          ).otherwise(col)
+        if mp is not None:
+            col = F.when(mp, F.lit(None).cast(dtype)).otherwise(col)
+            any_missing = True
+
     errs = (not allow_null and bool(operands)) \
         or any(o.errs for o in operands)
-    if mws:
-        any_mw = _mw(mws[0])
-        for o in mws[1:]:
-            any_mw = any_mw | _mw(o)
-        col = F.when(any_mw, F.lit(None).cast(dtype)).otherwise(col)
-        return TVal(col, dtype, maybe_missing=True, missing_when=any_mw,
-                    errs=errs)
-    return TVal(col, dtype, errs=errs)
+    const = all(o.const for o in operands)
+    if not any_missing:
+        return TVal(col, dtype, errs=errs, const=const)
+    # downstream-visible missing predicate, built with the SAME ordered
+    # backward structure as the value column: a row is missing only if
+    # it REACHES a missing operand — null-error rows yield False (the
+    # value path raises there), and op-check failures RAISE out of the
+    # predicate itself via the same forced probes (r6 fuzz: marking a
+    # concat-stringify-error row as missing let a downstream
+    # when(mw, NULL) skip the raise entirely).
+    mw = F.lit(False)
+    for i in reversed(range(len(operands))):
+        o = operands[i]
+        if o.missing:
+            mw = F.lit(True)
+            continue
+        mp = _mw(o) if o.missing_when is not None else None
+        if checks is not None and checks[i] is not None:
+            mw = _force(checks[i], mw)
+        if not allow_null:
+            isn = _isnull(o)
+            if mp is not None:
+                isn = isn & ~mp
+            mw = F.when(isn, F.lit(False)).otherwise(mw)
+        if mp is not None:
+            mw = F.when(mp, F.lit(True)).otherwise(mw)
+    return TVal(col, dtype, maybe_missing=True, missing_when=mw,
+                errs=errs, const=const)
 
 
 # --- static coercions ---------------------------------------------------
@@ -343,10 +507,12 @@ def _py_literal(value, path: str) -> TVal:
     if value is None:
         return _tnull()
     if isinstance(value, bool):
-        return TVal(F.lit(value), T.BooleanType())
+        return TVal(F.lit(value), T.BooleanType(), errs=False,
+                    const=True)
     if isinstance(value, int):
         if -(2 ** 63) <= value < 2 ** 63:
-            return TVal(F.lit(value).cast("long"), T.LongType())
+            return TVal(F.lit(value).cast("long"), T.LongType(),
+                        errs=False, const=True)
         # beyond int64: serde PosInt (u64) stays integer kind, which
         # maps onto a scale-0 decimal here (mirrors the variant
         # engine's DECIMAL(p,0) classification in V._serde_int_kind);
@@ -355,12 +521,14 @@ def _py_literal(value, path: str) -> TVal:
             import decimal as _decimal
             return TVal(F.lit(_decimal.Decimal(value))
                         .cast(T.DecimalType(38, 0)),
-                        T.DecimalType(38, 0))
+                        T.DecimalType(38, 0), errs=False, const=True)
         raise TypedFallback("integer literal beyond decimal(38,0)")
     if isinstance(value, float):
-        return TVal(F.lit(value), T.DoubleType())
+        return TVal(F.lit(value), T.DoubleType(), errs=False,
+                    const=True)
     if isinstance(value, str):
-        return TVal(F.lit(value), T.StringType())
+        return TVal(F.lit(value), T.StringType(), errs=False,
+                    const=True)
     if isinstance(value, dict):
         # static-key object literal → native struct (key order kept)
         if not value:
@@ -369,7 +537,7 @@ def _py_literal(value, path: str) -> TVal:
         return TVal(
             F.struct(*[tv.col.alias(k) for k, tv in fields]),
             T.StructType([T.StructField(k, tv.dtype, True)
-                          for k, tv in fields]))
+                          for k, tv in fields]), errs=False, const=True)
     if isinstance(value, list):
         if not value:
             raise TypedFallback("empty array literal")
@@ -378,7 +546,7 @@ def _py_literal(value, path: str) -> TVal:
         if dt is None or _is_null(dt):
             raise TypedFallback("mixed-type array literal")
         return TVal(F.array(*[_cast_to(t, dt) for t in tvs]),
-                    T.ArrayType(dt))
+                    T.ArrayType(dt), errs=False, const=True)
     raise TypedFallback(f"container literal at {path}")
 
 
@@ -598,7 +766,7 @@ def compile_tref(ref: Ref, scope: TScope, path: str, *,
             return _missing()
         col, dt, mw = nav
         return TVal(col, dt, maybe_missing=mw is not None,
-                    missing_when=mw)
+                    missing_when=mw, errs=False)
     if ref.namespace == "context":
         if not scope.has_context:
             return _missing()
@@ -637,7 +805,8 @@ def compile_tref(ref: Ref, scope: TScope, path: str, *,
         if ref.path == "":
             return scope.item
         if ref.path == "index":
-            return TVal(scope.item_index.cast("long"), T.LongType())
+            return TVal(scope.item_index.cast("long"), T.LongType(),
+                        errs=False)
         tokens = parse_path(ref.path)
         if tokens and tokens[0] == Key("value"):
             tokens = tokens[1:]
@@ -648,6 +817,12 @@ def compile_tref(ref: Ref, scope: TScope, path: str, *,
                            if scope.item.missing_when is not None
                            else None)
         if nav is None:
+            if scope.item.errs:
+                # same guard as t_get: a static missing must not drop
+                # an errorable item column (dead today — items are
+                # pristine lambda vars — but cheap insurance)
+                raise TypedFallback("@item nav of absent field over "
+                                    "errorable item")
             return _missing()
         col, dt, mw = nav
         if isinstance(dt, T.ArrayType) and not _scalar_element_array(dt):
@@ -655,7 +830,7 @@ def compile_tref(ref: Ref, scope: TScope, path: str, *,
         if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
             raise TypedFallback("@item yields dynamic container")
         return TVal(col, dt, maybe_missing=mw is not None,
-                    missing_when=mw)
+                    missing_when=mw, errs=scope.item.errs)
     raise TypedFallback(f"@{ref.namespace} in typed mode")
 
 
@@ -672,6 +847,16 @@ def _leads_with_get(pipe: Pipe) -> bool:
             and OP_ALIASES.get(s.op, s.op) == "get")
 
 
+# typed pipes compose raw Column expressions — every step references
+# the previous value several times (value path, null probes, missing
+# predicates, evaluation-order probes), so pathological chains grow
+# the expression tree MULTIPLICATIVELY per step (a divide+concat chain
+# OOMed Spark analysis at depth 3-4 — latent pre-round-6, surfaced by
+# the r6 fuzzer).  The variant engine is immune (V.let binds each
+# step's value once), so past this size the typed path defers to it.
+_T_PIPE_SIZE_CAP = 200_000
+
+
 def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
     start = pipe.start
     if isinstance(start, StartLiteral):
@@ -686,6 +871,9 @@ def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
     scope = scope.child()
     for i, step in enumerate(pipe.steps):
         cur, scope = compile_tstep(step, cur, scope, f"{path}[{i}]")
+        if i >= 1 and len(pipe.steps) > 2 \
+                and len(str(cur.col._jc)) > _T_PIPE_SIZE_CAP:
+            raise TypedFallback("typed pipe expression growth")
     return cur
 
 
@@ -731,7 +919,25 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         col = F.when(c, _cast_to(then_v, dt)).otherwise(
             _cast_to(else_v, dt))
         if then_v.missing and else_v.missing:
-            return _missing(), scope
+            # a static missing here would DROP the condition column —
+            # but the reference still evaluates it (a gt over missing
+            # raises "cannot compare missing values" even when both
+            # branches are missing), so defer to the variant bridge
+            raise TypedFallback("if with both branches missing")
+
+        def _null_const(v: TVal) -> bool:
+            # branch expression that may constant-fold to a bare NULL
+            return v.missing or (v.const and (v.maybe_missing
+                                              or _is_null(v.dtype)))
+        if _null_const(then_v) and _null_const(else_v):
+            # Catalyst folds when(c, null).otherwise(null) → null,
+            # DISCARDING the condition and any raise inside it
+            # (SimplifyConditionals collapses identical deterministic
+            # branches) — the reference evaluates the condition first,
+            # so its errors must survive; defer (r6 fuzz: all-constant
+            # pipe ending in an if over a missing comparison)
+            raise TypedFallback("if branches may fold to identical "
+                                "NULL constants")
         # runtime tri-state: the result is missing when the TAKEN
         # branch is missing (statically or by its own missing_when);
         # unresolved branches keep the result unresolved
@@ -746,12 +952,15 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         tm, em = br_mw(then_v, c), br_mw(else_v, ~c)
         maybe = (then_v.missing != else_v.missing
                  or then_v.maybe_missing or else_v.maybe_missing)
+        if_const = cur.const and then_v.const and else_v.const
         if not maybe:
-            return TVal(col, dt), scope
+            return TVal(col, dt, const=if_const), scope
         if tm is None or em is None:
-            return TVal(col, dt, maybe_missing=True), scope
+            return TVal(col, dt, maybe_missing=True,
+                        const=if_const), scope
         mw = tm | em
-        return TVal(col, dt, maybe_missing=True, missing_when=mw), scope
+        return TVal(col, dt, maybe_missing=True, missing_when=mw,
+                    const=if_const), scope
     if isinstance(step, RefStep):
         return compile_tref(step.ref, scope.child(pipe=cur), path), scope
     if isinstance(step, MapStep):
@@ -845,8 +1054,9 @@ def compile_tcondition(cond: Condition, scope: TScope,
             return F.lit(False)
         if _is_bool(v.dtype):
             return F.coalesce(v.col, F.lit(False))
-        return _terr("boolean", "expr_error",
-                     "when/record_when must evaluate to boolean", path)
+        return _terr_forced([v], "boolean", "expr_error",
+                            "when/record_when must evaluate to boolean",
+                            path)
     raise RuleError("expr_error", "unknown condition", path)
 
 
@@ -899,8 +1109,8 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
         return eq if op == "eq" else ~eq
     if op == "match":
         if not (_is_str(left.dtype) and _is_str(right.dtype)):
-            return _terr("boolean", "expr_error",
-                         "match operand must be a string", path)
+            return _terr_forced([left, right], "boolean", "expr_error",
+                                "match operand must be a string", path)
         return F.coalesce(F.rlike(left.col, right.col), F.lit(False))
     # orderings: numeric first, then both-string lexicographic.  Error
     # split per the reference (compare_values_ord): a *missing* operand
@@ -971,8 +1181,9 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             _terr("boolean", "expr_error",
                   "cannot compare values of different types", path))
     else:
-        res = _terr("boolean", "expr_error",
-                    "cannot compare values of different types", path)
+        res = _terr_forced([left, right], "boolean", "expr_error",
+                           "cannot compare values of different types",
+                           path)
     return (
         F.when(miss_any, _terr("boolean", "expr_error",
                                "cannot compare missing values", path))
@@ -1005,8 +1216,16 @@ def t_concat(scope, cur, args, path):
     ops = _toperands(scope, cur, args, path)
     parts = [t_str(o, path, "concat parts must be stringifiable")
              for o in ops]
+    # per-arg value_to_string check interleaves with missing/null
+    # (transform.rs:1403-1432): concat(array_lit, missing) is a
+    # stringify error, not missing.  Operands whose conversion cannot
+    # raise (str/bool/num/null dtypes) skip the probe — each probe is
+    # another full operand reference and multiplies the tree per level
+    checks = [None if _str_conv_safe(o) else _chk(pt)
+              for o, pt in zip(ops, parts)]
     return _seq(ops, path, F.concat(*parts), T.StringType(),
-                null_msg="concat does not accept null")
+                null_msg="concat does not accept null",
+                checks=checks)
 
 
 @_treg("coalesce")
@@ -1026,15 +1245,27 @@ def t_coalesce(scope, cur, args, path):
     if not live:
         return _missing()
     col = F.coalesce(*[_cast_to(o, dt) for o in live])
-    return TVal(col, dt, maybe_missing=True, missing_when=col.isNull())
+    return TVal(col, dt, maybe_missing=True, missing_when=col.isNull(),
+                const=all(o.const for o in live))
+
+
+def _str_conv_safe(o: "TVal") -> bool:
+    """True when ``t_str`` over this operand can never raise."""
+    dt = o.dtype
+    return (_is_str(dt) or _is_bool(dt) or _is_int(dt) or _is_num(dt)
+            or _is_null(dt))
 
 
 def _t_unary_string(scope, cur, args, path, fn):
     ops = _toperands(scope, cur, args, path)
     if not _is_str(ops[0].dtype) and not _is_null(ops[0].dtype):
+        # constant-raise result: force operand evaluation first (the
+        # reference evaluates the operand before the type check, and a
+        # constant raise drops every operand reference otherwise)
         return _seq(ops, path,
-                    _terr("string", "expr_error", "value must be a string",
-                          path), T.StringType())
+                    _terr_forced(ops, "string", "expr_error",
+                                 "value must be a string", path),
+                    T.StringType())
     return _seq(ops, path, fn(t_str(ops[0], path)), T.StringType())
 
 
@@ -1053,9 +1284,49 @@ def t_uppercase(scope, cur, args, path):
     return _t_unary_string(scope, cur, args, path, F.upper)
 
 
+def _json_canon(col: Column, dt: T.DataType) -> tuple[Column, T.DataType]:
+    """Recursively sort struct/map keys so ``to_json`` matches the
+    variant engine's canonical rendering (``parse_json`` normalizes
+    object key order)."""
+    if isinstance(dt, T.StructType):
+        fields = sorted(dt.fields, key=lambda f: f.name)
+        parts, new_fields = [], []
+        for f in fields:
+            c, d = _json_canon(col.getField(f.name), f.dataType)
+            parts.append(c.alias(f.name))
+            new_fields.append(T.StructField(f.name, d, True))
+        new_dt = T.StructType(new_fields)
+        # null guard: struct() over a NULL struct's fields would build
+        # a non-null struct of NULLs
+        return (F.when(col.isNull(), F.lit(None).cast(new_dt))
+                .otherwise(F.struct(*parts)), new_dt)
+    if isinstance(dt, T.ArrayType):
+        if isinstance(dt.elementType, (T.StructType, T.MapType,
+                                       T.ArrayType)):
+            out = {}
+
+            def el(x):
+                c, d = _json_canon(x, dt.elementType)
+                out["d"] = d
+                return c
+            arr = F.transform(col, el)
+            return arr, T.ArrayType(out["d"])
+        return col, dt
+    if isinstance(dt, T.MapType):
+        entries = F.array_sort(F.map_entries(col))
+        if isinstance(dt.valueType, (T.StructType, T.MapType,
+                                     T.ArrayType)):
+            raise TypedFallback("to_string over nested map values")
+        return F.map_from_entries(entries), dt
+    if isinstance(dt, (T.VariantType, T.BinaryType)):
+        raise TypedFallback("to_string over dynamic container")
+    return col, dt
+
+
 @_treg("to_string")
 def t_to_string(scope, cur, args, path):
-    # v2-native: null → "null", missing → missing (typed path is
+    # v2-native: null → "null", containers → their canonical JSON
+    # text, missing → missing (v2_eval.rs:1813-1825; the typed path is
     # v2-only); runtime-missing rows stay NULL via the tri-state
     ops = _toperands(scope, cur, args, path)
     o = ops[0]
@@ -1063,21 +1334,35 @@ def t_to_string(scope, cur, args, path):
         return _missing()
     if _unresolved(o):
         raise TypedFallback("to_string over maybe-missing value")
-    col = F.when(_isnull(o), F.lit("null")).otherwise(t_str(o, path))
+    if isinstance(o.dtype, (T.StructType, T.ArrayType, T.MapType)):
+        canon, _dt = _json_canon(o.col, o.dtype)
+        # match the variant rendering: keys sorted, nulls KEPT
+        rendered = F.to_json(canon, {"ignoreNullFields": "false"})
+    else:
+        rendered = t_str(o, path)
+    col = F.when(_isnull(o), F.lit("null")).otherwise(rendered)
     if o.missing_when is not None:
         col = F.when(_mw(o), F.lit(None).cast("string")).otherwise(col)
         return TVal(col, T.StringType(), maybe_missing=True,
-                    missing_when=_mw(o))
-    return TVal(col, T.StringType())
+                    missing_when=_mw(o), errs=o.errs, const=o.const)
+    return TVal(col, T.StringType(), errs=o.errs, const=o.const)
 
 
 def _t_arith(scope, cur, args, path, op):
     """v2-native arithmetic: f64 fold, division-by-zero error
-    (``v2_eval.rs:1848-1928``)."""
+    (``v2_eval.rs:1848-1928``).  Number conversion — and for divide
+    the zero check — happens PER ARG inside the reference's loop, so
+    they interleave with the missing short-circuit via _seq checks:
+    ``divide(x, 0, missing)`` raises, ``add("x", missing)`` raises."""
     ops = _toperands(scope, cur, args, path)
     nums = [t_num(o, path, "operand must be a number") for o in ops]
+    # conversion probes only where t_num can actually raise — extra
+    # operand references multiply the expression tree per pipe level
+    checks: list[Column | None] = [
+        None if _is_num(o.dtype) or _is_null(o.dtype) else _chk(n)
+        for o, n in zip(ops, nums)]
     acc = nums[0]
-    for n in nums[1:]:
+    for i, n in enumerate(nums[1:], start=1):
         if op == "+":
             acc = acc + n
         elif op == "-":
@@ -1085,10 +1370,13 @@ def _t_arith(scope, cur, args, path, op):
         elif op == "*":
             acc = acc * n
         else:
-            acc = F.when(n == 0.0, _terr("double", "expr_error",
-                                         "division by zero", path)
-                         ).otherwise(acc / n)
-    return _seq(ops, path, acc, T.DoubleType())
+            zerr = _terr_forced(ops[:i + 1], "double", "expr_error",
+                                "division by zero", path)
+            base = checks[i] if checks[i] is not None else F.lit("")
+            checks[i] = F.when(n == 0.0, zerr.cast("string")
+                               ).otherwise(base)
+            acc = F.when(n == 0.0, zerr).otherwise(acc / n)
+    return _seq(ops, path, acc, T.DoubleType(), checks=checks)
 
 
 for _name in ("+", "-", "*", "/"):
@@ -1645,7 +1933,7 @@ def t_get(scope, cur, args, path):
     if isinstance(dt, (T.MapType, T.VariantType, T.BinaryType)):
         raise TypedFallback("get yields dynamic container")
     return TVal(col, dt, maybe_missing=mw is not None, missing_when=mw,
-                errs=base.errs)
+                errs=base.errs, const=base.const)
 
 
 @_treg("merge")
@@ -1663,10 +1951,12 @@ def t_merge(scope, cur, args, path):
                   T.StructType([T.StructField("_", T.NullType())]))
         # _seq evaluates operands in order: an earlier operand's
         # per-row error or null wins over the static type error,
-        # matching the variant seq_strict order
-        return _seq([o for _, o in live], path,
-                    _terr(dt, "expr_error", "expr arg must be object",
-                          path), dt)
+        # matching the variant seq_strict order (forced: the constant
+        # raise would otherwise fold away non-nullable operand refs)
+        live_ops = [o for _, o in live]
+        return _seq(live_ops, path,
+                    _terr_forced(live_ops, dt, "expr_error",
+                                 "expr arg must be object", path), dt)
     # union of fields, rightmost operand that declares a key wins
     # (a declared key with a NULL value is JSON null — it still wins,
     # exactly like the variant map_zip_with coalesce)
@@ -2001,7 +2291,10 @@ def _t_arr_in(cur: TVal, path: str,
 
 def _t_item_scope(scope: TScope, x: Column, i: Column,
                   et: T.DataType) -> TScope:
-    item = TVal(x, et)
+    # lambda element of an already-evaluated array: the element
+    # VALUES are data (upstream error cells fire when the array
+    # column itself evaluates), so the item is pristine
+    item = TVal(x, et, errs=False)
     return scope.child(item=item, item_index=i, pipe=item)
 
 
@@ -2398,7 +2691,10 @@ class TypedRuleCompiler:
                             live = live & ~state["returned"]
                         guard = F.when(
                             live & ~F.coalesce(acond, F.lit(False)),
-                            V.raise_err("assert_failed", a.error.message,
+                            V.raise_err("assert_failed",
+                                        f"assert failed: "
+                                        f"{a.error.code}: "
+                                        f"{a.error.message}",
                                         apath, a.error.code)
                             .cast("boolean")).otherwise(F.lit(True))
                         state["keep"] = self._add(state["keep"] & guard,

@@ -82,3 +82,87 @@ def test_long_out_chain_variant_and_typed(spark):
     assert time.time() - t0 < 120
     assert typed[f"c{n - 1}"] == float(n)
     assert json.loads(variant_row["v"]) == float(n)
+
+
+def _plan_len(df, rule) -> int:
+    out = transform_table(df, rule, mode="variant")
+    return len(out._jdf.queryExecution().analyzed().toString())
+
+
+def test_nested_object_args_grow_linearly(spark):
+    """VERDICT r5 #6: right-nested v1 ``merge`` args must grow the
+    plan LINEARLY per nesting level (the scalar-op exponential class
+    fixed by _operands_bound must not exist for object ops)."""
+    df = spark.createDataFrame([(1, {"a": 1})],
+                               "id long, obj struct<a:long>")
+
+    def nested(depth):
+        expr = {"ref": "input.obj"}
+        for _ in range(depth):
+            expr = {"op": "merge",
+                    "args": [expr, {"op": "merge",
+                                    "args": [{"ref": "input.obj"},
+                                             {"z": 1}]}]}
+        return expr
+
+    sizes = []
+    for depth in (1, 2, 4, 8):
+        rule = json.dumps({"version": 1, "input": {"format": "json"},
+                           "mappings": [{"target": "out",
+                                         "expr": nested(depth)}]})
+        sizes.append(_plan_len(df, rule))
+    # linear: per-level increment stays flat (exponential would give
+    # a depth-8 increment ~16^4× the depth-1→2 one)
+    inc12 = sizes[1] - sizes[0]
+    inc48 = (sizes[3] - sizes[2]) / 4
+    assert inc48 < 2 * inc12, sizes
+
+
+def test_nested_array_hof_args_grow_linearly(spark):
+    """Same guarantee for v2 array HOF chains (filter+map per level)."""
+    df = spark.createDataFrame([(1, [1, 2, 3])],
+                               "id long, arr array<long>")
+
+    def chain(depth):
+        e = '"@input.arr"'
+        for _ in range(depth):
+            e += ', {filter: [["@item", {gt: [0]}]]}, {map: [{add: [1]}]}'
+        return e
+
+    sizes = []
+    for depth in (1, 2, 4, 8):
+        rule = ("version: 2\ninput: {format: json}\nmappings:\n"
+                f"  - target: out\n    expr: [{chain(depth)}]\n")
+        sizes.append(_plan_len(df, rule))
+    inc12 = sizes[1] - sizes[0]
+    inc48 = (sizes[3] - sizes[2]) / 4
+    assert inc48 < 2 * inc12, sizes
+
+
+def test_typed_deep_chain_falls_back_not_oom(spark):
+    """Typed pipes compose raw Columns, so each op references the
+    previous value 2+ times — deep chains grow multiplicatively and
+    used to OOM Spark analysis at depth ~4-8 (latent pre-round-6,
+    fuzz-surfaced).  compile_tpipe now defers to the variant engine
+    (linear via V.let) past a plan-size cap; auto mode must run these
+    chains correctly and fast."""
+    import pytest
+
+    from rulemorph_spark.compiler.typed import TypedFallback
+
+    df = spark.createDataFrame([(1, 0.0)], "id long, x double")
+    expr = '"@input.x"'
+    expected = 0.0
+    for i in range(25):
+        expr += f', {{add: [{i % 3 + 1}]}}, {{multiply: [1.0]}}'
+        expected = (expected + (i % 3 + 1)) * 1.0
+    rule = ("version: 2\ninput: {format: json}\nmappings:\n"
+            f"  - target: out\n    expr: [{expr}]\n")
+    with pytest.raises(TypedFallback, match="expression growth"):
+        transform_table(df, rule, mode="typed")
+    t0 = time.time()
+    from pyspark.sql import functions as F
+    out = transform_table(df, rule, mode="auto") \
+        .select(F.col("out").cast("double").alias("out")).collect()
+    assert time.time() - t0 < 120
+    assert out[0]["out"] == expected
