@@ -1,0 +1,581 @@
+"""Rule-internal trace replay ("child traces").
+
+Mirrors the reference's per-rule trace builder
+(``rulemorph_endpoint/src/endpoint_engine.rs:2313-2812``):
+
+- ``build_rule_trace`` (:2313): the one-record trace document
+  {trace_id, timestamp, rule, rule_source, records[0].nodes, summary}.
+- ``build_rule_nodes_from_rule`` (:2355): replays a normal rule's
+  ``steps`` pipeline by transforming the record through PREFIX rules
+  (steps[..=i], finalize stripped), then walks the steps emitting one
+  node each — status ok/error/skipped, halted-after semantics,
+  ``record_when`` flags, per-assert evaluation ("assert failed: {code}:
+  {message}"), branch meta (branch_taken / rule_refs / labels) with a
+  recursive child trace for the taken normal rule, per-mapping children
+  — plus a ``finalize`` node (op children for filter/sort/limit/offset/
+  wrap).
+- ``build_mapping_ops_with_values`` (:2653+): one op node per mapping
+  with its raw args, the start value as ``input``, the raw pipe value
+  as ``output`` (when/type/default NOT applied — the replay
+  accumulates raw pipe values into @out exactly like the reference's
+  ``set_path_value`` on ``output_value``), and per-step ``pipe_steps``
+  where a failing step keeps the previous value (the reference ignores
+  step errors and carries ``current`` forward).
+
+The reference evaluates in-process; this replay drives the same
+single-record engine (``transform_record``) with accumulated @out
+seeded through literal ``value:`` mappings — one tiny Spark job per
+evaluation, acceptable for the tracing surface.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import replace
+from typing import Any
+
+import yaml
+
+from ..errors import RuleError, TransformEngineError
+from ..expr_ir import (IfStep, LetStep, MapStep, OpStep, RefStep,
+                       StartLiteral, StartPipeValue, StartRef, is_v2_expr,
+                       parse_expr)
+from ..model import InputSpec, Mapping, RuleFile
+from .record import transform_record
+
+_ERRS = (TransformEngineError, RuleError)
+_MISS = object()
+
+
+def _now_rfc3339() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%S+00:00", time.gmtime())
+
+
+def transform_error_to_trace(e: Exception) -> dict:
+    return {"code": getattr(e, "kind", getattr(e, "code", "Error")),
+            "message": getattr(e, "message", str(e)),
+            "path": getattr(e, "path", None)}
+
+
+def build_rule_trace(rule_type: str, name: str, path: str, version: int,
+                     rule_source, input_value, output_value,
+                     nodes: list, duration_us: int, status: str) -> dict:
+    """``build_rule_trace`` (endpoint_engine.rs:2313-2353)."""
+    return {
+        "trace_id": str(uuid.uuid4()),
+        "timestamp": _now_rfc3339(),
+        "rule": {"type": rule_type, "name": name, "path": path,
+                 "version": version},
+        "rule_source": rule_source,
+        "records": [{"index": 0, "status": status,
+                     "duration_us": duration_us,
+                     "input": input_value, "output": output_value,
+                     "nodes": nodes}],
+        "summary": {"record_total": 1,
+                    "record_success": 1 if status == "ok" else 0,
+                    "record_failed": 0 if status == "ok" else 1,
+                    "duration_us": duration_us},
+    }
+
+
+def yaml_source_to_json(source: str):
+    try:
+        return yaml.safe_load(source)
+    except yaml.YAMLError:
+        return None
+
+
+def sum_node_duration_us(nodes: list) -> int:
+    return sum(int(n.get("duration_us", 0) or 0) for n in nodes)
+
+
+# --- evaluation helpers (single record, @out seeded via literals) --------
+
+def _literal_prior(out: dict) -> list[Mapping]:
+    """Seed the accumulated @out into a replay rule as literal
+    ``value:`` mappings (top-level keys only — exactly what
+    set_path_value accumulated)."""
+    return [Mapping(target=k, value=v, has_value=True)
+            for k, v in out.items()]
+
+
+def _eval_rule(spark, mappings: list[Mapping], record, context,
+               base_dir: str, target: str):
+    """One replay evaluation: run ``mappings`` over the record; return
+    the target's value, ``_MISS`` when absent, or raise."""
+    rule = RuleFile(version=2,
+                    input=InputSpec(format="json"), mappings=mappings)
+    out = transform_record(spark, rule, record, context=context,
+                           base_dir=base_dir)
+    if out is None or target not in out:
+        return _MISS
+    return out[target]
+
+
+def _eval_expr(spark, out: dict, expr_raw, record, context, base_dir):
+    """Evaluate a v2 expr with the accumulated @out visible; returns
+    value, ``_MISS``, or raises."""
+    mappings = _literal_prior(out) + [
+        Mapping(target="__tr__", expr=expr_raw, has_expr=True)]
+    return _eval_rule(spark, mappings, record, context, base_dir,
+                      "__tr__")
+
+
+def eval_trace_condition(spark, out: dict, cond_raw, record, context,
+                         base_dir) -> bool:
+    """``eval_trace_condition`` (endpoint_engine.rs:2813-2860): strict
+    boolean with the accumulated @out visible; errors propagate."""
+    expr = [0, {"if": {"cond": cond_raw,
+                       "then": ["lit:T"], "else": ["lit:F"]}}]
+    got = _eval_expr(spark, out, expr, record, context, base_dir)
+    return got == "T"
+
+
+# --- pipe-step replay -----------------------------------------------------
+
+def _start_label(start) -> str:
+    if isinstance(start, StartRef):
+        r = start.ref
+        if r.namespace == "local":
+            return f"@{r.local_name}"
+        return f"@{r.namespace}.{r.path}" if r.path else f"@{r.namespace}"
+    if isinstance(start, StartPipeValue):
+        return "$"
+    if isinstance(start, StartLiteral):
+        return json.dumps(start.value)
+    return "v1_expr"
+
+
+def _step_label(step) -> str:
+    if isinstance(step, OpStep):
+        return step.op
+    if isinstance(step, LetStep):
+        return "let " + ", ".join(n for n, _ in step.bindings)
+    if isinstance(step, IfStep):
+        return "if"
+    if isinstance(step, MapStep):
+        return "map"
+    if isinstance(step, RefStep):
+        return _start_label(StartRef(step.ref))
+    return "step"
+
+
+def _pipe_prefix_raws(expr_raw) -> tuple[list, list[str]] | None:
+    """(prefix raw per step incl. start-only, labels) — None when the
+    expr is not a v2 pipe (v1 exprs trace args only)."""
+    if not is_v2_expr(expr_raw):
+        return None
+    try:
+        pipe = parse_expr(expr_raw)
+    except _ERRS:
+        return None
+    raw_list = expr_raw if isinstance(expr_raw, list) else [expr_raw]
+    start_raw = raw_list[0]
+    if isinstance(start_raw, (dict, list)) and len(raw_list) > 1:
+        # a lone leading op/array element would re-parse as an op /
+        # nested pipe — force the literal-start reading the full pipe
+        # had (the "literal object start" rule)
+        start_raw = {"lit": start_raw}
+    labels = [_start_label(pipe.start)] + [_step_label(s)
+                                           for s in pipe.steps]
+    prefixes = [[start_raw] + raw_list[1:1 + k]
+                for k in range(len(raw_list))]
+    return prefixes, labels
+
+
+def build_pipe_steps(spark, out: dict, expr_raw, record, context,
+                     base_dir) -> list[dict] | None:
+    """``build_pipe_steps`` (endpoint_engine.rs:3180-3260): per-step
+    outputs; a failing step keeps the previous value and the replay
+    continues with the remaining steps applied to it."""
+    pre = _pipe_prefix_raws(expr_raw)
+    if pre is None:
+        return None
+    prefixes, labels = pre
+    raw_list = expr_raw if isinstance(expr_raw, list) else [expr_raw]
+
+    steps: list[dict] = []
+    # start value
+    try:
+        current = _eval_expr(spark, out, prefixes[0], record, context,
+                             base_dir)
+    except _ERRS:
+        current = _MISS
+    steps.append({"index": 0, "label": labels[0], "input": None,
+                  "output": None if current is _MISS else current})
+    if current is _MISS:
+        return steps
+
+    # error-skipping replay: keep the longest prefix of SUCCESSFUL
+    # steps; a failing step is skipped and later steps apply to the
+    # carried value (reference: `if let Ok(next) { current = next }`)
+    ok_steps: list = [prefixes[0][0]]
+    for k in range(1, len(raw_list)):
+        step_input = None if current is _MISS else current
+        candidate = ok_steps + [raw_list[k]]
+        try:
+            nxt = _eval_expr(spark, out, candidate, record, context,
+                             base_dir)
+            ok_steps = candidate
+            current = nxt
+        except _ERRS:
+            pass  # step error: value carries forward
+        steps.append({"index": k, "label": labels[k],
+                      "input": step_input,
+                      "output": None if current is _MISS else current})
+    return steps
+
+
+# --- mapping ops ----------------------------------------------------------
+
+def build_mapping_ops_with_values(spark, mappings: list[Mapping], record,
+                                  context, out: dict, version: int,
+                                  step_index: int,
+                                  base_dir: str = ".") -> list[dict]:
+    """``build_mapping_ops_with_values`` (endpoint_engine.rs:2653+)."""
+    ops = []
+    for index, m in enumerate(mappings):
+        t0 = time.perf_counter()
+        args: dict[str, Any] = {"target": m.target}
+        if m.source is not None:
+            args["source"] = m.source
+        if m.has_value:
+            args["value"] = m.value
+        if m.has_expr:
+            args["expr"] = m.expr
+        if m.has_when:
+            args["when"] = m.when
+        if m.value_type is not None:
+            args["type"] = m.value_type
+        if m.required:
+            args["required"] = True
+        if m.has_default:
+            args["default"] = m.default
+
+        input_value = output_value = _MISS
+        pipe_value = None
+        pipe_steps = None
+        if m.has_expr and version >= 2 and is_v2_expr(m.expr):
+            pipe_value = m.expr
+            pipe_steps = build_pipe_steps(spark, out, m.expr, record,
+                                          context, base_dir)
+            if pipe_steps:
+                iv = pipe_steps[0]["output"]
+                input_value = _MISS if iv is None else iv
+                ov = pipe_steps[-1]["output"]
+                output_value = _MISS if ov is None else ov
+        elif m.source is not None:
+            try:
+                got = _eval_rule(
+                    spark, _literal_prior(out) + [
+                        Mapping(target="__tr__", source=m.source)],
+                    record, context, base_dir, "__tr__")
+            except _ERRS:
+                got = _MISS
+            input_value = output_value = got
+            pipe_steps = [{"index": 0, "label": "source",
+                           "input": None if got is _MISS else got,
+                           "output": None if got is _MISS else got}]
+        elif m.has_value:
+            input_value = output_value = m.value
+            pipe_steps = [{"index": 0, "label": "value",
+                           "input": m.value, "output": m.value}]
+
+        if output_value is not _MISS:
+            # raw pipe value accumulates into @out (set_path_value on
+            # output_value — when/type/default NOT applied, :2690)
+            _set_path(out, m.target, output_value)
+
+        node = {
+            "id": f"op-{step_index}-{index}",
+            "kind": "op",
+            "label": m.target,
+            "status": "ok",
+            "input": None if input_value is _MISS else input_value,
+            "pipe_value": pipe_value,
+            "pipe_steps": pipe_steps,
+            "args": args,
+            "output": None if output_value is _MISS else output_value,
+            "duration_us": int((time.perf_counter() - t0) * 1e6),
+            "meta": {"op": "mapping"},
+        }
+        ops.append(node)
+    return ops
+
+
+def _set_path(out: dict, target: str, value) -> None:
+    node = out
+    parts = target.split(".")
+    for p in parts[:-1]:
+        nxt = node.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            node[p] = nxt
+        node = nxt
+    node[parts[-1]] = value
+
+
+# --- rule replay ------------------------------------------------------------
+
+def build_rule_nodes_from_rule(spark, rule: RuleFile, record, context,
+                               base_dir: str) -> list[dict]:
+    """``build_rule_nodes_from_rule`` (endpoint_engine.rs:2355-2690)."""
+    nodes: list[dict] = []
+    if rule.steps is not None:
+        step_outputs = []
+        for index in range(len(rule.steps)):
+            partial = replace(rule, steps=rule.steps[:index + 1],
+                              finalize=None)
+            t0 = time.perf_counter()
+            try:
+                result = ("ok", transform_record(spark, partial, record,
+                                                 context=context,
+                                                 base_dir=base_dir))
+            except _ERRS as e:
+                result = ("err", e)
+            step_outputs.append(
+                (result, int((time.perf_counter() - t0) * 1e6)))
+
+        prev_output: Any = {}
+        halted = False
+        prev_elapsed = 0
+        for index, step in enumerate(rule.steps):
+            label = step.name or f"step-{index + 1}"
+            kind = ("branch" if step.branch is not None
+                    else "record_when" if step.has_record_when
+                    else "asserts" if step.asserts is not None
+                    else "mappings" if step.mappings is not None
+                    else "step")
+            step_input = prev_output
+            status = "ok"
+            output_value = None
+            error = None
+            child_trace = None
+            meta: dict[str, Any] = {}
+            step_active = not halted
+            (rkind, rval), elapsed_total = step_outputs[index]
+            step_duration_us = max(elapsed_total - prev_elapsed, 0)
+            prev_elapsed = elapsed_total
+
+            if halted:
+                status = "skipped"
+            elif rkind == "err":
+                status = "error"
+                error = transform_error_to_trace(rval)
+                halted = True
+            elif rval is None:
+                status = "skipped"
+                output_value = None
+                halted = True
+            else:
+                prev_output = rval
+                output_value = rval
+
+            seed = dict(step_input) if isinstance(step_input, dict) else {}
+
+            if step_active and status != "error" and step.has_record_when:
+                try:
+                    flag = eval_trace_condition(spark, seed,
+                                                step.record_when, record,
+                                                context, base_dir)
+                    meta["record_when"] = flag
+                except _ERRS as e:
+                    status = "error"
+                    error = transform_error_to_trace(e)
+                    halted = True
+
+            if step_active and status != "error" and step.asserts:
+                asserts_ok = True
+                for ai, a in enumerate(step.asserts):
+                    try:
+                        flag = eval_trace_condition(spark, seed, a.when,
+                                                    record, context,
+                                                    base_dir)
+                    except _ERRS as e:
+                        asserts_ok = False
+                        status = "error"
+                        error = transform_error_to_trace(e)
+                        halted = True
+                        break
+                    if not flag:
+                        asserts_ok = False
+                        status = "error"
+                        error = {
+                            "code": "AssertionFailed",
+                            "message": (f"assert failed: {a.error.code}: "
+                                        f"{a.error.message}"),
+                            "path": f"steps[{index}].asserts[{ai}]"}
+                        halted = True
+                        break
+                meta["asserts_ok"] = asserts_ok
+            if step.asserts is not None and "asserts_ok" not in meta:
+                meta["asserts_ok"] = False
+
+            if step_active and status != "error" and step.branch is not None:
+                br = step.branch
+                refs = [br.then]
+                labels = ["branch: then"]
+                if br.else_ is not None:
+                    refs.append(br.else_)
+                    labels.append("branch: else")
+                try:
+                    taken_flag = eval_trace_condition(spark, seed,
+                                                      br.when, record,
+                                                      context, base_dir)
+                    branch_taken = ("then" if taken_flag
+                                    else "else" if br.else_ is not None
+                                    else "none")
+                except _ERRS as e:
+                    status = "error"
+                    error = transform_error_to_trace(e)
+                    halted = True
+                    branch_taken = "none"
+                meta["branch_taken"] = branch_taken
+                meta["rule_refs"] = refs
+                meta["rule_ref_labels"] = labels
+                if br.return_ and branch_taken != "none":
+                    halted = True
+                target_path = (br.then if branch_taken == "then"
+                               else br.else_ if branch_taken == "else"
+                               else None)
+                if target_path is not None:
+                    meta["rule_ref"] = target_path
+                    meta["rule_ref_label"] = f"branch: {branch_taken}"
+                    child_trace = _branch_child_trace(
+                        spark, target_path, step_input, context, base_dir)
+
+            children = []
+            if status == "ok" and step.mappings is not None:
+                mapping_out = dict(step_input) \
+                    if isinstance(step_input, dict) else {}
+                children = build_mapping_ops_with_values(
+                    spark, step.mappings, record, context, mapping_out,
+                    rule.version, index, base_dir)
+
+            node = {"id": f"step-{index}", "kind": kind, "label": label,
+                    "status": status, "input": step_input,
+                    "output": output_value,
+                    "duration_us": step_duration_us}
+            if error is not None:
+                node["error"] = error
+            if child_trace is not None:
+                node["child_trace"] = child_trace
+            if meta:
+                node["meta"] = meta
+            if children:
+                node["children"] = children
+            nodes.append(node)
+    else:
+        t0 = time.perf_counter()
+        out: dict = {}
+        children = build_mapping_ops_with_values(
+            spark, rule.mappings, record, context, out, rule.version, 0,
+            base_dir)
+        node = {"id": "step-0", "kind": "mapping", "label": "mappings",
+                "status": "ok", "input": record, "output": out,
+                "duration_us": int((time.perf_counter() - t0) * 1e6)}
+        if children:
+            node["children"] = children
+        nodes.append(node)
+
+    if rule.finalize is not None:
+        nodes.append(_finalize_node(spark, rule, record, context,
+                                    base_dir))
+    return nodes
+
+
+def _branch_child_trace(spark, target_path: str, step_input, context,
+                        base_dir: str):
+    """Recursive child trace for the taken branch rule (normal rules
+    only, endpoint_engine.rs:2570-2605)."""
+    import os
+    resolved = target_path if os.path.isabs(target_path) \
+        else os.path.join(base_dir, target_path)
+    try:
+        with open(resolved, encoding="utf-8") as fh:
+            source = fh.read()
+        doc = yaml.safe_load(source)
+        if isinstance(doc, dict) and doc.get("type", "normal") != "normal":
+            return None
+        if isinstance(doc, dict):
+            doc = dict(doc)
+            doc.pop("type", None)
+        from ..model import parse_rule_dict
+        sub = parse_rule_dict(doc)
+    except Exception:
+        return None
+    sub_dir = os.path.dirname(resolved)
+    child_nodes = build_rule_nodes_from_rule(spark, sub, step_input,
+                                             context, sub_dir)
+    try:
+        child_output = transform_record(spark, sub, step_input,
+                                        context=context,
+                                        base_dir=sub_dir)
+    except _ERRS:
+        child_output = None
+    return build_rule_trace(
+        "normal", os.path.basename(resolved), target_path, sub.version,
+        yaml_source_to_json(source) or {}, step_input,
+        child_output if child_output is not None else {},
+        child_nodes, sum_node_duration_us(child_nodes), "ok")
+
+
+def _finalize_node(spark, rule: RuleFile, record, context,
+                   base_dir: str) -> dict:
+    """The trailing finalize node (endpoint_engine.rs:2691-2785)."""
+    base_rule = replace(rule, finalize=None)
+    t0 = time.perf_counter()
+    try:
+        pre = transform_record(spark, base_rule, record, context=context,
+                               base_dir=base_dir)
+    except _ERRS:
+        pre = None
+    base_us = int((time.perf_counter() - t0) * 1e6)
+    finalize_input = [pre] if pre is not None else []
+    t1 = time.perf_counter()
+    status, output, error = "ok", None, None
+    try:
+        got = transform_record(spark, rule, record, context=context,
+                               base_dir=base_dir)
+        output = got if got is not None else None
+    except _ERRS as e:
+        status = "error"
+        error = transform_error_to_trace(e)
+    total_us = int((time.perf_counter() - t1) * 1e6)
+
+    f = rule.finalize
+    children = []
+    if f.has_filter:
+        children.append({"id": "op-filter", "kind": "op",
+                         "label": "filter", "status": "ok",
+                         "meta": {"op": "filter"},
+                         "args": {"expr": f.filter}})
+    if f.sort is not None:
+        children.append({"id": "op-sort", "kind": "op", "label": "sort",
+                         "status": "ok", "meta": {"op": "sort"},
+                         "args": {"by": f.sort.by,
+                                  "order": f.sort.order}})
+    if f.limit is not None:
+        children.append({"id": "op-limit", "kind": "op", "label": "limit",
+                         "status": "ok", "meta": {"op": "limit"},
+                         "args": {"limit": f.limit}})
+    if f.offset is not None:
+        children.append({"id": "op-offset", "kind": "op",
+                         "label": "offset", "status": "ok",
+                         "meta": {"op": "offset"},
+                         "args": {"offset": f.offset}})
+    if f.has_wrap:
+        children.append({"id": "op-wrap", "kind": "op", "label": "wrap",
+                         "status": "ok", "meta": {"op": "wrap"},
+                         "args": {"wrap": f.wrap}})
+
+    node = {"id": "step-finalize", "kind": "finalize", "label": "finalize",
+            "status": status, "input": finalize_input, "output": output,
+            "duration_us": max(total_us - base_us, 0)}
+    if error is not None:
+        node["error"] = error
+    if children:
+        node["children"] = children
+    return node

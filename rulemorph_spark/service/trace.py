@@ -30,6 +30,10 @@ class StepTrace:
     # ok|error|skipped — the reference's per-node status
     # (build_step_trace; when-skipped steps trace as "skipped")
     status: str | None = None
+    # rule-internal replay for normal-rule steps (round 6):
+    # build_rule_trace document with per-step nodes / mapping children
+    # / pipe_steps (endpoint_engine.rs:2313-2812)
+    child_trace: object = None
 
     def resolved_status(self) -> str:
         if self.status is not None:
@@ -83,6 +87,8 @@ class RequestTrace:
                 "duration_us": int(s.elapsed_ms * 1000),
                 "status": s.resolved_status(),
                 "error": s.error,
+                **({"child_trace": s.child_trace}
+                   if s.child_trace is not None else {}),
             } for s in self.steps],
         }
 

@@ -534,3 +534,126 @@ def test_trace_nodes_include_duration_us_and_record_status(spark, svc_dir):
     assert isinstance(doc["duration_us"], int)
     assert doc["steps"], "expected trace nodes"
     assert all(isinstance(s["duration_us"], int) for s in doc["steps"])
+
+
+def test_step_child_trace_replay(spark, tmp_path):
+    """Round 6: normal-rule steps carry a full rule-internal child
+    trace (build_rule_nodes_from_rule, endpoint_engine.rs:2355-2812):
+    per-mapping op children with pipe_steps, prefix-replayed step
+    nodes, record_when/assert/branch meta."""
+    from rulemorph_spark.service.endpoint import EndpointEngine
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/test
+    steps:
+      - rule: ./steps.yaml
+    reply: {status: 200, body: "@input"}
+""")
+    (tmp_path / "steps.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+steps:
+  - name: shape
+    mappings:
+      - target: who
+        expr: ["@input.query.name", {uppercase: []}]
+      - target: greet
+        expr: ["lit:hi ", {concat: ["@out.who"]}]
+  - name: gate
+    record_when: {eq: [["@out.who"], ["lit:BOB"]]}
+""")
+    tdir = tmp_path / "traces"
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         trace_dir=str(tdir))
+    status, _h, body = eng.handle_request("GET", "/api/test",
+                                          query=[("name", "bob")])
+    assert status == 200
+    assert body == {"who": "BOB", "greet": "hi BOB"}
+
+    traces = eng.trace_store.list()
+    assert len(traces) == 1
+    steps = traces[0]["steps"]
+    rule_steps = [s for s in steps if s["kind"] == "step"]
+    assert rule_steps and "child_trace" in rule_steps[0]
+    child = rule_steps[0]["child_trace"]
+    assert child["rule"]["type"] == "normal"
+    assert child["summary"]["record_total"] == 1
+    nodes = child["records"][0]["nodes"]
+    assert [n["kind"] for n in nodes] == ["mappings", "record_when"]
+    assert nodes[0]["label"] == "shape"
+    # per-mapping op children with pipe_steps
+    children = nodes[0]["children"]
+    assert [c["label"] for c in children] == ["who", "greet"]
+    ps = children[0]["pipe_steps"]
+    assert [p["label"] for p in ps] == ["@input.query.name", "uppercase"]
+    assert ps[0]["output"] == "bob" and ps[1]["output"] == "BOB"
+    # the second mapping sees @out.who accumulated
+    ps2 = children[1]["pipe_steps"]
+    assert ps2[-1]["output"] == "hi BOB"
+    # record_when meta flag on the gate step
+    gate = nodes[1]
+    assert gate["meta"]["record_when"] is True
+    assert gate["status"] == "ok"
+
+
+def test_child_trace_assert_and_branch_meta(spark, tmp_path):
+    from rulemorph_spark.service.endpoint import EndpointEngine
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/test
+    steps:
+      - rule: ./steps.yaml
+        catch:
+          default: ./catch.yaml
+    reply: {status: 200, body: "@input"}
+""")
+    (tmp_path / "steps.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+steps:
+  - name: shape
+    mappings:
+      - target: n
+        expr: ["@input.query.n", {int: []}]
+  - name: check
+    asserts:
+      - when: {gt: [["@out.n"], [100]]}
+        error: {code: TooSmall, message: n must exceed 100}
+""")
+    (tmp_path / "catch.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: handled
+    value: true
+""")
+    tdir = tmp_path / "traces"
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         trace_dir=str(tdir))
+    status, _h, body = eng.handle_request("GET", "/api/test",
+                                          query=[("n", "5")])
+    assert status == 200
+    traces = eng.trace_store.list()
+    # catch-handled step node was rewritten to ok; child trace captures
+    # the failing assert
+    step = [s for s in traces[0]["steps"] if s["kind"] == "step"][0]
+    child = step["child_trace"]
+    nodes = child["records"][0]["nodes"]
+    check = [n for n in nodes if n["label"] == "check"][0]
+    assert check["kind"] == "asserts"
+    assert check["meta"]["asserts_ok"] is False
+    assert check["status"] == "error"
+    assert check["error"]["message"] == \
+        "assert failed: TooSmall: n must exceed 100"
