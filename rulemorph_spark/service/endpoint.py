@@ -74,19 +74,30 @@ class EndpointDef:
     catch: dict[str, str] | None
 
 
-_DUR_RE = re.compile(r"^(\d+)(ms|s)$")
-
 # reply with no body: empty HTTP body, no content-type header
 # (endpoint_engine.rs ``reply_body_omitted_returns_empty_body``)
 NO_BODY = object()
 
+# missing-result sentinel for _eval_expr
+_MISSING = object()
 
-def _parse_duration(text: str, what: str) -> float:
-    m = _DUR_RE.match(str(text))
-    if not m:
-        raise RuleError("invalid_rule", f"{what} must look like 500ms or 5s")
-    n, unit = int(m.group(1)), m.group(2)
-    return n / 1000.0 if unit == "ms" else float(n)
+# RFC 7230 token (http::Method::from_bytes)
+_METHOD_RE = re.compile(r"[!#$%&'*+\-.^_`|~0-9A-Za-z]+")
+
+
+def _parse_duration(text: str) -> float:
+    """``parse_duration`` (endpoint_engine.rs:2211-2223): trim, strip
+    the ``ms``/``s`` suffix (ms first), u64-parse the rest — exact
+    error wording per suffix."""
+    trimmed = str(text).strip()
+    for suffix, scale, msg in (("ms", 1 / 1000.0, "invalid ms"),
+                               ("s", 1.0, "invalid s")):
+        if trimmed.endswith(suffix):
+            num = trimmed[: -len(suffix)].strip()
+            if not num.isdigit():  # u64: non-negative integer digits
+                raise RuleError("invalid_rule", msg)
+            return int(num) * scale
+    raise RuleError("invalid_rule", f"invalid duration: {text}")
 
 
 @dataclass
@@ -107,6 +118,13 @@ class NetworkRule:
 
 
 def _compile_path(template: str) -> tuple[re.Pattern, list[str]]:
+    """``EndpointPath::parse`` (endpoint_engine.rs:1308-1328): the
+    template must start with ``/`` and ``{}`` params must be named."""
+    if not template.startswith("/"):
+        raise RuleError("invalid_rule", "endpoint path must start with /")
+    for seg in template.lstrip("/").split("/"):
+        if seg == "{}":
+            raise RuleError("invalid_rule", "empty path param")
     names: list[str] = []
 
     def repl(m):
@@ -179,7 +197,7 @@ class EndpointEngine:
         endpoint, params = self._match(method, path)
         if endpoint is None:
             return 404, {"content-type": "application/json"}, {
-                "error": "no matching endpoint"}
+                "error": "no endpoint matched"}
         trace = None
         if self.trace_store is not None:
             from .trace import RequestTrace
@@ -260,7 +278,7 @@ class EndpointEngine:
         for k, v in query:
             if k in qmap:
                 raise EndpointError("Invalid",
-                                    f"duplicate query key: {k}")
+                                    f"duplicate query param: {k}")
             qmap[k] = v
         hmap: dict[str, str] = {}
         for k, v in headers.items():
@@ -306,10 +324,18 @@ class EndpointEngine:
             try:
                 def run_step(cur=current, ctx=context, rule=step.rule):
                     return self._run_rule_file(rule, cur, ctx)
-                current = (trace.record(step.rule, "step", current,
-                                        run_step)
-                           if trace is not None else run_step())
+                if trace is not None:
+                    step_input = current
+                    current = trace.record(step.rule, "step", current,
+                                           run_step)
+                    self._attach_child_trace(trace, step.rule,
+                                             step_input, context)
+                else:
+                    current = run_step()
             except EndpointError as err:
+                if trace is not None:
+                    self._attach_child_trace(trace, step.rule, current,
+                                             context)
                 handled = self._run_catch(step.catch, err, current,
                                           step.with_)
                 if handled is not None:
@@ -324,6 +350,41 @@ class EndpointEngine:
                     break
                 raise
         return current
+
+    def _attach_child_trace(self, trace, rel_path: str, step_input,
+                            context) -> None:
+        """Rule-internal replay for normal-rule steps
+        (``execute_rule`` → ``build_rule_nodes_from_rule``,
+        endpoint_engine.rs:717-820): the step node carries a full
+        child trace with per-step nodes, mapping children and
+        pipe_steps.  Network rules keep their flat node."""
+        try:
+            full = rel_path if os.path.isabs(rel_path) \
+                else os.path.join(self.base_dir, rel_path)
+            rule = self._load_rule(full)
+            if isinstance(rule, NetworkRule):
+                return
+            from .rule_trace import (build_rule_nodes_from_rule,
+                                     build_rule_trace,
+                                     sum_node_duration_us,
+                                     yaml_source_to_json)
+            sub_dir = os.path.dirname(full)
+            nodes = build_rule_nodes_from_rule(
+                self.spark, rule, step_input, context, sub_dir)
+            node = trace.steps[-1] if trace.steps else None
+            if node is None:
+                return
+            status = "ok" if node.error is None else "error"
+            with open(full, encoding="utf-8") as fh:
+                source = fh.read()
+            node.child_trace = build_rule_trace(
+                "normal", os.path.basename(full), rel_path, rule.version,
+                yaml_source_to_json(source) or {}, step_input,
+                node.output if node.output is not None else {},
+                nodes, sum_node_duration_us(nodes), status)
+        except Exception:
+            # tracing must never break request handling
+            return
 
     def _config_context(self) -> dict:
         """``config_json`` (endpoint_engine.rs:1141-1147)."""
@@ -368,18 +429,36 @@ class EndpointEngine:
         return record
 
     def _reply(self, endpoint: EndpointDef, final):
-        status = self._eval_expr(endpoint.reply_status, final)
-        if not isinstance(status, int) or not (100 <= status <= 599):
-            raise EndpointError("Invalid",
-                                f"reply status must be 100-599, got "
-                                f"{status!r}")
+        """``build_reply`` (endpoint_engine.rs:1089-1120): status must
+        be a JSON integer or an integer STRING ("status must be
+        integer" — floats and bools included), then range-checked
+        100..=599 ("status out of range").  The StatusCode::from_u16
+        "invalid status" context (:1103) is unreachable: every value
+        in 100..=599 is a valid u16 status code."""
+        status = self._eval_expr(endpoint.reply_status, final,
+                                 context=self._config_context())
+        if isinstance(status, bool):
+            raise EndpointError("Invalid", "status must be integer")
+        if isinstance(status, str):
+            try:
+                status = int(status)
+                if status < 0:
+                    raise ValueError
+            except ValueError:
+                raise EndpointError("Invalid", "status must be integer")
+        elif not isinstance(status, int):
+            # floats too: serde Number::as_u64 is None for any float
+            raise EndpointError("Invalid", "status must be integer")
+        if not (100 <= status <= 599):
+            raise EndpointError("Invalid", "status out of range")
         headers = dict(endpoint.reply_headers)
         if not endpoint.has_reply_body:
             # no declared body → empty HTTP body, no content-type
             # (reply_body_omitted_returns_empty_body)
             return status, headers, NO_BODY
+        # body expr missing → JSON null (build_reply :1107-1110)
         body = self._eval_expr(endpoint.reply_body, final,
-                               missing_as_null=True)
+                               context=self._config_context())
         headers.setdefault("content-type", "application/json")
         return status, headers, body
 
@@ -449,22 +528,57 @@ class EndpointEngine:
         return rule
 
     def _parse_network(self, doc: dict, base_dir: str) -> NetworkRule:
+        """``compile_network_rule`` (endpoint_engine.rs:2126-2209):
+        check order and exact wording mirrored — version, body
+        exclusivity, method, GET+body, timeout, retry.  The
+        ``type: network`` check (:2131) is unreachable here because
+        ``_load_rule`` dispatches on that field."""
+        if doc.get("version") != 2:
+            raise RuleError("invalid_rule",
+                            "network rule version must be 2")
+        if doc.get("body") is not None and doc.get("body_map") is not None:
+            raise RuleError("invalid_rule",
+                            "body and body_map are mutually exclusive")
+        if doc.get("body") is not None and doc.get("body_rule") is not None:
+            raise RuleError("invalid_rule",
+                            "body and body_rule are mutually exclusive")
+        if doc.get("body_map") is not None \
+                and doc.get("body_rule") is not None:
+            raise RuleError("invalid_rule",
+                            "body_map and body_rule are mutually exclusive")
         req = doc.get("request") or {}
-        method = str(req.get("method", "GET")).upper()
+        raw_method = str(req.get("method", "GET"))
+        # http::Method::from_bytes: RFC 7230 token characters only
+        if not _METHOD_RE.fullmatch(raw_method):
+            raise RuleError("invalid_rule", "invalid method")
+        method = raw_method.upper()
         has_body = any(doc.get(k) is not None
                        for k in ("body", "body_map", "body_rule"))
         if method == "GET" and has_body:
             raise RuleError("invalid_rule",
-                            "GET network rules must not define a body")
-        retry = doc.get("retry") or {}
-        backoff = retry.get("backoff", "fixed")
-        if backoff not in ("fixed", "linear", "exponential"):
+                            "GET with body is not allowed")
+        if "timeout" not in doc:
+            # required field in NetworkRuleFile (no serde default)
             raise RuleError("invalid_rule",
-                            "retry backoff must be fixed|linear|exponential")
-        timeout_s = _parse_duration(doc.get("timeout", "30s"), "timeout")
+                            "failed to parse network rule: timeout "
+                            "is required")
+        timeout_s = _parse_duration(doc["timeout"])
         if timeout_s <= 0:
             # (compile_network_rule_rejects_zero_timeout)
             raise RuleError("invalid_rule", "timeout must be > 0")
+        retry = doc.get("retry") or {}
+        retry_max = int(retry.get("max", 0) or 0)
+        backoff = "fixed"
+        initial_s = 0.0
+        if retry_max > 0:
+            # compile_retry (:2226-2247): backoff validated and the
+            # 100ms initial-delay default applied ONLY when max > 0
+            backoff = retry.get("backoff", "fixed")
+            if backoff not in ("fixed", "linear", "exponential"):
+                raise RuleError("invalid_rule",
+                                f"invalid retry backoff: {backoff}")
+            initial_s = _parse_duration(retry.get("initial_delay",
+                                                  "100ms"))
         return NetworkRule(
             method=method,
             url_expr=req.get("url"),
@@ -475,10 +589,9 @@ class EndpointEngine:
             body_map=doc.get("body_map"),
             body_rule=doc.get("body_rule"),
             catch=doc.get("catch"),
-            retry_max=int(retry.get("max", 0)),
+            retry_max=retry_max,
             retry_backoff=backoff,
-            retry_initial_s=_parse_duration(
-                retry.get("initial_delay", "0ms"), "initial_delay"),
+            retry_initial_s=initial_s,
             base_dir=base_dir,
         )
 
@@ -505,16 +618,14 @@ class EndpointEngine:
         except (TransformEngineError, RuleError) as e:
             raise EndpointError("Transform", str(e))
         if out is None:
-            raise EndpointError("Transform",
-                                "record filtered out by record_when")
+            # record_when excluded the record (endpoint_engine.rs:757)
+            raise EndpointError(
+                "Invalid",
+                f"record excluded by rule: {os.path.basename(full)}")
         return out
 
     def _run_network(self, rule: NetworkRule, record, context):
-        url = self._eval_expr(rule.url_expr, record, context=context)
-        if not isinstance(url, str) or isinstance(url, bool):
-            # (eval_expr_string: "expected string, got ...")
-            raise EndpointError("Invalid",
-                                f"expected string, got {_kind(url)}")
+        url = self._eval_expr_string(rule.url_expr, record, context)
         body = self._build_network_body(rule, record, context)
 
         attempt = 0
@@ -534,13 +645,17 @@ class EndpointEngine:
                 if 200 <= status < 300:
                     result = resp_body
                     if rule.select:
-                        found, result = get_path(
-                            result, parse_path(rule.select))
+                        try:
+                            tokens = parse_path(rule.select)
+                        except Exception:
+                            raise EndpointError(
+                                "Invalid",
+                                f"invalid select path: {rule.select}")
+                        found, result = get_path(result, tokens)
                         if not found:
                             raise EndpointError(
                                 "Invalid",
-                                f"select path {rule.select!r} not found "
-                                f"in response")
+                                f"select path not found: {rule.select}")
                     return result
                 err = EndpointError("HttpStatus", f"http status {status}",
                                     status=status)
@@ -569,7 +684,7 @@ class EndpointEngine:
             body_rule = self._load_rule(sub)
             if isinstance(body_rule, NetworkRule):
                 raise EndpointError("Invalid",
-                                    "body_rule must be a normal rule")
+                                    "body_rule must be normal")
             try:
                 return transform_record(self.spark, body_rule, record,
                                         context=context,
@@ -595,7 +710,10 @@ class EndpointEngine:
         return out if out is not None else {}
 
     def _eval_expr(self, raw, record, *, context=None,
-                   missing_as_null=False):
+                   missing=None):
+        """Evaluate a v2 expr over ``record``; a missing result returns
+        the ``missing`` sentinel (None by default — callers that need
+        the reference's missing-vs-null split pass ``_MISSING``)."""
         if isinstance(raw, (int, float, bool)) or raw is None:
             return raw
         rule = parse_rule_dict({
@@ -610,8 +728,25 @@ class EndpointEngine:
         except (TransformEngineError, RuleError) as e:
             raise EndpointError("Transform", str(e))
         if out is None or "v" not in out:
-            return None if missing_as_null else None
+            return missing
         return out["v"]
+
+    def _eval_expr_string(self, raw, record, context):
+        """``eval_expr_string`` (endpoint_engine.rs:1705-1721): eval
+        errors wrap as Invalid "expr eval error: {err}"; a missing
+        result is "expected string, got missing"; non-strings report
+        their json_value_kind."""
+        try:
+            value = self._eval_expr(raw, record, context=context,
+                                    missing=_MISSING)
+        except EndpointError as e:
+            raise EndpointError("Invalid", f"expr eval error: {e.message}")
+        if value is _MISSING:
+            raise EndpointError("Invalid", "expected string, got missing")
+        if not isinstance(value, str) or isinstance(value, bool):
+            raise EndpointError("Invalid",
+                                f"expected string, got {_kind(value)}")
+        return value
 
     def _eval_when(self, raw, record) -> bool:
         rule = parse_rule_dict({
@@ -629,10 +764,11 @@ class EndpointEngine:
 
 
 def _kind(value) -> str:
+    """``json_value_kind`` (endpoint_engine.rs:1723-1732)."""
     if value is None:
         return "null"
     if isinstance(value, bool):
-        return "boolean"
+        return "bool"
     if isinstance(value, (int, float)):
         return "number"
     if isinstance(value, str):

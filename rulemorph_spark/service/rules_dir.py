@@ -240,14 +240,82 @@ def _validate_normal_rule(doc, source: str, path: str, validated: set[str],
 
 def _validate_network_rule(doc, path: str, validated: set[str],
                            errors) -> None:
-    from .endpoint import EndpointEngine
+    """``validate_network_rule`` (endpoint_engine.rs:1925-2085): every
+    check runs and pushes its own coded row — no short-circuit — then
+    body_rule AND catch targets recurse regardless of earlier errors."""
+    from .endpoint import _METHOD_RE, _parse_duration
+
+    if doc.get("version") != 2:
+        _push(errors, "InvalidVersion", path,
+              "network rule version must be 2", path="version")
+    if doc.get("type") != "network":
+        _push(errors, "InvalidRuleType", path,
+              "network rule type must be network", path="type")
+    if doc.get("body") is not None and doc.get("body_map") is not None:
+        _push(errors, "NetworkInvalidConfig", path,
+              "body and body_map are mutually exclusive", path="body")
+    if doc.get("body") is not None and doc.get("body_rule") is not None:
+        _push(errors, "NetworkInvalidConfig", path,
+              "body and body_rule are mutually exclusive", path="body")
+    if doc.get("body_map") is not None and doc.get("body_rule") is not None:
+        _push(errors, "NetworkInvalidConfig", path,
+              "body_map and body_rule are mutually exclusive",
+              path="body_map")
+
+    req = doc.get("request") or {}
+    raw_method = str(req.get("method", ""))
+    if not _METHOD_RE.fullmatch(raw_method):
+        _push(errors, "InvalidMethod", path, "invalid method",
+              path="request.method")
+    elif raw_method.upper() == "GET" and any(
+            doc.get(k) is not None
+            for k in ("body", "body_map", "body_rule")):
+        _push(errors, "NetworkInvalidConfig", path,
+              "GET with body is not allowed", path="request.method")
+
+    from ..errors import RuleError as _RuleError
+    from ..expr_ir import parse_expr
+    for field, label in (("url", "request.url"),):
+        if req.get(field) is not None:
+            try:
+                parse_expr(req[field])
+            except _RuleError as e:
+                _push(errors, "InvalidExpr", path,
+                      f"request.url: {e.message}", path=label)
+    if doc.get("body") is not None:
+        try:
+            parse_expr(doc["body"])
+        except _RuleError as e:
+            _push(errors, "InvalidExpr", path, f"body: {e.message}",
+                  path="body")
+
     try:
-        rule = EndpointEngine._parse_network(None, doc,
-                                             os.path.dirname(path))
-    except RuleError as e:
-        _push(errors, e.code, path, str(e.message),
-              path=getattr(e, "path", None))
-        return
-    if rule.body_rule:
-        _validate_rule_path(_resolve(os.path.dirname(path), rule.body_rule),
+        timeout_s = _parse_duration(doc.get("timeout", ""))
+        if timeout_s <= 0:
+            _push(errors, "InvalidTimeout", path, "timeout must be > 0",
+                  path="timeout")
+    except _RuleError as e:
+        _push(errors, "InvalidTimeout", path, str(e.message),
+              path="timeout")
+
+    retry = doc.get("retry") or {}
+    if int(retry.get("max", 0) or 0) > 0:
+        backoff = retry.get("backoff", "fixed")
+        if backoff not in ("fixed", "linear", "exponential"):
+            _push(errors, "InvalidRetry", path,
+                  f"invalid retry backoff: {backoff}", path="retry")
+        else:
+            try:
+                _parse_duration(retry.get("initial_delay",
+                                                  "100ms"))
+            except _RuleError as e:
+                _push(errors, "InvalidRetry", path, str(e.message),
+                      path="retry")
+
+    base_dir = os.path.dirname(path)
+    if doc.get("body_rule"):
+        _validate_rule_path(_resolve(base_dir, doc["body_rule"]),
                             _Usage(body_rule=True), validated, errors)
+    for target in (doc.get("catch") or {}).values():
+        _validate_rule_path(_resolve(base_dir, target),
+                            _Usage(catch_rule=True), validated, errors)
