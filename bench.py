@@ -173,14 +173,16 @@ def main():
                                       entry.oracle_sql(),
                                       entry.TABLES, int(cpus))
 
-    timings["rule_engine_lookup"] = round(_rule_engine_lookup(spark), 3)
-    timings["rule_engine_typed"] = round(
-        _rule_engine_typed(spark, sf_dir), 3)
-    timings["rule_engine_typed_lookup"] = round(
-        _rule_engine_typed_lookup(spark), 3)
+    for name, disp in (
+            ("rule_engine_lookup", _rule_engine_lookup(spark)),
+            ("rule_engine_typed", _rule_engine_typed(spark, sf_dir)),
+            ("rule_engine_typed_lookup", _rule_engine_typed_lookup(spark))):
+        timings[name] = disp["median"]
+        dispersion[name] = disp
     ext = _rule_engine_extended(spark)
     if ext is not None:
-        timings["rule_engine_extended"] = round(ext[0], 3)
+        timings["rule_engine_extended"] = ext[0]["median"]
+        dispersion["rule_engine_extended"] = ext[0]
         extended_compile_s = round(ext[1], 3)
     else:
         extended_compile_s = None
@@ -319,13 +321,24 @@ def _duckdb_baseline(sf_dir: str, names: list[str], oracles: dict,
 def _timed(df, runs: int = 3) -> float:
     """criterion-style: one untimed warm-up, median of ``runs``
     executions of the already-compiled plan (noise-robust)."""
+    return _timed_disp(df, runs)["median"]
+
+
+def _timed_disp(df, runs: int = 3) -> dict:
+    """``_timed`` that also reports {min, median, max} so the
+    rule_engine anchors get the same dispersion treatment as the
+    headline queries (VERDICT r5 #7 — the extended anchor swung
+    1.35-2.93 s across rounds with no way to tell drift from noise)."""
     df.write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
-    return sorted(samples)[len(samples) // 2]
+    samples.sort()
+    return {"min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3)}
 
 
 _EXT_RULES_PATH = ("/root/reference/crates/rulemorph/tests/fixtures/"
@@ -376,7 +389,7 @@ def _rule_engine_extended(spark, n_records: int = 5000
            .filter("__keep__").select(compiled.out_json().alias("j")))
     out.schema  # force analysis — part of the one-time compile cost
     compile_s = time.perf_counter() - t0
-    return _timed(out), compile_s
+    return _timed_disp(out), compile_s
 
 
 # the reference's PERF_RULES verbatim shape (tests/performance.rs:6-30)
@@ -438,7 +451,7 @@ def _rule_engine_lookup(spark, n_records: int = 10000, n_users: int = 100,
         builder, F.col("__record__"))
     out = (builder.df.withColumn("__keep__", compiled.keep)
            .filter("__keep__").select(compiled.out_json().alias("j")))
-    return _timed(out)
+    return _timed_disp(out)
 
 
 _TYPED_LOOKUP_RULE = """
@@ -476,7 +489,7 @@ def _rule_engine_typed_lookup(spark, n_records: int = 10000,
         .alias("tag_id"))
     out = transform_table(records, _TYPED_LOOKUP_RULE, context=context,
                           mode="typed")
-    return _timed(out)
+    return _timed_disp(out)
 
 
 _TYPED_RULE = """
@@ -508,7 +521,7 @@ def _rule_engine_typed(spark, sf_dir: str) -> float:
 
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = transform_table(df, _TYPED_RULE, mode="typed")
-    return _timed(out)
+    return _timed_disp(out)
 
 
 if __name__ == "__main__":
