@@ -520,6 +520,12 @@ class _TraceOnlyEngine:
         self.endpoints = []
 
     def handle_request(self, *args, **kwargs):
+        # ui-only mode mounts NO api router in the reference
+        # (server.rs:52 Router::new()) — non-UI paths 404.  The
+        # "api engine not configured" ApiError (server.rs:134) only
+        # exists for a rules-mode server whose engine failed to build,
+        # a state this server cannot reach (cmd_ui builds the engine
+        # up front and exits on failure).
         return 404, {}, {"kind": "NotFound",
                          "message": "no endpoint engine in ui-only mode"}
 
