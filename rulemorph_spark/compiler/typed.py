@@ -1245,6 +1245,16 @@ def t_coalesce(scope, cur, args, path):
     if not live:
         return _missing()
     col = F.coalesce(*[_cast_to(o, dt) for o in live])
+    # a guaranteed-present operand (scalar literal: const, pristine,
+    # unambiguous, non-null dtype) makes the result never-missing —
+    # skipping the runtime tri-state here matters downstream: a
+    # missing-capable operand makes every later op weave per-row
+    # evaluation probes (r6 bench: coalesce(col, 0) piped into
+    # multiply/round cost 4× until this)
+    if any(o.const and not o.errs and not o.maybe_missing
+           and not _is_null(o.dtype) for o in live):
+        return TVal(col, dt, errs=any(o.errs for o in live),
+                    const=all(o.const for o in live))
     return TVal(col, dt, maybe_missing=True, missing_when=col.isNull(),
                 const=all(o.const for o in live))
 
