@@ -288,8 +288,22 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
             else:
                 # absent else: pipe value unchanged (v2_eval.rs:916-953)
                 else_c = x
-            return F.when(F.coalesce(cond, F.lit(False)),
-                          then_c).otherwise(else_c)
+            out = F.when(F.coalesce(cond, F.lit(False)),
+                         then_c).otherwise(else_c)
+            if step.else_branch is not None \
+                    and step.then_branch == step.else_branch:
+                # structurally identical branches compile to identical
+                # expressions and SimplifyConditionals collapses the
+                # CASE, discarding the condition — but the reference
+                # still evaluates it (a raising cond must raise).
+                # Force the cond through a zero-length probe with an
+                # unreachable distinct then-branch (see typed._force).
+                probe = F.coalesce(
+                    F.substring(cond.cast("string"), 1, 0), F.lit(""))
+                out = F.when(F.length(probe) >= 1,
+                             F.raise_error(F.lit("unreachable probe"))
+                             .cast(V.VT)).otherwise(out)
+            return out
         return V.let(cur, build_if), scope
     if isinstance(step, MapStep):
         from .ops_array import compile_map_step

@@ -925,6 +925,13 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             # branches are missing), so defer to the variant bridge
             raise TypedFallback("if with both branches missing")
 
+        if step.else_branch is not None \
+                and step.then_branch == step.else_branch:
+            # structurally identical branches compile to identical
+            # expressions — SimplifyConditionals collapses the CASE
+            # and discards the (possibly raising) condition
+            raise TypedFallback("if branches structurally identical")
+
         def _null_const(v: TVal) -> bool:
             # branch expression that may constant-fold to a bare NULL
             return v.missing or (v.const and (v.maybe_missing

@@ -477,3 +477,24 @@ def test_per_operand_op_checks_are_positional(spark):
                 assert res["message"] == want, (expr, mode, res)
             else:
                 assert res == want, (expr, mode, res)
+
+
+def test_identical_if_branches_still_evaluate_condition(spark):
+    """Structurally identical then/else compile to identical
+    expressions and SimplifyConditionals collapses the CASE, deleting
+    the condition — but the reference evaluates the condition first
+    (a gt over missing raises).  Both engines guard the shape (r6)."""
+    df = spark.createDataFrame([(1,)], "id long")
+    rule = RULE % ('"@input.absent", {if: {cond: {gt: ["$", 1]}, '
+                   'then: ["lit:k"], else: ["lit:k"]}}')
+    for mode in ("variant", "auto"):
+        kind, res = _run(df, rule, mode)
+        assert kind == "err", (mode, res)
+        assert res["message"] == "cannot compare missing values", res
+    ok = RULE % ('5, {if: {cond: {gt: ["$", 1]}, '
+                 'then: ["lit:k"], else: ["lit:k"]}}')
+    kind, res = _run(df, ok, "variant")
+    assert (kind, res) == ("ok", {1: "k"}), (kind, res)
+    # auto falls back (identical branches) — variant output, same value
+    kind, res = _run(df, ok, "auto")
+    assert kind == "ok", (kind, res)
