@@ -34,6 +34,8 @@ from typing import Any
 
 import yaml
 
+import threading
+
 from ..errors import RuleError, TransformEngineError
 from ..model import load_rule_file, parse_rule_dict
 from ..paths import get_path, parse_path
@@ -176,6 +178,8 @@ class EndpointEngine:
                 catch=e.get("catch"),
             ))
         self._rule_cache: dict[str, Any] = {}
+        # per-thread network timing for trace child nodes
+        self._net_timing = threading.local()
 
     # ------------------------------------------------------------------
 
@@ -362,21 +366,34 @@ class EndpointEngine:
             full = rel_path if os.path.isabs(rel_path) \
                 else os.path.join(self.base_dir, rel_path)
             rule = self._load_rule(full)
-            if isinstance(rule, NetworkRule):
-                return
-            from .rule_trace import (build_rule_nodes_from_rule,
+            from .rule_trace import (build_network_nodes,
+                                     build_rule_nodes_from_rule,
                                      build_rule_trace,
                                      sum_node_duration_us,
                                      yaml_source_to_json)
-            sub_dir = os.path.dirname(full)
-            nodes = build_rule_nodes_from_rule(
-                self.spark, rule, step_input, context, sub_dir)
             node = trace.steps[-1] if trace.steps else None
             if node is None:
                 return
             status = "ok" if node.error is None else "error"
             with open(full, encoding="utf-8") as fh:
                 source = fh.read()
+            if isinstance(rule, NetworkRule):
+                total_us = int(node.elapsed_ms * 1000)
+                request_us = getattr(self._net_timing, "request_us",
+                                     None) or 0
+                nodes = build_network_nodes(
+                    rule, request_us=request_us, total_us=total_us,
+                    spark=self.spark, step_input=step_input,
+                    context=context)
+                node.child_trace = build_rule_trace(
+                    "network", os.path.basename(full), rel_path, 2,
+                    yaml_source_to_json(source) or {}, step_input,
+                    node.output if node.output is not None else {},
+                    nodes, total_us, status)
+                return
+            sub_dir = os.path.dirname(full)
+            nodes = build_rule_nodes_from_rule(
+                self.spark, rule, step_input, context, sub_dir)
             node.child_trace = build_rule_trace(
                 "normal", os.path.basename(full), rel_path, rule.version,
                 yaml_source_to_json(source) or {}, step_input,
@@ -630,9 +647,12 @@ class EndpointEngine:
 
         attempt = 0
         while True:
+            t_req = time.perf_counter()
             try:
                 status, resp_body = self._http(
                     rule.method, url, rule.headers, body, rule.timeout_s)
+                self._net_timing.request_us = int(
+                    (time.perf_counter() - t_req) * 1e6)
             except ValueError as e:
                 # malformed header names/values (the reference's
                 # "invalid header name"/"invalid header value") or a

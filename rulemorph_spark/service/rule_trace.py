@@ -579,3 +579,66 @@ def _finalize_node(spark, rule: RuleFile, record, context,
     if children:
         node["children"] = children
     return node
+
+
+# --- network step nodes ----------------------------------------------------
+
+def build_network_nodes(rule, *, request_us: int, total_us: int,
+                        spark=None, step_input=None, context=None) -> list:
+    """``build_network_nodes_with_timing``
+    (endpoint_engine.rs:4460-4538 test surface, builder above it):
+    one ``kind: network`` node with op children — request (with the
+    measured request_us), body / body_map mapping ops / body_rule,
+    select, retry — plus ``meta.rule_ref`` and a recursive child trace
+    for a ``body_rule``."""
+    children = [{
+        "id": "op-request", "kind": "op", "label": "request",
+        "status": "ok", "duration_us": request_us,
+        "meta": {"op": "request"},
+        "args": {k: v for k, v in (
+            ("method", rule.method),
+            ("url", json.dumps(rule.url_expr)),
+            ("headers", rule.headers or None)) if v is not None},
+    }]
+    if rule.body_expr is not None:
+        children.append({"id": "op-body", "kind": "op", "label": "body",
+                         "status": "ok", "meta": {"op": "body"},
+                         "args": {"expr": json.dumps(rule.body_expr)}})
+    if rule.body_map is not None and spark is not None:
+        from ..model import _parse_mapping
+        out: dict = {}
+        mappings = [_parse_mapping(m, "body_map") for m in rule.body_map]
+        children.extend(build_mapping_ops_with_values(
+            spark, mappings, step_input if step_input is not None else {},
+            context, out, 2, 0, rule.base_dir))
+    if rule.body_rule is not None:
+        children.append({"id": "op-body-rule", "kind": "op",
+                         "label": "body_rule", "status": "ok",
+                         "meta": {"op": "body_rule"}})
+    if rule.select is not None:
+        children.append({"id": "op-select", "kind": "op",
+                         "label": "select", "status": "ok",
+                         "meta": {"op": "select"},
+                         "args": {"path": rule.select}})
+    if rule.retry_max:
+        children.append({"id": "op-retry", "kind": "op", "label": "retry",
+                         "status": "ok", "meta": {"op": "retry"},
+                         "args": {"max": rule.retry_max,
+                                  "backoff": rule.retry_backoff,
+                                  "initial_delay_ms":
+                                      int(rule.retry_initial_s * 1000)}})
+
+    node = {"id": "step-0", "kind": "network", "label": "request",
+            "status": "ok", "duration_us": total_us,
+            "children": children}
+    if rule.body_rule is not None:
+        node["meta"] = {"rule_ref": rule.body_rule,
+                        "rule_ref_label": "body_rule"}
+        if spark is not None:
+            child = _branch_child_trace(spark, rule.body_rule,
+                                        step_input if step_input
+                                        is not None else {},
+                                        context, rule.base_dir)
+            if child is not None:
+                node["child_trace"] = child
+    return [node]

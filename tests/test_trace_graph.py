@@ -657,3 +657,73 @@ mappings:
     assert check["status"] == "error"
     assert check["error"]["message"] == \
         "assert failed: TooSmall: n must exceed 100"
+
+
+def test_network_step_child_trace(spark, tmp_path):
+    """Network steps carry a 'network' child trace: op-request with
+    the measured request duration, op-select / op-retry children, and
+    a recursive body_rule child trace with meta.rule_ref
+    (build_network_nodes_with_timing, endpoint_engine.rs)."""
+    from rulemorph_spark.service.endpoint import EndpointEngine
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: POST
+    path: /api/test
+    steps:
+      - rule: ./net.yaml
+    reply: {status: 200, body: "@input"}
+""")
+    (tmp_path / "net.yaml").write_text("""
+version: 2
+type: network
+request:
+  method: POST
+  url: "http://upstream/x"
+timeout: 1s
+select: data
+retry: {max: 2, backoff: linear, initial_delay: 10ms}
+body_rule: ./body.yaml
+""")
+    (tmp_path / "body.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: wrapped
+    expr: ["@input.body"]
+""")
+    calls = []
+
+    def http(method, url, headers, body, timeout_s):
+        calls.append((method, url, body))
+        return 200, {"data": {"ok": True}}
+
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         http_opener=http,
+                         trace_dir=str(tmp_path / "traces"))
+    status, _h, body = eng.handle_request(
+        "POST", "/api/test", body_text='{"v": 1}')
+    assert status == 200 and body == {"ok": True}
+
+    step = [s for s in eng.trace_store.list()[0]["steps"]
+            if s["kind"] == "step"][0]
+    child = step["child_trace"]
+    assert child["rule"]["type"] == "network"
+    node = child["records"][0]["nodes"][0]
+    assert node["kind"] == "network"
+    assert node["meta"] == {"rule_ref": "./body.yaml",
+                            "rule_ref_label": "body_rule"}
+    kids = {c["id"]: c for c in node["children"]}
+    assert set(kids) >= {"op-request", "op-body-rule", "op-select",
+                         "op-retry"}
+    assert kids["op-retry"]["args"] == {"max": 2, "backoff": "linear",
+                                        "initial_delay_ms": 10}
+    assert kids["op-select"]["args"] == {"path": "data"}
+    assert kids["op-request"]["duration_us"] >= 0
+    # recursive body_rule child trace
+    sub = node["child_trace"]
+    assert sub["rule"]["type"] == "normal"
+    assert sub["records"][0]["nodes"][0]["kind"] == "mapping"
