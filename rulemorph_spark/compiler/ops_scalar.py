@@ -134,6 +134,16 @@ def _as_i64(o: Column, path: str, msg: str) -> Column:
 
 @register("concat")
 def op_concat(scope, cur, args, path):
+    from ..expr_ir import StartLiteral
+
+    # literal scalar args can never fail value_to_string — skip their
+    # check probes (each probe adds plan size; the t13 extended rule
+    # concats many literals)
+    safe = [False] + [
+        bool(not a.steps and isinstance(a.start, StartLiteral)
+             and isinstance(a.start.value, (str, int, float, bool)))
+        for a in args]
+
     def build(*ops):
         parts = [V.to_string_strict(o, path,
                                     "concat parts must be stringifiable")
@@ -142,7 +152,8 @@ def op_concat(scope, cur, args, path):
         # concat(array_lit, missing) is a stringify error, not missing
         return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT),
                           null_msg="concat does not accept null",
-                          checks=[_chk(pt) for pt in parts])
+                          checks=[None if safe[i] else _chk(pt)
+                                  for i, pt in enumerate(parts)])
     return _operands_bound(scope, cur, args, path, build)
 
 
