@@ -22,7 +22,7 @@ from ..expr_ir import MapStep, Pipe, StartLiteral
 from . import variant as V
 from .core import (Scope, compile_pipe, compile_step, cur_version, register,
                    rerr)
-from .ops_scalar import _operands, seq_strict
+from .ops_scalar import _as_i64, _chk, _operands, seq_strict
 
 def EMPTY() -> Column:
     return F.array().cast(V.ARR_T)
@@ -73,9 +73,12 @@ def _with_index(arr: Column) -> Column:
 def op_map(scope, cur, args, path):
     expr = args[0]
     if cur_version() >= 2:
+        # null is NOT folded to empty here: the map op matches the
+        # pipe value strictly ("expr arg must be an array, got {:?}",
+        # v2_eval.rs:1939-1950)
         arr = F.when(V.is_array(cur), cur.try_cast(V.ARR_T)).otherwise(
-            rerr("expr_error", "expr arg must be an array",
-                 path).cast(V.ARR_T))
+            V.raise_err_got("expr_error", "expr arg must be an array, got ",
+                            cur, path).cast(V.ARR_T))
         mapped = F.transform(
             arr, lambda x, i: compile_pipe(expr, _item_scope(scope, x, i),
                                            path))
@@ -94,7 +97,8 @@ def compile_map_step(step: MapStep, cur: Column, scope: Scope, path: str):
     """The ``{map: [steps...]}`` step (``v2_eval.rs:955-1046``): pipe value
     per element, steps folded; missing results dropped."""
     arr = F.when(V.is_array(cur), cur.try_cast(V.ARR_T)).otherwise(
-        rerr("expr_error", "map requires an array", path).cast(V.ARR_T))
+        V.raise_err_got("expr_error", "map step requires array, got ",
+                        cur, path).cast(V.ARR_T))
 
     def run(x, i):
         inner = _item_scope(scope, x, i)
@@ -168,54 +172,85 @@ def _clamped_count(n: Column, size: Column) -> Column:
     return F.greatest(F.least(n, size), -size)
 
 
+def _arr_probe(arr: Column) -> Column:
+    """Zero-length probe that evaluates a ``_coerce_array`` result
+    (raising its non-array error) without contributing text."""
+    return F.coalesce(F.substring(F.size(arr).cast("string"), 1, 0),
+                      F.lit(""))
+
+
 @register("take")
 def op_take(scope, cur, args, path):
-    """take n from head; negative n takes from tail (``transform.rs:3272``)."""
-    arr = _coerce_array(cur, path)
-    n = _int_arg(scope, cur, args[0], path)
+    """take n from head; negative n takes from tail
+    (``eval_array_take``, ``transform.rs:3272-3326``).  Positional
+    protocol: the array arg converts first (missing/null → [],
+    non-array errors), then the count (missing → op missing, null →
+    "expr arg must not be null", non-int → "count must be an
+    integer")."""
+    ops = _operands(scope, cur, args, path)
+    arr = _coerce_array(ops[0], path)
+    n = _as_i64(ops[1], path, "count must be an integer")
     size = F.size(arr).cast("long")
     nc = _clamped_count(n, size)
     head = F.slice(arr, F.lit(1), nc.cast("int"))
     tail = F.slice(arr, (size + nc + 1).cast("int"), (-nc).cast("int"))
-    return V.arr_to_variant(F.when(n >= 0, head).otherwise(tail))
+    result = V.arr_to_variant(F.when(n >= 0, head).otherwise(tail))
+    return seq_strict(ops, path, result, skip={0},
+                      checks=[_arr_probe(arr), _chk(n)])
 
 
 @register("drop")
 def op_drop(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
-    n = _int_arg(scope, cur, args[0], path)
+    ops = _operands(scope, cur, args, path)
+    arr = _coerce_array(ops[0], path)
+    n = _as_i64(ops[1], path, "count must be an integer")
     size = F.size(arr).cast("long")
     nc = _clamped_count(n, size)
     head_dropped = F.slice(arr, (nc + 1).cast("int"),
                            (size - nc).cast("int"))
     tail_dropped = F.slice(arr, F.lit(1), (size + nc).cast("int"))
-    return V.arr_to_variant(F.when(n >= 0, head_dropped).otherwise(tail_dropped))
+    result = V.arr_to_variant(
+        F.when(n >= 0, head_dropped).otherwise(tail_dropped))
+    return seq_strict(ops, path, result, skip={0},
+                      checks=[_arr_probe(arr), _chk(n)])
 
 
 @register("slice")
 def op_slice(scope, cur, args, path):
-    """[start, end) with negatives from the end (``transform.rs:3376``)."""
-    arr = _coerce_array(cur, path)
+    """[start, end) with negatives from the end
+    (``eval_array_slice``, ``transform.rs:3376-3443``)."""
+    ops = _operands(scope, cur, args, path)
+    arr = _coerce_array(ops[0], path)
     size = F.size(arr).cast("long")
-    start = _int_arg(scope, cur, args[0], path)
+    start = _as_i64(ops[1], path, "start must be an integer")
+    checks = [_arr_probe(arr), _chk(start)]
     start = F.when(start < 0, F.greatest(size + start, F.lit(0).cast("long"))) \
              .otherwise(F.least(start, size))
     if len(args) == 2:
-        end = _int_arg(scope, cur, args[1], path)
+        end = _as_i64(ops[2], path, "end must be an integer")
+        checks.append(_chk(end))
         end = F.when(end < 0, F.greatest(size + end, F.lit(0).cast("long"))) \
                .otherwise(F.least(end, size))
     else:
         end = size
     length = F.greatest(end - start, F.lit(0).cast("long"))
-    return V.arr_to_variant(
+    result = V.arr_to_variant(
         F.slice(arr, (start + 1).cast("int"), length.cast("int")))
+    return seq_strict(ops, path, result, skip={0}, checks=checks)
 
 
 @register("chunk")
 def op_chunk(scope, cur, args, path):
-    n = _int_arg(scope, cur, args[0], path)
+    """``eval_array_chunk`` (``transform.rs:3445``): size converts with
+    "size must be a positive integer" (conversion AND positivity)."""
+    ops = _operands(scope, cur, args, path)
+    # null-transparent: let_many binds EAGERLY, so the conversion must
+    # not raise on null rows — the protocol's null guard (correct
+    # wording) fires first on those
+    n = F.when(V.is_absent(ops[1]), F.lit(None).cast("long")).otherwise(
+        _as_i64(ops[1], path, "size must be a positive integer"))
     n_checked = F.when(n <= 0, rerr(
-        "expr_error", "chunk size must be a positive integer",
+        "expr_error", "size must be a positive integer",
         path).cast("long")).otherwise(n)
 
     # let-bind the coerced array and chunk size: referenced inside the
@@ -227,9 +262,12 @@ def op_chunk(scope, cur, args, path):
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.slice(arr, (i.cast("long") * nc + 1).cast("int"),
                               nc.cast("int")).cast(V.VT))
-        return V.arr_to_variant(F.when(size == 0, EMPTY()).otherwise(chunks))
+        result = V.arr_to_variant(
+            F.when(size == 0, EMPTY()).otherwise(chunks))
+        return seq_strict(ops, path, result, skip={0},
+                          checks=[_arr_probe(arr), _chk(nc)])
 
-    return V.let_many([_coerce_array(cur, path), n_checked], body)
+    return V.let_many([_coerce_array(ops[0], path), n_checked], body)
 
 
 def _zip_rows(arrays: list[Column]) -> Column:
@@ -588,10 +626,24 @@ def op_fold(scope, cur, args, path):
     return F.aggregate(_with_index(arr), init, step)
 
 
+def _strict_array(o: Column, op_name: str, path: str) -> Column:
+    """v2 first/last pipe protocol (``v2_eval.rs:2416-2445``): missing
+    propagates, arrays pass, everything else — INCLUDING null, unlike
+    ``eval_v2_array_from_eval_value``'s null→[] — errors with the
+    value's Debug rendering (``first requires array, got Null``)."""
+    return (
+        F.when(o.isNull(), F.lit(None).cast(V.ARR_T))
+        .when(V.is_array(o), o.try_cast(V.ARR_T))
+        .otherwise(V.raise_err_got(
+            "expr_error", f"{op_name} requires array, got ", o, path)
+            .cast(V.ARR_T))
+    )
+
+
 @register("first")
 def op_first(scope, cur, args, path):
     """first element, missing on empty (``v2_eval.rs:2416-2430``)."""
-    arr = _coerce_array(cur, path)
+    arr = _strict_array(cur, "first", path)
     el = F.try_element_at(arr, F.lit(1))
     return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
         F.coalesce(el, V.vnull()))
@@ -599,7 +651,7 @@ def op_first(scope, cur, args, path):
 
 @register("last")
 def op_last(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
+    arr = _strict_array(cur, "last", path)
     el = F.try_element_at(arr, F.size(arr))
     return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
         F.coalesce(el, V.vnull()))

@@ -87,7 +87,8 @@ def _chk(col: Column) -> Column:
 def seq_strict(operands: list[Column], path: str, result: Column,
                *, allow_null: bool = False,
                null_msg: str = "expr arg must not be null",
-               checks: "list[Column | None] | None" = None) -> Column:
+               checks: "list[Column | None] | None" = None,
+               skip: "set[int] | None" = None) -> Column:
     """Wrap ``result`` with the missing-propagates / null-errors
     protocol; ``null_msg`` lets ops with a dedicated null message
     (concat, transform.rs:1423) keep the reference wording.
@@ -98,7 +99,13 @@ def seq_strict(operands: list[Column], path: str, result: Column,
     for operand i before operand i+1's missing short-circuit
     (op_concat transform.rs:1403-1432; v2 arith v2_eval.rs:1848-1928)
     — so the probe weaves in after operand i's own missing/null
-    handling and before everything later."""
+    handling and before everything later.
+
+    ``skip``: operand indexes whose missing/null protocol is handled
+    by the operand's OWN conversion (e.g. the array argument of
+    take/drop/slice — ``eval_array_arg`` folds missing/null to [] and
+    errors on non-arrays, ``transform.rs``); their checks still weave
+    positionally."""
     for i in reversed(range(len(operands))):
         o = operands[i]
         inner = result
@@ -109,6 +116,9 @@ def seq_strict(operands: list[Column], path: str, result: Column,
             inner = F.when(F.length(checks[i]) >= 1,
                            F.raise_error(F.lit("unreachable probe"))
                            ).otherwise(inner)
+        if skip is not None and i in skip:
+            result = inner
+            continue
         if not allow_null:
             inner = F.when(V.is_vnull(o),
                            rerr("expr_error", null_msg,
@@ -144,9 +154,26 @@ def op_concat(scope, cur, args, path):
              and isinstance(a.start.value, (str, int, float, bool)))
         for a in args]
 
+    if cur_version() >= 2:
+        # v2: each part through eval_value_as_string — serde Display
+        # numbers (2.0 → "2.0"), null/containers → "expected string,
+        # got {:?}" (``v2_eval.rs:1820-1843``); null rides the cheap
+        # positional protocol with the rendered-Null wording
+        def build2(*ops):
+            parts = [V.as_string_v2(o, path) for o in ops]
+            return seq_strict(list(ops), path,
+                              F.concat(*parts).cast(V.VT),
+                              null_msg="expected string, got Null",
+                              checks=[None if safe[i] else _chk(pt)
+                                      for i, pt in enumerate(parts)])
+        return _operands_bound(scope, cur, args, path, build2)
+
     def build(*ops):
+        # v1: null → "concat does not accept null"
+        # (``transform.rs:1421-1426``), then value_to_string
+        # (``transform.rs:5774-5785``)
         parts = [V.to_string_strict(o, path,
-                                    "concat parts must be stringifiable")
+                                    "value must be string/number/bool")
                  for o in ops]
         # per-arg value_to_string runs inside the reference loop:
         # concat(array_lit, missing) is a stringify error, not missing
@@ -174,13 +201,15 @@ def op_to_string(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
     if cur_version() >= 2:
         # v2-native to_string never errors: null → "null", containers →
-        # their JSON text (v2_eval.rs:1813-1825)
+        # their JSON text, numbers via serde Display — integral floats
+        # keep .0 (v2_eval.rs:1813-1825, ``n.to_string()``)
         o = ops[0]
         result = (
             F.when(o.isNull(), F.lit(None).cast("string"))
             .when(V.is_vnull(o), F.lit("null"))
             .when(V.is_array(o) | V.is_object(o), F.to_json(o))
-            .otherwise(V.to_string_strict(o, path))
+            .when(V.is_number(o), V.serde_num_str(o))
+            .otherwise(o.try_cast("string"))
         )
         return result.cast(V.VT)
     return seq_strict(ops, path,
@@ -189,6 +218,15 @@ def op_to_string(scope, cur, args, path):
 
 def _unary_string(scope, cur, args, path, fn):
     ops = _operands(scope, cur, args, path)
+    if cur_version() >= 2:
+        # v2: eval_value_as_string — serde-Display numbers accepted,
+        # null/containers → "expected string, got {:?}"
+        # (``v2_eval.rs:1792-1811``)
+        s = V.as_string_v2(ops[0], path)
+        return seq_strict(ops, path, fn(s).cast(V.VT),
+                          null_msg="expected string, got Null")
+    # v1: null → "expr arg must not be null", non-string → "value must
+    # be a string" (``eval_unary_string_op``, ``transform.rs:1996-2030``)
     s = _as_string(ops[0], path)
     return seq_strict(ops, path, fn(s).cast(V.VT))
 
@@ -279,7 +317,12 @@ def op_split(scope, cur, args, path):
             F.lit(r"\\$1"))
         parts = F.split(value, escaped, F.lit(-1))
         arr = F.transform(parts, lambda x: x.cast(V.VT))
-        return seq_strict(list(ops), path, V.arr_to_variant(arr))
+        # arg 0 converts COMPLETELY before arg 1 evaluates
+        # (eval_arg_string_at per arg, transform.rs:2256-2267): split
+        # over a non-string pipe with a null delimiter is "value must
+        # be a string", not the delimiter's null error
+        return seq_strict(list(ops), path, V.arr_to_variant(arr),
+                          checks=[_chk(value), _chk(delim_checked)])
 
     return _operands_bound(scope, cur, args, path, build)
 
@@ -354,8 +397,14 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
     version = cur_version()
 
     def build(*bound) -> Column:
-        nums = [V.to_number_strict(o, path, "operand must be a number")
-                for o in bound]
+        if version >= 2:
+            # v2: eval_value_as_number — null/bool/containers →
+            # "expected number, got {:?}", unparseable strings →
+            # "failed to parse string as number" (v2_eval.rs:1278-1304)
+            nums = [V.as_number_v2(o, path) for o in bound]
+        else:
+            nums = [V.to_number_strict(o, path, "operand must be a number")
+                    for o in bound]
         # per-arg conversion runs inside the reference loop, so a
         # non-numeric operand errors before a LATER operand's missing
         checks: list = [_chk(n) for n in nums]
@@ -379,8 +428,10 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                 acc = acc / n  # Spark double /0 → NULL? guarded below
         if version >= 2:
             # v2-native arithmetic: raw f64 result (no int re-emission,
-            # v2_eval.rs:1848-1928)
+            # v2_eval.rs:1848-1928); null wording from
+            # eval_value_as_number's catch-all
             return seq_strict(list(bound), path, acc.cast(V.VT),
+                              null_msg="expected number, got Null",
                               checks=checks)
         if op == "/":
             # IEEE: x/0 → ±inf in Rust; Spark double /0 → NULL.
@@ -488,9 +539,13 @@ def _and_or(scope, cur, args, path, *, is_and: bool):
 
 @register("not")
 def op_not(scope, cur, args, path):
+    """Null is NOT the generic null-protocol error here: both versions
+    route null through ``value_as_bool`` → "value must be a boolean"
+    (``transform.rs:5411-5417``, ``v2_eval.rs:2528-2534``)."""
     ops = _operands(scope, cur, args, path)
     b = V.to_bool_strict(ops[0], path, "value must be a boolean")
-    return seq_strict(ops, path, V.bool_to_variant(~b), allow_null=False)
+    return seq_strict(ops, path, V.bool_to_variant(~b),
+                      null_msg="value must be a boolean")
 
 
 # --- v1 comparison ops (string-coerced eq; numeric-only orderings) --------
@@ -592,7 +647,16 @@ _v1_compare_op("~=")
 
 @register("string")
 def op_cast_string(scope, cur, args, path):
-    return op_to_string(scope, cur, args, path)
+    """v2-only cast (v1 has no cast expr ops): STRICT value_to_string —
+    unlike ``to_string``, null and containers ERROR ("value must be
+    string/number/bool") and integral floats render trimmed
+    (``eval_type_cast`` → ``value_to_string``, ``v2_eval.rs:1747,
+    1664-1675``)."""
+    ops = _operands(scope, cur, args, path)
+    s = V.to_string_strict(ops[0], path,
+                           "value must be string/number/bool")
+    return seq_strict(ops, path, s.cast(V.VT),
+                      null_msg="value must be string/number/bool")
 
 
 @register("int")
@@ -608,10 +672,15 @@ def op_cast_int(scope, cur, args, path):
         F.when(t == "BIGINT", o.try_cast("long"))
         .when(V.is_number(o) & (d == F.floor(d)), d.cast("long"))
         .when(V.is_string(o) & s_parsed.isNotNull(), s_parsed)
-        .otherwise(rerr("type_cast_failed", "failed to cast to int",
+        .otherwise(rerr("expr_error", "failed to cast to int",
                         path).cast("long"))
     )
-    return seq_strict(ops, path, result.cast(V.VT))
+    # v2-only op: kind is ExprError (``type_cast_error``,
+    # ``v2_eval.rs:1734-1740``) and null falls through to the cast
+    # error, not the generic null protocol (``eval_type_cast`` has no
+    # null arm — ``cast_to_int(Null)`` hits the catch-all)
+    return seq_strict(ops, path, result.cast(V.VT),
+                      null_msg="failed to cast to int")
 
 
 @register("float")
@@ -622,10 +691,11 @@ def op_cast_float(scope, cur, args, path):
     result = (
         F.when(V.is_number(o), o.try_cast("double"))
         .when(V.is_string(o) & parsed.isNotNull(), parsed)
-        .otherwise(rerr("type_cast_failed", "failed to cast to float",
+        .otherwise(rerr("expr_error", "failed to cast to float",
                         path).cast("double"))
     )
-    return seq_strict(ops, path, result.cast(V.VT))
+    return seq_strict(ops, path, result.cast(V.VT),
+                      null_msg="failed to cast to float")
 
 
 @register("bool")
@@ -639,7 +709,8 @@ def op_cast_bool(scope, cur, args, path):
         F.when(V.is_bool(o), o.try_cast("boolean"))
         .when(V.is_string(o) & lowered.isin("true", "false"),
               lowered == "true")
-        .otherwise(rerr("type_cast_failed", "failed to cast to bool",
+        .otherwise(rerr("expr_error", "failed to cast to bool",
                         path).cast("boolean"))
     )
-    return seq_strict(ops, path, result.cast(V.VT))
+    return seq_strict(ops, path, result.cast(V.VT),
+                      null_msg="failed to cast to bool")

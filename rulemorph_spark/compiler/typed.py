@@ -76,6 +76,58 @@ from .core import lenient_errors, lenient_on
 
 _LONG_MAX = (1 << 63) - 1
 
+# --- fold anchor (round 7) ------------------------------------------------
+# Catalyst's ConstantFolding may EVALUATE a foldable raise_error at
+# optimization time (surfacing errors in tree-traversal order, not the
+# reference's positional order) and SimplifyConditionals may DELETE the
+# branch holding it (r6 "constant-fold residual": an all-constant pipe
+# whose structurally-different if branches fold to the same constant
+# skips the condition's error).  Weaving a zero-length probe of a REAL
+# input column into every raise message makes the raise non-foldable,
+# so constant errors stay in the plan and fire in the runtime CASE
+# order the _seq machinery already guarantees.  The typed compiler
+# registers the probe once as a projected column (``__terr_anchor__``)
+# and points this thread-local at it, keeping the per-raise plan cost
+# to one attribute reference.
+import threading as _threading  # noqa: E402
+
+_anchor_state = _threading.local()
+
+
+def _fold_anchor() -> "Column | None":
+    return getattr(_anchor_state, "col", None)
+
+
+class fold_anchor:
+    """Context manager installing a zero-length, never-NULL string
+    Column (referencing a real input attribute) as the raise anchor."""
+
+    def __init__(self, col: "Column | None"):
+        self._col = col
+
+    def __enter__(self):
+        self._prev = getattr(_anchor_state, "col", None)
+        _anchor_state.col = self._col
+        return self
+
+    def __exit__(self, *exc):
+        _anchor_state.col = self._prev
+        return False
+
+
+def anchor_probe(col: Column, dtype) -> Column:
+    """Zero-length never-NULL string probe of ``col`` suitable as a
+    fold anchor (dtype-aware: complex types can't cast to string)."""
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        p = F.size(col).cast("string")
+    elif isinstance(dtype, T.StructType):
+        p = F.to_json(col)
+    elif isinstance(dtype, T.VariantType):
+        p = col.try_cast("string")
+    else:
+        p = col.cast("string")
+    return F.coalesce(F.substring(p, 1, 0), F.lit(""))
+
 
 class TypedFallback(Exception):
     """The expression needs the general variant engine."""
@@ -192,11 +244,20 @@ def _is_null(dt) -> bool:
     return isinstance(dt, T.NullType)
 
 
-def _terr(dtype, kind: str, message: str, path: str) -> Column:
-    """Typed error column: raise in strict mode, NULL in lenient."""
+def _terr(dtype, kind: str, message: str, path: str,
+          code: str | None = None) -> Column:
+    """Typed error column: raise in strict mode, NULL in lenient.
+
+    The raise is anchored (non-foldable) when a fold anchor is
+    installed — see :class:`fold_anchor`."""
     if lenient_on():
         return F.lit(None).cast(dtype)
-    return V.raise_err(kind, message, path, None).cast(dtype)
+    anchor = _fold_anchor()
+    if anchor is None:
+        return V.raise_err(kind, message, path, code).cast(dtype)
+    from ..errors import encode_engine_error
+    encoded = encode_engine_error(kind, message, path, code)
+    return F.raise_error(F.concat(F.lit(encoded), anchor)).cast(dtype)
 
 
 def _probe0(o: "TVal") -> Column:
@@ -229,6 +290,9 @@ def _terr_forced(operands: list["TVal"], dtype, kind: str, message: str,
         return F.lit(None).cast(dtype)
     probes = [_probe0(o) for o in operands
               if o.errs and not o.missing and not _is_null(o.dtype)]
+    anchor = _fold_anchor()
+    if anchor is not None:
+        probes.append(anchor)
     if not probes:
         return _terr(dtype, kind, message, path)
     from ..errors import encode_engine_error
@@ -394,7 +458,7 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
 # --- static coercions ---------------------------------------------------
 
 def t_str(v: TVal, path: str,
-          msg: str = "value must be a string, number, or boolean") -> Column:
+          msg: str = "value must be string/number/bool") -> Column:
     """``value_to_string`` with compile-time dispatch
     (``transform.rs:5774-5800``, integral rendering ``:5903-5923``)."""
     dt = v.dtype
@@ -435,6 +499,103 @@ def t_bool(v: TVal, path: str,
     if _is_null(v.dtype):
         return F.lit(None).cast("boolean")
     return _terr("boolean", "expr_error", msg, path)
+
+
+# --- v2-native converters (typed mirrors of variant.as_string_v2 /
+# as_number_v2; ``v2_eval.rs:1257-1304``) ----------------------------------
+
+def t_json_text(v: TVal) -> Column:
+    """Canonical JSON text of a typed value — the ``%%DBG%%`` payload
+    rendered to the serde Debug form at the error boundary."""
+    dt = v.dtype
+    if _is_null(dt):
+        return F.lit("null")
+    if _is_bool(dt) or _is_int(dt):
+        s = v.col.cast("string")
+    elif _is_num(dt):
+        s = v.col.cast("double").cast("string")  # 1.0E20 is valid JSON
+    elif _is_str(dt):
+        j = F.to_json(F.array(v.col))            # JSON-escape via array
+        s = j.substr(F.lit(2), F.length(j) - F.lit(2))
+    else:
+        canon, _cdt = _json_canon(v.col, dt)
+        s = F.to_json(canon, {"ignoreNullFields": "false"})
+    return F.coalesce(s, F.lit("null"))
+
+
+def _terr_got(dtype, kind: str, message_prefix: str, v: TVal,
+              path: str) -> Column:
+    """``_terr`` whose message embeds ``v``'s Debug rendering
+    (reference ``format!("…, got {:?}", value)``)."""
+    if lenient_on():
+        return F.lit(None).cast(dtype)
+    from ..errors import encode_engine_error_msg_parts
+    prefix, suffix = encode_engine_error_msg_parts(kind, message_prefix,
+                                                   path)
+    parts = [F.lit(prefix + "%%DBG:"),
+             F.hex(F.encode(t_json_text(v), "UTF-8")),
+             F.lit("%%" + suffix)]
+    anchor = _fold_anchor()
+    if anchor is not None:
+        parts.append(anchor)
+    return F.raise_error(F.concat(*parts)).cast(dtype)
+
+
+def t_str_v2(v: TVal, path: str,
+             prefix: str = "expected string, got ", *,
+             protocol_null: bool = True) -> Column:
+    """``eval_value_as_string`` (``v2_eval.rs:1257-1276``), typed:
+    string as-is, number via serde Display (``2.0`` → ``"2.0"``), bool
+    text; null / containers → ``expected string, got {:?}``.  Missing
+    rows never evaluate this (the _seq protocol short-circuits first).
+
+    ``protocol_null=True`` (callers running the _seq/null_msg protocol
+    with the rendered-Null wording): skip the redundant in-place
+    runtime-null wrap — the protocol's cheap isNull guard already
+    raises the same error first."""
+    dt = v.dtype
+    null_err = _terr("string", "expr_error", prefix + "Null", path)
+    if _is_null(dt):
+        return null_err
+    if _is_str(dt):
+        base = v.col
+    elif _is_bool(dt) or _is_int(dt):
+        base = v.col.cast("string")
+    elif _is_num(dt):
+        d = v.col.cast("double")
+        base = V.serde_float_text(d.cast("string"), d)
+    else:
+        return _terr_got("string", "expr_error", prefix, v, path)
+    if protocol_null:
+        return base
+    return F.when(v.col.isNull(), null_err).otherwise(base)
+
+
+def t_num_v2(v: TVal, path: str,
+             prefix: str = "expected number, got ", *,
+             protocol_null: bool = True) -> Column:
+    """``eval_value_as_number`` (``v2_eval.rs:1278-1304``), typed:
+    numbers → f64; strings parse (else ``failed to parse string as
+    number``); null / bool / containers → ``expected number, got
+    {:?}``.  ``protocol_null`` as in :func:`t_str_v2`."""
+    dt = v.dtype
+    null_err = _terr("double", "expr_error", prefix + "Null", path)
+    if _is_null(dt):
+        return null_err
+    if _is_num(dt):
+        base = v.col.cast("double")
+    elif _is_str(dt):
+        parsed = v.col.try_cast("double")
+        base = F.when(parsed.isNotNull(), parsed).otherwise(
+            _terr("double", "expr_error",
+                  "failed to parse string as number", path))
+    elif _is_bool(dt):
+        base = _terr_got("double", "expr_error", prefix, v, path)
+    else:
+        return _terr_got("double", "expr_error", prefix, v, path)
+    if protocol_null:
+        return base
+    return F.when(v.col.isNull(), null_err).otherwise(base)
 
 
 def _json_num_repr(v: TVal) -> Column:
@@ -925,26 +1086,25 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             # branches are missing), so defer to the variant bridge
             raise TypedFallback("if with both branches missing")
 
-        if step.else_branch is not None \
-                and step.then_branch == step.else_branch:
-            # structurally identical branches compile to identical
-            # expressions — SimplifyConditionals collapses the CASE
-            # and discards the (possibly raising) condition
-            raise TypedFallback("if branches structurally identical")
-
-        def _null_const(v: TVal) -> bool:
-            # branch expression that may constant-fold to a bare NULL
-            return v.missing or (v.const and (v.maybe_missing
-                                              or _is_null(v.dtype)))
-        if _null_const(then_v) and _null_const(else_v):
-            # Catalyst folds when(c, null).otherwise(null) → null,
-            # DISCARDING the condition and any raise inside it
-            # (SimplifyConditionals collapses identical deterministic
-            # branches) — the reference evaluates the condition first,
-            # so its errors must survive; defer (r6 fuzz: all-constant
-            # pipe ending in an if over a missing comparison)
-            raise TypedFallback("if branches may fold to identical "
-                                "NULL constants")
+        # The reference evaluates pipe value → condition → taken
+        # branch, in that order, and evaluates the condition even when
+        # both branches agree.  Catalyst breaks both properties on
+        # foldable shapes: SimplifyConditionals collapses a CASE whose
+        # branches fold to the same constant (structurally identical
+        # OR distinct-but-equal, e.g. [1] vs [0, {add: [1]}] — the r6
+        # "constant-fold residual"), deleting the condition and any
+        # raise inside it; and a step whose cond/branches never
+        # reference the incoming pipe drops the pipe's own errors.
+        # Forcing the condition (then the incoming pipe, outermost)
+        # into the result closes both: _force keeps the probes
+        # collapse-proof, and anchored raises (fold_anchor) keep the
+        # probes non-foldable even over all-constant pipes.  This
+        # replaces the r6 structural-identity / identical-NULL
+        # TypedFallback guards — stronger (covers distinct-but-equal
+        # branches) and cheaper (no variant re-run).
+        col = _force(_chk(c), col)
+        if cur.errs and not cur.missing and not _is_null(cur.dtype):
+            col = _force(_probe0(cur), col)
         # runtime tri-state: the result is missing when the TAKEN
         # branch is missing (statically or by its own missing_when);
         # unresolved branches keep the result unresolved
@@ -966,6 +1126,11 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             return TVal(col, dt, maybe_missing=True,
                         const=if_const), scope
         mw = tm | em
+        if cur.errs and not cur.missing and not _is_null(cur.dtype):
+            # rows resolved through the missing predicate never touch
+            # the value column — the incoming pipe's errors must still
+            # fire there (reference evaluates the pipe value first)
+            mw = _force(_probe0(cur), mw)
         return TVal(col, dt, maybe_missing=True, missing_when=mw,
                     const=if_const), scope
     if isinstance(step, RefStep):
@@ -1012,13 +1177,14 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         # a runtime-missing ARRAY propagates via the carried predicate;
         # a runtime NULL that is NOT missing errors — the v2 map step
         # requires an array ("map step requires array, got Null",
-        # v2_eval.rs:973; variant op_map parity)
+        # v2_eval.rs:965-977)
         result_dt = T.ArrayType(out["v"].dtype)
         not_missing = (~_mw(cur) if cur.missing_when is not None
                        else F.lit(True))
         mapped = F.when(
             arr.isNull() & not_missing,
-            _terr(result_dt, "expr_error", "map requires an array",
+            _terr(result_dt, "expr_error",
+                  "map step requires array, got Null",
                   path)).otherwise(mapped)
         return TVal(mapped, result_dt,
                     maybe_missing=cur.maybe_missing,
@@ -1220,18 +1386,21 @@ def _toperands(scope: TScope, cur: TVal, args, path: str) -> list[TVal]:
 
 @_treg("concat")
 def t_concat(scope, cur, args, path):
+    """v2 concat: parts via ``eval_value_as_string`` — serde-Display
+    numbers (2.0 → "2.0"), containers → "expected string, got {:?}",
+    null via the positional protocol with the rendered-Null wording
+    (``v2_eval.rs:1820-1843``)."""
     ops = _toperands(scope, cur, args, path)
-    parts = [t_str(o, path, "concat parts must be stringifiable")
-             for o in ops]
-    # per-arg value_to_string check interleaves with missing/null
-    # (transform.rs:1403-1432): concat(array_lit, missing) is a
-    # stringify error, not missing.  Operands whose conversion cannot
-    # raise (str/bool/num/null dtypes) skip the probe — each probe is
+    parts = [t_str_v2(o, path) for o in ops]
+    # per-arg value_as_string check interleaves with missing/null:
+    # concat(array_lit, missing) is a stringify error, not missing.
+    # Operands whose conversion cannot raise once null is handled by
+    # the protocol (scalar dtypes) skip the probe — each probe is
     # another full operand reference and multiplies the tree per level
     checks = [None if _str_conv_safe(o) else _chk(pt)
               for o, pt in zip(ops, parts)]
     return _seq(ops, path, F.concat(*parts), T.StringType(),
-                null_msg="concat does not accept null",
+                null_msg="expected string, got Null",
                 checks=checks)
 
 
@@ -1274,16 +1443,13 @@ def _str_conv_safe(o: "TVal") -> bool:
 
 
 def _t_unary_string(scope, cur, args, path, fn):
+    """v2 trim/lowercase/uppercase: ``eval_value_as_string`` — numbers
+    and bools stringify (serde Display), null/containers → "expected
+    string, got {:?}" (``v2_eval.rs:1792-1811``)."""
     ops = _toperands(scope, cur, args, path)
-    if not _is_str(ops[0].dtype) and not _is_null(ops[0].dtype):
-        # constant-raise result: force operand evaluation first (the
-        # reference evaluates the operand before the type check, and a
-        # constant raise drops every operand reference otherwise)
-        return _seq(ops, path,
-                    _terr_forced(ops, "string", "expr_error",
-                                 "value must be a string", path),
-                    T.StringType())
-    return _seq(ops, path, fn(t_str(ops[0], path)), T.StringType())
+    s = t_str_v2(ops[0], path)
+    return _seq(ops, path, fn(s), T.StringType(),
+                null_msg="expected string, got Null")
 
 
 @_treg("trim")
@@ -1355,6 +1521,11 @@ def t_to_string(scope, cur, args, path):
         canon, _dt = _json_canon(o.col, o.dtype)
         # match the variant rendering: keys sorted, nulls KEPT
         rendered = F.to_json(canon, {"ignoreNullFields": "false"})
+    elif _is_num(o.dtype) and not _is_int(o.dtype):
+        # serde Display: integral floats keep .0 (v2_eval.rs:1818
+        # ``n.to_string()``), unlike the v1 integral trim
+        d = o.col.cast("double")
+        rendered = V.serde_float_text(d.cast("string"), d)
     else:
         rendered = t_str(o, path)
     col = F.when(_isnull(o), F.lit("null")).otherwise(rendered)
@@ -1372,9 +1543,12 @@ def _t_arith(scope, cur, args, path, op):
     they interleave with the missing short-circuit via _seq checks:
     ``divide(x, 0, missing)`` raises, ``add("x", missing)`` raises."""
     ops = _toperands(scope, cur, args, path)
-    nums = [t_num(o, path, "operand must be a number") for o in ops]
-    # conversion probes only where t_num can actually raise — extra
-    # operand references multiply the expression tree per pipe level
+    # v2: eval_value_as_number — strings parse ("failed to parse
+    # string as number"), null/bool/containers → "expected number,
+    # got {:?}" (null via the protocol's rendered-Null wording)
+    nums = [t_num_v2(o, path) for o in ops]
+    # conversion probes only where the converter can actually raise —
+    # extra operand references multiply the expression tree per level
     checks: list[Column | None] = [
         None if _is_num(o.dtype) or _is_null(o.dtype) else _chk(n)
         for o, n in zip(ops, nums)]
@@ -1393,7 +1567,8 @@ def _t_arith(scope, cur, args, path, op):
             checks[i] = F.when(n == 0.0, zerr.cast("string")
                                ).otherwise(base)
             acc = F.when(n == 0.0, zerr).otherwise(acc / n)
-    return _seq(ops, path, acc, T.DoubleType(), checks=checks)
+    return _seq(ops, path, acc, T.DoubleType(),
+                null_msg="expected number, got Null", checks=checks)
 
 
 for _name in ("+", "-", "*", "/"):
@@ -1471,13 +1646,35 @@ def _t_and_or(scope, cur, args, path, *, is_and: bool):
 
 @_treg("not")
 def t_not(scope, cur, args, path):
+    """Null routes through ``value_as_bool`` → "value must be a
+    boolean" (``v2_eval.rs:2528-2534``), not the generic null
+    protocol."""
     ops = _toperands(scope, cur, args, path)
-    return _seq(ops, path, ~t_bool(ops[0], path), T.BooleanType())
+    o = ops[0]
+    if not _is_bool(o.dtype):
+        col = _terr_forced(ops, "boolean", "expr_error",
+                           "value must be a boolean", path)
+    else:
+        col = ~o.col
+    return _seq(ops, path, col, T.BooleanType(),
+                null_msg="value must be a boolean")
 
 
 @_treg("string")
 def t_cast_string(scope, cur, args, path):
-    return t_to_string(scope, cur, args, path)
+    """v2 string CAST is STRICT ``value_to_string`` — null and
+    containers ERROR "value must be string/number/bool" and integral
+    floats render trimmed, unlike ``to_string``'s render-anything
+    (``eval_type_cast`` → ``value_to_string``, ``v2_eval.rs:1747,
+    1664-1675``)."""
+    ops = _toperands(scope, cur, args, path)
+    o = ops[0]
+    msg = "value must be string/number/bool"
+    if _str_conv_safe(o) and not _is_null(o.dtype):
+        col = t_str(o, path)
+    else:
+        col = _terr_forced(ops, "string", "expr_error", msg, path)
+    return _seq(ops, path, col, T.StringType(), null_msg=msg)
 
 
 @_treg("int")
@@ -1491,16 +1688,20 @@ def t_cast_int(scope, cur, args, path):
     elif _is_num(dt):
         d = o.col.cast("double")
         col = F.when(d == F.floor(d), d.cast("long")).otherwise(
-            _terr("long", "type_cast_failed", "failed to cast to int", path))
+            _terr("long", "expr_error", "failed to cast to int", path))
     elif _is_str(dt):
         parsed = o.col.try_cast("long")
         col = F.when(parsed.isNotNull(), parsed).otherwise(
-            _terr("long", "type_cast_failed", "failed to cast to int", path))
+            _terr("long", "expr_error", "failed to cast to int", path))
     elif _is_null(dt):
-        col = F.lit(None).cast("long")
+        # a null VALUE hits cast_to_int's catch-all, it is not the
+        # generic null protocol (v2_eval.rs:1696; kind ExprError :1734)
+        col = _terr("long", "expr_error", "failed to cast to int", path)
     else:
-        col = _terr("long", "type_cast_failed", "failed to cast to int", path)
-    return _seq(ops, path, col, T.LongType())
+        col = _terr_forced(ops, "long", "expr_error",
+                           "failed to cast to int", path)
+    return _seq(ops, path, col, T.LongType(),
+                null_msg="failed to cast to int")
 
 
 @_treg("float")
@@ -1515,14 +1716,16 @@ def t_cast_float(scope, cur, args, path):
         finite = parsed.isNotNull() & ~F.isnan(parsed) & \
             (F.abs(parsed) != F.lit(float("inf")))
         col = F.when(finite, parsed).otherwise(
-            _terr("double", "type_cast_failed", "failed to cast to float",
+            _terr("double", "expr_error", "failed to cast to float",
                   path))
     elif _is_null(dt):
-        col = F.lit(None).cast("double")
-    else:
-        col = _terr("double", "type_cast_failed", "failed to cast to float",
+        col = _terr("double", "expr_error", "failed to cast to float",
                     path)
-    return _seq(ops, path, col, T.DoubleType())
+    else:
+        col = _terr_forced(ops, "double", "expr_error",
+                           "failed to cast to float", path)
+    return _seq(ops, path, col, T.DoubleType(),
+                null_msg="failed to cast to float")
 
 
 @_treg("bool")
@@ -1536,14 +1739,16 @@ def t_cast_bool(scope, cur, args, path):
         lowered = F.lower(o.col)
         col = F.when(lowered.isin("true", "false"),
                      lowered == "true").otherwise(
-            _terr("boolean", "type_cast_failed", "failed to cast to bool",
+            _terr("boolean", "expr_error", "failed to cast to bool",
                   path))
     elif _is_null(dt):
-        col = F.lit(None).cast("boolean")
-    else:
-        col = _terr("boolean", "type_cast_failed", "failed to cast to bool",
+        col = _terr("boolean", "expr_error", "failed to cast to bool",
                     path)
-    return _seq(ops, path, col, T.BooleanType())
+    else:
+        col = _terr_forced(ops, "boolean", "expr_error",
+                           "failed to cast to bool", path)
+    return _seq(ops, path, col, T.BooleanType(),
+                null_msg="failed to cast to bool")
 
 
 # --- string/numeric/date ops beyond the core subset ---------------------
@@ -2471,8 +2676,9 @@ def _t_int_elems(arr: Column, et: T.DataType, path: str) -> Column:
                             "(runtime-dependent JSON number type)")
     return F.transform(arr, lambda x: F.when(
         x.isNull(),
-        V.raise_err("expr_error", "array item must be a number",
-                    path).cast("double")).otherwise(x.cast("double")))
+        _terr(T.DoubleType(), "expr_error",
+              "array item must be a number",
+              path)).otherwise(x.cast("double")))
 
 
 @_treg("sum")
@@ -2511,26 +2717,44 @@ def t_max(scope, cur, args, path):
     return TVal(res, T.LongType())
 
 
+def _t_first_last(cur: TVal, path: str, op_name: str, pick) -> TVal:
+    """v2 first/last (``v2_eval.rs:2416-2445``): empty → missing;
+    a runtime JSON null is NOT folded to empty — it errors with the
+    rendered value ("first requires array, got Null").  Both the
+    value column AND the missing predicate raise on null rows (a
+    downstream ``when(mw, NULL)`` must not skip the error)."""
+    arr, et = _t_arr_in(cur, path, null_to_empty=False)
+    isn = arr.isNull()
+    if cur.missing_when is not None:
+        isn = isn & ~_mw(cur)
+    nerr = f"{op_name} requires array, got Null"
+    el = pick(arr)
+    empty = F.size(arr) == 0
+    col = (F.when(isn, _terr(et, "expr_error", nerr, path))
+           .when(empty, F.lit(None).cast(et))
+           .otherwise(F.coalesce(el, F.lit(None).cast(et))))
+    mw = (F.when(isn, _terr(T.BooleanType(), "expr_error", nerr, path))
+          .otherwise(F.coalesce(empty, F.lit(True))))
+    if cur.missing_when is not None:
+        mw = F.when(_mw(cur), F.lit(True)).otherwise(mw)
+        col = F.when(_mw(cur), F.lit(None).cast(et)).otherwise(col)
+    return TVal(col, et, maybe_missing=True, missing_when=mw)
+
+
 @_treg("first")
 def t_first(scope, cur, args, path):
     """first element; empty → missing (``v2_eval.rs:2416-2430``) —
     runtime-missing exactly when the array is empty, tracked as the
     ``missing_when`` predicate (strict consumers then propagate
     missing in-plan instead of falling back)."""
-    arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    el = F.try_element_at(arr, F.lit(1))
-    mw = F.size(arr) == 0
-    return TVal(F.when(mw, F.lit(None).cast(et)).otherwise(el), et,
-                maybe_missing=True, missing_when=mw)
+    return _t_first_last(cur, path, "first",
+                         lambda arr: F.try_element_at(arr, F.lit(1)))
 
 
 @_treg("last")
 def t_last(scope, cur, args, path):
-    arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    el = F.try_element_at(arr, F.size(arr))
-    mw = F.size(arr) == 0
-    return TVal(F.when(mw, F.lit(None).cast(et)).otherwise(el), et,
-                maybe_missing=True, missing_when=mw)
+    return _t_first_last(cur, path, "last",
+                         lambda arr: F.try_element_at(arr, F.size(arr)))
 
 
 @_treg("flatten")
@@ -2566,6 +2790,49 @@ def _copy_tree(tree: dict) -> dict:
             for k, v in tree.items()}
 
 
+def _anchor_field(rule: "RuleFile", schema: T.StructType) -> str:
+    """Pick the fold-anchor column: the first input field the rule
+    already references, so anchoring every raise message never widens
+    the parquet ReadSchema (column pruning keeps holding at scale).
+    Falls back to the first schema field for rules that read no input
+    column at all (then one narrow column read is unavoidable)."""
+    import dataclasses as _dc
+    names = {f.name for f in schema.fields}
+    found: list[str] = []
+
+    def head_of(path: str) -> str:
+        return path.split(".")[0].split("[")[0]
+
+    def walk(x):
+        if found:
+            return
+        if isinstance(x, str):
+            if x.startswith("@input."):
+                h = head_of(x[len("@input."):])
+                if h in names:
+                    found.append(h)
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif isinstance(x, Mapping):
+            if x.source and head_of(x.source) in names:
+                found.append(head_of(x.source))
+                return
+            for f in _dc.fields(x):
+                walk(getattr(x, f.name))
+        elif _dc.is_dataclass(x) and not isinstance(x, type):
+            for f in _dc.fields(x):
+                walk(getattr(x, f.name))
+
+    walk(rule.record_when)
+    walk(rule.mappings)
+    walk(rule.steps)
+    return found[0] if found else schema.fields[0].name
+
+
 class TypedRuleCompiler:
     """Compile a v2 rule (mappings / steps, incl. branch) against a
     typed DataFrame.
@@ -2593,13 +2860,26 @@ class TypedRuleCompiler:
         self._df = df
         self._schema = df.schema
         self._n = 0
-        out_tree, keep = self._flow(self.rule, input_tree=None, gate=None,
-                                    base_dir=self.base_dir)
-        outputs = [self._out_col(v, name)
-                   for name, v in out_tree.items()]
-        if not outputs:
-            raise TypedFallback("rule produces no typed targets")
-        return self._df.filter(keep).select(*outputs)
+        # fold anchor: one projected zero-length probe of a real input
+        # column; every _terr references it by attribute so no raise
+        # in this rule's plan is constant-foldable (positional error
+        # order survives all-constant pipes)
+        anchor = None
+        if df.schema.fields:
+            fname = _anchor_field(self.rule, df.schema)
+            fdt = df.schema[fname].dataType
+            probe = anchor_probe(F.col(fname), fdt)
+            self._df = self._df.select("*",
+                                       probe.alias("__terr_anchor__"))
+            anchor = F.col("__terr_anchor__")
+        with fold_anchor(anchor):
+            out_tree, keep = self._flow(self.rule, input_tree=None,
+                                        gate=None, base_dir=self.base_dir)
+            outputs = [self._out_col(v, name)
+                       for name, v in out_tree.items()]
+            if not outputs:
+                raise TypedFallback("rule produces no typed targets")
+            return self._df.filter(keep).select(*outputs)
 
     # -- record flow ---------------------------------------------------
 
@@ -2708,12 +2988,12 @@ class TypedRuleCompiler:
                             live = live & ~state["returned"]
                         guard = F.when(
                             live & ~F.coalesce(acond, F.lit(False)),
-                            V.raise_err("assert_failed",
-                                        f"assert failed: "
-                                        f"{a.error.code}: "
-                                        f"{a.error.message}",
-                                        apath, a.error.code)
-                            .cast("boolean")).otherwise(F.lit(True))
+                            _terr(T.BooleanType(), "assert_failed",
+                                  f"assert failed: "
+                                  f"{a.error.code}: "
+                                  f"{a.error.message}",
+                                  apath, a.error.code)
+                            ).otherwise(F.lit(True))
                         state["keep"] = self._add(state["keep"] & guard,
                                                   "k")
                 if step.branch is not None:
@@ -2910,9 +3190,9 @@ class TypedRuleCompiler:
             if m.has_default:
                 return _py_literal(m.default, path)
             if m.required:
-                return TVal(V.raise_err("missing_required",
-                                        "required value is missing", path)
-                            .cast("string"), T.StringType())
+                return TVal(_terr(T.StringType(), "missing_required",
+                                  "required value is missing", path),
+                            T.StringType())
             return None
 
         col, dtype = value.col, value.dtype
@@ -2934,11 +3214,10 @@ class TypedRuleCompiler:
             col, dtype = casted.col, casted.dtype
         if m.required:
             is_miss = _mw(value) if mw is not None else F.lit(False)
-            on_miss = V.raise_err("missing_required",
-                                  "required value is missing",
-                                  path).cast(dtype)
-            on_null = V.raise_err("missing_required",
-                                  "required value is null", path).cast(dtype)
+            on_miss = _terr(dtype, "missing_required",
+                            "required value is missing", path)
+            on_null = _terr(dtype, "missing_required",
+                            "required value is null", path)
             col = (F.when(is_miss, on_miss)
                    .when(_isnull(value), on_null).otherwise(col))
         elif m.value_type is not None:

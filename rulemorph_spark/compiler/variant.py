@@ -140,7 +140,7 @@ def num_to_variant(d: Column) -> Column:
 
 
 def to_string_strict(v: Column, path: str,
-                     msg: str = "value must be a string, number, or boolean") -> Column:
+                     msg: str = "value must be string/number/bool") -> Column:
     """``value_to_string`` (``transform.rs:5774-5800``): string/number/bool →
     string with integral-float rendering (``number_to_string``
     ``transform.rs:5903-5923``); null/object/array → error.
@@ -182,6 +182,113 @@ def to_bool_strict(v: Column, path: str,
         F.when(v.isNull(), F.lit(None).cast("boolean"))
         .when(is_bool(v), v.try_cast("boolean"))
         .otherwise(raise_err("expr_error", msg, path).cast("boolean"))
+    )
+
+
+# --- v2-native converters (``v2_eval.rs:1257-1304``) -----------------------
+
+def dbg_marker(v: Column) -> Column:
+    """``%%DBG:<hex-of-json>%%`` message fragment: the value's
+    canonical JSON, hex-encoded (JSON-string-safe), rendered to the
+    exact serde Debug form (``Object {"a": Number(1)}``) by
+    ``errors.decode_dbg_message`` at the error boundary — the plan
+    carries one ``to_json``+``hex`` instead of a ~30 KB recursive
+    renderer per error site."""
+    return F.concat(F.lit("%%DBG:"),
+                    F.hex(F.encode(strict_json(v), "UTF-8")),
+                    F.lit("%%"))
+
+
+def raise_err_got(kind: str, message_prefix: str, v: Column,
+                  path: str | None = None,
+                  extra: "Column | None" = None) -> Column:
+    """``raise_err`` whose message embeds the offending value's Debug
+    rendering (reference ``format!("…, got {:?}", v)``).  ``extra``:
+    optional zero-length probe appended to keep the raise non-foldable
+    (typed fold anchor)."""
+    from ..errors import encode_engine_error_msg_parts
+    prefix, suffix = encode_engine_error_msg_parts(kind, message_prefix,
+                                                   path)
+    parts = [F.lit(prefix), dbg_marker(v), F.lit(suffix)]
+    if extra is not None:
+        parts.append(extra)
+    return F.raise_error(F.concat(*parts))
+
+
+def serde_float_text(s: Column, d: Column) -> Column:
+    """serde_json float Display (ryu) from a number's text ``s`` and
+    double value ``d``: integral floats KEEP ``.0`` (``2.0``),
+    exponents bare-``e`` shortest (``1e20``, ``1.23e-7``).
+
+    Spark renders DOUBLE via Java ``Double.toString`` (scientific from
+    1e7 / below 1e-3); ryu keeps plain text for exponents in [-4, 16) —
+    expand through an exact decimal in that zone, and normalize Java's
+    ``1.0E20`` to ryu's ``1e20`` outside it."""
+    has_e = s.rlike("[eE]")
+    plain_zone = (F.abs(d) >= 1e-4) & (F.abs(d) < 1e16)
+    dec = F.regexp_replace(d.cast("decimal(38,18)").cast("string"),
+                           r"(\.\d*?)0+$", r"$1")
+    dec = F.regexp_replace(dec, r"\.$", ".0")
+    dec = F.when(dec.contains("."), dec).otherwise(
+        F.concat(dec, F.lit(".0")))
+    mant = F.regexp_extract(s, r"^([^eE]+)", 1)
+    exp = F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1)
+    mant = F.regexp_replace(mant, r"\.0$", "")
+    exp = F.regexp_replace(F.regexp_replace(exp, r"^\+", ""),
+                           r"^(-?)0+(\d)", r"$1$2")
+    efmt = F.concat(mant, F.lit("e"), exp)
+    return (F.when(~has_e,
+                   F.when(s.contains("."), s).otherwise(
+                       F.concat(s, F.lit(".0"))))
+            .when(plain_zone, dec)
+            .otherwise(efmt))
+
+
+def serde_num_str(v: Column) -> Column:
+    """serde_json ``Number`` Display of a variant number (``n.to_string()``
+    in ``eval_value_as_string``, ``v2_eval.rs:1266``): integers plain,
+    floats via ryu — integral floats KEEP ``.0`` (``2.0`` → ``"2.0"``,
+    unlike v1's ``number_to_string`` integral trim)."""
+    flt = serde_float_text(v.try_cast("string"), v.try_cast("double"))
+    int_kind = _serde_int_kind(v)
+    return F.when(int_kind, v.try_cast("decimal(38,0)").cast("string")) \
+        .otherwise(flt)
+
+
+def as_string_v2(v: Column, path: str, prefix: str = "expected string, got "
+                 ) -> Column:
+    """``eval_value_as_string`` (``v2_eval.rs:1257-1276``): string as-is,
+    number via serde Display (``2.0`` → ``"2.0"``), bool text; null /
+    array / object → ``expected string, got {:?}``.  Missing → SQL NULL
+    (callers run the positional protocol)."""
+    t = typeof(v)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(t == "STRING", v.try_cast("string"))
+        .when(t == "BOOLEAN", v.try_cast("string"))
+        .when(is_number(v), serde_num_str(v))
+        .otherwise(raise_err_got("expr_error", prefix, v, path)
+                   .cast("string"))
+    )
+
+
+def as_number_v2(v: Column, path: str, prefix: str = "expected number, got "
+                 ) -> Column:
+    """``eval_value_as_number`` (``v2_eval.rs:1278-1304``): numbers →
+    f64; strings parse (else ``failed to parse string as number``);
+    null / bool / array / object → ``expected number, got {:?}``.
+    Missing → SQL NULL (callers run the positional protocol)."""
+    t = typeof(v)
+    parsed = v.try_cast("string").try_cast("double")
+    return (
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(is_number(v), v.try_cast("double"))
+        .when((t == "STRING") & parsed.isNotNull(), parsed)
+        .when(t == "STRING",
+              raise_err("expr_error", "failed to parse string as number",
+                        path).cast("double"))
+        .otherwise(raise_err_got("expr_error", prefix, v, path)
+                   .cast("double"))
     )
 
 

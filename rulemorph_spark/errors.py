@@ -94,6 +94,94 @@ def encode_engine_error_parts(kind: str, message: str,
     return _MARKER + base[:-1] + ', "path": "', '"}'
 
 
+def encode_engine_error_msg_parts(kind: str, message_prefix: str,
+                                  path: str | None = None,
+                                  code: str | None = None
+                                  ) -> tuple[str, str]:
+    """(prefix, suffix) around a DYNAMIC message TAIL — for the
+    reference's value-embedding errors (``expected string, got {:?}``,
+    ``v2_eval.rs:1270``).  The spliced column must be JSON-string-safe;
+    use a ``%%DBG:<hex>%%`` marker (see :func:`decode_dbg_message`) for
+    arbitrary values."""
+    payload = {"kind": normalize_kind(kind)}
+    if path is not None:
+        payload["path"] = path
+    if code is not None:
+        payload["code"] = code
+    base = json.dumps(payload)
+    msg = json.dumps(message_prefix)
+    return _MARKER + base[:-1] + ', "message": ' + msg[:-1], '"}'
+
+
+# --- value-embedding messages (``got {:?}``) ------------------------------
+# A raise message cannot cheaply carry an arbitrarily-nested value's
+# Rust Debug rendering as a Column expression (a runtime recursive
+# renderer costs ~30 KB of plan text per error site), so the plan
+# embeds the value's canonical JSON hex-encoded inside a marker and
+# the DRIVER renders the exact serde_json Debug form when the error is
+# extracted.  Zero cost on non-error rows; exact reference wording.
+
+_DBG_RE = re.compile(r"%%DBG:([0-9A-Fa-f]*)%%")
+
+
+def _is_int_kind(n) -> bool:
+    return isinstance(n, int) and not isinstance(n, bool)
+
+
+def serde_float_str(f: float) -> str:
+    """serde_json ``Number`` Display for floats (ryu): shortest
+    round-trip, ``.0`` kept on integral values, bare ``e`` exponents
+    (``1e20``, ``1.23e-7``)."""
+    s = repr(float(f))
+    if "e" in s or "E" in s:
+        mant, _, exp = s.lower().partition("e")
+        exp = exp.lstrip("+")
+        neg = exp.startswith("-")
+        exp = exp.lstrip("-").lstrip("0") or "0"
+        if mant.endswith(".0"):
+            mant = mant[:-2]
+        return f"{mant}e{'-' if neg else ''}{exp}"
+    if "." not in s:
+        s += ".0"
+    return s
+
+
+def render_serde_debug(v) -> str:
+    """serde_json ``Value``'s Debug rendering (the ``{:?}`` form the
+    reference embeds in v2 error messages): ``Null`` / ``Bool(true)``
+    / ``Number(2.5)`` / ``String("s")`` / ``Array [..]`` /
+    ``Object {"k": ..}`` (keys already canonical-sorted)."""
+    if v is None:
+        return "Null"
+    if isinstance(v, bool):
+        return f"Bool({'true' if v else 'false'})"
+    if _is_int_kind(v):
+        return f"Number({v})"
+    if isinstance(v, float):
+        return f"Number({serde_float_str(v)})"
+    if isinstance(v, str):
+        return f"String({json.dumps(v)})"
+    if isinstance(v, list):
+        return "Array [" + ", ".join(render_serde_debug(x) for x in v) + "]"
+    if isinstance(v, dict):
+        inner = ", ".join(f"{json.dumps(k)}: {render_serde_debug(x)}"
+                          for k, x in v.items())
+        return "Object {" + inner + "}"
+    return repr(v)  # pragma: no cover
+
+
+def decode_dbg_message(message: str) -> str:
+    """Replace every ``%%DBG:<hex-of-json>%%`` marker with the
+    serde_json Debug rendering of the encoded value."""
+    def _sub(m: re.Match) -> str:
+        try:
+            value = json.loads(bytes.fromhex(m.group(1)).decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return m.group(0)
+        return render_serde_debug(value)
+    return _DBG_RE.sub(_sub, message)
+
+
 def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
     """Recover a TransformEngineError from a Spark exception message."""
     text = str(exc)
@@ -132,7 +220,7 @@ def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
         return None
     return TransformEngineError(
         kind=payload.get("kind", EXPR_ERROR),
-        message=payload.get("message", ""),
+        message=decode_dbg_message(payload.get("message", "")),
         path=payload.get("path"),
         code=payload.get("code"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from rulemorph_spark.compiler.typed import TypedFallback
 from rulemorph_spark.engine import transform_table
+from rulemorph_spark.errors import decode_dbg_message
 
 RULE = """
 version: 2
@@ -76,7 +77,8 @@ def _run(df, rule, mode):
         if not m:
             raise
         err = json.loads(m.group(1))
-        return "err", {"kind": err["kind"], "message": err["message"]}
+        return "err", {"kind": err["kind"],
+                       "message": decode_dbg_message(err["message"])}
 
 
 def test_random_pipes_value_and_error_parity(spark):

@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 
 from rulemorph_spark.compiler.typed import TypedFallback
 from rulemorph_spark.engine import transform_table
+from rulemorph_spark.errors import decode_dbg_message
 
 RULE = """
 version: 2
@@ -111,7 +112,8 @@ def _run(df, rule, mode):
         if not m:
             raise
         err = json.loads(m.group(1))
-        return "err", {"kind": err["kind"], "message": err["message"]}
+        return "err", {"kind": err["kind"],
+                       "message": decode_dbg_message(err["message"])}
 
 
 def _fuzz(spark, df, ids, ops, starts, seed, iters, depth=(1, 3)):
@@ -191,7 +193,8 @@ def test_map_step_over_null_array_errors_both_engines(spark):
     for mode in ("typed", "variant"):
         kind, res = _run(df.filter(F.col("id") == 2), rule, mode)
         assert kind == "err", (mode, res)
-        assert res["message"] == "map requires an array", (mode, res)
+        assert res["message"] == "map step requires array, got Null", \
+            (mode, res)
         kind, res = _run(df.filter(F.col("id") == 1), rule, mode)
         assert kind == "ok" and res == {1: [2.0, 4.0]}, (mode, res)
 
@@ -263,7 +266,7 @@ def test_positional_operand_protocol(spark):
         assert kind == "ok" and res == {1: None}, (mode, kind, res)
         kind, res = _run(df, null_first, mode)
         assert (kind, res.get("message") if kind == "err" else res) == \
-            ("err", "concat does not accept null"), (mode, kind, res)
+            ("err", "expected string, got Null"), (mode, kind, res)
 
 
 def test_get_absent_field_over_errorable_base(spark):
@@ -365,7 +368,8 @@ def _run_doc(spark, records, rule_yaml):
         if not m:
             raise
         err = json.loads(m.group(1))
-        return "err", {"kind": err["kind"], "message": err["message"]}
+        return "err", {"kind": err["kind"],
+                       "message": decode_dbg_message(err["message"])}
     res = {}
     for rec, o in zip(records, out):
         rid = rec["id"]
@@ -462,9 +466,10 @@ def test_per_operand_op_checks_are_positional(spark):
         ('"@input.x", {divide: ["@input.absent", 0]}',
          ("ok", {1: None})),
         ('"@input.s", {concat: [{lit: [1, 2]}, "@input.absent"]}',
-         ("err", "concat parts must be stringifiable")),
+         ("err", 'expected string, got '
+                 'Object {"lit": Array [Number(1), Number(2)]}')),
         ('"@input.s", {add: ["@input.absent"]}',
-         ("err", "operand must be a number")),
+         ("err", "failed to parse string as number")),
         ('"@input.x", {add: ["@input.absent"]}', ("ok", {1: None})),
         ('"@input.x", {divide: [2]}', ("ok", {1: 4.0})),
     ]
