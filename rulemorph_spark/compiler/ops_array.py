@@ -443,7 +443,7 @@ def op_sort_by(scope, cur, args, path):
         if isinstance(lit, StartLiteral) and lit.value in ("asc", "desc"):
             order = lit.value
         else:
-            raise RuleError("expr_error", "sort order must be asc or desc",
+            raise RuleError("expr_error", "order must be asc or desc",
                             path)
 
     def key(x, i):
@@ -455,10 +455,18 @@ def op_sort_by(scope, cur, args, path):
         # v2_eval.rs:1515-1530; SortKey::Number carries a plain f64)
         finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
         ok = num | (t == "STRING") | (t == "BOOLEAN")
-        return (F.when(num & ~F.coalesce(finite, F.lit(False)),
-                       rerr("expr_error",
-                            "sort_by key must be a finite number",
+        # eval_v2_sort_key (v2_eval.rs:1486-1534): missing and null key
+        # expressions have their own wordings before the kind check
+        return (F.when(value.isNull(),
+                       rerr("expr_error", "expr arg must not be missing",
                             path).cast(V.VT))
+                .when(V.is_vnull(value),
+                      rerr("expr_error", "expr arg must not be null",
+                           path).cast(V.VT))
+                .when(num & ~F.coalesce(finite, F.lit(False)),
+                      rerr("expr_error",
+                           "sort_by key must be a finite number",
+                           path).cast(V.VT))
                 .when(ok, value)
                 .otherwise(rerr("expr_error",
                                 "sort_by key must be string/number/bool",

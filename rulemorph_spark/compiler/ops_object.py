@@ -154,9 +154,29 @@ def op_get(scope, cur, args, path):
         tokens = parse_path(path_literal, error_code="expr_error")
         result = V.navigate(base, tokens)
     else:
-        # dynamic single-key path (full dynamic dot-paths unsupported)
-        key = F.when(V.is_string(path_arg), path_arg.try_cast("string"))
-        result = V.get_key(base, F.coalesce(key, F.lit("")))
+        # dynamic path (``eval_json_get``, ``transform.rs:4446-4474``):
+        # non-string → "value must be a string", empty → "path must be
+        # a non-empty string", then dot/bracket navigation per segment
+        # (plain keys + [n] indexes; ``get_path`` absent → missing)
+        key = F.when(V.is_string(path_arg),
+                     path_arg.try_cast("string")).otherwise(
+            rerr("expr_error", "value must be a string",
+                 path).cast("string"))
+        key = F.when(key == "", rerr(
+            "expr_error", "path must be a non-empty string",
+            path).cast("string")).otherwise(key)
+
+        def _nav_seg(acc: Column, seg: Column) -> Column:
+            name = F.regexp_extract(seg, r"^([^\[\]]*)", 1)
+            idxs = F.regexp_extract_all(seg, F.lit(r"\[(\d+)\]"), 1)
+            keyed = F.when(name == "", acc).otherwise(V.get_key(acc, name))
+            return F.aggregate(
+                idxs, keyed,
+                lambda a, i: F.try_element_at(V.as_array(a),
+                                              i.cast("int") + 1))
+
+        result = F.aggregate(F.split(key, r"\.", -1), base.cast(V.VT),
+                             _nav_seg)
     return (
         F.when(base.isNull() | V.is_vnull(base), F.lit(None).cast(V.VT))
         .when(path_arg.isNull(), F.lit(None).cast(V.VT))

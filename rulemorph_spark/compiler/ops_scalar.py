@@ -271,7 +271,12 @@ def op_replace(scope, cur, args, path):
                             "replace mode must be all|regex|regex_all",
                             path).cast("string"))
         )
-        return seq_strict(list(ops), path, result.cast(V.VT))
+        # per-arg stringify order (eval_replace, transform.rs:2162-2200)
+        checks = [_chk(value), _chk(pattern), _chk(replacement)]
+        if len(ops) == 4:
+            checks.append(_chk(mode))
+        return seq_strict(list(ops), path, result.cast(V.VT),
+                          checks=checks)
 
     return _operands_bound(scope, cur, args, path, build)
 
@@ -342,7 +347,13 @@ def _pad(scope, cur, args, path, *, start: bool):
         # the reference returns the value unchanged (:2356-2373)
         result = F.when((F.length(value) >= length) | (pad == ""),
                         value).otherwise(padded)
-        return seq_strict(list(ops), path, result.cast(V.VT))
+        # per-arg conversion order (eval_pad, transform.rs:2284-2340):
+        # value stringifies BEFORE the length's null/int checks
+        checks = [_chk(value), _chk(length)]
+        if len(ops) == 3:
+            checks.append(_chk(pad))
+        return seq_strict(list(ops), path, result.cast(V.VT),
+                          checks=checks)
 
     return _operands_bound(scope, cur, args, path, build)
 
@@ -467,7 +478,13 @@ def op_round(scope, cur, args, path):
         rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
             F.ceil(scaled - 0.5))
         result = rounded.cast("double") / factor
-        return seq_strict(list(bound), path, V.num_to_variant(result))
+        # value converts before the scale's null/int checks
+        # (eval_round, transform.rs:2437-2476)
+        checks = [_chk(number)]
+        if len(bound) == 2:
+            checks.append(_chk(scale))
+        return seq_strict(list(bound), path, V.num_to_variant(result),
+                          checks=checks)
 
     return _operands_bound(scope, cur, args, path, build)
 

@@ -176,6 +176,13 @@ class TVal:
     # raising must fall back when both branches may fold (r6 fuzz: an
     # all-constant pipe ending in an if over a missing-compare).
     const: bool = False
+    # True ONLY for values that are PROVABLY never SQL NULL at runtime
+    # (currently: non-null scalar literals from _py_literal).  The
+    # t_coalesce presence-skip relies on this — an implicit
+    # const∧¬errs proxy would silently turn a missing result into
+    # JSON null the day an op returns errs=False for a const value
+    # that can still be NULL (ADVICE r6).
+    nonnull: bool = False
 
 
 def _mw(v: "TVal") -> Column:
@@ -368,34 +375,30 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
     # → coalesce(…, 1) → trim must raise the null error, not trim's
     # type error).  The probe condition references the operand cols,
     # so it can't constant-fold; it is always true at runtime.
-    missing_capable = any(o.missing or o.missing_when is not None
-                          for o in operands)
-    tainted = [o for o in operands
-               if o.errs and not o.missing and not _is_null(o.dtype)]
-    if tainted and missing_capable:
-        # only a missing short-circuit can leave the value path dead
-        # (dropping operand references); constant-raise results are
-        # forced at their op sites via _terr_forced instead — keeping
-        # this probe narrow matters, every extra operand reference
-        # multiplies the expression tree per pipe level
-        col = _force(F.concat(*[_probe0(o) for o in tainted]), col)
-    # An errorable operand FOLLOWED by a possibly-missing one can lose
-    # its raise: on the missing rows the value path is dead, leaving
-    # only this operand's isNull/missing probes to force evaluation —
-    # and Catalyst folds those probes away when the operand is
-    # statically non-nullable (IsNull(coalesce(x, lit)) → false), so
-    # the raise silently vanishes (r6: coalesce(err, 1) → concat with
-    # a missing arg returned null where the reference raises).  The
-    # variant bridge evaluates through value bindings and is immune.
-    first_missing = next((k for k, o in enumerate(operands) if o.missing),
-                         len(operands))
-    live = operands[:min(first_missing + 1, len(operands))]
-    for i, o in enumerate(live):
-        if o.errs and not o.missing and any(
-                p.missing or p.missing_when is not None
-                for p in live[i + 1:]):
-            raise TypedFallback("missing short-circuit after errorable "
-                                "operand")
+    # Positional forcing (round 7, generalizing the r6 narrow probe):
+    # an operand whose col embeds per-row errors must EVALUATE at its
+    # position even when a LATER operand terminates the value path
+    # early — a later operand's missing short-circuit (value → NULL),
+    # null-protocol raise, or op-check raise all leave the earlier
+    # operand's subtree dead, and Catalyst folds the earlier operand's
+    # own isNull guard away whenever its CASE is statically
+    # non-nullable (IsNull(coalesce(x, lit)) → false; r7 fuzz:
+    # ``2.5 → ÷2 → int → concat(null)`` raised concat's null error
+    # instead of the int-cast error).  Each errs-carrying operand gets
+    # one _force probe wrapped OUTSIDE everything later, evaluated
+    # right after its own missing handling — exactly the reference's
+    # per-operand order.  This replaces the r6 "missing short-circuit
+    # after errorable operand" TypedFallback.
+    def _later_can_preempt(i: int) -> bool:
+        for j in range(i + 1, len(operands)):
+            p = operands[j]
+            if p.missing or p.missing_when is not None:
+                return True
+            if not allow_null:
+                return True              # runtime null raises at j
+            if checks is not None and checks[j] is not None:
+                return True
+        return False
 
     # build backward so operand 0's checks end up outermost
     any_missing = False
@@ -419,6 +422,8 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
             col = F.when(isn,
                          _terr(dtype, "expr_error", null_msg, path)
                          ).otherwise(col)
+        if o.errs and not _is_null(o.dtype) and _later_can_preempt(i):
+            col = _force(_probe0(o), col)
         if mp is not None:
             col = F.when(mp, F.lit(None).cast(dtype)).otherwise(col)
             any_missing = True
@@ -449,6 +454,8 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
             if mp is not None:
                 isn = isn & ~mp
             mw = F.when(isn, F.lit(False)).otherwise(mw)
+        if o.errs and not _is_null(o.dtype) and _later_can_preempt(i):
+            mw = _force(_probe0(o), mw)
         if mp is not None:
             mw = F.when(mp, F.lit(True)).otherwise(mw)
     return TVal(col, dtype, maybe_missing=True, missing_when=mw,
@@ -669,11 +676,11 @@ def _py_literal(value, path: str) -> TVal:
         return _tnull()
     if isinstance(value, bool):
         return TVal(F.lit(value), T.BooleanType(), errs=False,
-                    const=True)
+                    const=True, nonnull=True)
     if isinstance(value, int):
         if -(2 ** 63) <= value < 2 ** 63:
             return TVal(F.lit(value).cast("long"), T.LongType(),
-                        errs=False, const=True)
+                        errs=False, const=True, nonnull=True)
         # beyond int64: serde PosInt (u64) stays integer kind, which
         # maps onto a scale-0 decimal here (mirrors the variant
         # engine's DECIMAL(p,0) classification in V._serde_int_kind);
@@ -682,14 +689,15 @@ def _py_literal(value, path: str) -> TVal:
             import decimal as _decimal
             return TVal(F.lit(_decimal.Decimal(value))
                         .cast(T.DecimalType(38, 0)),
-                        T.DecimalType(38, 0), errs=False, const=True)
+                        T.DecimalType(38, 0), errs=False, const=True,
+                        nonnull=True)
         raise TypedFallback("integer literal beyond decimal(38,0)")
     if isinstance(value, float):
         return TVal(F.lit(value), T.DoubleType(), errs=False,
-                    const=True)
+                    const=True, nonnull=True)
     if isinstance(value, str):
         return TVal(F.lit(value), T.StringType(), errs=False,
-                    const=True)
+                    const=True, nonnull=True)
     if isinstance(value, dict):
         # static-key object literal → native struct (key order kept)
         if not value:
@@ -1421,14 +1429,13 @@ def t_coalesce(scope, cur, args, path):
     if not live:
         return _missing()
     col = F.coalesce(*[_cast_to(o, dt) for o in live])
-    # a guaranteed-present operand (scalar literal: const, pristine,
-    # unambiguous, non-null dtype) makes the result never-missing —
-    # skipping the runtime tri-state here matters downstream: a
-    # missing-capable operand makes every later op weave per-row
-    # evaluation probes (r6 bench: coalesce(col, 0) piped into
-    # multiply/round cost 4× until this)
-    if any(o.const and not o.errs and not o.maybe_missing
-           and not _is_null(o.dtype) for o in live):
+    # a PROVABLY-non-null operand (``TVal.nonnull`` — scalar literals
+    # only; an implicit const∧¬errs proxy was declared unsafe by
+    # ADVICE r6) makes the result never-missing — skipping the runtime
+    # tri-state here matters downstream: a missing-capable operand
+    # makes every later op weave per-row evaluation probes (r6 bench:
+    # coalesce(col, 0) piped into multiply/round cost 4× until this)
+    if any(o.nonnull for o in live):
         return TVal(col, dt, errs=any(o.errs for o in live),
                     const=all(o.const for o in live))
     return TVal(col, dt, maybe_missing=True, missing_when=col.isNull(),
@@ -1604,7 +1611,13 @@ def t_round(scope, cur, args, path):
     scaled = number * factor
     rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
         F.ceil(scaled - 0.5))
-    return _seq(ops, path, rounded.cast("double") / factor, T.DoubleType())
+    # value converts before the scale's null/int checks (eval_round,
+    # transform.rs:2437-2476)
+    checks: list[Column | None] = [_chk(number)]
+    if len(ops) == 2:
+        checks.append(_chk(scale))
+    return _seq(ops, path, rounded.cast("double") / factor, T.DoubleType(),
+                checks=checks)
 
 
 @_treg("and")
@@ -1810,7 +1823,10 @@ def t_split(scope, cur, args, path):
                                F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
                                F.lit(r"\\$1"))
     parts = F.split(value, escaped, F.lit(-1))
-    return _seq(ops, path, parts, T.ArrayType(T.StringType()))
+    # arg 0 converts COMPLETELY before arg 1 (eval_arg_string_at per
+    # arg, transform.rs:2256-2267)
+    return _seq(ops, path, parts, T.ArrayType(T.StringType()),
+                checks=[_chk(value), _chk(delim_checked)])
 
 
 def _t_pad(scope, cur, args, path, *, start: bool):
@@ -1827,7 +1843,12 @@ def _t_pad(scope, cur, args, path, *, start: bool):
     # (``transform.rs:2356-2373``); Spark lpad/rpad truncate
     result = F.when((F.length(value) >= length) | (pad == ""),
                     value).otherwise(padded)
-    return _seq(ops, path, result, T.StringType())
+    # value stringifies BEFORE the length's checks (eval_pad,
+    # transform.rs:2284-2340)
+    checks = [_chk(value), _chk(length)]
+    if len(ops) == 3:
+        checks.append(_chk(pad))
+    return _seq(ops, path, result, T.StringType(), checks=checks)
 
 
 @_treg("pad_start")
@@ -2546,9 +2567,18 @@ def t_filter(scope, cur, args, path):
     return TVal(kept, T.ArrayType(et))
 
 
-def _t_count_arg(scope, cur: TVal, arg, path: str) -> Column:
+def _t_count_arg(scope, cur: TVal, arg, path: str,
+                 msg: str = "count must be an integer") -> Column:
+    """Integer ARG with the reference protocol (``eval_array_take``,
+    ``transform.rs:3290-3304``): missing → op missing, null → "expr
+    arg must not be null", non-int → ``msg``.  Non-literal args (whose
+    runtime null/missing needs the full per-row protocol) defer to the
+    variant engine — count args are literals in practice."""
     v = compile_tpipe(arg, scope.child(pipe=cur), path)
-    return t_i64(v, path, "count must be an integer")
+    if v.missing or v.maybe_missing or _is_null(v.dtype) \
+            or not (v.const and not v.errs):
+        raise TypedFallback("count arg needs the variant protocol")
+    return t_i64(v, path, msg)
 
 
 def _t_clamped(n: Column, size: Column) -> Column:
@@ -2587,12 +2617,14 @@ def t_slice(scope, cur, args, path):
     """[start, end) with negatives from the end (``transform.rs:3376``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     size = F.size(arr).cast("long")
-    start = _t_count_arg(scope, cur, args[0], path)
+    start = _t_count_arg(scope, cur, args[0], path,
+                         "start must be an integer")
     start = F.when(start < 0,
                    F.greatest(size + start, F.lit(0).cast("long"))) \
              .otherwise(F.least(start, size))
     if len(args) == 2:
-        end = _t_count_arg(scope, cur, args[1], path)
+        end = _t_count_arg(scope, cur, args[1], path,
+                           "end must be an integer")
         end = F.when(end < 0,
                      F.greatest(size + end, F.lit(0).cast("long"))) \
                .otherwise(F.least(end, size))

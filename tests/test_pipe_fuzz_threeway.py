@@ -1,0 +1,185 @@
+"""Three-way fuzz: the standalone interpreter (rulemorph_spark.interp,
+a direct tree-walking mirror of transform.rs/v2_eval.rs sharing no code
+with either engine) is the ground truth; the typed and variant engines
+must match it on value, error kind AND exact error message.
+
+Round-6's lesson (VERDICT r6 next-round #1): the typed-vs-variant
+fuzzers missed the positional per-operand protocol because BOTH engines
+were wrong identically.  A third implementation breaks that failure
+mode — an agreement between the engines no longer masks a shared bug.
+
+The BIG seed-batch driver with full diagnostics is
+``scripts/threeway_fuzz.py`` (same pools; this module exec-imports it
+so the pools and comparison logic stay single-sourced).  Regression
+pins below cover every divergence the round-7 campaign found and
+fixed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+import pytest
+
+from rulemorph_spark import interp
+from rulemorph_spark.errors import TransformEngineError
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_spec = importlib.util.spec_from_file_location(
+    "threeway_fuzz", _ROOT / "scripts" / "threeway_fuzz.py")
+tw = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(tw)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(r["id"], r["i"], r["n"], r["s"],
+          tuple(r["obj"].values()) if r["obj"] else None, r["arr"],
+          r["f"], r["strs"], r["nums"]) for r in tw.RECORDS], tw.SCHEMA)
+
+
+@pytest.mark.parametrize("pool", ["miss", "mixed", "arr", "obj",
+                                  "const", "argx"])
+def test_threeway_pool(spark, df, pool):
+    ops, starts, depth = {
+        "miss": (tw.MISS_OPS, tw.STARTS, (2, 5)),
+        "mixed": (tw.MIXED_OPS, tw.STARTS, (2, 5)),
+        "arr": (tw.ARR_OPS, tw.ARR_STARTS, (1, 3)),
+        "obj": (tw.OBJ_OPS, tw.OBJ_STARTS, (1, 3)),
+        "const": (tw.CONST_OPS, tw.CONST_STARTS, (1, 4)),
+        "argx": (tw.ARGX_OPS, tw.STARTS + tw.ARR_STARTS, (1, 3)),
+    }[pool]
+    compared, _skipped, divs = tw.run_pool(
+        spark, df, pool, ops, starts, seed=71, iters=8, depth=depth)
+    assert compared > 0
+    assert not divs, divs[:5]
+
+
+# --- regression pins: every divergence class the round-7 three-way
+# campaign surfaced, each fixed in the engines and pinned here against
+# the interpreter's (= the reference's) exact wording -----------------
+
+RULE = """
+version: 2
+input: {format: json}
+mappings:
+  - target: id
+    source: id
+  - target: out
+    expr: [%s]
+"""
+
+# (expr, record, want) — want: ("ok", value) | ("err", kind, message)
+R7_PINS = [
+    # typed swallowed a constant concat error once Catalyst folded the
+    # distinct-but-equal if branches (VERDICT r6 "constant-fold
+    # residual", the [1] vs [0,{add:[1]}] shape)
+    ('{a: 1}, {concat: [null]}, {if: {cond: {gt: ["$", 1]}, then: [1], '
+     'else: [0, {add: [1]}]}}, {add: [1]}',
+     {"id": 1},
+     ("err", "ExprError",
+      'expected string, got Object {"a": Number(1)}')),
+    # positional order on an all-constant pipe: the ÷0 at step 2 beats
+    # the later if-condition's missing-compare and the not's type error
+    ('5, {divide: [0]}, {if: {cond: {gt: ["@input.absent", 1]}, '
+     'then: [1], else: [2]}}, {not: []}',
+     {"id": 1}, ("err", "ExprError", "division by zero")),
+    # v2 cast kind is ExprError (v1 cast_value's TypeCastFailed is the
+    # mapping-level `type:` only) and the cast error fires first
+    ('{a: 1}, {int: []}, {if: {cond: {gt: ["$", 1]}, then: [1], '
+     'else: [0, {add: [1]}]}}, {if: {cond: {gt: ["@input.absent", 1]}, '
+     'then: [1], else: [2]}}',
+     {"id": 1}, ("err", "ExprError", "failed to cast to int")),
+    # v2 null routes through each op's converter, not the generic
+    # null protocol
+    ('null, {not: []}', {"id": 1},
+     ("err", "ExprError", "value must be a boolean")),
+    ('null, {int: []}', {"id": 1},
+     ("err", "ExprError", "failed to cast to int")),
+    ('null, {trim: []}', {"id": 1},
+     ("err", "ExprError", "expected string, got Null")),
+    ('"lit:x", {len: []}, {concat: [null]}', {"id": 1},
+     ("err", "ExprError", "expected string, got Null")),
+    # v2 string conversion is serde Display: integral floats keep .0
+    ('2.0, {concat: ["lit:x"]}', {"id": 1}, ("ok", "2.0x")),
+    ('2.0, {to_string: []}', {"id": 1}, ("ok", "2.0")),
+    ('2.5, {trim: []}', {"id": 1}, ("ok", "2.5")),
+    # ... while the v2 `string` CAST is strict value_to_string:
+    # integral trim, containers/null error
+    ('2.0, {string: []}', {"id": 1}, ("ok", "2")),
+    ('"@input.obj", {string: []}', {"id": 1, "obj": {"a": 1}},
+     ("err", "ExprError", "value must be string/number/bool")),
+    # v2 value-embedding messages render the serde Debug form
+    ('2.5, {first: []}', {"id": 1},
+     ("err", "ExprError", "first requires array, got Number(2.5)")),
+    ('"@input.nums", {map: [{multiply: [2]}]}', {"id": 1, "nums": None},
+     ("err", "ExprError", "map step requires array, got Null")),
+    ('"@input.obj", {divide: [2]}', {"id": 1, "obj": {"a": 1}},
+     ("err", "ExprError",
+      'expected number, got Object {"a": Number(1)}')),
+    ('"lit:abc", {add: [1]}', {"id": 1},
+     ("err", "ExprError", "failed to parse string as number")),
+    # v1-op arg protocols (v2 delegates these to transform.rs): the
+    # array arg converts first, count null has the generic wording
+    ('"@input.nums", {take: ["@input.s"]}', {"id": 1, "nums": [1, 2],
+                                             "s": None},
+     ("err", "ExprError", "expr arg must not be null")),
+    ('"@input.i", {key_by: [["@item"]]}, {take: [2]}',
+     {"id": 1, "i": 7},
+     ("err", "ExprError", "expr arg must be an array")),
+    ('"@input.obj", {split: ["@input.s"]}',
+     {"id": 1, "obj": {"a": 1}, "s": None},
+     ("err", "ExprError", "value must be a string")),
+    ('"@input.strs", {round: ["@input.n"]}',
+     {"id": 1, "strs": ["b", "a"], "n": None},
+     ("err", "ExprError", "operand must be a number")),
+    # dynamic get: empty path errors; dotted paths navigate
+    ('"@input.obj", {get: ["@input.s"]}',
+     {"id": 1, "obj": {"a": 1}, "s": ""},
+     ("err", "ExprError", "path must be a non-empty string")),
+    ('"@input.deep", {get: ["@input.s"]}',
+     {"id": 1, "deep": {"a": {"b": 5}}, "s": "a.b"},
+     ("ok", 5)),
+    # sort_by key protocol: missing key → its own wording
+    ('"@input.pairs", {sort_by: [["@item", {get: ["nope"]}]]}',
+     {"id": 1, "pairs": [{"a": 1}, {"a": 2}]},
+     ("err", "ExprError", "expr arg must not be missing")),
+]
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+@pytest.mark.parametrize("expr,record,want",
+                         R7_PINS, ids=[p[0][:48] for p in R7_PINS])
+def test_r7_threeway_pins(spark, expr, record, want):
+    import json
+    from rulemorph_spark.engine import transform
+    rule = RULE % expr
+    # interpreter agrees with the pin (the pin IS the reference)
+    try:
+        out = interp.transform_record(rule, record)
+        got_i = ("ok", _norm(out.get("out")) if isinstance(out, dict)
+                 else out)
+    except interp.InterpError as e:
+        got_i = ("err", e.kind, e.message)
+    assert got_i == (want if want[0] == "err" else ("ok", _norm(want[1]))), \
+        (expr, got_i)
+    # the engine agrees too (end-to-end through the real error boundary)
+    try:
+        res = transform(spark, rule, input_text=json.dumps([record]))
+        got_e = ("ok", _norm(res[0].get("out")))
+    except TransformEngineError as e:
+        got_e = ("err", e.kind, e.message)
+    assert got_e == got_i, (expr, got_e, got_i)

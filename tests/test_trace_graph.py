@@ -727,3 +727,62 @@ mappings:
     sub = node["child_trace"]
     assert sub["rule"]["type"] == "normal"
     assert sub["records"][0]["nodes"][0]["kind"] == "mapping"
+
+
+# --- round 7: trace replay runs through the standalone interpreter —
+# ZERO Spark jobs for the whole trace-building pass (VERDICT r6
+# next-round #5: previously O(steps+mappings) jobs per traced request)
+
+def _count_jobs(spark, fn):
+    import uuid as _uuid
+    sc = spark.sparkContext
+    group = f"jobcount-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "count")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_rule_trace_replay_issues_zero_spark_jobs(spark, svc_dir):
+    """The full rule-internal replay (steps, record_when, asserts,
+    branch child trace, mapping op children with pipe_steps) issues NO
+    Spark jobs — it evaluates through ``rulemorph_spark.interp``."""
+    from rulemorph_spark.model import parse_rule_file
+    from rulemorph_spark.service.rule_trace import \
+        build_rule_nodes_from_rule
+
+    rule = parse_rule_file(open(f"{svc_dir}/step1.yaml").read())
+    record = {"path": {"id": "5"}, "query": {}, "headers": {},
+              "body": None}
+    holder = {}
+
+    def run():
+        holder["nodes"] = build_rule_nodes_from_rule(
+            spark, rule, record, None, svc_dir)
+
+    jobs = _count_jobs(spark, run)
+    assert jobs == 0, f"trace replay issued {jobs} Spark jobs"
+    nodes = holder["nodes"]
+    assert [n["kind"] for n in nodes] == ["mappings", "branch"]
+    # replay values are real: the branch child trace carries sub.yaml
+    assert nodes[1]["child_trace"]["rule"]["path"].endswith("sub.yaml")
+
+
+def test_traced_request_adds_no_spark_jobs(spark, svc_dir):
+    """End-to-end: handling a traced request issues exactly as many
+    Spark jobs as the untraced run — tracing itself is Spark-free."""
+    def ok_http(method, url, headers, body, timeout_s):
+        return 200, {"up": True}
+
+    def run_once(trace_dir):
+        eng = EndpointEngine(spark, f"{svc_dir}/endpoint.yaml",
+                             http_opener=ok_http, trace_dir=trace_dir)
+        status, _, _ = eng.handle_request("GET", "/things/5")
+        assert status == 200
+
+    base = _count_jobs(spark, lambda: run_once(None))
+    with tempfile.TemporaryDirectory() as td:
+        traced = _count_jobs(spark, lambda: run_once(td))
+    assert traced == base, (traced, base)
