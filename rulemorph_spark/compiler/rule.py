@@ -78,9 +78,25 @@ class OutTree:
                                 path)
             node = child
         leaf = tokens[-1]
-        if isinstance(node.children.get(leaf), OutTree):
+        prev = node.children.get(leaf)
+        if isinstance(prev, OutTree):
             raise RuleError("duplicate_target",
                             f"target {'.'.join(tokens)!r} conflicts", path)
+        if prev is not None:
+            # duplicate target: the reference's set_path runs ONLY when
+            # the mapping output is present (missing → skip,
+            # transform.rs:1006-1032) — a later mapping that is missing
+            # on a row keeps the earlier value there (r7 endpoint-fuzz
+            # divergence: last-wins dropped the earlier column).  The
+            # earlier mapping still EVALUATES first (its errors fire
+            # before the later mapping's value is consulted), so force
+            # it via a zero-length probe instead of letting coalesce
+            # skip it lazily.
+            probe = F.coalesce(F.substring(F.to_json(prev), 1, 0),
+                               F.lit(""))
+            col = F.when(F.length(probe) >= 1,
+                         F.raise_error(F.lit("unreachable probe"))
+                         ).otherwise(F.coalesce(col, prev))
         node.children[leaf] = col
 
     def presence(self) -> Column:

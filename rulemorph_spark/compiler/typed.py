@@ -2988,10 +2988,33 @@ class TypedRuleCompiler:
                                         f"intermediate path {t!r} is not "
                                         f"an object", mpath)
                     node = nxt
-                if isinstance(node.get(names[-1]), dict):
+                prev = node.get(names[-1])
+                if isinstance(prev, dict):
                     raise RuleError("duplicate_target",
                                     f"target {m.target!r} conflicts", mpath)
-                node[names[-1]] = TVal(materialized, value.dtype)
+                dt = value.dtype
+                if prev is not None:
+                    # duplicate target: set_path runs only when the
+                    # mapping output is present (transform.rs:1006-1032)
+                    # — a missing/gated-off later mapping keeps the
+                    # earlier value per row (typed outputs collapse
+                    # missing and JSON null into SQL NULL, so coalesce
+                    # implements exactly that)
+                    dt = _unify([prev.dtype, value.dtype])
+                    if dt is None:
+                        raise TypedFallback("duplicate-target mappings "
+                                            "with incompatible types")
+                    combined = F.coalesce(
+                        materialized if value.dtype == dt
+                        else materialized.cast(dt),
+                        _cast_to(prev, dt))
+                    if prev.errs:
+                        # the earlier mapping evaluates first — its
+                        # errors fire before the later value is
+                        # consulted (coalesce would skip it lazily)
+                        combined = _force(_probe0(prev), combined)
+                    materialized = self._add(combined)
+                node[names[-1]] = TVal(materialized, dt)
 
         if rule.steps is not None:
             # ordered steps (transform.rs:431-531): mappings accumulate

@@ -211,13 +211,37 @@ def _eval_expr(spark, out: dict, expr_raw, record, context, base_dir):
 
 
 def eval_trace_condition(spark, out: dict, cond_raw, record, context,
-                         base_dir) -> bool:
-    """``eval_trace_condition`` (endpoint_engine.rs:2813-2860): strict
-    boolean with the accumulated @out visible; errors propagate."""
-    expr = [0, {"if": {"cond": cond_raw,
-                       "then": ["lit:T"], "else": ["lit:F"]}}]
-    got = _eval_expr(spark, out, expr, record, context, base_dir)
-    return got == "T"
+                         base_dir, path: str = "when") -> bool:
+    """``eval_trace_condition`` (endpoint_engine.rs:2813-2868): the v2
+    CONDITION form first; else a bare v2 expr (missing → false, bool →
+    flag, other values → "when/record_when must evaluate to boolean");
+    an unparseable expr is ``invalid v2 condition: {err}`` with the
+    parser's Display wording (VERDICT r6 residual #1)."""
+    try:
+        cond = _interp.parse_v2_condition(cond_raw)
+    except _interp.V2ParseError:
+        try:
+            expr = _interp.parse_v2_expr(cond_raw)
+        except _interp.V2ParseError as err:
+            raise TransformEngineError(
+                "ExprError", f"invalid v2 condition: {err}", path)
+        value = _interp.eval_v2_expr(expr, _interp.canon(record),
+                                     _interp.canon(context)
+                                     if context is not None else None,
+                                     _interp.canon(out), path,
+                                     _interp.V2Ctx())
+        if value is _interp.MISSING:
+            return False
+        if isinstance(value, bool):
+            return value
+        raise TransformEngineError(
+            "ExprError", "when/record_when must evaluate to boolean",
+            path)
+    return _interp.eval_v2_condition(cond, _interp.canon(record),
+                                     _interp.canon(context)
+                                     if context is not None else None,
+                                     _interp.canon(out), path,
+                                     _interp.V2Ctx())
 
 
 # --- pipe-step replay -----------------------------------------------------
@@ -442,7 +466,18 @@ def build_rule_nodes_from_rule(spark, rule: RuleFile, record, context,
             child_trace = None
             meta: dict[str, Any] = {}
             step_active = not halted
-            (rkind, rval), elapsed_total = step_outputs[index]
+            if index < len(step_outputs):
+                (rkind, rval), elapsed_total = step_outputs[index]
+            else:  # pragma: no cover — mirrors the reference's guard
+                # (endpoint_engine.rs:2404-2410); unreachable here
+                # because step_outputs is built over the same
+                # rule.steps this loop walks, but kept so the trace
+                # surface carries the reference wording if that
+                # invariant ever breaks
+                (rkind, rval), elapsed_total = (
+                    ("err", TransformEngineError("InvalidInput",
+                                                 "missing step output")),
+                    0)
             step_duration_us = max(elapsed_total - prev_elapsed, 0)
             prev_elapsed = elapsed_total
 

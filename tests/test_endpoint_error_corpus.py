@@ -357,3 +357,72 @@ body_map: []
             "body and body_map are mutually exclusive") in rows
     assert ("InvalidMethod", "invalid method") in rows
     assert ("InvalidTimeout", "timeout must be > 0") in rows
+
+
+# --- round 7 (VERDICT r6 next-round #7): trace-replay wording
+# residuals + request.method case preservation ------------------------------
+
+def test_eval_trace_condition_invalid_v2_wording():
+    """An unparseable replay condition surfaces the reference's
+    ``invalid v2 condition: {}`` wrapper with the v2 parser's Display
+    wording (eval_trace_condition, endpoint_engine.rs:2840-2848)."""
+    import pytest as _pytest
+
+    from rulemorph_spark.errors import TransformEngineError
+    from rulemorph_spark.service.rule_trace import eval_trace_condition
+
+    with _pytest.raises(TransformEngineError) as ei:
+        eval_trace_condition(None, {}, "@bogus.x", {"n": 1}, None, ".")
+    assert ei.value.message == ("invalid v2 condition: invalid start "
+                                "value: invalid v2 reference: @bogus.x")
+    # the condition form still wins when it parses
+    assert eval_trace_condition(None, {}, {"gt": ["@input.n", 0]},
+                                {"n": 1}, None, ".") is True
+    # bare expr form: missing → false, bool → flag, other → error
+    assert eval_trace_condition(None, {}, ["@input.nope"],
+                                {"n": 1}, None, ".") is False
+    from rulemorph_spark.interp import InterpError
+    with _pytest.raises((TransformEngineError, InterpError)) as ei:
+        eval_trace_condition(None, {}, ["@input.n"], {"n": 1}, None, ".")
+    assert ei.value.message == \
+        "when/record_when must evaluate to boolean"
+
+
+def test_missing_step_output_guard_wording():
+    """The replay's index-mismatch guard carries the reference wording
+    (endpoint_engine.rs:2404-2410).  It is unreachable through
+    build_rule_nodes_from_rule — step_outputs is built over the same
+    rule.steps the node loop walks — so pin the invariant AND the
+    guard's literal."""
+    import inspect
+
+    from rulemorph_spark.service import rule_trace
+    src = inspect.getsource(rule_trace.build_rule_nodes_from_rule)
+    assert '"missing step output"' in src
+    assert "for index in range(len(rule.steps))" in src  # same source
+
+
+def test_network_method_case_preserved(spark, tmp_path):
+    """``Method::from_bytes`` preserves case — a custom lowercase
+    method reaches the HTTP opener verbatim (VERDICT r6 residual #2)."""
+    from rulemorph_spark.service.endpoint import EndpointEngine
+
+    (tmp_path / "net.yaml").write_text(
+        "version: 2\ntype: network\nrequest:\n  method: purge\n"
+        "  url: \"lit:http://up/x\"\ntimeout: 1s\n")
+    (tmp_path / "endpoint.yaml").write_text(
+        "version: 2\ntype: endpoint\nendpoints:\n"
+        "  - method: GET\n    path: /p\n    steps:\n"
+        "      - rule: net.yaml\n"
+        "    reply: {status: 200, body: \"@input\"}\n")
+    seen = {}
+
+    def opener(method, url, headers, body, timeout_s):
+        seen["method"] = method
+        return 200, {"ok": True}
+
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         http_opener=opener)
+    status, _, _ = eng.handle_request("GET", "/p")
+    assert status == 200
+    assert seen["method"] == "purge"    # NOT uppercased
