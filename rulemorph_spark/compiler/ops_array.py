@@ -650,16 +650,19 @@ def _strict_array(o: Column, op_name: str, path: str) -> Column:
 
 @register("first")
 def op_first(scope, cur, args, path):
-    """first element, missing on empty (``v2_eval.rs:2416-2430``)."""
+    """first element, missing on empty/missing input
+    (``v2_eval.rs:2416-2430``)."""
     arr = _strict_array(cur, "first", path)
     el = F.try_element_at(arr, F.lit(1))
-    return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
-        F.coalesce(el, V.vnull()))
+    return (F.when(cur.isNull(), F.lit(None).cast(V.VT))
+            .when(F.size(arr) == 0, F.lit(None).cast(V.VT))
+            .otherwise(F.coalesce(el, V.vnull())))
 
 
 @register("last")
 def op_last(scope, cur, args, path):
     arr = _strict_array(cur, "last", path)
     el = F.try_element_at(arr, F.size(arr))
-    return F.when(F.size(arr) == 0, F.lit(None).cast(V.VT)).otherwise(
-        F.coalesce(el, V.vnull()))
+    return (F.when(cur.isNull(), F.lit(None).cast(V.VT))
+            .when(F.size(arr) == 0, F.lit(None).cast(V.VT))
+            .otherwise(F.coalesce(el, V.vnull())))

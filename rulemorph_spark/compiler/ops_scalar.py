@@ -134,10 +134,20 @@ def _as_string(o: Column, path: str) -> Column:
 
 
 def _as_i64(o: Column, path: str, msg: str) -> Column:
-    """``value_to_i64`` — int, integral float, or integer string."""
-    d = V.to_number_strict(o, path, msg)
-    return F.when(d == F.floor(d), d.cast("long")).otherwise(
-        rerr("expr_error", msg, path).cast("long"))
+    """``value_to_i64`` (``transform.rs:3236-3261``) — int, integral
+    float, or i64-STRING: the string arm is ``parse::<i64>()`` (no
+    floats, no whitespace — "2.0"/" 1 " error), unlike the f64-parsing
+    ``value_to_number``."""
+    t = V.typeof(o)
+    d = o.try_cast("double")
+    s = o.try_cast("string")
+    parsed = F.when(s.rlike(r"^[+-]?[0-9]+$"), s.try_cast("long"))
+    return (
+        F.when(t == "BIGINT", o.try_cast("long"))
+        .when(V.is_number(o) & (d == F.floor(d)), d.cast("long"))
+        .when(V.is_string(o) & parsed.isNotNull(), parsed)
+        .otherwise(rerr("expr_error", msg, path).cast("long"))
+    )
 
 
 # --- string ops ---------------------------------------------------------

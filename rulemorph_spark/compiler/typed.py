@@ -1777,9 +1777,16 @@ def t_strict_str(v: TVal, path: str,
 
 
 def t_i64(v: TVal, path: str, msg: str) -> Column:
-    """``value_to_i64`` — int, integral float, or integer string."""
+    """``value_to_i64`` (``transform.rs:3236-3261``) — int, integral
+    float, or i64-STRING (``parse::<i64>()``: no floats, no
+    whitespace)."""
     if _is_int(v.dtype):
         return v.col.cast("long")
+    if _is_str(v.dtype):
+        parsed = F.when(v.col.rlike(r"^[+-]?[0-9]+$"),
+                        v.col.try_cast("long"))
+        return F.when(parsed.isNotNull(), parsed).otherwise(
+            _terr("long", "expr_error", msg, path))
     d = t_num(v, path, msg)
     return F.when(d == F.floor(d), d.cast("long")).otherwise(
         _terr("long", "expr_error", msg, path))
@@ -2091,11 +2098,14 @@ def _t_obj_guard(ops: list[TVal], path: str):
 def _t_get_dynamic(scope, cur, args, path):
     """Dynamic (per-row) get key, typed-native for string-keyed maps
     of scalars (round 5; closes the ``dynamic get path`` fallback for
-    the properties-map shape).  Parity target is the VARIANT engine's
-    dynamic get (``ops_object.op_get``): the dynamic string is ONE
-    key — full dynamic dot-paths are unsupported engine-wide — with
-    null base → missing, missing key-arg → missing, JSON-null key →
-    ``expr arg must not be null``, non-string key → missing."""
+    the properties-map shape).  ``eval_json_get``
+    (``transform.rs:4446-4474``): null base → missing, missing key-arg
+    → missing, JSON-null key → ``expr arg must not be null``,
+    non-string key → ``value must be a string``, empty key → ``path
+    must be a non-empty string``; the key PARSES as a dot/bracket path
+    (r7: the r5 "one key, no deep-navigation" pin contradicted the
+    reference) — over a scalar-valued map any multi-segment path
+    dead-ends as missing after the first lookup."""
     base = cur
     if base.missing:
         return _missing()
@@ -2120,16 +2130,33 @@ def _t_get_dynamic(scope, cur, args, path):
         key_null = key_null & ~_mw(key)  # missing key-arg ≠ null key
     err = _terr(vt, "expr_error", "expr arg must not be null", path)
     if _is_str(key.dtype):
-        val = F.try_element_at(base.col, key.col)
+        # a multi-segment path ("a.b", "a[0]") navigates past the
+        # first lookup into a SCALAR value → missing
+        deep = key.col.rlike(r"[.\[]")
+        val = F.when(deep, F.lit(None).cast(vt)).otherwise(
+            F.try_element_at(base.col, key.col))
         contains = F.coalesce(
-            F.map_contains_key(base.col, key.col), F.lit(False))
+            F.map_contains_key(base.col, key.col) & ~deep, F.lit(False))
+        key_checked = F.when(
+            key.col == "",
+            _terr(T.StringType(), "expr_error",
+                  "path must be a non-empty string", path)
+            ).otherwise(key.col)
+        val = _force(_chk(key_checked), val)
     else:
-        val = F.lit(None).cast(vt)
+        val = _terr_forced([base, key], vt, "expr_error",
+                           "value must be a string", path)
         contains = F.lit(False)
     col = (F.when(base_null, F.lit(None).cast(vt))
            .when(key_null, err)
            .otherwise(val))
     mw = base_null | (~key_null & ~contains)
+    if _is_str(key.dtype):
+        # empty-key rows are an ERROR, not missing — the predicate
+        # must fire the raise too (a downstream when(mw, NULL) would
+        # skip the value path)
+        mw = F.when(base_null, F.lit(True)).when(key_null, F.lit(False)) \
+              .otherwise(_force(_chk(key_checked), mw))
     if base.missing_when is not None:
         mw = _mw(base) | mw
     if key.missing_when is not None:

@@ -244,6 +244,11 @@ RECORDS = [
     {"id": 3, "i": None, "n": 0, "s": None,
      "obj": {"a": None, "b": ""}, "arr": None, "f": None,
      "strs": ["x"], "nums": [5, 5, -1, 0]},
+    # edge row: numeric-string parses (leading +, whitespace,
+    # exponent), serde float rendering zones, integral float
+    {"id": 4, "i": -3, "n": 2, "s": "+15", "obj": {"a": 9, "b": "1e3"},
+     "arr": [0], "f": 1e20, "strs": [" 1 ", "2.0", "abc"],
+     "nums": [10, -10]},
 ]
 
 SCHEMA = ("id long, i long, n long, s string, "

@@ -370,10 +370,11 @@ mappings:
             got = got.select(F.to_json("id").cast("long").alias("id"),
                              F.to_json("tag").alias("tag"))
             rows = sorted((r["id"], r["tag"]) for r in got.collect())
-            assert rows == [(1, '"A-12"'), (3, '"C-30"')]
+            assert rows == [(1, '"A-12.0"'), (3, '"C-30.0"')]
         else:
             rows = sorted((r["id"], r["tag"]) for r in got.collect())
-            assert rows == [(1, "A-12"), (3, "C-30")]
+            # serde Display keeps .0 on integral doubles (r7)
+            assert rows == [(1, "A-12.0"), (3, "C-30.0")]
 
 
 def test_cli_transform_emits_warnings_json():

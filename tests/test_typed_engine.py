@@ -263,8 +263,10 @@ def test_typed_steps_parity(spark):
     t_rows, v_rows = _rows_typed(typed), _rows_variant(variant)
     assert t_rows == v_rows
     # qty=1 → doubled=2 < 4 filtered; others survive with @out chaining
-    assert t_rows == [{"id": 2, "doubled": 6.0, "label": "6-x"},
-                      {"id": 3, "doubled": 20.0, "label": "20-x"}]
+    # v2 to_string renders floats via serde Display — integral
+    # floats KEEP .0 (r7 fix; interp-adjudicated)
+    assert t_rows == [{"id": 2, "doubled": 6.0, "label": "6.0-x"},
+                      {"id": 3, "doubled": 20.0, "label": "20.0-x"}]
 
 
 def test_typed_steps_assert_raises(spark):
@@ -694,7 +696,10 @@ mappings:
     df2 = spark.createDataFrame([(1, "open")], "id long, status string")
     err = _collect_engine_error(transform_table(df2, main,
                                                 mode="typed", **kw))
-    assert err.kind == "TypeCastFailed"
+    # v2 expr-level casts are ExprError (type_cast_error,
+    # v2_eval.rs:1734-1740; r7 fix — TypeCastFailed is the
+    # mapping-level `type:` only)
+    assert err.kind == "ExprError"
 
 
 def test_typed_branch_fallbacks(spark, tmp_path):
@@ -793,10 +798,11 @@ def test_dynamic_get_typed_native_over_map(spark):
     """Round 5 (VERDICT r4 next #7): a dynamic ``get`` key over a
     string-keyed scalar map compiles on the TYPED path (no
     TypedFallback — previously the whole rule paid variant decode for
-    one dynamic path).  Parity target is the variant engine's dynamic
-    get: the dynamic string is ONE key (dotted strings do NOT
-    deep-navigate), null base → missing, absent key → missing
-    (default applies), JSON-null key → `expr arg must not be null`.
+    one dynamic path).  The dynamic key is a PARSED dot/bracket path
+    (eval_json_get, transform.rs:4446-4474): over a scalar-valued map
+    a multi-segment path dead-ends as missing; null base → missing,
+    absent key → missing (default applies), JSON-null key → `expr arg
+    must not be null`.
     """
     import json as _json
 
@@ -832,7 +838,10 @@ mappings:
                transform_table(df, rule, mode="variant")
                .select(F.to_json("id").alias("id"),
                        F.to_json("v").alias("v")).collect()}
-    assert typed == variant == {1: 10, 2: -1, 3: -1, 5: 7}
+    # r7: a dotted dynamic key DEEP-NAVIGATES (parse_path_tokens,
+    # transform.rs:4461-4470) — the literal "k.y" map key is NOT
+    # matched; interp-adjudicated (the r5 one-key pin was wrong)
+    assert typed == variant == {1: 10, 2: -1, 3: -1, 5: -1}
 
     # static literal get over a map base is typed-native too
     rule_static = rule.replace('{get: ["@input.k"]}', '{get: ["a"]}')

@@ -108,7 +108,7 @@ def test_array_index_missing_propagates_null_element_errors(spark):
     df5 = df.filter("id = 5")
     rule = RULE % '"@input.items[0].sku", {concat: ["!"]}'
     for mode in ("typed", "variant"):
-        with pytest.raises(Exception, match="does not accept null|must not be null"):
+        with pytest.raises(Exception, match="expected string, got Null"):
             transform_table(df5, rule, mode=mode).collect()
     # the same concat over a MISSING path (null array, row 3) must NOT
     # error: missing propagates to a missing (NULL) output
@@ -136,7 +136,7 @@ def test_map_key_navigation(spark):
         if mode == "variant":
             out = out.select(F.to_json("out").alias("out"))
         assert out.collect()[0]["out"] is None
-        with pytest.raises(Exception, match="does not accept null|must not be null"):
+        with pytest.raises(Exception, match="expected string, got Null"):
             transform_table(df.filter("id = 4"), rule,
                             mode=mode).collect()
 
