@@ -90,6 +90,17 @@ def main():
     # uniform +20% on untouched queries was invisible in a lone
     # median).  Cold first-run cost (codegen + AQE replan) is reported
     # separately as cold_total.
+    # the DuckDB baseline runs INTERLEAVED per query (same environment
+    # window as the Spark samples) with a fixed sentinel probe timed at
+    # start / mid / end quantifying machine-load drift (r7, VERDICT r6
+    # next-round #8)
+    oracles = entry.oracle_sql()
+    duck_con = _duck_connect(sf_dir, entry.TABLES, int(cpus))
+    duck_samples: dict[str, list[float]] = {n: [] for n in headline}
+    sentinel: dict[str, float] = {}
+    if duck_con is not None:
+        sentinel["start"] = _duck_sentinel(duck_con)
+
     cold_total = 0.0
     samples: dict[str, list[float]] = {n: [] for n in headline}
     for name in headline:
@@ -102,12 +113,26 @@ def main():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        if duck_con is not None and oracles.get(name):
+            duck_samples[name] += _duck_time(duck_con, name,
+                                             oracles[name], warm=True)
+    if duck_con is not None:
+        sentinel["mid"] = _duck_sentinel(duck_con)
     for name in headline:  # pass B: re-time after the full first pass
         fn = qs[name]
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        if duck_con is not None and oracles.get(name):
+            duck_samples[name] += _duck_time(duck_con, name,
+                                             oracles[name], warm=False)
+    if duck_con is not None:
+        sentinel["end"] = _duck_sentinel(duck_con)
+        vals = sorted(sentinel.values())
+        sentinel["drift"] = (round(vals[-1] / vals[0], 3)
+                             if vals[0] else None)
+        duck_con.close()
     dispersion: dict[str, dict] = {}
     for name in headline:
         ss = sorted(samples[name])
@@ -169,9 +194,8 @@ def main():
                             "median": corpus_ops[name],
                             "max": round(ss[-1], 3)}
 
-    duckdb_timings = _duckdb_baseline(sf_dir, headline,
-                                      entry.oracle_sql(),
-                                      entry.TABLES, int(cpus))
+    duckdb_timings = {n: round(sorted(ss)[len(ss) // 2], 3)
+                      for n, ss in duck_samples.items() if ss}
 
     for name, disp in (
             ("rule_engine_lookup", _rule_engine_lookup(spark)),
@@ -214,6 +238,12 @@ def main():
         # DuckDB is a best-in-class single-node OLAP engine, so <= ~2x
         # is the "within 2x of a native engine" reading of the gate.
         "duckdb": duckdb_timings,
+        # fixed DuckDB probe timed at start/mid/end: measured machine-
+        # load drift across the bench window (r7, VERDICT r6 #8) — the
+        # per-query DuckDB samples are INTERLEAVED with the Spark
+        # passes, so the ratio is already load-paired; the sentinel
+        # quantifies any residual drift for cross-round comparisons
+        "load_sentinel": sentinel,
         # one-time parse+compile+analysis cost of the extended anchor
         # (the reference bench re-parses per iteration; this engine
         # compiles once — see _rule_engine_extended docstring)
@@ -260,6 +290,7 @@ def main():
         "corpus_ops_total": round(sum(corpus_ops.values()), 3),
         "cold_total": round(cold_total, 3),
         "spark_vs_duckdb_ratio": ratio,
+        "load_sentinel_drift": sentinel.get("drift"),
         "worst3": {n: timings[n] for n in worst},
         "sf": sf,
         "full_results": os.path.basename(artifact),
@@ -278,44 +309,64 @@ def _local_artifact_path() -> str:
     return os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
 
 
-def _duckdb_baseline(sf_dir: str, names: list[str], oracles: dict,
-                     tables, threads: int) -> dict[str, float]:
-    """Time each headline query's oracle SQL in DuckDB over the SAME
-    parquet files: a real, reproducible, same-machine baseline for the
-    2x gate (the reference binary is unbuildable offline).  Fairness:
-    ``CREATE TEMP TABLE AS`` materializes natively (no Python row
-    conversion — the analogue of Spark's noop sink), thread budget
-    matches SPARK_GRAFT_CPUS, and the methodology mirrors the Spark
-    side (one untimed warm-up, median of three)."""
+def _duck_connect(sf_dir: str, tables, threads: int):
+    """DuckDB connection with the bench views; None when unavailable.
+
+    The baseline runs INTERLEAVED with the Spark passes (VERDICT r6
+    next-round #8): the same HEAD produced ratios 1.199/1.316/1.573
+    purely from machine load when Spark and DuckDB ran as separate
+    phases minutes apart — pairing each query's Spark and DuckDB
+    samples inside the same environment window makes the ratio
+    load-robust, and the sentinel below quantifies residual drift."""
     try:
         import duckdb
     except ImportError:
-        return {}
+        return None
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS "
                     f"SELECT * FROM '{sf_dir}/{t}.parquet'")
-    out: dict[str, float] = {}
-    for name in names:
-        sql = oracles.get(name)
-        if not sql:
-            continue
-        try:
+    return con
+
+
+_SENTINEL_SQL = ("SELECT count(*), sum(l_extendedprice * l_discount) "
+                 "FROM lineitem WHERE l_quantity > 10")
+
+
+def _duck_sentinel(con) -> float:
+    """Fixed constant-work DuckDB probe (median of 3): timed at bench
+    start / between passes / at the end, so cross-round ratio
+    comparisons can quote measured machine-load drift instead of
+    needing a quiet-machine caveat."""
+    ss = []
+    con.execute(_SENTINEL_SQL)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(_SENTINEL_SQL)
+        ss.append(time.perf_counter() - t0)
+    return round(sorted(ss)[1], 4)
+
+
+def _duck_time(con, name: str, sql: str, runs: int = 3,
+               warm: bool = True) -> list[float]:
+    """Samples for one oracle: ``CREATE TEMP TABLE AS`` materializes
+    natively (the analogue of Spark's noop sink)."""
+    try:
+        if warm:
             con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS "
                         f"({sql})")
-            samples = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS "
-                            f"({sql})")
-                samples.append(time.perf_counter() - t0)
-            out[name] = round(sorted(samples)[1], 3)
-        except Exception as exc:  # a baseline gap, not a bench failure
-            print(f"duckdb baseline failed for {name}: {exc}",
-                  file=sys.stderr)
-    con.close()
-    return out
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS "
+                        f"({sql})")
+            samples.append(time.perf_counter() - t0)
+        return samples
+    except Exception as exc:  # a baseline gap, not a bench failure
+        print(f"duckdb baseline failed for {name}: {exc}",
+              file=sys.stderr)
+        return []
 
 
 def _timed(df, runs: int = 3) -> float:

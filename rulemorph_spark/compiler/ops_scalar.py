@@ -81,7 +81,7 @@ def _operands_bound(scope: Scope, cur: Column, args, path: str, build,
 def _chk(col: Column) -> Column:
     """Zero-length check probe: evaluates ``col`` (raising its embedded
     errors) and contributes nothing; never NULL."""
-    return F.coalesce(F.substring(col.cast("string"), 1, 0), F.lit(""))
+    return F.coalesce(F.substring(col.cast("string"), 1, 0), V.clit(""))
 
 
 def seq_strict(operands: list[Column], path: str, result: Column,
@@ -114,7 +114,9 @@ def seq_strict(operands: list[Column], path: str, result: Column,
             # then-branch keeps SimplifyConditionals from dropping
             # the condition when inner folds to NULL
             inner = F.when(F.length(checks[i]) >= 1,
-                           F.raise_error(F.lit("unreachable probe"))
+                           V.cached_col("raise", "__unreachable__",
+                                        lambda: F.raise_error(
+                                            F.lit("unreachable probe")))
                            ).otherwise(inner)
         if skip is not None and i in skip:
             result = inner

@@ -264,7 +264,10 @@ def _terr(dtype, kind: str, message: str, path: str,
         return V.raise_err(kind, message, path, code).cast(dtype)
     from ..errors import encode_engine_error
     encoded = encode_engine_error(kind, message, path, code)
-    return F.raise_error(F.concat(F.lit(encoded), anchor)).cast(dtype)
+    raise_col = V.cached_col(
+        "terr", (encoded, id(anchor)),
+        lambda: F.raise_error(F.concat(F.lit(encoded), anchor)))
+    return raise_col.cast(dtype)
 
 
 def _probe0(o: "TVal") -> Column:
@@ -317,7 +320,7 @@ def _isnull(v: TVal) -> Column:
 def _chk(col: Column) -> Column:
     """Zero-length check probe: evaluates ``col`` (raising embedded
     errors) and contributes no text; never NULL."""
-    return F.coalesce(F.substring(col.cast("string"), 1, 0), F.lit(""))
+    return F.coalesce(F.substring(col.cast("string"), 1, 0), V.clit(""))
 
 
 def _force(probe: Column, col: Column) -> Column:
@@ -328,7 +331,9 @@ def _force(probe: Column, col: Column) -> Column:
     did not itself raise), keeping the branches distinct while the
     condition still evaluates the probe per row."""
     return F.when(F.length(probe) >= 1,
-                  F.raise_error(F.lit("unreachable probe"))
+                  V.cached_col("raise", "__unreachable__",
+                               lambda: F.raise_error(
+                                   F.lit("unreachable probe")))
                   ).otherwise(col)
 
 
@@ -1885,8 +1890,12 @@ def t_len(scope, cur, args, path):
     elif _is_null(o.dtype):
         col = F.lit(None).cast("long")
     else:
-        col = _terr("long", "expr_error",
-                    "expr arg must be string, array, or object", path)
+        # static type error: the operand still evaluates FIRST (its
+        # per-row errors win — r7 const-fuzz: if-cond raise → coalesce
+        # → len must surface the compare error, not len's)
+        col = _terr_forced(ops, "long", "expr_error",
+                           "expr arg must be string, array, or object",
+                           path)
     return _seq(ops, path, col, T.LongType())
 
 

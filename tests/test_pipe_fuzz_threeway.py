@@ -146,6 +146,12 @@ R7_PINS = [
     ('"@input.pairs", {sort_by: [["@item", {get: ["nope"]}]]}',
      {"id": 1, "pairs": [{"a": 1}, {"a": 2}]},
      ("err", "ExprError", "expr arg must not be missing")),
+    # a downstream op's STATIC type error must not preempt an upstream
+    # constant raise threading through coalesce (r7 const-campaign:
+    # typed surfaced len's error; _terr_forced now probes the operand)
+    ('0, {if: {cond: {gt: ["@input.absent", 1]}, then: [1], '
+     'else: [2]}}, {coalesce: [7]}, {len: []}',
+     {"id": 1}, ("err", "ExprError", "cannot compare missing values")),
 ]
 
 
