@@ -224,7 +224,9 @@ def compile_pipe(pipe: Pipe, scope: Scope, path: str = "expr") -> Column:
 
     scope = scope.child()
     for i, step in enumerate(pipe.steps):
-        step_path = f"{path}[{i}]"
+        # steps index from 1 — the start value is [0]
+        # (``eval_v2_pipe``, ``v2_eval.rs:834``; r7 path-parity fix)
+        step_path = f"{path}[{i + 1}]"
         if isinstance(step, OpStep) and step.origin_first_arg is not None:
             # v1 {op, args} standalone: errors attribute to expr.args[i]
             # like the reference (the base path has no step suffix)

@@ -638,7 +638,15 @@ def _unify(dts: list[T.DataType]) -> T.DataType | None:
     if all(_is_num(dt) for dt in non_null):
         if all(_is_int(dt) for dt in non_null):
             return T.LongType()
-        return T.DoubleType()
+        if all(not _is_int(dt) for dt in non_null):
+            return T.DoubleType()
+        # mixed int/float branches: widening to double would ERASE the
+        # serde number KIND the reference keeps per row — to_string
+        # renders Int(1) as "1" but Float(1.0) as "1.0", strict v2 eq
+        # is kind-aware, and the output JSON differs (r7 const-fuzz:
+        # if [1] else [0,{add:[1]}] → to_string must be "1" on the
+        # then-branch).  The variant engine carries kinds per row.
+        return None
     if all(dt == non_null[0] for dt in non_null):
         return non_null[0]
     return None
@@ -1044,7 +1052,9 @@ def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
         raise RuleError("expr_error", "invalid pipe start", path)
     scope = scope.child()
     for i, step in enumerate(pipe.steps):
-        cur, scope = compile_tstep(step, cur, scope, f"{path}[{i}]")
+        # steps index from 1 — the start value is [0]
+        # (``eval_v2_pipe``, ``v2_eval.rs:834``; r7 path-parity fix)
+        cur, scope = compile_tstep(step, cur, scope, f"{path}[{i + 1}]")
         if i >= 1 and len(pipe.steps) > 2 \
                 and len(str(cur.col._jc)) > _T_PIPE_SIZE_CAP:
             raise TypedFallback("typed pipe expression growth")

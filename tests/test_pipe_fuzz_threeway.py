@@ -152,6 +152,13 @@ R7_PINS = [
     ('0, {if: {cond: {gt: ["@input.absent", 1]}, then: [1], '
      'else: [2]}}, {coalesce: [7]}, {len: []}',
      {"id": 1}, ("err", "ExprError", "cannot compare missing values")),
+    # mixed int/float if branches must keep the serde number KIND per
+    # row — widening to double renders "1.0" where the reference's
+    # Int(1) renders "1" (r7 const-campaign typed VALUE bug; typed now
+    # falls back on mixed-kind unify)
+    ('5, {if: {cond: {gt: ["$", 1]}, then: [1], '
+     'else: [0, {add: [1]}]}}, {to_string: []}, {len: []}',
+     {"id": 1}, ("ok", 1)),
 ]
 
 

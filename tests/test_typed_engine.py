@@ -597,10 +597,17 @@ version: 2
 input: {format: json}
 mappings:
   - target: id
-    expr: ["@input.id", {multiply: [100]}]
+    expr: ["@input.id", {multiply: [100]}, {int: []}]
   - target: routed
     value: true
 """
+
+# v2 arithmetic yields serde FLOAT kind; merged with the main tree's
+# Int id a single native column cannot keep the per-row number kind
+# the reference preserves (Int 1 renders "1", Float 100.0 renders
+# "100.0"), so mixed-kind return merges defer to the variant engine
+# (r7; _unify refuses int/float mixes)
+BRANCH_RET_MIXED_KIND = BRANCH_RET.replace(", {int: []}", "")
 
 
 def test_typed_branch_return_parity(spark, tmp_path):
@@ -620,6 +627,21 @@ def test_typed_branch_return_parity(spark, tmp_path):
     # non-returned row keeps the main tree; `routed` absent
     assert by_id[1] == {"id": 1, "normal": "kept", "routed": None,
                         "late": "only-non-returned"}
+
+
+def test_typed_branch_return_mixed_kind_falls_back(spark, tmp_path):
+    from rulemorph_spark.compiler.typed import TypedFallback
+    _write_rules(tmp_path, main=BRANCH_RETURN_MAIN,
+                 ret_rule=BRANCH_RET_MIXED_KIND)
+    df = _branch_df(spark)
+    kw = dict(base_dir=str(tmp_path))
+    with pytest.raises(TypedFallback):
+        transform_table(df, BRANCH_RETURN_MAIN, mode="typed", **kw)
+    out = transform_table(df, BRANCH_RETURN_MAIN, mode="auto", **kw)
+    rows = _rows_variant(out)
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[200.0]["routed"] is True     # Float kind preserved
+    assert by_id[1]["normal"] == "kept"
 
 
 BRANCH_FILTER_SUB = """
