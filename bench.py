@@ -553,7 +553,7 @@ mappings:
   - target: net
     expr:
       - "@input.l_discount"
-      - coalesce: [0]
+      - coalesce: [0.0]
       - multiply: ["@input.l_extendedprice"]
       - round: [2]
   - target: flag_status

@@ -407,7 +407,7 @@ def op_unique(scope, cur, args, path):
             F.when(V.is_vnull(x) | x.isNull(), F.lit("\x00null"))
             .when(V.is_array(x) | V.is_object(x),
                   rerr("expr_error",
-                       "unique elements must be scalar or null",
+                       "value must be string/number/bool or null",
                        path).cast("string"))
             .otherwise(V.to_string_strict(x, path))
         )

@@ -486,10 +486,15 @@ def op_round(scope, cur, args, path):
             scale = F.lit(0).cast("long")
         factor = F.pow(F.lit(10.0), scale.cast("double"))
         scaled = number * factor
-        # Rust f64::round = half away from zero
+        # Rust f64::round = half away from zero.  Spark's floor/ceil
+        # over DOUBLE return LONG and overflow beyond i64 (r7 fuzz:
+        # round(1e20) clamped to 9.2e18); doubles at |x| >= 2^53 are
+        # already integral, where f64::round is the identity
+        big = F.abs(scaled) >= F.lit(9007199254740992.0)
         rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
             F.ceil(scaled - 0.5))
-        result = rounded.cast("double") / factor
+        result = F.when(big, scaled).otherwise(
+            rounded.cast("double")) / factor
         # value converts before the scale's null/int checks
         # (eval_round, transform.rs:2437-2476)
         checks = [_chk(number)]

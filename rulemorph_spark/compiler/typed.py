@@ -271,16 +271,27 @@ def _terr(dtype, kind: str, message: str, path: str,
 
 
 def _probe0(o: "TVal") -> Column:
-    """Zero-length, never-NULL string probe that FORCES evaluation of
-    ``o.col`` (fires its embedded per-row errors) without contributing
-    text."""
-    if isinstance(o.dtype, (T.ArrayType, T.MapType)):
-        p = F.size(o.col).cast("string")
-    elif isinstance(o.dtype, T.StructType):
-        p = F.to_json(o.col)
+    """Always-zero, never-NULL NUMERIC probe that FORCES evaluation of
+    ``o.col`` (fires its embedded per-row errors).  Numeric on purpose
+    (r7 perf): the r7 positional forcing evaluates one probe per
+    errs-carrying operand per row, and a string-cast probe cost the
+    rule_engine_typed anchor ~0.3 s at sf0.1; ``x * 0`` is never
+    simplified by Catalyst (wrong under null/NaN) so the reference
+    stays non-foldable.  Consumers: ``_force`` tests ``probe > 0``
+    (never true); ``_terr_forced`` renders it zero-length into the
+    raise message."""
+    dt = o.dtype
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        p = F.size(o.col) * 0
+    elif isinstance(dt, T.StructType):
+        p = F.length(F.to_json(o.col)) * 0
+    elif _is_num(dt):
+        p = o.col * 0
+    elif _is_bool(dt):
+        p = o.col.cast("int") * 0
     else:
-        p = o.col.cast("string")
-    return F.coalesce(F.substring(p, 1, 0), F.lit(""))
+        p = F.length(o.col.cast("string")) * 0
+    return F.coalesce(p.cast("double"), F.lit(0.0))
 
 
 def _terr_forced(operands: list["TVal"], dtype, kind: str, message: str,
@@ -298,7 +309,8 @@ def _terr_forced(operands: list["TVal"], dtype, kind: str, message: str,
     null error, not division by zero)."""
     if lenient_on():
         return F.lit(None).cast(dtype)
-    probes = [_probe0(o) for o in operands
+    probes = [F.substring(_probe0(o).cast("string"), 1, 0)
+              for o in operands
               if o.errs and not o.missing and not _is_null(o.dtype)]
     anchor = _fold_anchor()
     if anchor is not None:
@@ -324,13 +336,22 @@ def _chk(col: Column) -> Column:
 
 
 def _force(probe: Column, col: Column) -> Column:
-    """Evaluate ``probe`` before ``col`` collapse-proof: a plain
-    ``when(len(probe) >= 0, col)`` is discarded by SimplifyConditionals
-    whenever ``col`` is NULL (both branches fold identical) — so the
-    then-branch is an unreachable raise (the probe is '' whenever it
-    did not itself raise), keeping the branches distinct while the
-    condition still evaluates the probe per row."""
+    """Evaluate a zero-length STRING probe (``_chk``) before ``col``,
+    collapse-proof: a plain always-true guard is discarded by
+    SimplifyConditionals whenever ``col`` is NULL (both branches fold
+    identical) — so the then-branch is an unreachable raise (the probe
+    is '' whenever it did not itself raise), keeping the branches
+    distinct while the condition still evaluates the probe per row."""
     return F.when(F.length(probe) >= 1,
+                  V.cached_col("raise", "__unreachable__",
+                               lambda: F.raise_error(
+                                   F.lit("unreachable probe")))
+                  ).otherwise(col)
+
+
+def _force_n(probe: Column, col: Column) -> Column:
+    """``_force`` for the NUMERIC always-zero ``_probe0`` probes."""
+    return F.when(probe > 0,
                   V.cached_col("raise", "__unreachable__",
                                lambda: F.raise_error(
                                    F.lit("unreachable probe")))
@@ -394,16 +415,29 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
     # right after its own missing handling — exactly the reference's
     # per-operand order.  This replaces the r6 "missing short-circuit
     # after errorable operand" TypedFallback.
-    def _later_can_preempt(i: int) -> bool:
+    def _later_forces_probe(i: int) -> bool:
+        """A HOT per-row probe of operand i is needed only when a
+        LATER operand can kill the value path WITHOUT raising a
+        column we control: a missing short-circuit (value → NULL) or
+        an op-check raise (the converter's raise cannot embed earlier
+        probes).  Null-protocol preemption needs NO hot probe — the
+        null raise itself carries the earlier tainted probes in its
+        message (error rows only; r7 perf: the unconditional probe
+        cost rule_engine_typed ~2x at sf0.1)."""
         for j in range(i + 1, len(operands)):
             p = operands[j]
             if p.missing or p.missing_when is not None:
                 return True
-            if not allow_null:
-                return True              # runtime null raises at j
             if checks is not None and checks[j] is not None:
                 return True
         return False
+
+    def _null_err(i: int) -> Column:
+        # the null raise at operand i evaluates every EARLIER tainted
+        # operand through its message probes — reference order, zero
+        # cost on non-error rows
+        return _terr_forced(operands[:i], dtype, "expr_error",
+                            null_msg, path)
 
     # build backward so operand 0's checks end up outermost
     any_missing = False
@@ -420,15 +454,13 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
             # op-specific check for THIS operand runs after its
             # missing/null handling and before later operands
             col = _force(checks[i], col)
-        if not allow_null:
+        if not allow_null and not o.nonnull:
             isn = _isnull(o)
             if mp is not None:
                 isn = isn & ~mp          # missing is not a null error
-            col = F.when(isn,
-                         _terr(dtype, "expr_error", null_msg, path)
-                         ).otherwise(col)
-        if o.errs and not _is_null(o.dtype) and _later_can_preempt(i):
-            col = _force(_probe0(o), col)
+            col = F.when(isn, _null_err(i)).otherwise(col)
+        if o.errs and not _is_null(o.dtype) and _later_forces_probe(i):
+            col = _force_n(_probe0(o), col)
         if mp is not None:
             col = F.when(mp, F.lit(None).cast(dtype)).otherwise(col)
             any_missing = True
@@ -454,13 +486,13 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
         mp = _mw(o) if o.missing_when is not None else None
         if checks is not None and checks[i] is not None:
             mw = _force(checks[i], mw)
-        if not allow_null:
+        if not allow_null and not o.nonnull:
             isn = _isnull(o)
             if mp is not None:
                 isn = isn & ~mp
             mw = F.when(isn, F.lit(False)).otherwise(mw)
-        if o.errs and not _is_null(o.dtype) and _later_can_preempt(i):
-            mw = _force(_probe0(o), mw)
+        if o.errs and not _is_null(o.dtype) and _later_forces_probe(i):
+            mw = _force_n(_probe0(o), mw)
         if mp is not None:
             mw = F.when(mp, F.lit(True)).otherwise(mw)
     return TVal(col, dtype, maybe_missing=True, missing_when=mw,
@@ -1127,7 +1159,7 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         # branches) and cheaper (no variant re-run).
         col = _force(_chk(c), col)
         if cur.errs and not cur.missing and not _is_null(cur.dtype):
-            col = _force(_probe0(cur), col)
+            col = _force_n(_probe0(cur), col)
         # runtime tri-state: the result is missing when the TAKEN
         # branch is missing (statically or by its own missing_when);
         # unresolved branches keep the result unresolved
@@ -1153,7 +1185,7 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
             # rows resolved through the missing predicate never touch
             # the value column — the incoming pipe's errors must still
             # fire there (reference evaluates the pipe value first)
-            mw = _force(_probe0(cur), mw)
+            mw = _force_n(_probe0(cur), mw)
         return TVal(col, dt, maybe_missing=True, missing_when=mw,
                     const=if_const), scope
     if isinstance(step, RefStep):
@@ -1624,14 +1656,23 @@ def t_round(scope, cur, args, path):
         scale = F.lit(0).cast("long")
     factor = F.pow(F.lit(10.0), scale.cast("double"))
     scaled = number * factor
-    rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
-        F.ceil(scaled - 0.5))
+    # |x| >= 2^53 doubles are integral: f64::round is the identity,
+    # and Spark's long-returning floor/ceil would overflow (r7 fuzz)
+    big = F.abs(scaled) >= F.lit(9007199254740992.0)
+    rounded = F.when(big, scaled).otherwise(
+        F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+            F.ceil(scaled - 0.5)).cast("double"))
     # value converts before the scale's null/int checks (eval_round,
-    # transform.rs:2437-2476)
-    checks: list[Column | None] = [_chk(number)]
+    # transform.rs:2437-2476); probes only where the conversion can
+    # actually raise (a num-typed value / a literal int scale cannot)
+    checks: list[Column | None] = [
+        None if _is_num(ops[0].dtype) or _is_null(ops[0].dtype)
+        else _chk(number)]
     if len(ops) == 2:
-        checks.append(_chk(scale))
-    return _seq(ops, path, rounded.cast("double") / factor, T.DoubleType(),
+        s = ops[1]
+        checks.append(None if s.nonnull and _is_int(s.dtype)
+                      else _chk(scale))
+    return _seq(ops, path, rounded / factor, T.DoubleType(),
                 checks=checks)
 
 
@@ -3058,7 +3099,7 @@ class TypedRuleCompiler:
                         # the earlier mapping evaluates first — its
                         # errors fire before the later value is
                         # consulted (coalesce would skip it lazily)
-                        combined = _force(_probe0(prev), combined)
+                        combined = _force_n(_probe0(prev), combined)
                     materialized = self._add(combined)
                 node[names[-1]] = TVal(materialized, dt)
 
