@@ -75,32 +75,86 @@ def rerr(kind: str, message: str, path: str | None = None,
     return V.raise_err(kind, message, path, code)
 
 
-class V1OpPath(str):
-    """Error path for a v1 ``{op, args}`` standalone step.
+class OpPath(str):
+    """Error path for an op step: renders as the step path wherever a
+    plain string is expected, and exposes the reference's per-operand
+    attribution (round-7 follow-up: the engines used to collapse every
+    operand/argument error onto the step path).
 
-    Renders as the pipe-step path (``...expr[0]``) wherever a plain
-    string is expected, but exposes the reference's arg-level
-    attribution (``transform.rs`` reports v1 op errors at
-    ``...expr.args[i]``, e.g. ``transform_golden.rs`` fixtures r02-r08)
-    via :meth:`arg`.  Ops route operand/argument errors through
-    :func:`arg_path`, which is the identity for v2 step paths.
+    Reference numbering, operand index ``o`` counting the pipe value
+    as 0 and explicit args from 1:
+
+    - ``v1`` (standalone ``{op, args}`` at ``transform.rs`` paths
+      ``{base}.args[o]``, and chain items at ``{base}.chain[k].args[o]``
+      — ``eval_expr_at_index``, transform.rs:1996-2135): operand ``o``
+      → ``{base}.args[o]`` where ``base`` carries the original v1
+      structure suffix; a standalone op's first arg is the hoisted
+      pipe, so the numbering is the original arg index either way.
+    - ``v2_delegated`` (v2 op steps the reference routes through
+      ``eval_v2_op_with_v1_fallback``, v2_eval.rs:1580-1640): the pipe
+      injects as args[0] → operand ``o`` → ``{step}.args[o]``; arg
+      EXPRESSIONS pre-evaluate eagerly at 0-based ``{step}.args[j]``.
+    - ``v2_native`` (ops ``eval_v2_op_step`` implements inline,
+      v2_eval.rs:1765-3069): the pipe value errors at the STEP path,
+      explicit arg ``j`` at ``{step}.args[j]``.
     """
 
+    kind: str   # "v1_standalone" | "v1_chain" | "v2_native" | "v2_delegated"
     base: str
 
-    def __new__(cls, step_path: str, base: str):
+    def __new__(cls, step_path: str, kind: str = "v2_delegated",
+                base: str | None = None):
         s = str.__new__(cls, step_path)
-        s.base = base
+        s.kind = kind
+        s.base = step_path if base is None else base
         return s
 
-    def arg(self, i: int) -> str:
-        return f"{self.base}.args[{i}]"
+    def arg(self, o: int) -> str:
+        """Protocol/conversion error path for operand ``o`` (0 = pipe)."""
+        if self.kind.startswith("v1"):
+            return f"{self.base}.args[{o}]"
+        if self.kind == "v2_native":
+            return str(self) if o == 0 else f"{self}.args[{o - 1}]"
+        return f"{self}.args[{o}]"
+
+    def sub(self, j: int) -> str:
+        """Compile path of explicit arg ``j``'s own expression."""
+        if self.kind.startswith("v1"):
+            return f"{self.base}.args[{j + 1}]"
+        return f"{self}.args[{j}]"
+
+    def raw(self, j: int) -> str:
+        """Lambda-arg path: the reference's per-item sub-expression ops
+        (map/filter/sort_by/zip_with/fold families) compute the path
+        from the RAW args index — a v1 CHAIN's lambda reports at
+        ``{base}.args[j]``, not the operand slot ``args[j+1]``
+        (``_two_arg_array_op_setup``: ``expr_index = 0 if injected``,
+        transform.rs eval_map/eval_sort_by)."""
+        if self.kind == "v1_chain":
+            return f"{self.base}.args[{j}]"
+        return self.sub(j)
 
 
-def arg_path(path, i: int) -> str:
-    """Reference-exact path for the op argument at original index
-    ``i`` — arg-level for v1 standalone ops, the step path otherwise."""
-    return path.arg(i) if isinstance(path, V1OpPath) else path
+# back-compat alias: a v1 standalone step path
+def V1OpPath(step_path: str, base: str) -> OpPath:
+    return OpPath(step_path, "v1_standalone", base)
+
+
+def raw_path(path, j: int) -> str:
+    """Lambda-arg path (raw args index; see :meth:`OpPath.raw`)."""
+    return path.raw(j) if isinstance(path, OpPath) else path
+
+
+def arg_path(path, o: int) -> str:
+    """Reference-exact path for operand ``o`` (0 = the pipe value) —
+    per-operand for :class:`OpPath`, the bare path otherwise."""
+    return path.arg(o) if isinstance(path, OpPath) else path
+
+
+def sub_path(path, j: int) -> str:
+    """Compile path for explicit arg ``j``'s expression."""
+    return path.sub(j) if isinstance(path, OpPath) \
+        else f"{path}.args[{j + 1}]"
 
 
 def rerr_dyn(kind: str, message: str, path_col: Column) -> Column:
@@ -134,6 +188,20 @@ class Scope:
 
 # op name -> fn(scope, cur, args, path) ; populated by the ops modules.
 OPS: dict[str, object] = {}
+
+# ops ``eval_v2_op_step`` implements inline (v2_eval.rs:1765-3069) —
+# everything else routes through ``eval_v2_op_with_v1_fallback`` and
+# numbers the injected pipe as args[0].  Canonical (post-alias) names.
+V2_NATIVE_STEP_OPS = {
+    "trim", "lowercase", "uppercase", "to_string", "concat",
+    "string", "int", "float", "bool",
+    "+", "-", "*", "/",
+    "map", "filter", "flat_map", "group_by", "key_by", "partition",
+    "distinct_by", "sort_by", "find", "find_index", "reduce", "fold",
+    "zip_with", "first", "last", "coalesce", "and", "or", "not",
+    "==", "!=", "<", "<=", ">", ">=", "~=",
+    "lookup", "lookup_first",
+}
 
 # ops backed by a pandas UDF — Spark forbids Python UDFs inside higher-
 # order-function lambdas, so these compile without the let-binding wrapper
@@ -226,13 +294,26 @@ def compile_pipe(pipe: Pipe, scope: Scope, path: str = "expr") -> Column:
     for i, step in enumerate(pipe.steps):
         # steps index from 1 — the start value is [0]
         # (``eval_v2_pipe``, ``v2_eval.rs:834``; r7 path-parity fix)
-        step_path = f"{path}[{i + 1}]"
-        if isinstance(step, OpStep) and step.origin_first_arg is not None:
-            # v1 {op, args} standalone: errors attribute to expr.args[i]
-            # like the reference (the base path has no step suffix)
-            step_path = V1OpPath(step_path, path)
+        step_path = step_op_path(step, f"{path}[{i + 1}]", path)
         cur, scope = compile_step(step, cur, scope, step_path)
     return cur
+
+
+def step_op_path(step, step_path: str, pipe_base: str):
+    """Wrap an op step's path with the reference's per-operand
+    attribution (see :class:`OpPath`); non-op steps keep the plain
+    step path."""
+    if not isinstance(step, OpStep):
+        return step_path
+    if step.v1_suffix is not None:
+        # v1 forms render with the original structure suffix — the
+        # reference never step-indexes v1 paths
+        # (``mappings[0].expr.args[o]``, ``...chain[k].args[o]``)
+        return OpPath(f"{pipe_base}{step.v1_suffix}",
+                      "v1_chain" if step.v1_chain else "v1_standalone")
+    op = OP_ALIASES.get(step.op, step.op)
+    kind = "v2_native" if op in V2_NATIVE_STEP_OPS else "v2_delegated"
+    return OpPath(step_path, kind)
 
 
 def compile_step(step, cur: Column, scope: Scope, path: str):
@@ -275,13 +356,29 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
         new_locals = dict(scope.locals)
         pipe_scope = scope.child(pipe=cur)
         for name, expr in step.bindings:
-            new_locals[name] = compile_pipe(expr, pipe_scope, f"{path}.let.{name}")
+            # binding path is ``{step}.{name}`` (eval_v2_let_step,
+            # v2_eval.rs:898-913)
+            binding = compile_pipe(expr, pipe_scope, f"{path}.{name}")
+            # the reference evaluates every binding EAGERLY — a raising
+            # binding raises even when nothing references it
+            # (eval_v2_let_step evaluates in its loop).  A Column
+            # binding is lazy, so weave a zero-length probe of each
+            # binding into the pipe value (r7 path-parity campaign
+            # found the unused-raising-binding hole).
+            probe = F.coalesce(F.substring(F.to_json(binding), 1, 0),
+                               F.lit(""))
+            cur = F.when(F.length(probe) >= 1,
+                         V.cached_col("raise", "__unreachable__",
+                                      lambda: F.raise_error(
+                                          F.lit("unreachable probe")))
+                         .cast(V.VT)).otherwise(cur)
+            new_locals[name] = binding
             pipe_scope = pipe_scope.child(locals=dict(new_locals))
         return cur, scope.child(locals=new_locals)
     if isinstance(step, IfStep):
         def build_if(x):
             pipe_scope = scope.child(pipe=x)
-            cond = compile_condition(step.cond, pipe_scope, f"{path}.if")
+            cond = compile_condition(step.cond, pipe_scope, f"{path}.cond")
             then_c = compile_pipe(step.then_branch, pipe_scope,
                                   f"{path}.then")
             if step.else_branch is not None:
@@ -328,13 +425,13 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
     """
     if isinstance(cond, CondAll):
         result = F.lit(True)
-        for c in cond.conditions:
-            result = result & compile_condition(c, scope, path)
+        for i, c in enumerate(cond.conditions):
+            result = result & compile_condition(c, scope, f"{path}[{i}]")
         return result
     if isinstance(cond, CondAny):
         result = F.lit(False)
-        for c in cond.conditions:
-            result = result | compile_condition(c, scope, path)
+        for i, c in enumerate(cond.conditions):
+            result = result | compile_condition(c, scope, f"{path}[{i}]")
         return result
     if isinstance(cond, CondCompare):
         if len(cond.args) != 2:
@@ -344,7 +441,7 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
                 "expr_error",
                 "comparison requires exactly 2 arguments, got "
                 f"{len(cond.args)}", path).cast("boolean")
-        args = [compile_pipe(a, scope, f"{path}.{cond.op}[{i}]")
+        args = [compile_pipe(a, scope, f"{path}.args[{i}]")
                 for i, a in enumerate(cond.args)]
         left, right = args
         if cond.op == "match":
@@ -357,14 +454,17 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
                             path).cast("boolean")
         return _compare(cond.op, left, right, path)
     if isinstance(cond, CondExpr):
-        value = compile_pipe(cond.expr, scope, path)
+        # bare-expression conditions attribute to ``{path}.expr``
+        # (eval_v2_condition, v2_eval.rs:1020-1045)
+        expr_path = f"{path}.expr"
+        value = compile_pipe(cond.expr, scope, expr_path)
         # must be a boolean; missing/null → false; non-bool → error
         return (
             F.when(V.is_absent(value), F.lit(False))
             .when(V.is_bool(value), value.try_cast("boolean"))
             .otherwise(rerr("expr_error",
                             "when/record_when must evaluate to boolean",
-                            path).cast("boolean"))
+                            expr_path).cast("boolean"))
         )
     raise RuleError("expr_error", "unknown condition", path)
 
@@ -412,9 +512,10 @@ def _compare(op: str, left: Column, right: Column, path: str) -> Column:
 
 
 def _numeric_or_null(v: Column) -> Column:
-    """double if the variant is a number or numeric string, else NULL."""
-    parsed = v.try_cast("string").try_cast("double")
+    """double if the variant is a number or Rust-grammar numeric string
+    (``value_as_f64`` uses ``parse::<f64>`` — no whitespace), else
+    NULL."""
     return (
         F.when(V.is_number(v), v.try_cast("double"))
-        .when(V.is_string(v), parsed)
+        .when(V.is_string(v), V.rust_f64_parse(v.try_cast("string")))
     )

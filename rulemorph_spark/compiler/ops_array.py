@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 from ..errors import RuleError
 from ..expr_ir import MapStep, Pipe, StartLiteral
 from . import variant as V
-from .core import (Scope, compile_pipe, compile_step, cur_version, register,
-                   rerr)
+from .core import (Scope, arg_path, compile_pipe, compile_step, cur_version,
+                   raw_path, register, rerr, sub_path)
 from .ops_scalar import _as_i64, _chk, _operands, seq_strict
+
+import re as _re
+
+_I64_RE = _re.compile(r"^[+-]?[0-9]+$")
+
 
 def EMPTY() -> Column:
     return F.array().cast(V.ARR_T)
@@ -57,10 +62,20 @@ def _predicate(scope: Scope, expr: Pipe, path: str):
 
 
 def _key_string(scope: Scope, expr: Pipe, path: str):
-    """Per-item key expression stringified (``v2_eval.rs:1423-1460``)."""
+    """Per-item key expression stringified — missing and null have
+    their own wordings before the stringify (``eval_key_string``
+    transform.rs / ``_v2_eval_key_string`` v2_eval.rs:1423-1460)."""
     def key(x, i):
         value = compile_pipe(expr, _item_scope(scope, x, i), path)
-        return V.to_string_strict(value, path, "key must be stringifiable")
+        return (
+            F.when(value.isNull(),
+                   rerr("expr_error", "expr arg must not be missing",
+                        path).cast("string"))
+            .when(V.is_vnull(value),
+                  rerr("expr_error", "expr arg must not be null",
+                       path).cast("string"))
+            .otherwise(V.to_string_strict(
+                value, path, "value must be string/number/bool")))
     return key
 
 
@@ -81,31 +96,39 @@ def op_map(scope, cur, args, path):
                             cur, path).cast(V.ARR_T))
         mapped = F.transform(
             arr, lambda x, i: compile_pipe(expr, _item_scope(scope, x, i),
-                                           path))
+                                           raw_path(path, 0)))
         # v2 drops missing results (v2_eval.rs:1960-1962)
         result = V.arr_to_variant(F.filter(mapped, lambda x: x.isNotNull()))
         return F.when(cur.isNull(), F.lit(None).cast(V.VT)).otherwise(result)
     # v1 keeps missing results as null (transform.rs:3104-3110)
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     mapped = F.transform(
         arr, lambda x, i: F.coalesce(
-            compile_pipe(expr, _item_scope(scope, x, i), path), V.vnull()))
+            compile_pipe(expr, _item_scope(scope, x, i),
+                         raw_path(path, 0)), V.vnull()))
     return V.arr_to_variant(mapped)
 
 
 def compile_map_step(step: MapStep, cur: Column, scope: Scope, path: str):
     """The ``{map: [steps...]}`` step (``v2_eval.rs:955-1046``): pipe value
-    per element, steps folded; missing results dropped."""
+    per element, steps folded; missing results dropped.  Per-item errors
+    attribute to ``{step}[{item_index}].step[{k}]`` (eval_v2_map_step) —
+    the item index is runtime data, spliced via a dynamic path marker."""
     arr = F.when(V.is_array(cur), cur.try_cast(V.ARR_T)).otherwise(
         V.raise_err_got("expr_error", "map step requires array, got ",
                         cur, path).cast(V.ARR_T))
 
     def run(x, i):
-        inner = _item_scope(scope, x, i)
-        value = x
-        for j, s in enumerate(step.steps):
-            value, inner = compile_step(s, value, inner, f"{path}.map[{j}]")
-        return value
+        from .core import step_op_path
+        marker = f"@@I{V.dyn_marker_depth()}@@"
+        with V.dyn_path_marker(marker, i):
+            inner = _item_scope(scope, x, i)
+            value = x
+            for j, s in enumerate(step.steps):
+                sp = f"{path}{marker}.step[{j}]"
+                value, inner = compile_step(
+                    s, value, inner, step_op_path(s, sp, sp))
+            return value
 
     mapped = F.transform(arr, run)
     result = V.arr_to_variant(F.filter(mapped, lambda x: x.isNotNull()))
@@ -114,8 +137,8 @@ def compile_map_step(step: MapStep, cur: Column, scope: Scope, path: str):
 
 @register("filter")
 def op_filter(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
-    pred = _predicate(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    pred = _predicate(scope, args[0], raw_path(path, 0))
     kept = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
     return V.arr_to_variant(F.transform(kept, lambda p: p["v"]))
 
@@ -123,10 +146,11 @@ def op_filter(scope, cur, args, path):
 @register("flat_map")
 def op_flat_map(scope, cur, args, path):
     expr = args[0]
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     mapped = F.transform(
         arr, lambda x, i: F.coalesce(
-            compile_pipe(expr, _item_scope(scope, x, i), path), V.vnull()))
+            compile_pipe(expr, _item_scope(scope, x, i),
+                         raw_path(path, 0)), V.vnull()))
     flattened = F.aggregate(
         mapped, EMPTY(),
         lambda acc, x: F.concat(
@@ -137,19 +161,38 @@ def op_flat_map(scope, cur, args, path):
 
 @register("flatten")
 def op_flatten(scope, cur, args, path):
-    ops = _operands(scope, cur, args, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     depth = 1
     if len(args) == 1:
+        dp = arg_path(path, 1)
         lit = args[0].start
-        if isinstance(lit, StartLiteral) and isinstance(lit.value, int):
-            depth = lit.value
-        else:
+        if not (isinstance(lit, StartLiteral) and not args[0].steps):
             raise RuleError("expr_error", "flatten depth must be a literal "
                             "integer for the Spark compiler", path)
-        if depth < 0:
-            raise RuleError("expr_error",
-                            "flatten depth must be non-negative", path)
-    arr = _coerce_array(cur, path)
+        # mirror _op_flatten's depth protocol (null → the generic null
+        # error, value_to_i64 conversion, negative check — all at the
+        # depth operand's path).  The array converts FIRST, so a
+        # constant depth error still weaves behind the array probe.
+        v = lit.value
+        err = None
+        if v is None:
+            err = rerr("expr_error", "expr arg must not be null", dp)
+        elif isinstance(v, bool) or not isinstance(v, int):
+            if isinstance(v, float) and v == int(v):
+                v = int(v)
+            elif isinstance(v, str) and _I64_RE.match(v):
+                v = int(v)
+            else:
+                err = rerr("expr_error",
+                           "depth must be a non-negative integer", dp)
+        if err is None and isinstance(v, int) and v < 0:
+            err = rerr("expr_error",
+                       "depth must be a non-negative integer", dp)
+        if err is not None:
+            return F.when(F.length(_arr_probe(arr)) >= 1,
+                          F.raise_error(F.lit("unreachable probe"))
+                          .cast(V.VT)).otherwise(err.cast(V.VT))
+        depth = v
     for _ in range(min(depth, 32)):
         arr = F.aggregate(
             arr, EMPTY(),
@@ -188,8 +231,8 @@ def op_take(scope, cur, args, path):
     "expr arg must not be null", non-int → "count must be an
     integer")."""
     ops = _operands(scope, cur, args, path)
-    arr = _coerce_array(ops[0], path)
-    n = _as_i64(ops[1], path, "count must be an integer")
+    arr = _coerce_array(ops[0], arg_path(path, 0))
+    n = _as_i64(ops[1], arg_path(path, 1), "count must be an integer")
     size = F.size(arr).cast("long")
     nc = _clamped_count(n, size)
     head = F.slice(arr, F.lit(1), nc.cast("int"))
@@ -202,8 +245,8 @@ def op_take(scope, cur, args, path):
 @register("drop")
 def op_drop(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
-    arr = _coerce_array(ops[0], path)
-    n = _as_i64(ops[1], path, "count must be an integer")
+    arr = _coerce_array(ops[0], arg_path(path, 0))
+    n = _as_i64(ops[1], arg_path(path, 1), "count must be an integer")
     size = F.size(arr).cast("long")
     nc = _clamped_count(n, size)
     head_dropped = F.slice(arr, (nc + 1).cast("int"),
@@ -220,14 +263,14 @@ def op_slice(scope, cur, args, path):
     """[start, end) with negatives from the end
     (``eval_array_slice``, ``transform.rs:3376-3443``)."""
     ops = _operands(scope, cur, args, path)
-    arr = _coerce_array(ops[0], path)
+    arr = _coerce_array(ops[0], arg_path(path, 0))
     size = F.size(arr).cast("long")
-    start = _as_i64(ops[1], path, "start must be an integer")
+    start = _as_i64(ops[1], arg_path(path, 1), "start must be an integer")
     checks = [_arr_probe(arr), _chk(start)]
     start = F.when(start < 0, F.greatest(size + start, F.lit(0).cast("long"))) \
              .otherwise(F.least(start, size))
     if len(args) == 2:
-        end = _as_i64(ops[2], path, "end must be an integer")
+        end = _as_i64(ops[2], arg_path(path, 2), "end must be an integer")
         checks.append(_chk(end))
         end = F.when(end < 0, F.greatest(size + end, F.lit(0).cast("long"))) \
                .otherwise(F.least(end, size))
@@ -248,10 +291,11 @@ def op_chunk(scope, cur, args, path):
     # not raise on null rows — the protocol's null guard (correct
     # wording) fires first on those
     n = F.when(V.is_absent(ops[1]), F.lit(None).cast("long")).otherwise(
-        _as_i64(ops[1], path, "size must be a positive integer"))
+        _as_i64(ops[1], arg_path(path, 1),
+                "size must be a positive integer"))
     n_checked = F.when(n <= 0, rerr(
         "expr_error", "size must be a positive integer",
-        path).cast("long")).otherwise(n)
+        arg_path(path, 1)).cast("long")).otherwise(n)
 
     # let-bind the coerced array and chunk size: referenced inside the
     # per-chunk lambda, a bare subtree would re-coerce per chunk
@@ -267,7 +311,8 @@ def op_chunk(scope, cur, args, path):
         return seq_strict(ops, path, result, skip={0},
                           checks=[_arr_probe(arr), _chk(nc)])
 
-    return V.let_many([_coerce_array(ops[0], path), n_checked], body)
+    return V.let_many([_coerce_array(ops[0], arg_path(path, 0)),
+                       n_checked], body)
 
 
 def _zip_rows(arrays: list[Column]) -> Column:
@@ -294,7 +339,8 @@ def _zip_rows(arrays: list[Column]) -> Column:
 @register("zip")
 def op_zip(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
-    arrays = [_coerce_array(o, path) for o in ops]
+    arrays = [_coerce_array(o, arg_path(path, i))
+              for i, o in enumerate(ops)]
     rows = _zip_rows(arrays)
     return V.arr_to_variant(
         F.transform(rows, lambda row: row.cast(V.VT)))
@@ -306,12 +352,14 @@ def op_zip_with(scope, cur, args, path):
     (``transform.rs:3538-3598``); missing combiner results kept as null."""
     expr = args[-1]
     ops = _operands(scope, cur, args[:-1], path)
-    arrays = [_coerce_array(o, path) for o in ops]
+    arrays = [_coerce_array(o, arg_path(path, i))
+              for i, o in enumerate(ops)]
     rows = _zip_rows(arrays)
+    lam = raw_path(path, len(args) - 1)
     combined = F.transform(
         rows,
         lambda row, i: F.coalesce(
-            compile_pipe(expr, _item_scope(scope, row.cast(V.VT), i), path),
+            compile_pipe(expr, _item_scope(scope, row.cast(V.VT), i), lam),
             V.vnull()))
     return V.arr_to_variant(combined)
 
@@ -333,11 +381,11 @@ def op_unzip(scope, cur, args, path):
         width_checked = (
             F.when(~F.coalesce(all_arrays, F.lit(True)),
                    rerr("expr_error", "unzip items must be arrays",
-                        path).cast("int"))
+                        arg_path(path, 0)).cast("int"))
             .when(width_ok, F.size(first_row))
             .otherwise(rerr("expr_error",
                             "unzip items must have the same length",
-                            path).cast("int")))
+                            arg_path(path, 0)).cast("int")))
 
         def with_width(wc: Column) -> Column:
             cols = F.transform(
@@ -351,15 +399,15 @@ def op_unzip(scope, cur, args, path):
 
         return V.let(width_checked, with_width)
 
-    return V.let(_coerce_array(cur, path), body)
+    return V.let(_coerce_array(cur, arg_path(path, 0)), body)
 
 
 @register("group_by")
 def op_group_by(scope, cur, args, path):
     """{key: [items]} — key expr stringified (``v2_eval.rs:2026-2057``).
     Note: variant objects enumerate keys sorted, not first-seen."""
-    arr = _coerce_array(cur, path)
-    key = _key_string(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    key = _key_string(scope, args[0], raw_path(path, 0))
     pairs = F.transform(_with_index(arr),
                         lambda p: F.struct(key(p["v"], p["i"]).alias("k"),
                                            p["v"].alias("v")))
@@ -376,8 +424,8 @@ def op_group_by(scope, cur, args, path):
 @register("key_by")
 def op_key_by(scope, cur, args, path):
     """{key: item}, last wins (``transform.rs:3706-3743``)."""
-    arr = _coerce_array(cur, path)
-    key = _key_string(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    key = _key_string(scope, args[0], raw_path(path, 0))
     pairs = F.transform(_with_index(arr),
                         lambda p: F.struct(key(p["v"], p["i"]).alias("key"),
                                            p["v"].alias("value")))
@@ -387,8 +435,8 @@ def op_key_by(scope, cur, args, path):
 
 @register("partition")
 def op_partition(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
-    pred = _predicate(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    pred = _predicate(scope, args[0], raw_path(path, 0))
     decorated = F.transform(_with_index(arr),
                             lambda p: F.struct(p["v"].alias("v"),
                                                pred(p["v"], p["i"]).alias("m")))
@@ -401,15 +449,16 @@ def op_partition(scope, cur, args, path):
 
 @register("unique")
 def op_unique(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    item_path = arg_path(path, 0)
     def ukey(x):
         return (
             F.when(V.is_vnull(x) | x.isNull(), F.lit("\x00null"))
             .when(V.is_array(x) | V.is_object(x),
                   rerr("expr_error",
                        "value must be string/number/bool or null",
-                       path).cast("string"))
-            .otherwise(V.to_string_strict(x, path))
+                       item_path).cast("string"))
+            .otherwise(V.to_string_strict(x, item_path))
         )
     keys = F.transform(arr, ukey)
     kept = F.filter(
@@ -421,8 +470,8 @@ def op_unique(scope, cur, args, path):
 @register("distinct_by")
 def op_distinct_by(scope, cur, args, path):
     """dedupe by key expr, first wins (``v2_eval.rs:2122-2152``)."""
-    arr = _coerce_array(cur, path)
-    key = _key_string(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    key = _key_string(scope, args[0], raw_path(path, 0))
     keys = F.transform(_with_index(arr), lambda p: key(p["v"], p["i"]))
     kept = F.filter(
         _with_index(arr),
@@ -435,19 +484,45 @@ def op_distinct_by(scope, cur, args, path):
 def op_sort_by(scope, cur, args, path):
     """stable sort by key expr; keys must be uniformly num/str/bool
     (``transform.rs:3872-3967``, ``v2_eval.rs:2153-2246``)."""
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     key_fn_expr = args[0]
+    key_path = raw_path(path, 0)
     order = "asc"
     if len(args) == 2:
         lit = args[1].start
-        if isinstance(lit, StartLiteral) and lit.value in ("asc", "desc"):
-            order = lit.value
-        else:
+        op_ = arg_path(path, 2)
+        if not (isinstance(lit, StartLiteral) and not args[1].steps):
             raise RuleError("expr_error", "order must be asc or desc",
                             path)
+        v = lit.value
+        msg = None
+        if v in ("asc", "desc") and isinstance(v, str):
+            order = v
+        elif cur_version() >= 2:
+            # v2 stringifies the order via v1_value_to_string
+            # (eval_v2 sort_by): containers/null fail the stringify,
+            # any other scalar renders and fails the asc/desc check
+            msg = ("value must be string/number/bool"
+                   if v is None or isinstance(v, (list, dict))
+                   else "order must be asc or desc")
+        else:
+            # v1 _eval_string_at: null → generic null error, non-string
+            # → "value must be a string"
+            msg = ("expr arg must not be null" if v is None
+                   else "value must be a string"
+                   if not isinstance(v, str) or isinstance(v, bool)
+                   else "order must be asc or desc")
+        if msg is not None:
+            # order (arg 2) converts AFTER the array coercion and the
+            # empty-array early return ([] sorts to [] without touching
+            # the order), BEFORE any key evaluates
+            return F.when(F.size(arr) == 0,
+                          V.arr_to_variant(EMPTY())).otherwise(
+                rerr("expr_error", msg, op_).cast(V.VT))
 
     def key(x, i):
-        value = compile_pipe(key_fn_expr, _item_scope(scope, x, i), path)
+        value = compile_pipe(key_fn_expr, _item_scope(scope, x, i),
+                             key_path)
         t = V.typeof(value)
         num = V.is_number(value)
         d = value.try_cast("double")
@@ -459,18 +534,18 @@ def op_sort_by(scope, cur, args, path):
         # expressions have their own wordings before the kind check
         return (F.when(value.isNull(),
                        rerr("expr_error", "expr arg must not be missing",
-                            path).cast(V.VT))
+                            key_path).cast(V.VT))
                 .when(V.is_vnull(value),
                       rerr("expr_error", "expr arg must not be null",
-                           path).cast(V.VT))
+                           key_path).cast(V.VT))
                 .when(num & ~F.coalesce(finite, F.lit(False)),
                       rerr("expr_error",
                            "sort_by key must be a finite number",
-                           path).cast(V.VT))
+                           key_path).cast(V.VT))
                 .when(ok, value)
                 .otherwise(rerr("expr_error",
                                 "sort_by key must be string/number/bool",
-                                path).cast(V.VT)))
+                                key_path).cast(V.VT)))
 
     decorated = F.transform(
         _with_index(arr),
@@ -509,14 +584,14 @@ def op_sort_by(scope, cur, args, path):
     return F.when(F.size(kind) > 1,
                   rerr("expr_error",
                        "sort_by keys must be all the same type",
-                       path).cast(V.VT)).otherwise(result)
+                       key_path).cast(V.VT)).otherwise(result)
 
 
 @register("find")
 def op_find(scope, cur, args, path):
     """first match, JSON null if none (``transform.rs:3969-4006``)."""
-    arr = _coerce_array(cur, path)
-    pred = _predicate(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    pred = _predicate(scope, args[0], raw_path(path, 0))
     found = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
     first = F.try_element_at(found, F.lit(1))
     return F.when(first.isNull(), V.vnull()).otherwise(
@@ -526,45 +601,46 @@ def op_find(scope, cur, args, path):
 @register("find_index")
 def op_find_index(scope, cur, args, path):
     """index of first match, -1 if none (``transform.rs:4008-4045``)."""
-    arr = _coerce_array(cur, path)
-    pred = _predicate(scope, args[0], path)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    pred = _predicate(scope, args[0], raw_path(path, 0))
     found = F.filter(_with_index(arr), lambda p: pred(p["v"], p["i"]))
     first = F.try_element_at(found, F.lit(1))
     return F.coalesce(first["i"].cast("long"), F.lit(-1).cast("long")).cast(V.VT)
 
 
 def _eq_proxy(x: Column, path: str) -> Column:
-    """v1 compare_eq as a string proxy (null ≡ null; scalars stringified)."""
+    """v1 compare_eq as a string proxy (null ≡ null; scalars stringified;
+    ``ensure_eq_compatible`` wording, transform.rs)."""
     return (
         F.when(x.isNull() | V.is_vnull(x), F.lit("\x00null"))
         .otherwise(V.to_string_strict(
-            x, path, "comparison operand must be stringifiable"))
+            x, path, "value must be string/number/bool or null"))
     )
 
 
 @register("index_of")
 def op_index_of(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
-    target = compile_pipe(args[0], scope.child(pipe=cur), f"{path}.args[0]")
-    proxies = F.transform(arr, lambda x: _eq_proxy(x, path))
-    pos = F.array_position(proxies, _eq_proxy(target, path))
+    arr = _coerce_array(cur, arg_path(path, 0))
+    target = compile_pipe(args[0], scope.child(pipe=cur), sub_path(path, 0))
+    proxies = F.transform(arr, lambda x: _eq_proxy(x, arg_path(path, 0)))
+    pos = F.array_position(proxies, _eq_proxy(target, arg_path(path, 1)))
     return (pos - 1).cast("long").cast(V.VT)
 
 
 @register("contains")
 def op_contains(scope, cur, args, path):
-    arr = _coerce_array(cur, path)
-    target = compile_pipe(args[0], scope.child(pipe=cur), f"{path}.args[0]")
-    proxies = F.transform(arr, lambda x: _eq_proxy(x, path))
-    return F.array_contains(proxies, _eq_proxy(target, path)).cast(V.VT)
+    arr = _coerce_array(cur, arg_path(path, 0))
+    target = compile_pipe(args[0], scope.child(pipe=cur), sub_path(path, 0))
+    proxies = F.transform(arr, lambda x: _eq_proxy(x, arg_path(path, 0)))
+    return F.array_contains(proxies, _eq_proxy(target, arg_path(path, 1))).cast(V.VT)
 
 
 def _numeric_agg(scope, cur, args, path, agg: str):
     """sum/avg/min/max: empty → JSON null; elements must be numbers
     (``transform.rs:4117-4260``)."""
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     nums = F.transform(arr, lambda x: V.to_number_strict(
-        x, path, "array item must be a number"))
+        x, arg_path(path, 0), "array item must be a number"))
     total = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
     if agg == "sum":
         result = total
@@ -603,7 +679,7 @@ def op_reduce(scope, cur, args, path):
     """fold seeded by the first element; empty → JSON null
     (``transform.rs:4262-4308``)."""
     expr = args[0]
-    arr = _coerce_array(cur, path)
+    arr = _coerce_array(cur, arg_path(path, 0))
     rest = F.slice(_with_index(arr), 2,
                    F.greatest(F.size(arr) - 1, F.lit(0)))
     seed = F.coalesce(F.try_element_at(arr, F.lit(1)), V.vnull())
@@ -611,7 +687,8 @@ def op_reduce(scope, cur, args, path):
     def step(acc, p):
         inner = scope.child(item=p["v"], item_index=p["i"], acc=acc,
                             pipe=p["v"])
-        return F.coalesce(compile_pipe(expr, inner, path), V.vnull())
+        return F.coalesce(compile_pipe(expr, inner, raw_path(path, 0)),
+                          V.vnull())
 
     result = F.aggregate(rest, seed, step)
     return F.when(F.size(arr) == 0, V.vnull()).otherwise(result)
@@ -621,17 +698,31 @@ def op_reduce(scope, cur, args, path):
 def op_fold(scope, cur, args, path):
     """fold with explicit initial value (``transform.rs:4310-4358``)."""
     init_expr, expr = args[0], args[1]
-    arr = _coerce_array(cur, path)
-    init = F.coalesce(
-        compile_pipe(init_expr, scope.child(pipe=cur), f"{path}.init"),
-        V.vnull())
+    arr = _coerce_array(cur, arg_path(path, 0))
+    init_raw = compile_pipe(init_expr, scope.child(pipe=cur),
+                            sub_path(path, 0))
 
     def step(acc, p):
         inner = scope.child(item=p["v"], item_index=p["i"], acc=acc,
                             pipe=p["v"])
-        return F.coalesce(compile_pipe(expr, inner, path), V.vnull())
+        return F.coalesce(compile_pipe(expr, inner, raw_path(path, 1)),
+                          V.vnull())
 
-    return F.aggregate(_with_index(arr), init, step)
+    # a MISSING initial value makes the whole op missing (v2 fold
+    # ``initial is MISSING → MISSING``, v2_eval.rs:2336-2346; v1
+    # _op_fold identical) — it does NOT fold with a null seed
+    def body(init: Column) -> Column:
+        result = F.aggregate(_with_index(arr),
+                             F.coalesce(init, V.vnull()), step)
+        # the array coerces BEFORE the initial value evaluates
+        # (both versions), so its error must win over init-missing
+        return F.when(F.length(_arr_probe(arr)) >= 1,
+                      F.raise_error(F.lit("unreachable probe"))
+                      .cast(V.VT)) \
+                .when(init.isNull(), F.lit(None).cast(V.VT)) \
+                .otherwise(result)
+
+    return V.let(init_raw, body)
 
 
 def _strict_array(o: Column, op_name: str, path: str) -> Column:

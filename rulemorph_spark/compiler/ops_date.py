@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..errors import RuleError
 from ..expr_ir import Pipe, StartLiteral
 from . import variant as V
-from .core import Scope, compile_pipe, register, rerr
+from .core import Scope, arg_path, compile_pipe, register, rerr
 from .ops_scalar import _as_string, _operands, seq_strict
 
 # chrono strftime token → Spark (java.time) pattern token
@@ -343,27 +343,31 @@ def _render(ts_utc: Column, out_fmt: str, offset_seconds: Column,
 @register("date_format")
 def op_date_format(scope: Scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
-    value = _as_string(ops[0], path)
-    out_fmt = _lit_str_arg(args[0], path, "output format")
+    vp = arg_path(path, 0)
+    value = _as_string(ops[0], vp)
+    out_fmt = _lit_str_arg(args[0], arg_path(path, 1), "output format")
     if not isinstance(out_fmt, str):
-        raise RuleError("expr_error", "output format must be a string", path)
+        raise RuleError("expr_error", "output format must be a string",
+                        arg_path(path, 1))
 
     input_formats: list[str] | None = None
     tz_seconds: int | None = None
     if len(args) >= 2:
-        third = _lit_str_arg(args[1], path, "input format / timezone")
+        ip = arg_path(path, 2)
+        third = _lit_str_arg(args[1], ip, "input format / timezone")
         if isinstance(third, str) and looks_like_timezone(third):
-            tz_seconds = parse_tz_literal(third, path)
+            tz_seconds = parse_tz_literal(third, ip)
         elif isinstance(third, str):
             input_formats = [third]
         elif isinstance(third, list):
             input_formats = [str(x) for x in third]
         else:
             raise RuleError("expr_error",
-                            "input_format must be a string or array", path)
+                            "input_format must be a string or array", ip)
     if len(args) == 3:
-        tz = _lit_str_arg(args[2], path, "timezone")
-        tz_seconds = parse_tz_literal(str(tz), path)
+        tp = arg_path(path, 3)
+        tz = _lit_str_arg(args[2], tp, "timezone")
+        tz_seconds = parse_tz_literal(str(tz), tp)
 
     # let-bind the string value, then the parsed (ts, offset) pair:
     # the default-chain parse references the value once per tried
@@ -378,7 +382,7 @@ def op_date_format(scope: Scope, cur, args, path):
         return _render(ts, out_fmt, render_off, path)
 
     result = V.let(value, lambda v: V.let_many(
-        list(parse_datetime_utc(v, input_formats, tz_seconds, path)),
+        list(parse_datetime_utc(v, input_formats, tz_seconds, vp)),
         render))
     return seq_strict(ops, path, result.cast(V.VT))
 
@@ -386,27 +390,30 @@ def op_date_format(scope: Scope, cur, args, path):
 @register("to_unixtime")
 def op_to_unixtime(scope: Scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
-    value = _as_string(ops[0], path)
+    vp = arg_path(path, 0)
+    value = _as_string(ops[0], vp)
     unit = "s"
     tz_seconds: int | None = None
     if len(args) >= 1:
-        second = str(_lit_str_arg(args[0], path, "unit / timezone"))
+        up = arg_path(path, 1)
+        second = str(_lit_str_arg(args[0], up, "unit / timezone"))
         if len(args) == 2:
             if second not in ("s", "ms"):
-                raise RuleError("expr_error", "unit must be s or ms", path)
+                raise RuleError("expr_error", "unit must be s or ms", up)
             unit = second
         elif second in ("s", "ms"):
             unit = second
         elif looks_like_timezone(second):
-            tz_seconds = parse_tz_literal(second, path)
+            tz_seconds = parse_tz_literal(second, up)
         else:
-            raise RuleError("expr_error", "unit must be s or ms", path)
+            raise RuleError("expr_error", "unit must be s or ms", up)
     if len(args) == 2:
-        tz = str(_lit_str_arg(args[1], path, "timezone"))
-        tz_seconds = parse_tz_literal(tz, path)
+        tp = arg_path(path, 2)
+        tz = str(_lit_str_arg(args[1], tp, "timezone"))
+        tz_seconds = parse_tz_literal(tz, tp)
 
     def to_epoch(v: Column) -> Column:
-        ts, _ = parse_datetime_utc(v, None, tz_seconds, path)
+        ts, _ = parse_datetime_utc(v, None, tz_seconds, vp)
         if unit == "ms":
             return (F.unix_micros(ts) / 1000).cast("long")
         return F.unix_timestamp(ts).cast("long")

@@ -25,7 +25,8 @@ from ..errors import RuleError
 from ..expr_ir import Pipe, StartLiteral
 from ..paths import parse_path
 from . import variant as V
-from .core import Scope, compile_pipe, cur_version, register, rerr
+from .core import (Scope, arg_path, compile_pipe, cur_version, register,
+                   rerr, sub_path)
 
 
 def _literal_str(arg: Pipe):
@@ -113,7 +114,7 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
     if cur_version() < 2:
         # v1 positional form: [collection, key_path, match_value, out_path?]
         # (pipe value is injected as the collection when used in a chain)
-        compiled = [compile_pipe(a, pipe_scope, f"{path}.args[{i}]")
+        compiled = [compile_pipe(a, pipe_scope, sub_path(path, i))
                     for i, a in enumerate(args)]
         operands = [cur] + compiled
         if len(operands) < 3:
@@ -127,7 +128,7 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
         if key_lit is None:
             raise RuleError("expr_error",
                             "lookup key_path must be a non-empty string "
-                            "literal", path)
+                            "literal", arg_path(path, 1))
         key_tokens = parse_path(key_lit, error_code="expr_error")
         out_tokens = (parse_path(out_lit, error_code="expr_error")
                       if out_lit is not None else None)
@@ -140,8 +141,9 @@ def _compile_lookup(scope: Scope, cur: Column, args: list[Pipe], path: str,
             first_map, all_map = _prebuilt_lookup_maps(
                 py_collection, key_tokens, out_tokens)
             return _map_lookup(first_map if first_only else all_map,
-                               V.to_string_strict(match_value, path),
-                               match_value, path, v1=True)
+                               V.to_string_strict(match_value,
+                                                  arg_path(path, 2)),
+                               match_value, arg_path(path, 2), v1=True)
         return _v1_lookup(collection, key_tokens, match_value, out_tokens,
                           path, first_only)
 
@@ -250,8 +252,8 @@ def _v1_lookup(collection: Column, key_tokens, match_value: Column,
                out_tokens, path: str, first_only: bool) -> Column:
     arr = F.when(V.is_array(collection), collection.try_cast(V.ARR_T)) \
            .otherwise(rerr("expr_error", "lookup collection must be an array",
-                           path).cast(V.ARR_T))
-    match_str = V.to_string_strict(match_value, path)
+                           arg_path(path, 0)).cast(V.ARR_T))
+    match_str = V.to_string_strict(match_value, arg_path(path, 2))
     matches = F.filter(
         arr, lambda item: _v1_match_key(item, key_tokens, path) == match_str)
     if out_tokens is not None:
@@ -269,7 +271,7 @@ def _v1_lookup(collection: Column, key_tokens, match_value: Column,
         .when(match_value.isNull(), F.lit(None).cast(V.VT))
         .when(V.is_vnull(match_value),
               rerr("expr_error", "lookup match_value must not be null",
-                   path).cast(V.VT))
+                   arg_path(path, 2)).cast(V.VT))
         .otherwise(result)
     )
 
@@ -278,12 +280,13 @@ def _v2_lookup(from_value: Column, match_key: Column, match_value: Column,
                get_field: Column | None, path: str,
                first_only: bool) -> Column:
     op_name = "lookup_first" if first_only else "lookup"
+    # v2 labels its sub-paths (.from/.match_key/.get — _v2_lookup,
+    # v2_eval.rs:2660-3062)
     arr = F.when(V.is_array(from_value), from_value.try_cast(V.ARR_T)) \
            .otherwise(rerr("expr_error",
                            f"{op_name} 'from' must be an array",
-                           path).cast(V.ARR_T))
-    key_str = V.to_string_strict(match_key, path,
-                                 "lookup match_key must be a string")
+                           f"{path}.from").cast(V.ARR_T))
+    key_str = V.as_string_v2(match_key, f"{path}.match_key")
     target_json = V.strict_json(match_value)
 
     def matches_pred(item):
@@ -295,7 +298,7 @@ def _v2_lookup(from_value: Column, match_key: Column, match_value: Column,
 
     matched = F.filter(arr, matches_pred)
     if get_field is not None:
-        get_str = V.to_string_strict(get_field, path)
+        get_str = V.as_string_v2(get_field, f"{path}.get")
         projected = F.transform(matched, lambda item: V.get_key(item, get_str))
         selected = F.filter(projected, lambda x: x.isNotNull())
     else:

@@ -24,7 +24,8 @@ from ..errors import RuleError, encode_engine_error
 from ..expr_ir import Pipe, StartLiteral
 from ..paths import Index, Key, parse_path
 from . import variant as V
-from .core import arg_path, compile_pipe, register, rerr, rerr_dyn
+from .core import (arg_path, compile_pipe, register, rerr, rerr_dyn,
+                   sub_path)
 from .ops_scalar import _operands, seq_strict
 
 _MISSING_SENTINEL = "\x00missing\x00"
@@ -146,13 +147,21 @@ def op_get(scope, cur, args, path):
     (``transform.rs:4419-4474``)."""
     ops = _operands(scope, cur, args, path)
     base, path_arg = ops[0], ops[1]
+    kp = arg_path(path, 1)
     path_literal = _literal_or_none(args[0])
     if path_literal is not None:
-        if not isinstance(path_literal, str) or not path_literal:
-            raise RuleError("expr_error", "path must be a non-empty string",
-                            path)
-        tokens = parse_path(path_literal, error_code="expr_error")
-        result = V.navigate(base, tokens)
+        if not isinstance(path_literal, str):
+            # literal non-string key: value_as_string error — AFTER the
+            # base checks (missing/null base short-circuits to missing,
+            # eval_json_get transform.rs:4446-4474)
+            result = rerr("expr_error", "value must be a string",
+                          kp).cast(V.VT)
+        elif not path_literal:
+            result = rerr("expr_error", "path must be a non-empty string",
+                          kp).cast(V.VT)
+        else:
+            tokens = parse_path(path_literal, error_code="expr_error")
+            result = V.navigate(base, tokens)
     else:
         # dynamic path (``eval_json_get``, ``transform.rs:4446-4474``):
         # non-string → "value must be a string", empty → "path must be
@@ -161,10 +170,10 @@ def op_get(scope, cur, args, path):
         key = F.when(V.is_string(path_arg),
                      path_arg.try_cast("string")).otherwise(
             rerr("expr_error", "value must be a string",
-                 path).cast("string"))
+                 kp).cast("string"))
         key = F.when(key == "", rerr(
             "expr_error", "path must be a non-empty string",
-            path).cast("string")).otherwise(key)
+            kp).cast("string")).otherwise(key)
 
         def _nav_seg(acc: Column, seg: Column) -> Column:
             name = F.regexp_extract(seg, r"^([^\[\]]*)", 1)
@@ -181,7 +190,7 @@ def op_get(scope, cur, args, path):
         F.when(base.isNull() | V.is_vnull(base), F.lit(None).cast(V.VT))
         .when(path_arg.isNull(), F.lit(None).cast(V.VT))
         .when(V.is_vnull(path_arg),
-              rerr("expr_error", "expr arg must not be null", path).cast(V.VT))
+              rerr("expr_error", "expr arg must not be null", kp).cast(V.VT))
         .otherwise(result)
     )
 
@@ -197,36 +206,43 @@ def _paths_from_args(args, path, *, allow_terminal_index: bool):
     (``transform.rs:4964-5040``); dedup + conflict checks apply.  Path
     args start at original arg index 1 (index 0 is the object), and
     errors attribute to the offending arg (fixture r02)."""
-    raw_paths: list[tuple[str, int]] = []
+    raw_paths: list[tuple[str, str]] = []
     for j, a in enumerate(args, start=1):
+        # v1 has ONE paths operand at args[1]; v2 validates each arg
+        # 0-based with array items at args[j][k] — sub_path covers both
+        ap = sub_path(path, j - 1)
         lit = _literal_or_none(a)
         if lit is None:
             raise RuleError("expr_error",
                             "pick/omit paths must be literals for the Spark "
-                            "compiler", arg_path(path, j))
+                            "compiler", ap)
         if isinstance(lit, str):
-            raw_paths.append((lit, j))
+            raw_paths.append((lit, ap))
         elif isinstance(lit, list) and all(isinstance(x, str) for x in lit):
-            raw_paths.extend((x, j) for x in lit)
+            raw_paths.extend((x, f"{ap}[{k}]") for k, x in enumerate(lit))
+        elif isinstance(lit, list):
+            bad = next(k for k, x in enumerate(lit)
+                       if not isinstance(x, str))
+            raise RuleError("expr_error",
+                            "paths must be a string or array of strings",
+                            f"{ap}[{bad}]")
         else:
             raise RuleError("expr_error",
                             "paths must be a string or array of strings",
-                            arg_path(path, j))
+                            ap)
     token_paths = []
-    for p, j in raw_paths:
+    for p, ap in raw_paths:
         tokens = parse_path(p, error_code="expr_error")
         if not allow_terminal_index and tokens and isinstance(tokens[-1], Index):
             raise RuleError("expr_error",
-                            "path must not end with array index",
-                            arg_path(path, j))
+                            "path must not end with array index", ap)
         if tokens in token_paths:
             continue
         for existing in token_paths:
             shorter, longer = sorted((existing, tokens), key=len)
             if longer[:len(shorter)] == shorter:
                 raise RuleError("expr_error",
-                                "path conflicts with another path",
-                                arg_path(path, j))
+                                "path conflicts with another path", ap)
         token_paths.append(tokens)
     return token_paths
 
@@ -363,12 +379,14 @@ def _py_parse_paths(values, err_paths, *, allow_terminal_index: bool):
         if isinstance(v, str):
             raw.append((v, ep))
         elif isinstance(v, list):
-            for item in v:
+            # array items attribute to their index inside the arg
+            # (``_eval_json_paths_arg``: ``{arg}[{k}]``)
+            for k, item in enumerate(v):
                 if not isinstance(item, str):
                     raise _py_err("expr_error",
                                   "paths must be a string or array of "
-                                  "strings", ep)
-                raw.append((item, ep))
+                                  "strings", f"{ep}[{k}]")
+                raw.append((item, f"{ep}[{k}]"))
         else:
             raise _py_err("expr_error",
                           "paths must be a string or array of strings", ep)
@@ -457,8 +475,11 @@ def _pick_omit_udf(scope, cur, args, path, *, pick: bool):
     """Dynamic pick/omit (paths from data, e.g. @context.paths) —
     pandas-UDF slow path mirroring ``transform.rs:4476-4593``."""
     ops = _operands(scope, cur, args, path)
-    # plain strings precomputed so the closure never pickles a V1OpPath
-    arg_paths = [str(arg_path(path, j)) for j in range(len(ops))]
+    # plain strings precomputed so the closure never pickles an OpPath;
+    # the base is operand 0, each paths arg attributes per sub_path
+    # (v1: the one paths operand at args[1]; v2: 0-based per-arg)
+    arg_paths = [str(arg_path(path, 0))] + \
+        [str(sub_path(path, j)) for j in range(len(ops) - 1)]
 
     def run(parts):
         base = parts[0]
@@ -549,7 +570,7 @@ def op_len(scope, cur, args, path):
         .when(V.is_object(o), F.size(V.as_map(o)).cast("long"))
         .otherwise(rerr("expr_error",
                         "expr arg must be string, array, or object",
-                        path).cast("long"))
+                        arg_path(path, 0)).cast("long"))
     )
     return seq_strict(ops, path, result.cast(V.VT))
 
@@ -561,7 +582,7 @@ def op_from_entries(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
     first = ops[0]
     if len(ops) == 2:
-        key = V.to_string_strict(first, path)
+        key = V.to_string_strict(first, arg_path(path, 0))
         value = F.coalesce(ops[1], V.vnull())
         single = V.map_to_variant(F.map_from_arrays(F.array(key),
                                                     F.array(value)))
@@ -580,8 +601,19 @@ def op_from_entries(scope, cur, args, path):
         pair = V.as_array(item)
         obj = V.as_map(item)
         pair_ok = pair.isNotNull() & (F.size(pair) == 2)
-        key_from_pair = V.to_string_strict(F.try_element_at(pair, F.lit(1)),
-                                           path)
+
+        def _key_str(kcol: Column, kp: Column) -> Column:
+            # v1_value_to_string with the dynamic entry-key path
+            # (``{entry}[0]`` / ``{entry}.key``)
+            ok = V.is_string(kcol) | V.is_number(kcol) | V.is_bool(kcol)
+            return F.when(~F.coalesce(ok, F.lit(False)),
+                          rerr_dyn("expr_error",
+                                   "value must be string/number/bool",
+                                   kp).cast("string")) \
+                    .otherwise(V.to_string_strict(kcol, path))
+
+        key_from_pair = _key_str(F.try_element_at(pair, F.lit(1)),
+                                 F.concat(epath, F.lit("[0]")))
         obj_key = F.try_element_at(obj, F.lit("key"))
         obj_val = F.try_element_at(obj, F.lit("value"))
         kpath = F.concat(epath, F.lit(".key"))
@@ -595,7 +627,7 @@ def op_from_entries(scope, cur, args, path):
             V.is_vnull(obj_key),
             rerr_dyn("expr_error", "entry key must not be null",
                      kpath).cast("string")
-        ).otherwise(V.to_string_strict(obj_key, path))
+        ).otherwise(_key_str(obj_key, kpath))
         return F.struct(
             F.when(pair.isNotNull() & pair_ok, key_from_pair)
             .when(pair.isNotNull(),
@@ -621,7 +653,7 @@ def op_from_entries(scope, cur, args, path):
         F.when(V.is_object(first), first)
         .when(V.is_array(first), built)
         .otherwise(rerr("expr_error", "expr arg must be object or array",
-                        path).cast(V.VT))
+                        arg_path(path, 0)).cast(V.VT))
     )
     return seq_strict(ops, path, result)
 

@@ -20,13 +20,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from . import variant as V
-from .core import OPS, Scope, compile_pipe, cur_version, register, rerr
+from .core import (OPS, Scope, arg_path, compile_pipe, cur_version,
+                   register, rerr, sub_path)
 
 
 def _operands(scope: Scope, cur: Column, args, path: str) -> list[Column]:
     """Pipe value + compiled args (reference's injected-arg protocol)."""
     pipe_scope = scope.child(pipe=cur)
-    return [cur] + [compile_pipe(a, pipe_scope, f"{path}.args[{i + 1}]")
+    return [cur] + [compile_pipe(a, pipe_scope, sub_path(path, i))
                     for i, a in enumerate(args)]
 
 
@@ -105,7 +106,11 @@ def seq_strict(operands: list[Column], path: str, result: Column,
     by the operand's OWN conversion (e.g. the array argument of
     take/drop/slice — ``eval_array_arg`` folds missing/null to [] and
     errors on non-arrays, ``transform.rs``); their checks still weave
-    positionally."""
+    positionally.
+
+    Null-protocol errors attribute to the OPERAND's path
+    (``{step}.args[{i}]`` — transform.rs per-arg converters report at
+    ``eval_expr_at_index``'s arg path; round-7 follow-up)."""
     for i in reversed(range(len(operands))):
         o = operands[i]
         inner = result
@@ -124,7 +129,7 @@ def seq_strict(operands: list[Column], path: str, result: Column,
         if not allow_null:
             inner = F.when(V.is_vnull(o),
                            rerr("expr_error", null_msg,
-                                path)).otherwise(inner)
+                                arg_path(path, i))).otherwise(inner)
         result = F.when(o.isNull(), F.lit(None)).otherwise(inner)
     return result.cast(V.VT)
 
@@ -172,7 +177,8 @@ def op_concat(scope, cur, args, path):
         # got {:?}" (``v2_eval.rs:1820-1843``); null rides the cheap
         # positional protocol with the rendered-Null wording
         def build2(*ops):
-            parts = [V.as_string_v2(o, path) for o in ops]
+            parts = [V.as_string_v2(o, arg_path(path, i))
+                     for i, o in enumerate(ops)]
             return seq_strict(list(ops), path,
                               F.concat(*parts).cast(V.VT),
                               null_msg="expected string, got Null",
@@ -184,9 +190,9 @@ def op_concat(scope, cur, args, path):
         # v1: null → "concat does not accept null"
         # (``transform.rs:1421-1426``), then value_to_string
         # (``transform.rs:5774-5785``)
-        parts = [V.to_string_strict(o, path,
+        parts = [V.to_string_strict(o, arg_path(path, i),
                                     "value must be string/number/bool")
-                 for o in ops]
+                 for i, o in enumerate(ops)]
         # per-arg value_to_string runs inside the reference loop:
         # concat(array_lit, missing) is a stringify error, not missing
         return seq_strict(list(ops), path, F.concat(*parts).cast(V.VT),
@@ -225,7 +231,8 @@ def op_to_string(scope, cur, args, path):
         )
         return result.cast(V.VT)
     return seq_strict(ops, path,
-                      V.to_string_strict(ops[0], path).cast(V.VT))
+                      V.to_string_strict(ops[0],
+                                         arg_path(path, 0)).cast(V.VT))
 
 
 def _unary_string(scope, cur, args, path, fn):
@@ -234,12 +241,12 @@ def _unary_string(scope, cur, args, path, fn):
         # v2: eval_value_as_string — serde-Display numbers accepted,
         # null/containers → "expected string, got {:?}"
         # (``v2_eval.rs:1792-1811``)
-        s = V.as_string_v2(ops[0], path)
+        s = V.as_string_v2(ops[0], arg_path(path, 0))
         return seq_strict(ops, path, fn(s).cast(V.VT),
                           null_msg="expected string, got Null")
     # v1: null → "expr arg must not be null", non-string → "value must
     # be a string" (``eval_unary_string_op``, ``transform.rs:1996-2030``)
-    s = _as_string(ops[0], path)
+    s = _as_string(ops[0], arg_path(path, 0))
     return seq_strict(ops, path, fn(s).cast(V.VT))
 
 
@@ -263,10 +270,10 @@ def op_replace(scope, cur, args, path):
     """Four modes (``transform.rs:2162-2236``): default literal-FIRST,
     ``all`` literal-all, ``regex`` regex-first, ``regex_all`` regex-all."""
     def build(*ops):
-        value = _as_string(ops[0], path)
-        pattern = _as_string(ops[1], path)
-        replacement = _as_string(ops[2], path)
-        mode = (_as_string(ops[3], path) if len(ops) == 4
+        value = _as_string(ops[0], arg_path(path, 0))
+        pattern = _as_string(ops[1], arg_path(path, 1))
+        replacement = _as_string(ops[2], arg_path(path, 2))
+        mode = (_as_string(ops[3], arg_path(path, 3)) if len(ops) == 4
                 else F.lit("__first__"))
 
         lit_first = _replace_literal_first(value, pattern, replacement)
@@ -281,7 +288,7 @@ def op_replace(scope, cur, args, path):
             .when(mode == "regex_all", rx_all)
             .otherwise(rerr("expr_error",
                             "replace mode must be all|regex|regex_all",
-                            path).cast("string"))
+                            arg_path(path, 3)).cast("string"))
         )
         # per-arg stringify order (eval_replace, transform.rs:2162-2200)
         checks = [_chk(value), _chk(pattern), _chk(replacement)]
@@ -322,11 +329,11 @@ def _replace_regex_first(value, pattern, replacement):
 def op_split(scope, cur, args, path):
     """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``)."""
     def build(*ops):
-        value = _as_string(ops[0], path)
-        delim = _as_string(ops[1], path)
+        value = _as_string(ops[0], arg_path(path, 0))
+        delim = _as_string(ops[1], arg_path(path, 1))
         delim_checked = F.when(delim == "", rerr(
             "expr_error", "split delimiter must not be empty",
-            path).cast("string")).otherwise(delim)
+            arg_path(path, 1)).cast("string")).otherwise(delim)
         # F.split takes a regex -> escape the literal delimiter per row
         escaped = F.regexp_replace(
             delim_checked,
@@ -346,13 +353,14 @@ def op_split(scope, cur, args, path):
 
 def _pad(scope, cur, args, path, *, start: bool):
     def build(*ops):
-        value = _as_string(ops[0], path)
-        length = _as_i64(ops[1], path,
+        value = _as_string(ops[0], arg_path(path, 0))
+        length = _as_i64(ops[1], arg_path(path, 1),
                          "pad length must be a non-negative integer")
         length = F.when(length < 0, rerr(
             "expr_error", "pad length must be a non-negative integer",
-            path).cast("long")).otherwise(length)
-        pad = _as_string(ops[2], path) if len(ops) == 3 else F.lit(" ")
+            arg_path(path, 1)).cast("long")).otherwise(length)
+        pad = (_as_string(ops[2], arg_path(path, 2)) if len(ops) == 3
+               else F.lit(" "))
         fn = F.lpad if start else F.rpad
         padded = fn(value, length.cast("int"), pad)
         # Spark lpad/rpad truncate long values & mishandle empty pad;
@@ -424,10 +432,12 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
             # v2: eval_value_as_number — null/bool/containers →
             # "expected number, got {:?}", unparseable strings →
             # "failed to parse string as number" (v2_eval.rs:1278-1304)
-            nums = [V.as_number_v2(o, path) for o in bound]
+            nums = [V.as_number_v2(o, arg_path(path, i))
+                    for i, o in enumerate(bound)]
         else:
-            nums = [V.to_number_strict(o, path, "operand must be a number")
-                    for o in bound]
+            nums = [V.to_number_strict(o, arg_path(path, i),
+                                       "operand must be a number")
+                    for i, o in enumerate(bound)]
         # per-arg conversion runs inside the reference loop, so a
         # non-numeric operand errors before a LATER operand's missing
         checks: list = [_chk(n) for n in nums]
@@ -444,8 +454,10 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                     # v2: each divisor's zero check happens when that
                     # arg is reached (v2_eval.rs:1919-1925):
                     # divide(x, 0, missing) raises, divide(x, missing,
-                    # 0) is missing
-                    zerr = rerr("expr_error", "division by zero", path)
+                    # 0) is missing; the error carries the DIVISOR's
+                    # arg path (v2_eval.rs:1921)
+                    zerr = rerr("expr_error", "division by zero",
+                                arg_path(path, i))
                     checks[i] = F.when(n == 0.0, zerr.cast("string")
                                        ).otherwise(checks[i])
                 acc = acc / n  # Spark double /0 → NULL? guarded below
@@ -474,14 +486,20 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
 def op_round(scope, cur, args, path):
     """Half-away-from-zero with optional scale (``transform.rs:2437-2515``)."""
     def build(*bound) -> Column:  # operands let-bound (see _numeric_fold)
-        number = V.to_number_strict(bound[0], path,
+        number = V.to_number_strict(bound[0], arg_path(path, 0),
                                     "operand must be a number")
         if len(bound) == 2:
-            scale = _as_i64(bound[1], path,
+            sp = arg_path(path, 1)
+            scale = _as_i64(bound[1], sp,
                             "scale must be a non-negative integer")
-            scale = F.when((scale < 0) | (scale > 308), rerr(
+            # the reference splits the range errors (eval_round,
+            # transform.rs): negative vs "scale is too large"
+            scale = (F.when(scale < 0, rerr(
                 "expr_error", "scale must be a non-negative integer",
-                path).cast("long")).otherwise(scale)
+                sp).cast("long"))
+                .when(scale > 308, rerr(
+                    "expr_error", "scale is too large", sp).cast("long"))
+                .otherwise(scale))
         else:
             scale = F.lit(0).cast("long")
         factor = F.pow(F.lit(10.0), scale.cast("double"))
@@ -510,11 +528,13 @@ def op_round(scope, cur, args, path):
 def op_to_base(scope, cur, args, path):
     """int → base-2..36 lowercase digits (``transform.rs:2517-2574``)."""
     def build(*ops):
-        number = _as_i64(ops[0], path, "value must be an integer")
-        base = _as_i64(ops[1], path, "base must be an integer")
+        number = _as_i64(ops[0], arg_path(path, 0),
+                         "value must be an integer")
+        base = _as_i64(ops[1], arg_path(path, 1),
+                       "base must be an integer")
         base = F.when((base < 2) | (base > 36), rerr(
             "expr_error", "base must be between 2 and 36",
-            path).cast("long")).otherwise(base)
+            arg_path(path, 1)).cast("long")).otherwise(base)
         digits = F.lower(F.call_function("conv",
                                          F.abs(number).cast("string"),
                                          F.lit(10), base.cast("int")))
@@ -559,7 +579,8 @@ def _and_or(scope, cur, args, path, *, is_and: bool):
 
         def body(x: Column) -> Column:
             flag = F.when(x.isNull(), F.lit(None)).otherwise(
-                V.to_bool_strict(x, path, "value must be a boolean"))
+                V.to_bool_strict(x, arg_path(path, i),
+                                 "value must be a boolean"))
             # and: stop on false; or: stop on true
             short = ~flag if is_and else flag
             return F.when(F.coalesce(short, F.lit(False)),
@@ -577,7 +598,8 @@ def op_not(scope, cur, args, path):
     route null through ``value_as_bool`` → "value must be a boolean"
     (``transform.rs:5411-5417``, ``v2_eval.rs:2528-2534``)."""
     ops = _operands(scope, cur, args, path)
-    b = V.to_bool_strict(ops[0], path, "value must be a boolean")
+    b = V.to_bool_strict(ops[0], arg_path(path, 0),
+                         "value must be a boolean")
     return seq_strict(ops, path, V.bool_to_variant(~b),
                       null_msg="value must be a boolean")
 
@@ -585,17 +607,17 @@ def op_not(scope, cur, args, path):
 # --- v1 comparison ops (string-coerced eq; numeric-only orderings) --------
 
 def _v1_to_string(o: Column, path: str) -> Column:
-    return V.to_string_strict(o, path, "comparison operand must be stringifiable")
+    return V.to_string_strict(o, path, "value must be string/number/bool")
 
 
-def _v1_eq(left: Column, right: Column, path: str) -> Column:
+def _v1_eq(left: Column, right: Column, lp: str, rp: str) -> Column:
     """``compare_eq`` (``transform.rs:5480-5493``): null==null true;
     one-sided null false; else string-coerced equality (1 == "1")."""
     ln = V.is_absent(left)   # v1 converts missing → null before comparing
     rn = V.is_absent(right)
     return (
         F.when(ln | rn, ln & rn)
-        .otherwise(_v1_to_string(left, path) == _v1_to_string(right, path))
+        .otherwise(_v1_to_string(left, lp) == _v1_to_string(right, rp))
     )
 
 
@@ -641,25 +663,28 @@ def _v1_compare_op(name, pyop=None, eq=False, negate=False):
 
     def _cmp_build(ops, path, bad_pattern=False):
         left, right = ops[0], ops[1]
+        lp, rp = arg_path(path, 0), arg_path(path, 1)
         if eq:
-            res = _v1_eq(left, right, path)
+            res = _v1_eq(left, right, lp, rp)
             if negate:
                 res = ~res
         elif name == "~=":
             if bad_pattern:
+                # invalid pattern reports at the pattern's path
+                # (``cached_regex``, match_regex transform.rs)
                 return rerr("expr_error", "regex pattern is invalid",
-                            path).cast(V.VT)
+                            rp).cast(V.VT)
             s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
-                rerr("expr_error", "value must be a string", path)
+                rerr("expr_error", "value must be a string", lp)
                 .cast("string"))
             pat = F.when(V.is_string(right), right.try_cast("string")).otherwise(
-                rerr("expr_error", "value must be a string", path)
+                rerr("expr_error", "value must be a string", rp)
                 .cast("string"))
             res = F.rlike(s, pat)
         else:
-            ln = V.to_number_strict(left, path,
+            ln = V.to_number_strict(left, lp,
                                     "comparison operand must be a number")
-            rn = V.to_number_strict(right, path,
+            rn = V.to_number_strict(right, rp,
                                     "comparison operand must be a number")
             res = pyop(ln, rn)
         return V.bool_to_variant(res)

@@ -72,7 +72,8 @@ from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
 from ..paths import Index, Key, parse_path
 from ..registry import OP_ALIASES, OP_ARITY
 from . import variant as V
-from .core import lenient_errors, lenient_on
+from .core import (OpPath, V2_NATIVE_STEP_OPS, arg_path, lenient_errors,
+                   lenient_on, raw_path, step_op_path, sub_path)
 
 _LONG_MAX = (1 << 63) - 1
 
@@ -264,6 +265,10 @@ def _terr(dtype, kind: str, message: str, path: str,
         return V.raise_err(kind, message, path, code).cast(dtype)
     from ..errors import encode_engine_error
     encoded = encode_engine_error(kind, message, path, code)
+    parts = V.splice_markers(encoded)
+    if parts is not None:
+        # map-step item-index path (see V.dyn_path_marker)
+        return F.raise_error(F.concat(*parts, anchor)).cast(dtype)
     raise_col = V.cached_col(
         "terr", (encoded, id(anchor)),
         lambda: F.raise_error(F.concat(F.lit(encoded), anchor)))
@@ -435,9 +440,10 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
     def _null_err(i: int) -> Column:
         # the null raise at operand i evaluates every EARLIER tainted
         # operand through its message probes — reference order, zero
-        # cost on non-error rows
+        # cost on non-error rows.  Attributes to the operand's path
+        # (r7 path-parity).
         return _terr_forced(operands[:i], dtype, "expr_error",
-                            null_msg, path)
+                            null_msg, arg_path(path, i))
 
     # build backward so operand 0's checks end up outermost
     any_missing = False
@@ -522,14 +528,17 @@ def t_str(v: TVal, path: str,
 
 def t_num(v: TVal, path: str,
           msg: str = "value must be a number") -> Column:
-    """``value_to_number``: number or numeric string → double."""
+    """``value_to_number``: number or FINITE Rust-grammar numeric
+    string → double (transform.rs:5804-5817)."""
     dt = v.dtype
     if _is_num(dt):
         return v.col.cast("double")
     if _is_str(dt):
-        parsed = v.col.try_cast("double")
+        parsed = V.rust_f64_parse(v.col)
+        finite = parsed.isNotNull() & ~F.isnan(parsed) & \
+            (F.abs(parsed) != F.lit(float("inf")))
         return (F.when(v.col.isNull(), F.lit(None).cast("double"))
-                .when(parsed.isNotNull(), parsed)
+                .when(finite, parsed)
                 .otherwise(_terr("double", "expr_error", msg, path)))
     if _is_null(dt):
         return F.lit(None).cast("double")
@@ -576,7 +585,8 @@ def _terr_got(dtype, kind: str, message_prefix: str, v: TVal,
     from ..errors import encode_engine_error_msg_parts
     prefix, suffix = encode_engine_error_msg_parts(kind, message_prefix,
                                                    path)
-    parts = [F.lit(prefix + "%%DBG:"),
+    head = V.splice_markers(prefix + "%%DBG:") or [F.lit(prefix + "%%DBG:")]
+    parts = [*head,
              F.hex(F.encode(t_json_text(v), "UTF-8")),
              F.lit("%%" + suffix)]
     anchor = _fold_anchor()
@@ -629,7 +639,9 @@ def t_num_v2(v: TVal, path: str,
     if _is_num(dt):
         base = v.col.cast("double")
     elif _is_str(dt):
-        parsed = v.col.try_cast("double")
+        # Rust parse::<f64> grammar — no whitespace, inf/nan accepted
+        # (V.rust_f64_parse; r7 fuzz edge row " 1 ")
+        parsed = V.rust_f64_parse(v.col)
         base = F.when(parsed.isNotNull(), parsed).otherwise(
             _terr("double", "expr_error",
                   "failed to parse string as number", path))
@@ -1085,8 +1097,11 @@ def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
     scope = scope.child()
     for i, step in enumerate(pipe.steps):
         # steps index from 1 — the start value is [0]
-        # (``eval_v2_pipe``, ``v2_eval.rs:834``; r7 path-parity fix)
-        cur, scope = compile_tstep(step, cur, scope, f"{path}[{i + 1}]")
+        # (``eval_v2_pipe``, ``v2_eval.rs:834``; r7 path-parity fix).
+        # Op steps carry the reference's per-operand attribution
+        # (core.step_op_path)
+        step_path = step_op_path(step, f"{path}[{i + 1}]", path)
+        cur, scope = compile_tstep(step, cur, scope, step_path)
         if i >= 1 and len(pipe.steps) > 2 \
                 and len(str(cur.col._jc)) > _T_PIPE_SIZE_CAP:
             raise TypedFallback("typed pipe expression growth")
@@ -1118,13 +1133,35 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         new_locals = dict(scope.locals)
         pipe_scope = scope.child(pipe=cur)
         for name, expr in step.bindings:
-            new_locals[name] = compile_tpipe(expr, pipe_scope,
-                                             f"{path}.let.{name}")
+            # binding path ``{step}.{name}`` (eval_v2_let_step)
+            binding = compile_tpipe(expr, pipe_scope, f"{path}.{name}")
+            if binding.errs and not binding.missing \
+                    and not _is_null(binding.dtype):
+                # the reference evaluates bindings EAGERLY — an unused
+                # raising binding still raises.  Force it through the
+                # pipe value; when the pipe can't carry the probe
+                # (static missing / unresolved), defer to the variant
+                # engine (which forces via its own weave).
+                if cur.missing or _unresolved(cur):
+                    raise TypedFallback(
+                        "eager let binding over missing pipe")
+                cur = TVal(_force_n(_probe0(binding), cur.col),
+                           cur.dtype, maybe_missing=cur.maybe_missing,
+                           missing_when=cur.missing_when, errs=True,
+                           const=cur.const and binding.const,
+                           nonnull=cur.nonnull)
+                if cur.missing_when is not None:
+                    cur = TVal(cur.col, cur.dtype, maybe_missing=True,
+                               missing_when=_force_n(_probe0(binding),
+                                                     cur.missing_when),
+                               errs=True, const=cur.const,
+                               nonnull=cur.nonnull)
+            new_locals[name] = binding
             pipe_scope = pipe_scope.child(locals=dict(new_locals))
         return cur, scope.child(locals=new_locals)
     if isinstance(step, IfStep):
         pipe_scope = scope.child(pipe=cur)
-        cond = compile_tcondition(step.cond, pipe_scope, f"{path}.if")
+        cond = compile_tcondition(step.cond, pipe_scope, f"{path}.cond")
         then_v = compile_tpipe(step.then_branch, pipe_scope, f"{path}.then")
         else_v = (compile_tpipe(step.else_branch, pipe_scope, f"{path}.else")
                   if step.else_branch is not None else cur)
@@ -1202,16 +1239,22 @@ def compile_tstep(step, cur: TVal, scope: TScope, path: str):
         out: dict[str, TVal] = {}
 
         def body(x: Column, i: Column) -> TVal:
-            inner = _t_item_scope(scope, x, i, et)
-            value = inner.pipe
-            for j, s in enumerate(step.steps):
-                value, inner = compile_tstep(s, value, inner,
-                                             f"{path}.map[{j}]")
-            if value.missing or _unresolved(value) \
-                    or _is_null(value.dtype):
-                raise TypedFallback("map step may produce missing items")
-            out["v"] = value
-            return value
+            # per-item error paths: ``{step}[{idx}].step[{k}]`` with
+            # the runtime item index spliced (V.dyn_path_marker)
+            marker = f"@@I{V.dyn_marker_depth()}@@"
+            with V.dyn_path_marker(marker, i):
+                inner = _t_item_scope(scope, x, i, et)
+                value = inner.pipe
+                for j, s in enumerate(step.steps):
+                    sp = f"{path}{marker}.step[{j}]"
+                    value, inner = compile_tstep(
+                        s, value, inner, step_op_path(s, sp, sp))
+                if value.missing or _unresolved(value) \
+                        or _is_null(value.dtype):
+                    raise TypedFallback(
+                        "map step may produce missing items")
+                out["v"] = value
+                return value
 
         probe = body(F.get(arr, 0), F.lit(0))   # dtype/shape discovery
         if probe.missing_when is None:
@@ -1253,13 +1296,13 @@ def compile_tcondition(cond: Condition, scope: TScope,
                        path: str = "when") -> Column:
     if isinstance(cond, CondAll):
         result = F.lit(True)
-        for c in cond.conditions:
-            result = result & compile_tcondition(c, scope, path)
+        for i, c in enumerate(cond.conditions):
+            result = result & compile_tcondition(c, scope, f"{path}[{i}]")
         return result
     if isinstance(cond, CondAny):
         result = F.lit(False)
-        for c in cond.conditions:
-            result = result | compile_tcondition(c, scope, path)
+        for i, c in enumerate(cond.conditions):
+            result = result | compile_tcondition(c, scope, f"{path}[{i}]")
         return result
     if isinstance(cond, CondCompare):
         if len(cond.args) != 2:
@@ -1273,18 +1316,19 @@ def compile_tcondition(cond: Condition, scope: TScope,
             if lit is not None and java_regex_invalid(lit):
                 return _terr("boolean", "expr_error",
                              "regex pattern is invalid", path)
-        args = [compile_tpipe(a, scope, f"{path}.{cond.op}[{i}]")
+        args = [compile_tpipe(a, scope, f"{path}.args[{i}]")
                 for i, a in enumerate(cond.args)]
         return _t_compare(cond.op, args[0], args[1], path)
     if isinstance(cond, CondExpr):
-        v = compile_tpipe(cond.expr, scope, path)
+        expr_path = f"{path}.expr"
+        v = compile_tpipe(cond.expr, scope, expr_path)
         if v.missing or _is_null(v.dtype):
             return F.lit(False)
         if _is_bool(v.dtype):
             return F.coalesce(v.col, F.lit(False))
         return _terr_forced([v], "boolean", "expr_error",
                             "when/record_when must evaluate to boolean",
-                            path)
+                            expr_path)
     raise RuleError("expr_error", "unknown condition", path)
 
 
@@ -1435,7 +1479,7 @@ def _treg(name: str):
 
 def _toperands(scope: TScope, cur: TVal, args, path: str) -> list[TVal]:
     pipe_scope = scope.child(pipe=cur)
-    return [cur] + [compile_tpipe(a, pipe_scope, f"{path}.args[{i + 1}]")
+    return [cur] + [compile_tpipe(a, pipe_scope, sub_path(path, i))
                     for i, a in enumerate(args)]
 
 
@@ -1446,7 +1490,7 @@ def t_concat(scope, cur, args, path):
     null via the positional protocol with the rendered-Null wording
     (``v2_eval.rs:1820-1843``)."""
     ops = _toperands(scope, cur, args, path)
-    parts = [t_str_v2(o, path) for o in ops]
+    parts = [t_str_v2(o, arg_path(path, i)) for i, o in enumerate(ops)]
     # per-arg value_as_string check interleaves with missing/null:
     # concat(array_lit, missing) is a stringify error, not missing.
     # Operands whose conversion cannot raise once null is handled by
@@ -1600,7 +1644,7 @@ def _t_arith(scope, cur, args, path, op):
     # v2: eval_value_as_number — strings parse ("failed to parse
     # string as number"), null/bool/containers → "expected number,
     # got {:?}" (null via the protocol's rendered-Null wording)
-    nums = [t_num_v2(o, path) for o in ops]
+    nums = [t_num_v2(o, arg_path(path, i)) for i, o in enumerate(ops)]
     # conversion probes only where the converter can actually raise —
     # extra operand references multiply the expression tree per level
     checks: list[Column | None] = [
@@ -1616,7 +1660,7 @@ def _t_arith(scope, cur, args, path, op):
             acc = acc * n
         else:
             zerr = _terr_forced(ops[:i + 1], "double", "expr_error",
-                                "division by zero", path)
+                                "division by zero", arg_path(path, i))
             base = checks[i] if checks[i] is not None else F.lit("")
             checks[i] = F.when(n == 0.0, zerr.cast("string")
                                ).otherwise(base)
@@ -1635,23 +1679,28 @@ def t_round(scope, cur, args, path):
     """Half-away-from-zero with optional scale
     (``transform.rs:2437-2515``)."""
     ops = _toperands(scope, cur, args, path)
-    number = t_num(ops[0], path, "operand must be a number")
+    number = t_num(ops[0], arg_path(path, 0), "operand must be a number")
     if len(ops) == 2:
         s = ops[1]
+        sp = arg_path(path, 1)
         if _is_int(s.dtype):
             scale = s.col.cast("long")
         elif _is_num(s.dtype):
             d = s.col.cast("double")
             scale = F.when(d == F.floor(d), d.cast("long")).otherwise(
                 _terr("long", "expr_error",
-                      "scale must be a non-negative integer", path))
+                      "scale must be a non-negative integer", sp))
         else:
             scale = _terr("long", "expr_error",
-                          "scale must be a non-negative integer", path)
-        scale = F.when((scale < 0) | (scale > 308),
-                       _terr("long", "expr_error",
-                             "scale must be a non-negative integer", path)
-                       ).otherwise(scale)
+                          "scale must be a non-negative integer", sp)
+        # range errors split: negative vs "scale is too large"
+        scale = (F.when(scale < 0,
+                        _terr("long", "expr_error",
+                              "scale must be a non-negative integer", sp))
+                 .when(scale > 308,
+                       _terr("long", "expr_error", "scale is too large",
+                             sp))
+                 .otherwise(scale))
     else:
         scale = F.lit(0).cast("long")
     factor = F.pow(F.lit(10.0), scale.cast("double"))
@@ -1691,15 +1740,16 @@ def _t_and_or(scope, cur, args, path, *, is_and: bool):
     non-short-circuited result missing (``transform.rs:5340-5388``)."""
     ops = _toperands(scope, cur, args, path)
     flags = []
-    for o in ops:
+    for i, o in enumerate(ops):
         if o.missing:
             flags.append(F.lit(None).cast("boolean"))
         else:
             # null operand is an error (to_bool_strict on JSON null)
+            op_ = arg_path(path, i)
             flags.append(F.when(_isnull(o),
                                 _terr("boolean", "expr_error",
-                                      "value must be a boolean", path))
-                         .otherwise(t_bool(o, path)))
+                                      "value must be a boolean", op_))
+                         .otherwise(t_bool(o, op_)))
     any_missing = F.lit(False)
     for f in flags:
         any_missing = any_missing | f.isNull()
@@ -1856,10 +1906,11 @@ def t_replace(scope, cur, args, path):
     from ..functions.scalar import replace_first as _lit_first
     from .ops_scalar import _replace_regex_first
     ops = _toperands(scope, cur, args, path)
-    value = t_strict_str(ops[0], path)
-    pattern = t_strict_str(ops[1], path)
-    replacement = t_strict_str(ops[2], path)
-    mode = t_strict_str(ops[3], path) if len(ops) == 4 else F.lit("__first__")
+    value = t_strict_str(ops[0], arg_path(path, 0))
+    pattern = t_strict_str(ops[1], arg_path(path, 1))
+    replacement = t_strict_str(ops[2], arg_path(path, 2))
+    mode = (t_strict_str(ops[3], arg_path(path, 3)) if len(ops) == 4
+            else F.lit("__first__"))
     result = (
         F.when(mode == "__first__", _lit_first(value, pattern, replacement))
         .when(mode == "all", F.replace(value, pattern, replacement))
@@ -1868,7 +1919,8 @@ def t_replace(scope, cur, args, path):
         .when(mode == "regex_all", F.regexp_replace(value, pattern,
                                                     replacement))
         .otherwise(_terr("string", "expr_error",
-                         "replace mode must be all|regex|regex_all", path)))
+                         "replace mode must be all|regex|regex_all",
+                         arg_path(path, 3))))
     return _seq(ops, path, result, T.StringType())
 
 
@@ -1877,11 +1929,11 @@ def t_split(scope, cur, args, path):
     """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``);
     output is a native ``array<string>`` column."""
     ops = _toperands(scope, cur, args, path)
-    value = t_strict_str(ops[0], path)
-    delim = t_strict_str(ops[1], path)
+    value = t_strict_str(ops[0], arg_path(path, 0))
+    delim = t_strict_str(ops[1], arg_path(path, 1))
     delim_checked = F.when(delim == "", _terr(
         "string", "expr_error", "split delimiter must not be empty",
-        path)).otherwise(delim)
+        arg_path(path, 1))).otherwise(delim)
     escaped = F.regexp_replace(delim_checked,
                                F.lit(r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"),
                                F.lit(r"\\$1"))
@@ -1894,12 +1946,14 @@ def t_split(scope, cur, args, path):
 
 def _t_pad(scope, cur, args, path, *, start: bool):
     ops = _toperands(scope, cur, args, path)
-    value = t_strict_str(ops[0], path)
-    length = t_i64(ops[1], path, "pad length must be a non-negative integer")
+    value = t_strict_str(ops[0], arg_path(path, 0))
+    length = t_i64(ops[1], arg_path(path, 1),
+                   "pad length must be a non-negative integer")
     length = F.when(length < 0, _terr(
         "long", "expr_error", "pad length must be a non-negative integer",
-        path)).otherwise(length)
-    pad = t_strict_str(ops[2], path) if len(ops) == 3 else F.lit(" ")
+        arg_path(path, 1))).otherwise(length)
+    pad = (t_strict_str(ops[2], arg_path(path, 2)) if len(ops) == 3
+           else F.lit(" "))
     fn = F.lpad if start else F.rpad
     padded = fn(value, length.cast("int"), pad)
     # reference never truncates and treats empty pad as a no-op
@@ -1946,7 +2000,7 @@ def t_len(scope, cur, args, path):
         # → len must surface the compare error, not len's)
         col = _terr_forced(ops, "long", "expr_error",
                            "expr arg must be string, array, or object",
-                           path)
+                           arg_path(path, 0))
     return _seq(ops, path, col, T.LongType())
 
 
@@ -1955,11 +2009,11 @@ def t_to_base(scope, cur, args, path):
     """int → base-2..36 lowercase digits, ``-`` for negatives
     (``transform.rs:2517-2574``; Spark's conv is unsigned+uppercase)."""
     ops = _toperands(scope, cur, args, path)
-    number = t_i64(ops[0], path, "value must be an integer")
-    base = t_i64(ops[1], path, "base must be an integer")
+    number = t_i64(ops[0], arg_path(path, 0), "value must be an integer")
+    base = t_i64(ops[1], arg_path(path, 1), "base must be an integer")
     base = F.when((base < 2) | (base > 36), _terr(
         "long", "expr_error", "base must be between 2 and 36",
-        path)).otherwise(base)
+        arg_path(path, 1))).otherwise(base)
     digits = F.lower(F.call_function("conv", F.abs(number).cast("string"),
                                      F.lit(10), base.cast("int")))
     result = F.when(number < 0,
@@ -2063,28 +2117,32 @@ def t_date_format(scope, cur, args, path):
     from .ops_date import (_lit_str_arg, _render, looks_like_timezone,
                            parse_datetime_utc, parse_tz_literal)
     ops = _toperands(scope, cur, args, path)
-    value = t_strict_str(ops[0], path)
-    out_fmt = _lit_str_arg(args[0], path, "output format")
+    vp = arg_path(path, 0)
+    value = t_strict_str(ops[0], vp)
+    out_fmt = _lit_str_arg(args[0], arg_path(path, 1), "output format")
     if not isinstance(out_fmt, str):
-        raise RuleError("expr_error", "output format must be a string", path)
+        raise RuleError("expr_error", "output format must be a string",
+                        arg_path(path, 1))
     input_formats: list[str] | None = None
     tz_seconds: int | None = None
     if len(args) >= 2:
-        third = _lit_str_arg(args[1], path, "input format / timezone")
+        ip = arg_path(path, 2)
+        third = _lit_str_arg(args[1], ip, "input format / timezone")
         if isinstance(third, str) and looks_like_timezone(third):
-            tz_seconds = parse_tz_literal(third, path)
+            tz_seconds = parse_tz_literal(third, ip)
         elif isinstance(third, str):
             input_formats = [third]
         elif isinstance(third, list):
             input_formats = [str(x) for x in third]
         else:
             raise RuleError("expr_error",
-                            "input_format must be a string or array", path)
+                            "input_format must be a string or array", ip)
     if len(args) == 3:
-        tz = _lit_str_arg(args[2], path, "timezone")
-        tz_seconds = parse_tz_literal(str(tz), path)
+        tp = arg_path(path, 3)
+        tz = _lit_str_arg(args[2], tp, "timezone")
+        tz_seconds = parse_tz_literal(str(tz), tp)
     ts, input_off = parse_datetime_utc(value, input_formats, tz_seconds,
-                                       path)
+                                       vp)
     render_off = (F.lit(tz_seconds) if tz_seconds is not None
                   else input_off)
     result = _render(ts, out_fmt, render_off, path)
@@ -2096,25 +2154,27 @@ def t_to_unixtime(scope, cur, args, path):
     from .ops_date import (_lit_str_arg, looks_like_timezone,
                            parse_datetime_utc, parse_tz_literal)
     ops = _toperands(scope, cur, args, path)
-    value = t_strict_str(ops[0], path)
+    value = t_strict_str(ops[0], arg_path(path, 0))
     unit = "s"
     tz_seconds: int | None = None
     if len(args) >= 1:
-        second = str(_lit_str_arg(args[0], path, "unit / timezone"))
+        up = arg_path(path, 1)
+        second = str(_lit_str_arg(args[0], up, "unit / timezone"))
         if len(args) == 2:
             if second not in ("s", "ms"):
-                raise RuleError("expr_error", "unit must be s or ms", path)
+                raise RuleError("expr_error", "unit must be s or ms", up)
             unit = second
         elif second in ("s", "ms"):
             unit = second
         elif looks_like_timezone(second):
-            tz_seconds = parse_tz_literal(second, path)
+            tz_seconds = parse_tz_literal(second, up)
         else:
-            raise RuleError("expr_error", "unit must be s or ms", path)
+            raise RuleError("expr_error", "unit must be s or ms", up)
     if len(args) == 2:
-        tz = str(_lit_str_arg(args[1], path, "timezone"))
-        tz_seconds = parse_tz_literal(tz, path)
-    ts, _ = parse_datetime_utc(value, None, tz_seconds, path)
+        tp = arg_path(path, 2)
+        tz = str(_lit_str_arg(args[1], tp, "timezone"))
+        tz_seconds = parse_tz_literal(tz, tp)
+    ts, _ = parse_datetime_utc(value, None, tz_seconds, arg_path(path, 0))
     if unit == "ms":
         result = (F.unix_micros(ts) / 1000).cast("long")
     else:
@@ -2178,7 +2238,7 @@ def _t_get_dynamic(scope, cur, args, path):
     if not (_is_str(vt) or _is_num(vt) or _is_bool(vt)):
         raise TypedFallback("dynamic get over non-scalar map values")
     key = compile_tpipe(args[0], scope.child(pipe=cur),
-                        f"{path}.args[0]")
+                        sub_path(path, 0))
     if key.missing:
         return _missing()
     if _unresolved(key):
@@ -2188,7 +2248,8 @@ def _t_get_dynamic(scope, cur, args, path):
     key_null = _isnull(key)
     if key.missing_when is not None:
         key_null = key_null & ~_mw(key)  # missing key-arg ≠ null key
-    err = _terr(vt, "expr_error", "expr arg must not be null", path)
+    kp = arg_path(path, 1)
+    err = _terr(vt, "expr_error", "expr arg must not be null", kp)
     if _is_str(key.dtype):
         # a multi-segment path ("a.b", "a[0]") navigates past the
         # first lookup into a SCALAR value → missing
@@ -2200,12 +2261,12 @@ def _t_get_dynamic(scope, cur, args, path):
         key_checked = F.when(
             key.col == "",
             _terr(T.StringType(), "expr_error",
-                  "path must be a non-empty string", path)
+                  "path must be a non-empty string", kp)
             ).otherwise(key.col)
         val = _force(_chk(key_checked), val)
     else:
         val = _terr_forced([base, key], vt, "expr_error",
-                           "value must be a string", path)
+                           "value must be a string", kp)
         contains = F.lit(False)
     col = (F.when(base_null, F.lit(None).cast(vt))
            .when(key_null, err)
@@ -2232,8 +2293,22 @@ def t_get(scope, cur, args, path):
     if args and lit is None:
         return _t_get_dynamic(scope, cur, args, path)
     if not isinstance(lit, str) or not lit:
-        raise RuleError("expr_error", "path must be a non-empty string",
-                        path)
+        # bad literal key: the BASE still evaluates first — missing or
+        # null base short-circuits to missing (eval_json_get)
+        base = cur
+        if base.missing:
+            return _missing()
+        if _unresolved(base):
+            raise TypedFallback("get over maybe-missing base")
+        kp = arg_path(path, 1)
+        msg = ("path must be a non-empty string" if isinstance(lit, str)
+               else "value must be a string")
+        bn = _isnull(base)
+        col = F.when(bn, F.lit(None).cast("string")).otherwise(
+            _terr_forced([base], "string", "expr_error", msg, kp))
+        mw = bn if base.missing_when is None else (_mw(base) | bn)
+        return TVal(col, T.StringType(), maybe_missing=True,
+                    missing_when=mw)
     tokens = parse_path(lit, error_code="expr_error")
     base = cur
     if base.missing:
@@ -2282,11 +2357,18 @@ def t_merge(scope, cur, args, path):
         # _seq evaluates operands in order: an earlier operand's
         # per-row error or null wins over the static type error,
         # matching the variant seq_strict order (forced: the constant
-        # raise would otherwise fold away non-nullable operand refs)
+        # raise would otherwise fold away non-nullable operand refs).
+        # NOTE: _seq paths index LIVE operands — only safe while every
+        # earlier operand is live too; a statically-missing earlier
+        # operand never errors, so slicing from 0 keeps indexes aligned
+        # whenever bad is the first live non-struct
         live_ops = [o for _, o in live]
+        if [j for j, _ in live] != list(range(len(live))):
+            raise TypedFallback("merge type error after missing operand")
         return _seq(live_ops, path,
                     _terr_forced(live_ops, dt, "expr_error",
-                                 "expr arg must be object", path), dt)
+                                 "expr arg must be object",
+                                 arg_path(path, bad[0])), dt)
     # union of fields, rightmost operand that declares a key wins
     # (a declared key with a NULL value is JSON null — it still wins,
     # exactly like the variant map_zip_with coalesce)
@@ -2301,10 +2383,11 @@ def t_merge(scope, cur, args, path):
                               for n in order])
     merged = F.struct(*[chosen[n][0].alias(n) for n in order])
     # runtime-null operands error (JSON null is not an object)
-    for _, o in reversed(live):
+    for j, o in reversed(live):
         merged = F.when(o.col.isNull(),
                         _terr(result_dt, "expr_error",
-                              "expr arg must not be null", path)
+                              "expr arg must not be null",
+                              arg_path(path, j))
                         ).otherwise(merged)
     return TVal(merged, result_dt, errs=True)
 
@@ -2377,10 +2460,11 @@ def t_deep_merge(scope, cur, args, path):
         acc_col, acc_dt = _t_deep_merge2(acc_col, acc_dt,
                                          o.col, o.dtype)
     # top-level null operands error (unlike nested levels)
-    for _, o in reversed(live):
+    for j, o in reversed(live):
         acc_col = F.when(o.col.isNull(),
                          _terr(acc_dt, "expr_error",
-                               "expr arg must not be null", path)
+                               "expr arg must not be null",
+                               arg_path(path, j))
                          ).otherwise(acc_col)
     return TVal(acc_col, acc_dt)
 
@@ -2390,7 +2474,7 @@ def _t_key_paths(args, path, op_name: str) -> list[str]:
     paths defer to the variant engine (its Column/UDF reconstruction
     handles them)."""
     keys: list[str] = []
-    for a in args:
+    for j, a in enumerate(args):
         lit = _t_literal_arg(a)
         if lit is None:
             raise TypedFallback(f"dynamic {op_name} path")
@@ -2399,7 +2483,7 @@ def _t_key_paths(args, path, op_name: str) -> list[str]:
                 not all(isinstance(x, str) for x in items):
             raise RuleError("expr_error",
                             "paths must be a string or array of strings",
-                            path)
+                            sub_path(path, j))
         for p in items:
             tokens = parse_path(p, error_code="expr_error")
             if len(tokens) != 1 or not isinstance(tokens[0], Key):
@@ -2422,7 +2506,7 @@ def _t_pick_omit(scope, cur, args, path, *, pick: bool):
         dt = T.StructType([T.StructField("_", T.NullType())])
         return _seq([base], path,
                     _terr(dt, "expr_error", "expr arg must be object",
-                          path), dt)
+                          arg_path(path, 0)), dt)
     if pick:
         fields = [f for k in keys
                   for f in base.dtype.fields if f.name == k]
@@ -2461,7 +2545,7 @@ def _t_struct_unary(scope, cur, args, path, build):
         # null operands, matching the variant seq_strict order
         return _seq(ops, path,
                     _terr("string", "expr_error",
-                          "expr arg must be object", path),
+                          "expr arg must be object", arg_path(path, 0)),
                     T.StringType())
     col, dt = build(o)
     return _seq(ops, path, col, dt)
@@ -2532,10 +2616,10 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
             # plain isNull gives exactly is_absent — statically
             # missing, runtime-missing and JSON null all alike.
             ln, rn = left.col.isNull(), right.col.isNull()
-            canon_l = t_str(left, path,
-                            "comparison operand must be stringifiable")
-            canon_r = t_str(right, path,
-                            "comparison operand must be stringifiable")
+            canon_l = t_str(left, arg_path(path, 0),
+                            "value must be string/number/bool")
+            canon_r = t_str(right, arg_path(path, 1),
+                            "value must be string/number/bool")
             res = F.when(ln | rn, ln & rn).otherwise(canon_l == canon_r)
             if negate:
                 res = ~res
@@ -2545,24 +2629,26 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
                 lit = _literal_pattern(args[-1])
                 if lit is not None and java_regex_invalid(lit):
                     return TVal(_terr("boolean", "expr_error",
-                                      "regex pattern is invalid", path),
+                                      "regex pattern is invalid",
+                                      arg_path(path, 1)),
                                 T.BooleanType(), errs=True)
 
             # variant: any non-string — including null AND missing
             # (is_string of an absent value is not true) — errors
-            def s_or_err(v: TVal) -> Column:
+            def s_or_err(v: TVal, vp: str) -> Column:
                 if not _is_str(v.dtype):
                     return _terr("string", "expr_error",
-                                 "value must be a string", path)
+                                 "value must be a string", vp)
                 return F.when(v.col.isNull(),
                               _terr("string", "expr_error",
-                                    "value must be a string", path)
+                                    "value must be a string", vp)
                               ).otherwise(v.col)
-            res = F.rlike(s_or_err(left), s_or_err(right))
+            res = F.rlike(s_or_err(left, arg_path(path, 0)),
+                          s_or_err(right, arg_path(path, 1)))
         else:
             # variant to_number_strict: missing → NULL (comparison
             # yields NULL), JSON null → error
-            def n_or_err(v: TVal) -> Column:
+            def n_or_err(v: TVal, vp: str) -> Column:
                 if v.missing:               # statically missing → NULL
                     return F.lit(None).cast("double")
                 err_when = v.col.isNull()
@@ -2571,11 +2657,12 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
                 return F.when(err_when,
                               _terr("double", "expr_error",
                                     "comparison operand must be a "
-                                    "number", path)
+                                    "number", vp)
                               ).otherwise(t_num(
-                                  v, path,
+                                  v, vp,
                                   "comparison operand must be a number"))
-            res = pyop(n_or_err(left), n_or_err(right))
+            res = pyop(n_or_err(left, arg_path(path, 0)),
+                       n_or_err(right, arg_path(path, 1)))
         return TVal(res, T.BooleanType())
     T_OPS[name] = op
 
@@ -2650,7 +2737,7 @@ def _t_pred(scope: TScope, expr, et: T.DataType, path: str):
 @_treg("filter")
 def t_filter(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    kept = F.filter(arr, _t_pred(scope, args[0], et, path))
+    kept = F.filter(arr, _t_pred(scope, args[0], et, raw_path(path, 0)))
     return TVal(kept, T.ArrayType(et))
 
 
@@ -2678,7 +2765,7 @@ def _t_clamped(n: Column, size: Column) -> Column:
 def t_take(scope, cur, args, path):
     """head-take; negative n takes from the tail (``transform.rs:3272``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    n = _t_count_arg(scope, cur, args[0], path)
+    n = _t_count_arg(scope, cur, args[0], arg_path(path, 1))
     size = F.size(arr).cast("long")
     nc = _t_clamped(n, size)
     head = F.slice(arr, F.lit(1), nc.cast("int"))
@@ -2689,7 +2776,7 @@ def t_take(scope, cur, args, path):
 @_treg("drop")
 def t_drop(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    n = _t_count_arg(scope, cur, args[0], path)
+    n = _t_count_arg(scope, cur, args[0], arg_path(path, 1))
     size = F.size(arr).cast("long")
     nc = _t_clamped(n, size)
     head_dropped = F.slice(arr, (nc + 1).cast("int"),
@@ -2704,13 +2791,13 @@ def t_slice(scope, cur, args, path):
     """[start, end) with negatives from the end (``transform.rs:3376``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     size = F.size(arr).cast("long")
-    start = _t_count_arg(scope, cur, args[0], path,
+    start = _t_count_arg(scope, cur, args[0], arg_path(path, 1),
                          "start must be an integer")
     start = F.when(start < 0,
                    F.greatest(size + start, F.lit(0).cast("long"))) \
              .otherwise(F.least(start, size))
     if len(args) == 2:
-        end = _t_count_arg(scope, cur, args[1], path,
+        end = _t_count_arg(scope, cur, args[1], arg_path(path, 2),
                            "end must be an integer")
         end = F.when(end < 0,
                      F.greatest(size + end, F.lit(0).cast("long"))) \
@@ -2735,10 +2822,11 @@ def t_unique(scope, cur, args, path):
     """order-preserving first-wins dedupe by string-coerced equality
     (``transform.rs:3791-3828``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    keys = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    ip = arg_path(path, 0)
+    keys = F.transform(arr, lambda x: _t_eq_proxy(x, et, ip))
     kept = F.filter(
         arr,
-        lambda x, i: F.array_position(keys, _t_eq_proxy(x, et, path)) - 1
+        lambda x, i: F.array_position(keys, _t_eq_proxy(x, et, ip)) - 1
         == i.cast("long"))
     return TVal(kept, T.ArrayType(et))
 
@@ -2747,12 +2835,14 @@ def t_unique(scope, cur, args, path):
 def t_contains(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     target = compile_tpipe(args[0], scope.child(pipe=cur),
-                           f"{path}.args[0]")
+                           sub_path(path, 0))
     if target.missing:
         raise TypedFallback("contains target statically missing")
-    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et,
+                                                     arg_path(path, 0)))
     hit = F.array_contains(proxies,
-                           _t_eq_proxy(target.col, target.dtype, path))
+                           _t_eq_proxy(target.col, target.dtype,
+                                       arg_path(path, 1)))
     return TVal(F.coalesce(hit, F.lit(False)), T.BooleanType())
 
 
@@ -2762,12 +2852,14 @@ def t_index_of(scope, cur, args, path):
     absent (``transform.rs:4047-4080``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
     target = compile_tpipe(args[0], scope.child(pipe=cur),
-                           f"{path}.args[0]")
+                           sub_path(path, 0))
     if target.missing:
         raise TypedFallback("index_of target statically missing")
-    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et, path))
+    proxies = F.transform(arr, lambda x: _t_eq_proxy(x, et,
+                                                     arg_path(path, 0)))
     pos = F.array_position(proxies,
-                           _t_eq_proxy(target.col, target.dtype, path))
+                           _t_eq_proxy(target.col, target.dtype,
+                                       arg_path(path, 1)))
     return TVal((pos - 1).cast("long"), T.LongType())
 
 
@@ -2776,7 +2868,7 @@ def t_find_index(scope, cur, args, path):
     """index of first predicate match, -1 if none
     (``transform.rs:4008-4045``)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    pred = _t_pred(scope, args[0], et, path)
+    pred = _t_pred(scope, args[0], et, raw_path(path, 0))
     withi = F.transform(arr, lambda x, i: F.struct(x.alias("v"),
                                                   i.alias("i")))
     found = F.filter(withi, lambda p: pred(p["v"], p["i"]))
@@ -2807,7 +2899,7 @@ def t_sum(scope, cur, args, path):
     (``transform.rs:4117-4166``).  Matches ``num_to_variant`` for
     |sum| ≤ 2^62 (beyond, the reference itself degrades to f64)."""
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    nums = _t_int_elems(arr, et, path)
+    nums = _t_int_elems(arr, et, arg_path(path, 0))
     total = F.aggregate(nums, F.lit(0.0), lambda a, x: a + x)
     res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
            .otherwise(total.cast("long"))
@@ -2821,7 +2913,7 @@ def t_sum(scope, cur, args, path):
 @_treg("min")
 def t_min(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    nums = _t_int_elems(arr, et, path)  # null-element error parity
+    nums = _t_int_elems(arr, et, arg_path(path, 0))  # null-element error parity
     res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
            .otherwise(F.array_min(nums).cast("long"))
     return TVal(res, T.LongType())
@@ -2830,7 +2922,7 @@ def t_min(scope, cur, args, path):
 @_treg("max")
 def t_max(scope, cur, args, path):
     arr, et = _t_arr_in(cur, path, null_to_empty=True)
-    nums = _t_int_elems(arr, et, path)
+    nums = _t_int_elems(arr, et, arg_path(path, 0))
     res = F.when(F.size(arr) == 0, F.lit(None).cast("long")) \
            .otherwise(F.array_max(nums).cast("long"))
     return TVal(res, T.LongType())

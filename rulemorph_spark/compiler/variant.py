@@ -16,6 +16,8 @@ missing keys from output objects while keeping explicit nulls.
 from __future__ import annotations
 
 import json as _json
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -72,9 +74,65 @@ def lit_variant(py_value) -> Column:
     return F.parse_json(F.lit(_json.dumps(py_value)))
 
 
+# --- per-item dynamic path markers (map STEP; r7 path parity) -----------
+#
+# The reference's ``{map: [steps...]}`` attributes per-item errors to
+# ``{step}[{item_index}].step[{k}]`` (eval_v2_map_step) — the item index
+# is runtime data.  Bodies compile with a MARKER in the path string
+# (``@@I{depth}@@``); every raise built inside the registered context
+# splices the item-index Column in place of the marker.
+
+_dynpath_state = threading.local()
+
+
+@contextmanager
+def dyn_path_marker(marker: str, idx: Column):
+    stack = getattr(_dynpath_state, "stack", None)
+    if stack is None:
+        stack = _dynpath_state.stack = []
+    stack.append((marker, idx))
+    try:
+        yield
+    finally:
+        stack.pop()
+
+
+def dyn_marker_depth() -> int:
+    return len(getattr(_dynpath_state, "stack", []))
+
+
+def splice_markers(s: str) -> "list[Column] | None":
+    """None when ``s`` carries no registered marker; else the Columns
+    rendering ``s`` with each marker replaced by ``[{idx}]``."""
+    stack = getattr(_dynpath_state, "stack", None)
+    if not stack or not any(m in s for m, _ in stack):
+        return None
+
+    def build(part: str) -> list[Column]:
+        for m, c in stack:
+            i = part.find(m)
+            if i >= 0:
+                return (build(part[:i])
+                        + [F.lit("["), c.cast("string"), F.lit("]")]
+                        + build(part[i + len(m):]))
+        return [F.lit(part)] if part else []
+
+    return build(s)
+
+
+def scrub_markers(s: str) -> str:
+    """Marker-bearing path as plain text for sinks that cannot splice
+    (python UDF closures) — renders the index slot as ``[?]``."""
+    import re as _re2
+    return _re2.sub(r"@@I\d+@@", "[?]", s)
+
+
 def raise_err(kind: str, message: str, path: str | None = None,
               code: str | None = None) -> Column:
     encoded = encode_engine_error(kind, message, path, code)
+    parts = splice_markers(encoded)
+    if parts is not None:
+        return F.raise_error(F.concat(*parts))
     return cached_col("raise", encoded,
                       lambda: F.raise_error(F.lit(encoded)))
 
@@ -197,14 +255,18 @@ def to_string_strict(v: Column, path: str,
 
 def to_number_strict(v: Column, path: str,
                      msg: str = "value must be a number") -> Column:
-    """``value_to_number``: numbers or numeric strings → double; anything
-    else errors. Missing propagates as SQL NULL."""
+    """``value_to_number``: numbers or FINITE Rust-grammar numeric
+    strings → double; anything else errors (transform.rs:5804-5817 —
+    no whitespace, "nan"/"inf" parse but fail the finite check).
+    Missing propagates as SQL NULL."""
     t = typeof(v)
-    parsed = v.try_cast("string").try_cast("double")
+    parsed = rust_f64_parse(v.try_cast("string"))
+    finite = parsed.isNotNull() & ~F.isnan(parsed) & \
+        (F.abs(parsed) != F.lit(float("inf")))
     return (
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(is_number(v), v.try_cast("double"))
-        .when((t == "STRING") & parsed.isNotNull(), parsed)
+        .when((t == "STRING") & finite, parsed)
         .otherwise(raise_err("expr_error", msg, path).cast("double"))
     )
 
@@ -243,7 +305,8 @@ def raise_err_got(kind: str, message_prefix: str, v: Column,
     from ..errors import encode_engine_error_msg_parts
     prefix, suffix = encode_engine_error_msg_parts(kind, message_prefix,
                                                    path)
-    parts = [F.lit(prefix), dbg_marker(v), F.lit(suffix)]
+    head = splice_markers(prefix) or [F.lit(prefix)]
+    parts = [*head, dbg_marker(v), F.lit(suffix)]
     if extra is not None:
         parts.append(extra)
     return F.raise_error(F.concat(*parts))
@@ -306,14 +369,45 @@ def as_string_v2(v: Column, path: str, prefix: str = "expected string, got "
     )
 
 
+# Rust ``str::parse::<f64>`` grammar (core::num::dec2flt): optional
+# sign, then inf/infinity/nan (case-insensitive) or decimal digits
+# with optional fraction/exponent — NO leading/trailing whitespace
+# (Spark's double cast trims; r7 fuzz: add(" 1 ") must error)
+RUST_F64_RE = (r"^[+-]?([iI][nN][fF]([iI][nN][iI][tT][yY])?"
+               r"|[nN][aA][nN]"
+               r"|[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?"
+               r"|\.[0-9]+([eE][+-]?[0-9]+)?)$")
+
+
+# plain decimal forms (no inf/nan) — the overwhelmingly common case;
+# checked first so the special-constant CASE never evaluates for them
+RUST_F64_NUM_RE = (r"^[+-]?([0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?"
+                   r"|\.[0-9]+([eE][+-]?[0-9]+)?)$")
+
+
+def rust_f64_parse(s: Column) -> Column:
+    """Parse a string column with the Rust f64 grammar → double,
+    NULL when the grammar rejects it."""
+    low = F.lower(s)
+    special = (
+        F.when(low.isin("inf", "infinity", "+inf", "+infinity"),
+               F.lit(float("inf")))
+        .when(low.isin("-inf", "-infinity"), F.lit(float("-inf")))
+        .when(low.isin("nan", "+nan", "-nan"), F.lit(float("nan")))
+    )
+    return F.when(s.rlike(RUST_F64_NUM_RE), s.try_cast("double")) \
+            .otherwise(special)
+
+
 def as_number_v2(v: Column, path: str, prefix: str = "expected number, got "
                  ) -> Column:
     """``eval_value_as_number`` (``v2_eval.rs:1278-1304``): numbers →
-    f64; strings parse (else ``failed to parse string as number``);
-    null / bool / array / object → ``expected number, got {:?}``.
-    Missing → SQL NULL (callers run the positional protocol)."""
+    f64; strings parse with the RUST grammar (else ``failed to parse
+    string as number``); null / bool / array / object → ``expected
+    number, got {:?}``.  Missing → SQL NULL (callers run the
+    positional protocol)."""
     t = typeof(v)
-    parsed = v.try_cast("string").try_cast("double")
+    parsed = rust_f64_parse(v.try_cast("string"))
     return (
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(is_number(v), v.try_cast("double"))

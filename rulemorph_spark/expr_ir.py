@@ -10,6 +10,7 @@ unlike the reference's per-record re-parse (``transform.rs:965-997``).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -83,6 +84,11 @@ class OpStep:
     # minimum explicit-arg count is one below the v2 pipe-context range
     # (validate_chain_op's ``args.len() + 1``, validator.rs:891)
     v1_chain: bool = False
+    # v1 forms: the step's reference path suffix relative to its pipe's
+    # compile base ("" for a standalone {op,args}, ".chain[k]" for chain
+    # items) — v1 error paths carry the original structure, never the
+    # pipe-step index (transform.rs reports ``{base}.args[o]``)
+    v1_suffix: str | None = None
 
 
 @dataclass(frozen=True)
@@ -327,23 +333,35 @@ def v1_expr_to_pipe(value: JsonValue) -> Pipe:
                 raise _err("expr.args must be a non-empty array")
             # v1 standalone op: first arg is the primary operand
             return Pipe(start=StartPipeValue(),
-                        steps=(OpStep(op=value["op"], args=args),)
+                        steps=(OpStep(op=value["op"], args=args,
+                                      v1_suffix=""),)
                         )._v1_standalone()
         if "chain" in value:
             chain = value["chain"]
             if not isinstance(chain, list) or not chain:
                 raise _err("expr.chain must be a non-empty array")
             first = v1_expr_to_pipe(chain[0])
-            steps = list(first.steps)
+            # steps contributed by chain[0] (a nested standalone op)
+            # belong to the chain[0] slot of the original structure
+            steps = [_v1_resuffix(s, ".chain[0]") for s in first.steps]
             start = first.start
-            for item in chain[1:]:
+            for k, item in enumerate(chain[1:], start=1):
                 if not (isinstance(item, dict) and "op" in item):
                     raise _err("expr.chain items after first must be op")
                 args = tuple(v1_expr_to_pipe(a) for a in item.get("args", []))
-                steps.append(OpStep(op=item["op"], args=args, v1_chain=True))
+                steps.append(OpStep(op=item["op"], args=args, v1_chain=True,
+                                    v1_suffix=f".chain[{k}]"))
             return Pipe(start=start, steps=tuple(steps))
     # literal (string literals in v1 are plain literals, no @ parsing)
     return Pipe(start=StartLiteral(value))
+
+
+def _v1_resuffix(step: Step, prefix: str) -> Step:
+    """Prefix a v1 step's reference-path suffix with the slot it came
+    from after splicing into an outer pipe (``.args[0]``/``.chain[0]``)."""
+    if isinstance(step, OpStep) and step.v1_suffix is not None:
+        return dataclasses.replace(step, v1_suffix=prefix + step.v1_suffix)
+    return step
 
 
 def _v1_standalone(self: Pipe) -> Pipe:
@@ -351,10 +369,14 @@ def _v1_standalone(self: Pipe) -> Pipe:
     step = self.steps[0]
     assert isinstance(step, OpStep)
     first, *rest = step.args
-    op = OpStep(step.op, tuple(rest), origin_first_arg=first)
+    op = OpStep(step.op, tuple(rest), origin_first_arg=first,
+                v1_suffix=step.v1_suffix)
     if first.steps:
-        # first arg is itself a pipe: start from it, then apply op to it
-        return Pipe(start=first.start, steps=first.steps + (op,))
+        # first arg is itself a pipe: start from it, then apply op to
+        # it — its steps' errors attribute to the args[0] slot
+        return Pipe(start=first.start,
+                    steps=tuple(_v1_resuffix(s, ".args[0]")
+                                for s in first.steps) + (op,))
     return Pipe(start=first.start, steps=(op,))
 
 

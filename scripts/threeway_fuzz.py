@@ -86,7 +86,8 @@ def run_spark(df, rule, mode):
             raise
         err = json.loads(m.group(1))
         return "err", {"kind": err["kind"],
-                       "message": decode_dbg_message(err["message"])}
+                       "message": decode_dbg_message(err["message"]),
+                       "path": err.get("path")}
 
 
 def run_interp(rule_yaml, record):
@@ -94,7 +95,8 @@ def run_interp(rule_yaml, record):
     try:
         out = interp.transform_record(rule_yaml, record)
     except interp.InterpError as e:
-        return "err", {"kind": e.kind, "message": e.message}
+        return "err", {"kind": e.kind, "message": e.message,
+                       "path": e.path}
     if out is interp.MISSING:
         return "drop", None
     v = out.get("out", "__DOC_MISSING__") if isinstance(out, dict) else out
@@ -122,6 +124,10 @@ ARR_OPS = [
     ("{index_of: [%d]}", lambda r: r.randrange(0, 4)),
     ("{contains: [%d]}", lambda r: r.randrange(0, 4)),
     ("{map: [{multiply: [%d]}]}", lambda r: r.randrange(-2, 3)),
+    # map STEP bodies (per-item [idx].step[k] paths)
+    ("{map: [{add: [%d]}, {divide: [2]}]}", lambda r: r.randrange(0, 3)),
+    ('{map: [{if: {cond: {gt: ["$", %d]}, then: [0]}}]}',
+     lambda r: r.randrange(0, 3)),
     ('{filter: [["@item", {gt: [%d]}]]}', lambda r: r.randrange(0, 3)),
     ('{reduce: [["@acc", {add: ["@item"]}]]}', None),
     ('{sort_by: [["@item"]]}', None),
@@ -324,7 +330,8 @@ def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
                                  f"interp err {r2} vs {mode} {k1} {r1}"))
                         elif (r1["kind"] != r2["kind"]
                               or norm_message(r1["message"])
-                              != norm_message(r2["message"])):
+                              != norm_message(r2["message"])
+                              or r1.get("path") != r2.get("path")):
                             divergences.append(
                                 (pool_name, expr, f"{mode}-row{rid}",
                                  f"err mismatch interp={r2} {mode}={r1}"))

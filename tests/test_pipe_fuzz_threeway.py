@@ -174,6 +174,99 @@ def _norm(v):
     return v
 
 
+# (expr, record, kind, message, path) — the round-7 PATH-parity pins:
+# per-operand error paths (``{step}.args[o]``), v2-native vs delegated
+# numbering, lambda/let/cond sub-paths, dynamic map-step item indexes,
+# eager let-binding evaluation, Rust f64 string grammar.  All verified
+# against eval_v2_* / transform.rs path construction via the
+# interpreter (which itself passes the reference goldens).
+R7_PATH_PINS = [
+    # delegated op: null count at the operand slot (pipe = args[0])
+    ('"@input.strs", {take: ["@input.absent2"]}',
+     {"id": 1, "strs": ["a"], "absent2": None},
+     "ExprError", "expr arg must not be null",
+     "mappings[1].expr[1].args[1]"),
+    # delegated op: non-array pipe at args[0]
+    ('"@input.i", {zip: ["@input.strs"]}', {"id": 1, "i": 7, "strs": []},
+     "ExprError", "expr arg must be an array",
+     "mappings[1].expr[1].args[0]"),
+    # native op: arg j at .args[j] (0-based)
+    ('"@input.s", {concat: [null]}', {"id": 1, "s": "x"},
+     "ExprError", "expected string, got Null",
+     "mappings[1].expr[1].args[0]"),
+    # native op: the pipe errors at the STEP path
+    ('"@input.s", {add: [1]}', {"id": 1, "s": "x"},
+     "ExprError", "failed to parse string as number",
+     "mappings[1].expr[1]"),
+    # v2 divide: the DIVISOR's arg path (v2_eval.rs:1921)
+    ('5, {divide: [0]}', {"id": 1},
+     "ExprError", "division by zero", "mappings[1].expr[1].args[0]"),
+    # dynamic get: key errors at the key operand (delegated args[1])
+    ('"@input.obj", {get: ["@input.s"]}',
+     {"id": 1, "obj": {"a": 1}, "s": ""},
+     "ExprError", "path must be a non-empty string",
+     "mappings[1].expr[1].args[1]"),
+    # map STEP: per-item path with the RUNTIME item index
+    ('"@input.strs", {map: [{add: [1]}]}',
+     {"id": 1, "strs": ["1", "2", "abc"]},
+     "ExprError", "failed to parse string as number",
+     "mappings[1].expr[1][2].step[0]"),
+    # if condition path is .cond; compare-ord errors at the cond path
+    ('"@input.s", {if: {cond: {gt: [{divide: [5, 0]}, 1]}, then: [1]}}',
+     {"id": 1, "s": "x"},
+     "ExprError", "cannot compare values of different types",
+     "mappings[1].expr[1].cond"),
+    # let binding path is {step}.{name}; binding-internal step paths
+    ('"@input.s", {let: {x: [5, {divide: [0]}]}}, "@x"',
+     {"id": 1, "s": "x"},
+     "ExprError", "division by zero", "mappings[1].expr[1].x[1].args[0]"),
+    # eager let: an UNUSED raising binding still raises
+    # (eval_v2_let_step evaluates every binding in order)
+    ('"@input.s", {let: {x: [5, {divide: [0]}]}}, {trim: []}',
+     {"id": 1, "s": " x "},
+     "ExprError", "division by zero", "mappings[1].expr[1].x[1].args[0]"),
+    # lambda body path: raw args index, then the body's own step/arg
+    ('"@input.nums", {find: [["@item", {gt: ["@input.n"]}]]}',
+     {"id": 1, "nums": [1], "n": None},
+     "ExprError", "comparison operand must be a number",
+     "mappings[1].expr[1].args[0][1].args[0]"),
+    # round: the reference splits the scale range errors
+    ('2.5, {round: [400]}', {"id": 1},
+     "ExprError", "scale is too large", "mappings[1].expr[1].args[1]"),
+    # Rust parse::<f64> rejects whitespace (Spark's cast trims)
+    ('" 1 ", {add: [1]}', {"id": 1},
+     "ExprError", "failed to parse string as number",
+     "mappings[1].expr[1]"),
+    # sort_by order literal errors at the order operand AFTER the
+    # empty-array early return
+    ('"@input.nums", {sort_by: [["@item"], ["lit:bad"]]}',
+     {"id": 1, "nums": [2, 1]},
+     "ExprError", "order must be asc or desc",
+     "mappings[1].expr[1].args[1]"),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,record,kind,message,path", R7_PATH_PINS,
+    ids=[p[0][:48] for p in R7_PATH_PINS])
+def test_r7_path_pins(spark, expr, record, kind, message, path):
+    import json
+    from rulemorph_spark.engine import transform
+    rule = RULE % expr
+    try:
+        interp.transform_record(rule, record)
+        got_i = ("ok",)
+    except interp.InterpError as e:
+        got_i = ("err", e.kind, e.message, e.path)
+    assert got_i == ("err", kind, message, path), (expr, got_i)
+    try:
+        transform(spark, rule, input_text=json.dumps([record]))
+        got_e = ("ok",)
+    except TransformEngineError as e:
+        got_e = ("err", e.kind, e.message, e.path)
+    assert got_e == got_i, (expr, got_e, got_i)
+
+
 @pytest.mark.parametrize("expr,record,want",
                          R7_PINS, ids=[p[0][:48] for p in R7_PINS])
 def test_r7_threeway_pins(spark, expr, record, want):
