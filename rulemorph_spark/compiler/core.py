@@ -365,8 +365,9 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
             # binding is lazy, so weave a zero-length probe of each
             # binding into the pipe value (r7 path-parity campaign
             # found the unused-raising-binding hole).
-            probe = F.coalesce(F.substring(F.to_json(binding), 1, 0),
-                               F.lit(""))
+            probe = F.coalesce(
+                F.substring(F.to_json(V.as_nullable(binding)), 1, 0),
+                F.lit(""))
             cur = F.when(F.length(probe) >= 1,
                          V.cached_col("raise", "__unreachable__",
                                       lambda: F.raise_error(
@@ -398,7 +399,8 @@ def compile_step(step, cur: Column, scope: Scope, path: str):
                 # Force the cond through a zero-length probe with an
                 # unreachable distinct then-branch (see typed._force).
                 probe = F.coalesce(
-                    F.substring(cond.cast("string"), 1, 0), F.lit(""))
+                    F.substring(V.as_nullable(cond).cast("string"), 1, 0),
+                    F.lit(""))
                 out = F.when(F.length(probe) >= 1,
                              F.raise_error(F.lit("unreachable probe"))
                              .cast(V.VT)).otherwise(out)
@@ -500,9 +502,15 @@ def _compare(op: str, left: Column, right: Column, path: str) -> Column:
     import operator
     pyop = {"gt": operator.gt, "gte": operator.ge,
             "lt": operator.lt, "lte": operator.le}[op]
+    # NaN on either side: the reference's partial_cmp yields None,
+    # mapped to Ordering::Equal (v2_eval.rs:1160 ``unwrap_or(Equal)``)
+    # — gt/lt false, gte/lte true.  Spark's own NaN ordering (NaN
+    # greater than everything) must not leak through.
+    nan = F.isnan(ln) | F.isnan(rn)
     return (
         F.when(miss, rerr("expr_error", "cannot compare missing values",
                           path).cast("boolean"))
+        .when(num_ok & nan, F.lit(op in ("gte", "lte")))
         .when(num_ok, pyop(ln, rn))
         .when(str_ok, pyop(ls, rs))
         .otherwise(rerr("expr_error",

@@ -218,8 +218,9 @@ def _clamped_count(n: Column, size: Column) -> Column:
 def _arr_probe(arr: Column) -> Column:
     """Zero-length probe that evaluates a ``_coerce_array`` result
     (raising its non-array error) without contributing text."""
-    return F.coalesce(F.substring(F.size(arr).cast("string"), 1, 0),
-                      F.lit(""))
+    return F.coalesce(
+        F.substring(F.size(V.as_nullable(arr)).cast("string"), 1, 0),
+        F.lit(""))
 
 
 @register("take")

@@ -82,7 +82,10 @@ def _operands_bound(scope: Scope, cur: Column, args, path: str, build,
 def _chk(col: Column) -> Column:
     """Zero-length check probe: evaluates ``col`` (raising its embedded
     errors) and contributes nothing; never NULL."""
-    return F.coalesce(F.substring(col.cast("string"), 1, 0), V.clit(""))
+    # as_nullable: substring(a,1,0) folds to "" for NON-nullable a
+    # (SPARK-33847 family), deleting the probe — see V.as_nullable
+    return F.coalesce(F.substring(V.as_nullable(col).cast("string"),
+                                  1, 0), V.clit(""))
 
 
 def seq_strict(operands: list[Column], path: str, result: Column,
@@ -140,18 +143,37 @@ def _as_string(o: Column, path: str) -> Column:
         rerr("expr_error", "value must be a string", path).cast("string"))
 
 
+_F64_EPS = 2.220446049250313e-16  # f64::EPSILON
+
+
+def _f64_as_i64(d: Column) -> Column:
+    """Rust ``f as i64``: truncate toward zero, saturate at the i64
+    bounds (Spark's try_cast truncates and saturates AT the boundary
+    double but yields NULL beyond — fold the overflow back to the
+    saturated bound)."""
+    return F.coalesce(
+        d.try_cast("long"),
+        F.when(d > 0, F.lit(9223372036854775807).cast("long"))
+        .otherwise(F.lit(-9223372036854775808).cast("long")))
+
+
 def _as_i64(o: Column, path: str, msg: str) -> Column:
-    """``value_to_i64`` (``transform.rs:3236-3261``) — int, integral
-    float, or i64-STRING: the string arm is ``parse::<i64>()`` (no
-    floats, no whitespace — "2.0"/" 1 " error), unlike the f64-parsing
-    ``value_to_number``."""
+    """``value_to_i64`` (``transform.rs:5819-5844``) — int, float with
+    ``fract().abs() < f64::EPSILON`` that survives the ``as i64``
+    round-trip (1e20 errors: the saturated i64 differs), or i64-STRING
+    (``parse::<i64>()``: no floats, no whitespace).  ``d % 1.0`` is the
+    fract test — floor/ceil return LONG in Spark and ANSI-throw on
+    huge doubles (latent r7 crash: take(1e20))."""
     t = V.typeof(o)
     d = o.try_cast("double")
     s = o.try_cast("string")
     parsed = F.when(s.rlike(r"^[+-]?[0-9]+$"), s.try_cast("long"))
+    i = _f64_as_i64(d)
+    f_ok = (F.abs(d % F.lit(1.0)) < F.lit(_F64_EPS)) & \
+        (F.abs(i.cast("double") - d) < F.lit(_F64_EPS))
     return (
         F.when(t == "BIGINT", o.try_cast("long"))
-        .when(V.is_number(o) & (d == F.floor(d)), d.cast("long"))
+        .when(V.is_number(o) & f_ok, i)
         .when(V.is_string(o) & parsed.isNotNull(), parsed)
         .otherwise(rerr("expr_error", msg, path).cast("long"))
     )
@@ -726,10 +748,15 @@ def op_cast_int(scope, cur, args, path):
     o = ops[0]
     t = V.typeof(o)
     d = o.try_cast("double")
-    s_parsed = o.try_cast("string").try_cast("long")
+    s = o.try_cast("string")
+    s_parsed = F.when(s.rlike(r"^[+-]?[0-9]+$"), s.try_cast("long"))
+    # cast_to_int saturates (``f as i64``, transform.rs:5945-5947):
+    # int(1e20) is i64::MAX, not an error; the fract test is
+    # ``< f64::EPSILON`` via ``d % 1.0`` (floor ANSI-throws on 1e20)
     result = (
         F.when(t == "BIGINT", o.try_cast("long"))
-        .when(V.is_number(o) & (d == F.floor(d)), d.cast("long"))
+        .when(V.is_number(o) & (F.abs(d % F.lit(1.0)) < F.lit(_F64_EPS)),
+              _f64_as_i64(d))
         .when(V.is_string(o) & s_parsed.isNotNull(), s_parsed)
         .otherwise(rerr("expr_error", "failed to cast to int",
                         path).cast("long"))
@@ -746,10 +773,15 @@ def op_cast_int(scope, cur, args, path):
 def op_cast_float(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
     o = ops[0]
-    parsed = o.try_cast("string").try_cast("double")
+    # cast_to_float: Rust parse::<f64> grammar, FINITE only
+    # (transform.rs:5962-5982 — "inf"/"nan" parse but fail the finite
+    # check; whitespace never parses)
+    parsed = V.rust_f64_parse(o.try_cast("string"))
+    finite = parsed.isNotNull() & ~F.isnan(parsed) & \
+        (F.abs(parsed) != F.lit(float("inf")))
     result = (
         F.when(V.is_number(o), o.try_cast("double"))
-        .when(V.is_string(o) & parsed.isNotNull(), parsed)
+        .when(V.is_string(o) & finite, parsed)
         .otherwise(rerr("expr_error", "failed to cast to float",
                         path).cast("double"))
     )

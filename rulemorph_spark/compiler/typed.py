@@ -118,15 +118,19 @@ class fold_anchor:
 
 def anchor_probe(col: Column, dtype) -> Column:
     """Zero-length never-NULL string probe of ``col`` suitable as a
-    fold anchor (dtype-aware: complex types can't cast to string)."""
+    fold anchor (dtype-aware: complex types can't cast to string).
+    Routed through ``V.as_nullable`` — substring(a,1,0) of a
+    NON-nullable column (e.g. spark.range ids) folds to "" under
+    SPARK-33847-family simplification, un-anchoring every raise."""
+    c = V.as_nullable(col)
     if isinstance(dtype, (T.ArrayType, T.MapType)):
-        p = F.size(col).cast("string")
+        p = F.size(c).cast("string")
     elif isinstance(dtype, T.StructType):
-        p = F.to_json(col)
+        p = F.to_json(c)
     elif isinstance(dtype, T.VariantType):
-        p = col.try_cast("string")
+        p = c.try_cast("string")
     else:
-        p = col.cast("string")
+        p = c.cast("string")
     return F.coalesce(F.substring(p, 1, 0), F.lit(""))
 
 
@@ -286,16 +290,20 @@ def _probe0(o: "TVal") -> Column:
     (never true); ``_terr_forced`` renders it zero-length into the
     raise message."""
     dt = o.dtype
+    # nullable wrapper: a NON-nullable col (coalesce with a literal)
+    # would let SimplifyArithmetic fold the probe away entirely
+    # (see V.as_nullable; r7 fuzz fold-residual)
+    c = V.as_nullable(o.col)
     if isinstance(dt, (T.ArrayType, T.MapType)):
-        p = F.size(o.col) * 0
+        p = F.size(c) * 0
     elif isinstance(dt, T.StructType):
-        p = F.length(F.to_json(o.col)) * 0
+        p = F.length(F.to_json(c)) * 0
     elif _is_num(dt):
-        p = o.col * 0
+        p = c * 0
     elif _is_bool(dt):
-        p = o.col.cast("int") * 0
+        p = c.cast("int") * 0
     else:
-        p = F.length(o.col.cast("string")) * 0
+        p = F.length(c.cast("string")) * 0
     return F.coalesce(p.cast("double"), F.lit(0.0))
 
 
@@ -337,7 +345,10 @@ def _isnull(v: TVal) -> Column:
 def _chk(col: Column) -> Column:
     """Zero-length check probe: evaluates ``col`` (raising embedded
     errors) and contributes no text; never NULL."""
-    return F.coalesce(F.substring(col.cast("string"), 1, 0), V.clit(""))
+    # as_nullable: substring(a,1,0) folds to "" for NON-nullable a
+    # (SPARK-33847 family), deleting the probe — see V.as_nullable
+    return F.coalesce(F.substring(V.as_nullable(col).cast("string"),
+                                  1, 0), V.clit(""))
 
 
 def _force(probe: Column, col: Column) -> Column:
@@ -1437,21 +1448,29 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             # full-scan DataFilter).  Identical semantics, pruned scan.
             return res
     elif _is_str(left.dtype) and _is_str(right.dtype):
-        # numeric strings compare numerically when BOTH parse
-        ld, rd = left.col.try_cast("double"), right.col.try_cast("double")
+        # numeric strings compare numerically when BOTH parse with the
+        # RUST f64 grammar (value_as_f64 → parse::<f64>); NaN on
+        # either side → partial_cmp None → Equal (v2_eval.rs:1160)
+        ld, rd = V.rust_f64_parse(left.col), V.rust_f64_parse(right.col)
         num_ok = ld.isNotNull() & rd.isNotNull()
-        res = F.when(num_ok, pyop(ld, rd)).otherwise(
-            pyop(left.col, right.col))
+        nan = F.isnan(ld) | F.isnan(rd)
+        res = (F.when(num_ok & nan, F.lit(op in ("gte", "lte")))
+               .when(num_ok, pyop(ld, rd))
+               .otherwise(pyop(left.col, right.col)))
     elif (_is_num(left.dtype) and _is_str(right.dtype)) or \
             (_is_str(left.dtype) and _is_num(right.dtype)):
         sv, nv = (left, right) if _is_str(left.dtype) else (right, left)
-        sd = sv.col.try_cast("double")
+        sd = V.rust_f64_parse(sv.col)
         both = F.when(sd.isNotNull(), sd)
         lc = both if _is_str(left.dtype) else left.col.cast("double")
         rc = both if _is_str(right.dtype) else right.col.cast("double")
-        res = F.when(sd.isNotNull(), pyop(lc, rc)).otherwise(
-            _terr("boolean", "expr_error",
-                  "cannot compare values of different types", path))
+        nan = F.isnan(F.coalesce(sd, F.lit(0.0))) | \
+            F.isnan(nv.col.cast("double"))
+        res = (F.when(sd.isNotNull() & nan, F.lit(op in ("gte", "lte")))
+               .when(sd.isNotNull(), pyop(lc, rc))
+               .otherwise(_terr("boolean", "expr_error",
+                                "cannot compare values of different types",
+                                path)))
     else:
         res = _terr_forced([left, right], "boolean", "expr_error",
                            "cannot compare values of different types",
@@ -1805,11 +1824,15 @@ def t_cast_int(scope, cur, args, path):
     if _is_int(dt):
         col = o.col.cast("long")
     elif _is_num(dt):
+        # cast_to_int saturates (``f as i64``); fract test via % 1.0
         d = o.col.cast("double")
-        col = F.when(d == F.floor(d), d.cast("long")).otherwise(
+        col = F.when(F.abs(d % F.lit(1.0))
+                     < F.lit(2.220446049250313e-16),
+                     _t_f64_as_i64(d)).otherwise(
             _terr("long", "expr_error", "failed to cast to int", path))
     elif _is_str(dt):
-        parsed = o.col.try_cast("long")
+        parsed = F.when(o.col.rlike(r"^[+-]?[0-9]+$"),
+                        o.col.try_cast("long"))
         col = F.when(parsed.isNotNull(), parsed).otherwise(
             _terr("long", "expr_error", "failed to cast to int", path))
     elif _is_null(dt):
@@ -1831,7 +1854,7 @@ def t_cast_float(scope, cur, args, path):
     if _is_num(dt):
         col = o.col.cast("double")
     elif _is_str(dt):
-        parsed = o.col.try_cast("double")
+        parsed = V.rust_f64_parse(o.col)
         finite = parsed.isNotNull() & ~F.isnan(parsed) & \
             (F.abs(parsed) != F.lit(float("inf")))
         col = F.when(finite, parsed).otherwise(
@@ -1882,10 +1905,21 @@ def t_strict_str(v: TVal, path: str,
     return _terr("string", "expr_error", msg, path)
 
 
+def _t_f64_as_i64(d: Column) -> Column:
+    """Rust ``f as i64``: truncate toward zero, saturate at the i64
+    bounds (see ops_scalar._f64_as_i64)."""
+    return F.coalesce(
+        d.try_cast("long"),
+        F.when(d > 0, F.lit(9223372036854775807).cast("long"))
+        .otherwise(F.lit(-9223372036854775808).cast("long")))
+
+
 def t_i64(v: TVal, path: str, msg: str) -> Column:
-    """``value_to_i64`` (``transform.rs:3236-3261``) — int, integral
-    float, or i64-STRING (``parse::<i64>()``: no floats, no
-    whitespace)."""
+    """``value_to_i64`` (``transform.rs:5819-5844``) — int, float with
+    ``fract().abs() < f64::EPSILON`` surviving the ``as i64``
+    round-trip, or i64-STRING (``parse::<i64>()``: no floats, no
+    whitespace).  ``d % 1.0`` is the fract test — Spark floor/ceil
+    ANSI-throw on huge doubles."""
     if _is_int(v.dtype):
         return v.col.cast("long")
     if _is_str(v.dtype):
@@ -1894,7 +1928,11 @@ def t_i64(v: TVal, path: str, msg: str) -> Column:
         return F.when(parsed.isNotNull(), parsed).otherwise(
             _terr("long", "expr_error", msg, path))
     d = t_num(v, path, msg)
-    return F.when(d == F.floor(d), d.cast("long")).otherwise(
+    i = _t_f64_as_i64(d)
+    eps = F.lit(2.220446049250313e-16)
+    ok = (F.abs(d % F.lit(1.0)) < eps) & \
+        (F.abs(i.cast("double") - d) < eps)
+    return F.when(ok, i).otherwise(
         _terr("long", "expr_error", msg, path))
 
 
@@ -1921,7 +1959,14 @@ def t_replace(scope, cur, args, path):
         .otherwise(_terr("string", "expr_error",
                          "replace mode must be all|regex|regex_all",
                          arg_path(path, 3))))
-    return _seq(ops, path, result, T.StringType())
+    # per-arg stringify interleaves with the protocol (eval_replace
+    # converts each arg COMPLETELY in order, transform.rs:2162-2200):
+    # replace(array_pipe, null, …) is the pipe's stringify error, not
+    # the pattern's null error
+    checks = [_chk(value), _chk(pattern), _chk(replacement)]
+    if len(ops) == 4:
+        checks.append(_chk(mode))
+    return _seq(ops, path, result, T.StringType(), checks=checks)
 
 
 @_treg("split")

@@ -120,6 +120,24 @@ def splice_markers(s: str) -> "list[Column] | None":
     return build(s)
 
 
+def as_nullable(col: Column) -> Column:
+    """The same value through a NULLABLE expression.
+
+    Zero-length probes (``substring(x,1,0)``, ``x*0``) force a
+    column's embedded raises to evaluate — but Spark's arithmetic
+    simplification (SPARK-33847 family) folds ``a*0 → 0`` and
+    ``substring(a,1,0) → ""`` when ``a`` is deterministic and
+    NON-NULLABLE, silently deleting the probe (r7 fuzz:
+    ``int("x") → coalesce(…, 7) → divide(0)`` — coalesce with a
+    literal is non-nullable, so the ÷0 raise beat the int-cast
+    raise).  ``try_element_at`` over a ``slice`` is always nullable
+    and has no simplification rule (a bare ``element_at(array(x), 1)``
+    would be unwrapped back to ``x`` by SimplifyExtractValueOps,
+    restoring the non-nullability), so probes built over it
+    survive."""
+    return F.try_element_at(F.slice(F.array(col), 1, 1), F.lit(1))
+
+
 def scrub_markers(s: str) -> str:
     """Marker-bearing path as plain text for sinks that cannot splice
     (python UDF closures) — renders the index slot as ``[?]``."""

@@ -253,7 +253,7 @@ RECORDS = [
     # edge row: numeric-string parses (leading +, whitespace,
     # exponent), serde float rendering zones, integral float
     {"id": 4, "i": -3, "n": 2, "s": "+15", "obj": {"a": 9, "b": "1e3"},
-     "arr": [0], "f": 1e20, "strs": [" 1 ", "2.0", "abc"],
+     "arr": [0], "f": 1e20, "strs": [" 1 ", "2.0", "abc", "nan", "inf"],
      "nums": [10, -10]},
 ]
 

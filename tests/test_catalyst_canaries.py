@@ -152,3 +152,53 @@ mappings:
         transform(spark, rule, input_text=json.dumps([{"id": 1}]))
     assert ei.value.message == \
         'expected string, got Object {"a": Number(1)}'
+
+
+# --- hazard 4 (round 7): SimplifyArithmetic / substring folding over
+# NON-NULLABLE columns deletes zero-length probes -------------------------
+
+def test_nonnullable_probe_folds_raw(base):
+    """INTEGER ``a * 0 → 0`` folds when ``a`` is deterministic and
+    NON-nullable (SPARK-33847 SimplifyArithmetic; doubles keep the
+    multiply for NaN semantics) — a ``_probe0``-style probe of a
+    coalesce-with-literal LONG column vanishes, raise included."""
+    err = F.raise_error(F.concat(F.lit("boom"),
+                                 F.col("x").cast("string"))).cast("long")
+    nonnull = F.coalesce(err, F.lit(7))          # non-nullable long
+    raw_probe = F.substring((nonnull * 0).cast("string"), 1, 0)
+    raw = base.select(F.concat(F.lit("m"), raw_probe).alias("out"))
+    assert "raise_error" not in _optimized(raw), \
+        "nonnullable-long * 0 no longer folds — V.as_nullable may be " \
+        "removable"
+
+
+def test_nonnullable_probe_guarded_survives(base):
+    """``V.as_nullable`` (try_element_at over slice(array(..)))
+    restores nullability without a simplification rule, so the probe
+    — and the raise it forces — survives optimization."""
+    from rulemorph_spark.compiler import variant as V
+    err = F.raise_error(F.concat(F.lit("boom"),
+                                 F.col("x").cast("string"))).cast("long")
+    nonnull = F.coalesce(err, F.lit(7))
+    probe = F.substring((V.as_nullable(nonnull) * 0).cast("string"), 1, 0)
+    guarded = base.select(F.concat(F.lit("m"), probe).alias("out"))
+    assert "boom" in _optimized(guarded)
+
+
+def test_fold_residual_nonnullable_end_to_end(spark):
+    """int("x") → coalesce(…, 7) → divide(0): the int-cast raise rides
+    a NON-nullable coalesce output; the ÷0 constant raise must not win
+    (r7 fuzz; fixed by routing every probe through V.as_nullable)."""
+    import json
+    from rulemorph_spark.engine import transform
+    from rulemorph_spark.errors import TransformEngineError
+    rule = (
+        "version: 2\n"
+        "input: {format: json}\n"
+        "mappings:\n"
+        "  - target: out\n"
+        "    expr: [\"lit:x\", {int: []}, {coalesce: [7]}, {divide: [0]}]\n")
+    with pytest.raises(TransformEngineError) as ei:
+        transform(spark, rule, input_text=json.dumps([{"id": 1}]))
+    assert ei.value.message == "failed to cast to int"
+    assert ei.value.path == "mappings[0].expr[1]"

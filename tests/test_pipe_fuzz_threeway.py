@@ -243,7 +243,44 @@ R7_PATH_PINS = [
      {"id": 1, "nums": [2, 1]},
      "ExprError", "order must be asc or desc",
      "mappings[1].expr[1].args[1]"),
+    # SPARK-33847 fold residual: a NON-nullable upstream error cell
+    # (coalesce with a literal) must still beat a later constant raise
+    # — Catalyst folds probe*0/substring(probe,1,0) over non-nullable
+    # columns, which used to delete the int-cast raise entirely
+    ('"lit:x", {int: []}, {coalesce: [7]}, {divide: [0]}', {"id": 1},
+     "ExprError", "failed to cast to int", "mappings[1].expr[1]"),
+    # value_to_i64 rejects floats that do not survive the saturating
+    # as-i64 round-trip (1e20 → i64::MAX ≠ 1e20); Spark's floor would
+    # have ANSI-thrown here before the % 1.0 fract test
+    ('"@input.strs2", {take: ["@input.f2"]}',
+     {"id": 1, "strs2": ["a"], "f2": 1e20},
+     "ExprError", "count must be an integer",
+     "mappings[1].expr[1].args[1]"),
 ]
+
+
+# cast_to_int SATURATES (``f as i64``, transform.rs:5945): value pins
+R7_VALUE_PINS = [
+    ('"@input.f2", {int: []}, {to_base: [16]}',
+     {"id": 1, "f2": 1e20}, "7fffffffffffffff"),
+    ('"@input.f2", {int: []}', {"id": 1, "f2": 1e-17}, 0),
+    # unused raising let binding must still raise — covered as an
+    # error pin above; the USED binding value survives the weave
+    ('"@input.s2", {let: {x: [5, {add: [1]}]}}, "@x"',
+     {"id": 1, "s2": "q"}, 6.0),
+]
+
+
+@pytest.mark.parametrize("expr,record,want", R7_VALUE_PINS,
+                         ids=[p[0][:48] for p in R7_VALUE_PINS])
+def test_r7_value_pins(spark, expr, record, want):
+    import json
+    from rulemorph_spark.engine import transform
+    rule = RULE % expr
+    out = interp.transform_record(rule, record)
+    assert _norm(out.get("out")) == _norm(want), out
+    res = transform(spark, rule, input_text=json.dumps([record]))
+    assert _norm(res[0].get("out")) == _norm(want), res
 
 
 @pytest.mark.parametrize(
