@@ -161,8 +161,14 @@ def op_get(scope, cur, args, path):
             result = rerr("expr_error", "path must be a non-empty string",
                           kp).cast(V.VT)
         else:
-            tokens = parse_path(path_literal, error_code="expr_error")
-            result = V.navigate(base, tokens)
+            try:
+                tokens = parse_path(path_literal, error_code="expr_error")
+            except RuleError as e:
+                # per-record parse error AFTER the base checks
+                # (eval_json_get parses at eval time)
+                result = rerr("expr_error", e.message, kp).cast(V.VT)
+            else:
+                result = V.navigate(base, tokens)
     else:
         # dynamic path (``eval_json_get``, ``transform.rs:4446-4474``):
         # non-string → "value must be a string", empty → "path must be
@@ -175,6 +181,10 @@ def op_get(scope, cur, args, path):
         key = F.when(key == "", rerr(
             "expr_error", "path must be a non-empty string",
             kp).cast("string")).otherwise(key)
+        # per-row parse errors with the reference wordings
+        # (parse_path_tokens; path.rs classes)
+        key = V.path_parse_guard(
+            key, lambda m: rerr("expr_error", m, kp).cast("string"))
 
         def _nav_seg(acc: Column, seg: Column) -> Column:
             name = F.regexp_extract(seg, r"^([^\[\]]*)", 1)

@@ -2307,7 +2307,9 @@ def _t_get_dynamic(scope, cur, args, path):
             key.col == "",
             _terr(T.StringType(), "expr_error",
                   "path must be a non-empty string", kp)
-            ).otherwise(key.col)
+            ).otherwise(V.path_parse_guard(
+                key.col,
+                lambda m: _terr(T.StringType(), "expr_error", m, kp)))
         val = _force(_chk(key_checked), val)
     else:
         val = _terr_forced([base, key], vt, "expr_error",
@@ -2337,7 +2339,8 @@ def t_get(scope, cur, args, path):
     lit = _t_literal_arg(args[0]) if args else None
     if args and lit is None:
         return _t_get_dynamic(scope, cur, args, path)
-    if not isinstance(lit, str) or not lit:
+
+    def _bad_key(msg: str) -> TVal:
         # bad literal key: the BASE still evaluates first — missing or
         # null base short-circuits to missing (eval_json_get)
         base = cur
@@ -2346,15 +2349,22 @@ def t_get(scope, cur, args, path):
         if _unresolved(base):
             raise TypedFallback("get over maybe-missing base")
         kp = arg_path(path, 1)
-        msg = ("path must be a non-empty string" if isinstance(lit, str)
-               else "value must be a string")
         bn = _isnull(base)
         col = F.when(bn, F.lit(None).cast("string")).otherwise(
             _terr_forced([base], "string", "expr_error", msg, kp))
         mw = bn if base.missing_when is None else (_mw(base) | bn)
         return TVal(col, T.StringType(), maybe_missing=True,
                     missing_when=mw)
-    tokens = parse_path(lit, error_code="expr_error")
+
+    if not isinstance(lit, str):
+        return _bad_key("value must be a string")
+    if not lit:
+        return _bad_key("path must be a non-empty string")
+    try:
+        tokens = parse_path(lit, error_code="expr_error")
+    except RuleError as e:
+        # per-record parse error AFTER the base checks
+        return _bad_key(e.message)
     base = cur
     if base.missing:
         return _missing()

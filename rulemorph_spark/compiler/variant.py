@@ -120,6 +120,37 @@ def splice_markers(s: str) -> "list[Column] | None":
     return build(s)
 
 
+# --- dot-path grammar as Java regexes (path.rs:28-120) -------------------
+#
+# For DYNAMIC (per-row) path strings: classify parse failures with the
+# reference's wordings.  Quoted segments are non-empty, allow only
+# ``\\`` / ``\<quote>`` escapes, forbid brackets; bare keys stop only
+# at '.'/'['; indexes are ASCII digits.
+_PATH_DQ = r'"(?:[^"\\\[\]]|\\\\|\\")+"'
+_PATH_SQ = r"'(?:[^'\\\[\]]|\\\\|\\')+'"
+PATH_B2_RE = r"\[(?:" + _PATH_DQ + "|" + _PATH_SQ + r"|[0-9]+)\]"
+_PATH_ELEM = r"(?:[^.\[]+|" + PATH_B2_RE + r")(?:" + PATH_B2_RE + r")*"
+PATH_VALID_RE = "^" + _PATH_ELEM + r"(?:\." + _PATH_ELEM + r")*$"
+_PATH_ESC_BAD_RE = (r'\[(?:"(?:[^"\\\[\]]|\\\\|\\")*\\(?:[^"\\]|$)'
+                    r"|'(?:[^'\\\[\]]|\\\\|\\')*\\(?:[^'\\]|$))")
+
+
+def path_parse_guard(key: Column, raise_fn) -> Column:
+    """Pass a VALID dot-path key through; malformed keys raise the
+    reference's per-row parse wordings (scan-order approximated:
+    dot-empty-segment → escape → syntax; empty-quoted keys are
+    segment-empty).  ``raise_fn(msg) → Column`` builds the raise."""
+    stripped = F.regexp_replace(key, PATH_B2_RE, "")
+    invalid = ~key.rlike(PATH_VALID_RE)
+    cls_key = stripped.rlike(r"^\.|\.\.") | \
+        key.rlike("\\[(\"\"|'')\\]")
+    cls_esc = key.rlike(_PATH_ESC_BAD_RE)
+    return (F.when(invalid & cls_key, raise_fn("path segment is empty"))
+            .when(invalid & cls_esc, raise_fn("path escape is invalid"))
+            .when(invalid, raise_fn("path syntax is invalid"))
+            .otherwise(key))
+
+
 def as_nullable(col: Column) -> Column:
     """The same value through a NULLABLE expression.
 

@@ -29,87 +29,97 @@ class Index:
 PathToken = Key | Index
 
 
+_U64_MAX = 18446744073709551615
+
+
 def parse_path(path: str, *, allow_index: bool = True,
                error_code: str = "invalid_path") -> list[PathToken]:
-    """Tokenize a dot path into Key/Index tokens."""
+    """Tokenize a dot path into Key/Index tokens.
+
+    Mirrors ``path.rs:28-120`` exactly (round-7 path-parity): the
+    reference's four error wordings (``path is empty`` / ``path
+    segment is empty`` / ``path syntax is invalid`` / ``path escape is
+    invalid``), ``]`` allowed inside bare keys, empty quoted keys
+    rejected, ASCII-only saturating u64 indexes."""
+    def err(msg: str) -> RuleError:
+        return RuleError(error_code, msg)
+
+    def parse_bracket(i: int):
+        # i at '['
+        j = i + 1
+        if j >= n:
+            raise err("path syntax is invalid")
+        c = path[j]
+        if c in ('"', "'"):
+            quote = c
+            j += 1
+            buf: list[str] = []
+            closed = False
+            while j < n:
+                ch = path[j]
+                if ch == "\\":
+                    j += 1
+                    if j >= n or path[j] not in ("\\", quote):
+                        raise err("path escape is invalid")
+                    buf.append(path[j])
+                    j += 1
+                    continue
+                if ch == "[" or ch == "]":
+                    raise err("path syntax is invalid")
+                if ch == quote:
+                    j += 1
+                    closed = True
+                    break
+                buf.append(ch)
+                j += 1
+            key = "".join(buf)
+            if key == "":
+                raise err("path segment is empty")
+            if not closed:
+                raise err("path syntax is invalid")
+            if j >= n or path[j] != "]":
+                raise err("path syntax is invalid")
+            return Key(key), j + 1
+        if c.isascii() and c.isdigit():
+            value = 0
+            has_digit = False
+            while j < n and path[j].isascii() and path[j].isdigit():
+                has_digit = True
+                value = min(value * 10 + int(path[j]), _U64_MAX)
+                j += 1
+            if not has_digit or j >= n or path[j] != "]":
+                raise err("path syntax is invalid")
+            if not allow_index:
+                raise err(f"array indexes not allowed in {path!r}")
+            return Index(value), j + 1
+        raise err("path syntax is invalid")
+
     tokens: list[PathToken] = []
     i, n = 0, len(path)
     if n == 0:
         return tokens
-    expect_segment = True
     while i < n:
-        c = path[i]
-        if c == ".":
-            if expect_segment:
-                raise RuleError(error_code, f"empty path segment in {path!r}")
-            i += 1
-            expect_segment = True
-            continue
-        if c == "[":
-            if expect_segment and not tokens:
-                # a path may not start with an index/quoted key per the
-                # reference tokenizer, but quoted keys at start are fine
-                pass
-            j = i + 1
-            if j < n and path[j] in "\"'":
-                quote = path[j]
-                j += 1
-                buf = []
-                while j < n:
-                    ch = path[j]
-                    if ch == "\\":
-                        if j + 1 >= n or path[j + 1] not in ("\\", '"', "'"):
-                            raise RuleError(error_code,
-                                            f"invalid escape in path {path!r}")
-                        buf.append(path[j + 1])
-                        j += 2
-                        continue
-                    if ch == quote:
-                        break
-                    if ch in "[]":
-                        raise RuleError(
-                            error_code,
-                            f"brackets not allowed inside quoted key: {path!r}")
-                    buf.append(ch)
-                    j += 1
-                else:
-                    raise RuleError(error_code, f"unterminated quote in {path!r}")
-                if j + 1 >= n or path[j + 1] != "]":
-                    raise RuleError(error_code, f"missing ] in path {path!r}")
-                tokens.append(Key("".join(buf)))
-                i = j + 2
-                expect_segment = False
-                continue
-            # numeric index
-            j = i + 1
-            num = []
-            while j < n and path[j].isdigit():
-                num.append(path[j])
-                j += 1
-            if not num or j >= n or path[j] != "]":
-                raise RuleError(error_code, f"invalid index in path {path!r}")
-            if not allow_index:
-                raise RuleError(error_code,
-                                f"array indexes not allowed in {path!r}")
-            tokens.append(Index(int("".join(num))))
-            i = j + 1
-            expect_segment = False
-            continue
-        # plain key segment
-        j = i
-        buf = []
-        while j < n and path[j] not in ".[":
-            if path[j] == "]":
-                raise RuleError(error_code, f"unexpected ] in path {path!r}")
-            buf.append(path[j])
-            j += 1
-        if not buf:
-            raise RuleError(error_code, f"empty path segment in {path!r}")
-        tokens.append(Key("".join(buf)))
-        i = j
-        expect_segment = False
-    if expect_segment:
-        raise RuleError(error_code, f"trailing dot in path {path!r}")
+        if path[i] == ".":
+            raise err("path segment is empty")
+        if path[i] == "[":
+            tok, i = parse_bracket(i)
+            tokens.append(tok)
+        else:
+            start = i
+            # bare keys stop ONLY at '.' and '[' — ']' is a plain char
+            while i < n and path[i] != "." and path[i] != "[":
+                i += 1
+            tokens.append(Key(path[start:i]))
+        while i < n and path[i] == "[":
+            tok, i = parse_bracket(i)
+            tokens.append(tok)
+        if i < n:
+            if path[i] == ".":
+                i += 1
+                if i == n:
+                    raise err("path syntax is invalid")
+            else:
+                raise err("path syntax is invalid")
     return tokens
 
 

@@ -232,6 +232,12 @@ ARGX_OPS = [
     ('{multiply: ["@input.f"]}', None),
     ('{get: ["@input.s"]}', None),
     ('{get: [null]}', None),
+    # malformed literal path keys (path.rs per-class parse errors)
+    ('{get: ["lit:a["]}', None),
+    ('{get: ["lit:.a"]}', None),
+    ('{get: ["lit:a..b"]}', None),
+    ('{get: ["lit:a]x"]}', None),
+    ('{get: ["lit:a."]}', None),
     ('{sort_by: [["@item", {get: ["a"]}]]}', None),
     ('{group_by: [["@item", {to_string: []}]]}', None),
     ('{key_by: [["@item"]]}', None),
