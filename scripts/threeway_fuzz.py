@@ -247,6 +247,50 @@ ARGX_OPS = [
     ('{find: [["@item", {gt: ["@input.n"]}]]}', None),
 ]
 
+# --- v1 pool: chains + standalone {op,args} (r7 v1_suffix paths) ----------
+
+V1_RULE = """
+version: 1
+input: {format: json, json: {}}
+mappings:
+  - target: id
+    source: id
+  - target: out
+    expr: {chain: [%s]}
+"""
+
+V1_OPS = [
+    ('{op: concat, args: ["x"]}', None),
+    ('{op: to_string, args: []}', None),
+    ('{op: trim, args: []}', None),
+    ('{op: "+", args: [%d]}', lambda r: r.randrange(0, 3)),
+    ('{op: "/", args: [%d]}', lambda r: r.randrange(0, 2)),
+    ('{op: round, args: [1]}', None),
+    ('{op: to_base, args: [16]}', None),
+    ('{op: take, args: [%d]}', lambda r: r.randrange(-2, 3)),
+    ('{op: drop, args: [1]}', None),
+    ('{op: slice, args: [0, 2]}', None),
+    ('{op: len, args: []}', None),
+    ('{op: get, args: ["a"]}', None),
+    ('{op: get, args: [{ref: input.s}]}', None),
+    ('{op: keys, args: []}', None),
+    ('{op: merge, args: [{z: 9}]}', None),
+    ('{op: unique, args: []}', None),
+    ('{op: sum, args: []}', None),
+    ('{op: "==", args: [1]}', None),
+    ('{op: split, args: ["-"]}', None),
+    ('{op: pad_start, args: [5, "0"]}', None),
+    ('{op: flatten, args: []}', None),
+    ('{op: contains, args: [%d]}', lambda r: r.randrange(0, 3)),
+    ('{op: not, args: []}', None),
+    ('{op: coalesce, args: [{ref: input.absent}, 7]}', None),
+    ('{op: pick, args: [["a", "b"]]}', None),
+    ('{op: from_entries, args: []}', None),
+]
+V1_STARTS = ['{ref: input.s}', '{ref: input.i}', '{ref: input.nums}',
+             '{ref: input.obj}', '{ref: input.absent}', '{ref: input.n}',
+             '{ref: input.strs}', '"xy"', '5', 'null']
+
 RECORDS = [
     {"id": 1, "i": 7, "n": None, "s": "x",
      "obj": {"a": 1, "b": "y"}, "arr": [3, 1], "f": 2.5,
@@ -290,11 +334,15 @@ def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
         for _ in range(rng.randrange(*depth)):
             tmpl, gen = rng.choice(ops)
             steps.append(tmpl if gen is None else tmpl % gen(rng))
-        if start.startswith("@") or start.startswith("lit:"):
+        if pool_name.startswith("v1"):
+            expr = ", ".join([start] + steps)
+            rule = V1_RULE % expr
+        elif start.startswith("@") or start.startswith("lit:"):
             expr = f'"{start}", ' + ", ".join(steps)
+            rule = RULE % expr
         else:
             expr = f"{start}, " + ", ".join(steps)
-        rule = RULE % expr
+            rule = RULE % expr
         # interpreter per record (ground truth)
         interp_res = {}
         try:
@@ -385,6 +433,7 @@ def main():
         "obj": (OBJ_OPS, OBJ_STARTS, (1, 3)),
         "const": (CONST_OPS, CONST_STARTS, (1, 4)),
         "argx": (ARGX_OPS, STARTS + ARR_STARTS, (1, 3)),
+        "v1": (V1_OPS, V1_STARTS, (1, 4)),
     }
     names = list(pools) if pool == "all" else [pool]
     total_div = []

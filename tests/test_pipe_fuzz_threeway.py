@@ -41,7 +41,7 @@ def df(spark):
 
 
 @pytest.mark.parametrize("pool", ["miss", "mixed", "arr", "obj",
-                                  "const", "argx"])
+                                  "const", "argx", "v1"])
 def test_threeway_pool(spark, df, pool):
     ops, starts, depth = {
         "miss": (tw.MISS_OPS, tw.STARTS, (2, 5)),
@@ -50,6 +50,7 @@ def test_threeway_pool(spark, df, pool):
         "obj": (tw.OBJ_OPS, tw.OBJ_STARTS, (1, 3)),
         "const": (tw.CONST_OPS, tw.CONST_STARTS, (1, 4)),
         "argx": (tw.ARGX_OPS, tw.STARTS + tw.ARR_STARTS, (1, 3)),
+        "v1": (tw.V1_OPS, tw.V1_STARTS, (1, 4)),
     }[pool]
     compared, _skipped, divs = tw.run_pool(
         spark, df, pool, ops, starts, seed=71, iters=8, depth=depth)
