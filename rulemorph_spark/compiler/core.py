@@ -446,15 +446,22 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
         args = [compile_pipe(a, scope, f"{path}.args[{i}]")
                 for i, a in enumerate(cond.args)]
         left, right = args
+        perr = None
         if cond.op == "match":
-            from .ops_scalar import _literal_pattern, java_regex_invalid
+            from .ops_scalar import (_literal_pattern, java_regex_invalid,
+                                     py_regex_error)
             lit = _literal_pattern(cond.args[1])
-            if lit is not None and java_regex_invalid(lit):
-                # reference: "regex pattern is invalid" ExprError
-                # (transform.rs:43) instead of a raw Spark regex error
-                return rerr("expr_error", "regex pattern is invalid",
-                            path).cast("boolean")
-        return _compare(cond.op, left, right, path)
+            if lit is not None:
+                # v2 conditions wrap the compile failure with the regex
+                # error text ("invalid regex pattern: {e}",
+                # compare_values_match v2_eval.rs:1208-1214; the Rust
+                # regex Display is approximated with Python's re —
+                # matching the interpreter oracle).  The error fires
+                # AFTER the side checks (_compare orders it).
+                perr = py_regex_error(lit)
+                if perr is None and java_regex_invalid(lit):
+                    perr = "__java_only__"
+        return _compare(cond.op, left, right, path, pattern_err=perr)
     if isinstance(cond, CondExpr):
         # bare-expression conditions attribute to ``{path}.expr``
         # (eval_v2_condition, v2_eval.rs:1020-1045)
@@ -471,17 +478,36 @@ def compile_condition(cond: Condition, scope: Scope, path: str = "when") -> Colu
     raise RuleError("expr_error", "unknown condition", path)
 
 
-def _compare(op: str, left: Column, right: Column, path: str) -> Column:
+def _compare(op: str, left: Column, right: Column, path: str,
+             pattern_err: str | None = None) -> Column:
     if op in ("eq", "ne"):
         eq = V.v2_eq(left, right)
         return eq if op == "eq" else ~eq
     if op == "match":
+        # compare_values_match (v2_eval.rs:1181-1218): missing left is
+        # non-string too ("match operator requires string on left side")
         s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
-            rerr("expr_error", "match operand must be a string", path)
+            rerr("expr_error",
+                 "match operator requires string on left side", path)
             .cast("string"))
         pat = F.when(V.is_string(right), right.try_cast("string")).otherwise(
-            rerr("expr_error", "match pattern must be a string", path)
-            .cast("string"))
+            rerr("expr_error",
+                 "match operator requires regex pattern string on right "
+                 "side", path).cast("string"))
+        if pattern_err is not None:
+            # side checks evaluate first (compare_values_match order);
+            # then the pattern compile failure
+            from .ops_scalar import _chk
+            msg = ("regex pattern is invalid"
+                   if pattern_err == "__java_only__"
+                   else f"invalid regex pattern: {pattern_err}")
+            return F.when(
+                F.length(F.concat(_chk(s), _chk(pat))) >= 1,
+                V.cached_col("raise", "__unreachable__",
+                             lambda: F.raise_error(
+                                 F.lit("unreachable probe")))
+                .cast("boolean")).otherwise(
+                rerr("expr_error", msg, path).cast("boolean"))
         return F.coalesce(F.rlike(s, pat), F.lit(False))
     # orderings (compare_values_ord, v2_eval.rs:1150-1177): numeric
     # first when BOTH parse as f64 (numeric strings included), else

@@ -668,22 +668,46 @@ def _literal_pattern(arg) -> str | None:
     return None
 
 
+def py_regex_error(pattern: str) -> str | None:
+    """Python ``re.compile`` error text, None when the pattern is valid
+    — the repo-wide approximation of the Rust regex crate's Display
+    (the v2 wordings embed it: ``invalid regex pattern: {e}``,
+    compare_values_match v2_eval.rs:1208; the interpreter oracle uses
+    the same approximation)."""
+    import re as _re2
+    try:
+        _re2.compile(pattern)
+        return None
+    except _re2.error as e:
+        return str(e)
+
+
 def _v1_compare_op(name, pyop=None, eq=False, negate=False):
     @register(name)
     def _op(scope, cur, args, path):
         bad_pattern = False
+        v2_regex_err = None
         if name == "~=" and args:
             lit = _literal_pattern(args[-1])
-            bad_pattern = lit is not None and java_regex_invalid(lit)
+            if lit is not None:
+                if cur_version() >= 2:
+                    # the v2 ~= op compiles the pattern fresh and wraps
+                    # the failure text (``invalid regex pattern: {e}``,
+                    # eval_v2_op_step ~=; python-re approximation like
+                    # the interpreter oracle)
+                    v2_regex_err = py_regex_error(lit)
+                bad_pattern = v2_regex_err is None \
+                    and java_regex_invalid(lit)
         # v1 compare evaluates BOTH operands unconditionally
         # (eval_compare, transform.rs:5439-5459 — missing folds to
         # null via eval_expr_value_or_null_at, no short-circuit)
         return _operands_bound(
             scope, cur, args, path,
-            lambda *ops: _cmp_build(ops, path, bad_pattern),
+            lambda *ops: _cmp_build(ops, path, bad_pattern,
+                                    v2_regex_err),
             short=None)
 
-    def _cmp_build(ops, path, bad_pattern=False):
+    def _cmp_build(ops, path, bad_pattern=False, v2_regex_err=None):
         left, right = ops[0], ops[1]
         lp, rp = arg_path(path, 0), arg_path(path, 1)
         if eq:
@@ -691,17 +715,26 @@ def _v1_compare_op(name, pyop=None, eq=False, negate=False):
             if negate:
                 res = ~res
         elif name == "~=":
-            if bad_pattern:
-                # invalid pattern reports at the pattern's path
-                # (``cached_regex``, match_regex transform.rs)
-                return rerr("expr_error", "regex pattern is invalid",
-                            rp).cast(V.VT)
             s = F.when(V.is_string(left), left.try_cast("string")).otherwise(
                 rerr("expr_error", "value must be a string", lp)
                 .cast("string"))
             pat = F.when(V.is_string(right), right.try_cast("string")).otherwise(
                 rerr("expr_error", "value must be a string", rp)
                 .cast("string"))
+            if v2_regex_err is not None or bad_pattern:
+                # invalid pattern reports at the pattern's path AFTER
+                # both sides stringify (match_regex / v2 ~=); v1 wording
+                # "regex pattern is invalid" (cached_regex), v2 wraps
+                # the compile error text
+                msg = ("regex pattern is invalid" if bad_pattern
+                       else f"invalid regex pattern: {v2_regex_err}")
+                return F.when(
+                    F.length(F.concat(_chk(s), _chk(pat))) >= 1,
+                    V.cached_col("raise", "__unreachable__",
+                                 lambda: F.raise_error(
+                                     F.lit("unreachable probe")))
+                    .cast(V.VT)).otherwise(
+                    rerr("expr_error", msg, rp).cast(V.VT))
             res = F.rlike(s, pat)
         else:
             ln = V.to_number_strict(left, lp,

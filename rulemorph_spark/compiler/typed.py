@@ -1321,15 +1321,19 @@ def compile_tcondition(cond: Condition, scope: TScope,
             return _terr("boolean", "expr_error",
                          "comparison requires exactly 2 arguments, got "
                          f"{len(cond.args)}", path)
+        perr = None
         if cond.op == "match":
-            from .ops_scalar import _literal_pattern, java_regex_invalid
+            from .ops_scalar import (_literal_pattern, java_regex_invalid,
+                                     py_regex_error)
             lit = _literal_pattern(cond.args[1])
-            if lit is not None and java_regex_invalid(lit):
-                return _terr("boolean", "expr_error",
-                             "regex pattern is invalid", path)
+            if lit is not None:
+                perr = py_regex_error(lit)
+                if perr is None and java_regex_invalid(lit):
+                    perr = "__java_only__"
         args = [compile_tpipe(a, scope, f"{path}.args[{i}]")
                 for i, a in enumerate(cond.args)]
-        return _t_compare(cond.op, args[0], args[1], path)
+        return _t_compare(cond.op, args[0], args[1], path,
+                          pattern_err=perr)
     if isinstance(cond, CondExpr):
         expr_path = f"{path}.expr"
         v = compile_tpipe(cond.expr, scope, expr_path)
@@ -1343,7 +1347,8 @@ def compile_tcondition(cond: Condition, scope: TScope,
     raise RuleError("expr_error", "unknown condition", path)
 
 
-def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
+def _t_compare(op: str, left: TVal, right: TVal, path: str,
+               pattern_err: str | None = None) -> Column:
     ln, rn = _isnull(left) | F.lit(left.missing), \
         _isnull(right) | F.lit(right.missing)
     if op in ("eq", "ne"):
@@ -1391,9 +1396,33 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str) -> Column:
             eq = ln & rn  # cross-type / null: equal only when both null
         return eq if op == "eq" else ~eq
     if op == "match":
-        if not (_is_str(left.dtype) and _is_str(right.dtype)):
+        # compare_values_match (v2_eval.rs:1181-1218): left checks
+        # before right, each with its own wording
+        if not _is_str(left.dtype):
             return _terr_forced([left, right], "boolean", "expr_error",
-                                "match operand must be a string", path)
+                                "match operator requires string on left "
+                                "side", path)
+        if not _is_str(right.dtype):
+            return _terr_forced([left, right], "boolean", "expr_error",
+                                "match operator requires regex pattern "
+                                "string on right side", path)
+        if pattern_err is not None:
+            # per-row NULL sides fail the string check BEFORE the
+            # pattern compiles; never build rlike over a bad pattern
+            msg = ("regex pattern is invalid"
+                   if pattern_err == "__java_only__"
+                   else f"invalid regex pattern: {pattern_err}")
+            return (
+                F.when(left.col.isNull(),
+                       _terr("boolean", "expr_error",
+                             "match operator requires string on left "
+                             "side", path))
+                .when(right.col.isNull(),
+                      _terr("boolean", "expr_error",
+                            "match operator requires regex pattern "
+                            "string on right side", path))
+                .otherwise(_terr_forced([left, right], "boolean",
+                                        "expr_error", msg, path)))
         return F.coalesce(F.rlike(left.col, right.col), F.lit(False))
     # orderings: numeric first, then both-string lexicographic.  Error
     # split per the reference (compare_values_ord): a *missing* operand
@@ -2679,14 +2708,51 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
             if negate:
                 res = ~res
         elif name == "~=":
-            from .ops_scalar import _literal_pattern, java_regex_invalid
+            from .ops_scalar import (_literal_pattern, java_regex_invalid,
+                                     py_regex_error)
             if args:
                 lit = _literal_pattern(args[-1])
-                if lit is not None and java_regex_invalid(lit):
-                    return TVal(_terr("boolean", "expr_error",
-                                      "regex pattern is invalid",
-                                      arg_path(path, 1)),
-                                T.BooleanType(), errs=True)
+                if lit is not None:
+                    # typed engine is v2-only: the v2 ~= wraps the
+                    # compile failure text; the operand stringify
+                    # errors must still win, handled below via
+                    # s_or_err forcing
+                    perr = py_regex_error(lit)
+                    if perr is None and java_regex_invalid(lit):
+                        perr = "__java_only__"
+                    if perr is not None and _is_str(left.dtype) \
+                            and _is_str(right.dtype):
+                        # both sides stringify statically; a per-row
+                        # NULL side still errors first (value_as_string
+                        # runs before the regex compiles)
+                        msg = ("regex pattern is invalid"
+                               if perr == "__java_only__"
+                               else f"invalid regex pattern: {perr}")
+                        bad = (
+                            F.when(left.col.isNull(),
+                                   _terr("boolean", "expr_error",
+                                         "value must be a string",
+                                         arg_path(path, 0)))
+                            .when(right.col.isNull(),
+                                  _terr("boolean", "expr_error",
+                                        "value must be a string",
+                                        arg_path(path, 1)))
+                            .otherwise(_terr_forced(
+                                [left, right], "boolean", "expr_error",
+                                msg, arg_path(path, 1))))
+                        return TVal(bad, T.BooleanType(), errs=True)
+                    if perr is not None:
+                        # statically non-string LEFT (the literal
+                        # pattern is a string): the type error fires
+                        # per row — never build rlike over a bad
+                        # pattern (Spark compiles literal patterns at
+                        # plan time and would throw raw)
+                        return TVal(
+                            _terr_forced([left], "boolean",
+                                         "expr_error",
+                                         "value must be a string",
+                                         arg_path(path, 0)),
+                            T.BooleanType(), errs=True)
 
             # variant: any non-string — including null AND missing
             # (is_string of an absent value is not true) — errors

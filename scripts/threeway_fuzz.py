@@ -238,6 +238,14 @@ ARGX_OPS = [
     ('{get: ["lit:a..b"]}', None),
     ('{get: ["lit:a]x"]}', None),
     ('{get: ["lit:a."]}', None),
+    # invalid literal regex patterns (v2 ~= wraps the compile error;
+    # the python-re Display matches the interpreter oracle)
+    ('{"~=": ["lit:["]}', None),
+    ('{"~=": ["lit:("]}', None),
+    ('{"~=": ["lit:a.*"]}', None),
+    ('{if: {cond: {match: ["$", "lit:("]}, then: [1]}}', None),
+    ('{if: {cond: {match: ["$", "lit:a+"]}, then: [1], else: [0]}}',
+     None),
     ('{sort_by: [["@item", {get: ["a"]}]]}', None),
     ('{group_by: [["@item", {to_string: []}]]}', None),
     ('{key_by: [["@item"]]}', None),

@@ -717,11 +717,15 @@ def test_lookup_then_multiply(spark):
 
 def test_match_invalid_literal_pattern_is_expr_error(spark):
     """A literal pattern that does not compile surfaces the reference's
-    ExprError ("regex pattern is invalid", transform.rs:38-45) in both
-    the op and condition positions — never a raw Spark regex error."""
+    v2 ExprError ("invalid regex pattern: {e}" — the v2 ~= op and
+    compare_values_match wrap the regex compile failure,
+    v2_eval.rs:1208-1214; "regex pattern is invalid" is the V1
+    cached-regex wording) in both the op and condition positions —
+    never a raw Spark regex error.  Adjudicated against the
+    interpreter oracle in the r7 continuation."""
     from rulemorph_spark.errors import normalize_kind
     err = _eval_err(spark, ["lit:abc", {"~=": ["lit:[unclosed"]}])
-    assert "regex pattern is invalid" in getattr(err, "message", str(err))
+    assert "invalid regex pattern:" in getattr(err, "message", str(err))
     kind = getattr(err, "kind", getattr(err, "code", None))
     assert normalize_kind(kind) == "ExprError"
     err = _eval_err(spark, [0, {"if": {"cond":
@@ -729,4 +733,4 @@ def test_match_invalid_literal_pattern_is_expr_error(spark):
                                                   "lit:[unclosed"]},
                                        "then": ["lit:T"],
                                        "else": ["lit:F"]}}])
-    assert "regex pattern is invalid" in getattr(err, "message", str(err))
+    assert "invalid regex pattern:" in getattr(err, "message", str(err))
