@@ -521,17 +521,19 @@ def _seq(operands: list[TVal], path: str, col: Column, dtype,
 def t_str(v: TVal, path: str,
           msg: str = "value must be string/number/bool") -> Column:
     """``value_to_string`` with compile-time dispatch
-    (``transform.rs:5774-5800``, integral rendering ``:5903-5923``)."""
+    (``transform.rs:5774-5800``; floats via the Rust ``{}`` Display —
+    positional, integral trim, ``-0`` — ``number_to_string``
+    ``:5903-5923``)."""
     dt = v.dtype
     if _is_str(dt):
         return v.col
     if _is_bool(dt) or _is_int(dt):
         return v.col.cast("string")
+    if _is_dec0(dt):
+        # scale-0 decimals are serde ints (u64 zone): plain digits
+        return v.col.cast("decimal(38,0)").cast("string")
     if _is_num(dt):
-        d = v.col.cast("double")
-        return F.when(
-            (d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
-            d.cast("long").cast("string")).otherwise(d.cast("string"))
+        return V.rust_f64_display(v.col.cast("double"))
     if _is_null(dt):
         return F.lit(None).cast("string")
     return _terr("string", "expr_error", msg, path)

@@ -280,24 +280,84 @@ def num_to_variant(d: Column) -> Column:
     )
 
 
+_ZEROS330 = "0" * 330  # > max double exponent span
+
+
+def rust_f64_display(d: Column) -> Column:
+    """Rust ``{}`` Display of a finite f64 (``number_to_string``'s
+    float arm, transform.rs:5903-5923): ALWAYS positional (no
+    exponent), shortest digits, trailing fraction zeros trimmed,
+    ``-0`` preserved.
+
+    Zones: integral |d| < 2^53 → exact long; 1e-3 ≤ |d| < 1e16 →
+    decimal expansion of the shortest repr; outside → digit-shift
+    expansion of the shortest round-tripping scientific form.
+
+    The common zones render inline; only the RARE scientific zones
+    reference the ~35-reference probe chain, behind one let binding
+    (CASE-lazy: common rows never execute it)."""
+    s = d.cast("string")
+    # exact decimal of the SHORTEST repr (Spark's double→decimal goes
+    # through Double.toString); scale 21 holds 17 significant digits
+    # down to the 1e-3 zone edge
+    dec = F.regexp_replace(d.try_cast("decimal(38,21)").cast("string"),
+                           r"(\.\d*?)0+$", r"$1")
+    dec = F.regexp_replace(dec, r"\.$", "")
+    neg_zero = (d == 0.0) & s.startswith("-")
+    integral = F.abs(d % F.lit(1.0)) == 0.0
+    small_int = integral & (F.abs(d) < F.lit(9007199254740992.0))
+    return (
+        F.when(F.isnan(d), F.lit("NaN"))
+        .when(d == F.lit(float("inf")), F.lit("inf"))
+        .when(d == F.lit(float("-inf")), F.lit("-inf"))
+        .when(neg_zero, F.lit("-0"))
+        .when(small_int, d.try_cast("long").cast("string"))
+        .when((F.abs(d) >= 1e-3) & (F.abs(d) < 1e16), dec)
+        .otherwise(let(d, _sci_positional))
+    )
+
+
+def _sci_positional(d: Column) -> Column:
+    """Positional expansion for |d| >= 1e16 or < 1e-3: ryu-shortest
+    digits via a round-trip probe chain — Java 17's Double.toString
+    sometimes emits MORE digits than ryu (2^60 → "…698E18" vs ryu
+    "…47e18"), so find the fewest %.pE digits that parse back
+    exactly."""
+    sci = F.format_string("%.16E", d)
+    for _p in reversed(range(0, 16)):
+        cand = F.format_string(f"%.{_p}E", d)
+        sci = F.when(cand.try_cast("double") == d, cand).otherwise(sci)
+    sign = F.when(d.cast("string").startswith("-"),
+                  F.lit("-")).otherwise(F.lit(""))
+    mant_int = F.regexp_extract(sci, r"^-?(\d+)", 1)
+    mant_frac = F.regexp_extract(sci, r"\.(\d+)[eE]", 1)
+    exp = F.regexp_extract(sci, r"[eE]([+-]?\d+)$", 1).cast("int")
+    digits = F.concat(mant_int, mant_frac)
+    shift = exp - F.length(mant_frac)
+    big = F.concat(sign, digits,
+                   F.substring(F.lit(_ZEROS330), 1, shift))
+    lead = (-exp) - F.length(mant_int)
+    tiny = F.concat(sign, F.lit("0."),
+                    F.substring(F.lit(_ZEROS330), 1, lead), digits)
+    return F.when(exp >= 0, big).otherwise(tiny)
+
+
 def to_string_strict(v: Column, path: str,
                      msg: str = "value must be string/number/bool") -> Column:
     """``value_to_string`` (``transform.rs:5774-5800``): string/number/bool →
-    string with integral-float rendering (``number_to_string``
-    ``transform.rs:5903-5923``); null/object/array → error.
-    Missing input propagates as SQL NULL (callers decide)."""
+    string with the Rust ``{}`` float rendering (``number_to_string``
+    ``transform.rs:5903-5923`` — positional, integral trim, ``-0``);
+    null/object/array → error.  Missing input propagates as SQL NULL
+    (callers decide)."""
     t = typeof(v)
-    d = v.try_cast("double")
-    num_str = F.when(
-        (d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
-        d.cast("long").cast("string"),
-    ).otherwise(d.cast("string"))
     return (
         F.when(v.isNull(), F.lit(None).cast("string"))
         .when(t == "STRING", v.try_cast("string"))
         .when(t == "BOOLEAN", v.try_cast("string"))
         .when(t == "BIGINT", v.try_cast("string"))
-        .when(t.startswith("DECIMAL") | (t == "DOUBLE"), num_str)
+        .when(is_number(v) & _serde_int_kind(v),
+              v.try_cast("decimal(38,0)").cast("string"))
+        .when(is_number(v), rust_f64_display(v.try_cast("double")))
         .otherwise(raise_err("expr_error", msg, path).cast("string"))
     )
 
@@ -372,7 +432,7 @@ def serde_float_text(s: Column, d: Column) -> Column:
     ``1.0E20`` to ryu's ``1e20`` outside it."""
     has_e = s.rlike("[eE]")
     plain_zone = (F.abs(d) >= 1e-4) & (F.abs(d) < 1e16)
-    dec = F.regexp_replace(d.cast("decimal(38,18)").cast("string"),
+    dec = F.regexp_replace(d.try_cast("decimal(38,21)").cast("string"),
                            r"(\.\d*?)0+$", r"$1")
     dec = F.regexp_replace(dec, r"\.$", ".0")
     dec = F.when(dec.contains("."), dec).otherwise(
