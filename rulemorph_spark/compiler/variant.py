@@ -437,17 +437,30 @@ def serde_float_text(s: Column, d: Column) -> Column:
     dec = F.regexp_replace(dec, r"\.$", ".0")
     dec = F.when(dec.contains("."), dec).otherwise(
         F.concat(dec, F.lit(".0")))
-    mant = F.regexp_extract(s, r"^([^eE]+)", 1)
-    exp = F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1)
-    mant = F.regexp_replace(mant, r"\.0$", "")
-    exp = F.regexp_replace(F.regexp_replace(exp, r"^\+", ""),
-                           r"^(-?)0+(\d)", r"$1$2")
-    efmt = F.concat(mant, F.lit("e"), exp)
+    # exponent zone: ryu-shortest mantissa via the round-trip probe
+    # chain (Java 17's Double.toString over-renders 2^60-like values —
+    # see rust_f64_display), behind a let only the rare rows evaluate
+    efmt = let(d, _sci_efmt)
     return (F.when(~has_e,
                    F.when(s.contains("."), s).otherwise(
                        F.concat(s, F.lit(".0"))))
             .when(plain_zone, dec)
             .otherwise(efmt))
+
+
+def _sci_efmt(d: Column) -> Column:
+    """ryu's bare-``e`` scientific form (``1e20``, ``1.23e-7``) from
+    the shortest round-tripping ``%.pE`` rendering."""
+    sci = F.format_string("%.16E", d)
+    for _p in reversed(range(0, 16)):
+        cand = F.format_string(f"%.{_p}E", d)
+        sci = F.when(cand.try_cast("double") == d, cand).otherwise(sci)
+    mant = F.regexp_extract(sci, r"^(-?[^eE]+)", 1)
+    exp = F.regexp_extract(sci, r"[eE]([+-]?\d+)$", 1)
+    mant = F.regexp_replace(mant, r"\.0$", "")
+    exp = F.regexp_replace(F.regexp_replace(exp, r"^\+", ""),
+                           r"^(-?)0+(\d)", r"$1$2")
+    return F.concat(mant, F.lit("e"), exp)
 
 
 def serde_num_str(v: Column) -> Column:
