@@ -536,7 +536,9 @@ def t_str(v: TVal, path: str,
         return V.rust_f64_display(v.col.cast("double"))
     if _is_null(dt):
         return F.lit(None).cast("string")
-    return _terr("string", "expr_error", msg, path)
+    # static type error: upstream per-row errors still fire first
+    # (reference evaluates the operand value before the check)
+    return _terr_forced([v], "string", "expr_error", msg, path)
 
 
 def t_num(v: TVal, path: str,
@@ -555,7 +557,7 @@ def t_num(v: TVal, path: str,
                 .otherwise(_terr("double", "expr_error", msg, path)))
     if _is_null(dt):
         return F.lit(None).cast("double")
-    return _terr("double", "expr_error", msg, path)
+    return _terr_forced([v], "double", "expr_error", msg, path)
 
 
 def t_bool(v: TVal, path: str,
@@ -564,7 +566,7 @@ def t_bool(v: TVal, path: str,
         return v.col
     if _is_null(v.dtype):
         return F.lit(None).cast("boolean")
-    return _terr("boolean", "expr_error", msg, path)
+    return _terr_forced([v], "boolean", "expr_error", msg, path)
 
 
 # --- v2-native converters (typed mirrors of variant.as_string_v2 /
@@ -1933,7 +1935,7 @@ def t_strict_str(v: TVal, path: str,
         return v.col
     if _is_null(v.dtype):
         return F.lit(None).cast("string")
-    return _terr("string", "expr_error", msg, path)
+    return _terr_forced([v], "string", "expr_error", msg, path)
 
 
 def _t_f64_as_i64(d: Column) -> Column:
@@ -2760,8 +2762,10 @@ def _t_v1_cmp(name: str, pyop=None, eq: bool = False,
             # (is_string of an absent value is not true) — errors
             def s_or_err(v: TVal, vp: str) -> Column:
                 if not _is_str(v.dtype):
-                    return _terr("string", "expr_error",
-                                 "value must be a string", vp)
+                    # static type error — upstream per-row errors
+                    # embedded in the operand still fire first
+                    return _terr_forced([v], "string", "expr_error",
+                                        "value must be a string", vp)
                 return F.when(v.col.isNull(),
                               _terr("string", "expr_error",
                                     "value must be a string", vp)
