@@ -257,6 +257,12 @@ R7_PATH_PINS = [
      {"id": 1, "strs2": ["a"], "f2": 1e20},
      "ExprError", "count must be an integer",
      "mappings[1].expr[1].args[1]"),
+    # a typed STATIC type error (the ~= string guard) must not drop
+    # the upstream per-row error (campaign: add's got-Array error won)
+    ('"@input.arr2", {add: ["@input.s2"]}, {"~=": ["lit:a.*"]}',
+     {"id": 1, "arr2": [3, 1], "s2": "x"},
+     "ExprError", "expected number, got Array [Number(3), Number(1)]",
+     "mappings[1].expr[1]"),
 ]
 
 
@@ -265,6 +271,16 @@ R7_VALUE_PINS = [
     ('"@input.f2", {int: []}, {to_base: [16]}',
      {"id": 1, "f2": 1e20}, "7fffffffffffffff"),
     ('"@input.f2", {int: []}', {"id": 1, "f2": 1e-17}, 0),
+    # Rust {} f64 Display: positional, ryu-shortest.  (-0 renders as
+    # "-0" over typed DOUBLE columns — fuzz-covered via the table
+    # path; the JSON-document path parses "-0.0" into a variant
+    # DECIMAL which has no signed zero, a documented bridge limit.)
+    ('"@input.f2", {string: []}', {"id": 1, "f2": 1e20},
+     "100000000000000000000"),
+    ('"@input.f2", {string: []}',
+     {"id": 1, "f2": 1152921504606846976.0}, "1152921504606847000"),
+    ('"@input.f2", {to_string: []}',
+     {"id": 1, "f2": 1152921504606846976.0}, "1.152921504606847e18"),
     # unused raising let binding must still raise — covered as an
     # error pin above; the USED binding value survives the weave
     ('"@input.s2", {let: {x: [5, {add: [1]}]}}, "@x"',
