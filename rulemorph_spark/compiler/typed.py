@@ -1410,24 +1410,28 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str,
             return _terr_forced([left, right], "boolean", "expr_error",
                                 "match operator requires regex pattern "
                                 "string on right side", path)
+        null_guard = (
+            F.when(left.col.isNull(),
+                   _terr("boolean", "expr_error",
+                         "match operator requires string on left "
+                         "side", path))
+            .when(right.col.isNull(),
+                  _terr("boolean", "expr_error",
+                        "match operator requires regex pattern "
+                        "string on right side", path)))
         if pattern_err is not None:
             # per-row NULL sides fail the string check BEFORE the
             # pattern compiles; never build rlike over a bad pattern
             msg = ("regex pattern is invalid"
                    if pattern_err == "__java_only__"
                    else f"invalid regex pattern: {pattern_err}")
-            return (
-                F.when(left.col.isNull(),
-                       _terr("boolean", "expr_error",
-                             "match operator requires string on left "
-                             "side", path))
-                .when(right.col.isNull(),
-                      _terr("boolean", "expr_error",
-                            "match operator requires regex pattern "
-                            "string on right side", path))
-                .otherwise(_terr_forced([left, right], "boolean",
-                                        "expr_error", msg, path)))
-        return F.coalesce(F.rlike(left.col, right.col), F.lit(False))
+            return null_guard.otherwise(
+                _terr_forced([left, right], "boolean", "expr_error",
+                             msg, path))
+        # a per-row NULL (or missing) side is not a Value(String) —
+        # the reference raises, it does not fall through to false
+        return null_guard.otherwise(
+            F.coalesce(F.rlike(left.col, right.col), F.lit(False)))
     # orderings: numeric first, then both-string lexicographic.  Error
     # split per the reference (compare_values_ord): a *missing* operand
     # errs "cannot compare missing values" (v2_eval.rs:1175); a
