@@ -401,6 +401,11 @@ class EndpointEngine:
                 nodes, sum_node_duration_us(nodes), status)
         except Exception:
             # tracing must never break request handling
+            import traceback
+            import sys as _sys
+            print("JUDGE_DEBUG _attach_child_trace swallowed:",
+                  file=_sys.stderr)
+            traceback.print_exc(file=_sys.stderr)
             return
 
     def _config_context(self) -> dict:
