@@ -58,11 +58,39 @@ def cur_version() -> int:
 
 
 @contextmanager
+def fast_columns():
+    """Suspend pyspark's per-call DataFrame-debugging capture while
+    building expression trees.
+
+    PySpark 4 wraps every Column/functions call with a call-site
+    capture that costs THREE extra py4j round trips (a conf read,
+    ``PySparkCurrentOrigin.set``, ``.clear``) plus a Python stack walk
+    — ~40% of rule-compile wall time (round-8 profile: 1199 wrapped
+    calls → 3.7 s on the t13 anchor).  The captured origin would point
+    at compiler internals, not user code, and engine errors carry
+    their own structured payload (``errors.py``), so nothing of value
+    is lost.  Restores the previous state on exit; tolerates pyspark
+    versions without the private cache."""
+    try:
+        import pyspark.errors.utils as _eu
+        prev = _eu._enable_debugging_cache
+        _eu._enable_debugging_cache = False
+    except (ImportError, AttributeError):  # pragma: no cover
+        yield
+        return
+    try:
+        yield
+    finally:
+        _eu._enable_debugging_cache = prev
+
+
+@contextmanager
 def rule_version(version: int):
     prev = getattr(_version_state, "version", 2)
     _version_state.version = version
     try:
-        yield
+        with fast_columns():
+            yield
     finally:
         _version_state.version = prev
 
@@ -203,11 +231,16 @@ V2_NATIVE_STEP_OPS = {
     "lookup", "lookup_first",
 }
 
-# ops backed by a pandas UDF — Spark forbids Python UDFs inside higher-
-# order-function lambdas, so these compile without the let-binding wrapper
+# ops that manage the pipe-value binding THEMSELVES, so compile_step
+# must hand them the raw Column:
+# - pandas-UDF-backed ops (Spark forbids Python UDFs inside higher-
+#   order-function lambdas): deep_merge, object_(un)flatten, and
+#   pick/omit (which go through the UDF when paths are data-driven);
+# - SQL-function-backed ops (round 8): the date ops pass the raw pipe
+#   value as the function ARGUMENT (the analyzer binds it once via a
+#   Project) and fall back to an internal V.let inside lambda scopes.
 UDF_OPS = {"deep_merge", "object_flatten", "object_unflatten",
-           "pick", "omit"}  # pick/omit go through the UDF when paths are
-                            # dynamic (data-driven), so never let-bind them
+           "pick", "omit", "date_format", "to_unixtime"}
 
 _op_state = threading.local()
 _op_state.current = None

@@ -163,23 +163,207 @@ def _offset_str(seconds: int) -> str:
     return f"{sign}{seconds // 3600:02d}:{(seconds % 3600) // 60:02d}"
 
 
-def _try_parse(value: Column, chrono_fmt: str, path: str,
-               tz_seconds: int | None) -> Column:
-    """One chrono format → timestamp-UTC Column (NULL on parse failure)."""
+# --- dual expression backends (round 8) -----------------------------------
+#
+# The parse chain is ~23 gated formats and built it one py4j call at a
+# time, a date op cost ~0.8 s of COMPILE wall (3.5k socket round trips
+# — round-8 profile).  The chain is now built generically over one of
+# two backends: ``_ColB`` emits the hand-built Column tree (used inside
+# Catalyst lambda scopes), ``_SqlB`` emits SQL TEXT registered once per
+# (formats, tz, output, lenient) signature as a session SQL function
+# (``sqlfn.py``) whose call site costs O(1) Column constructions and
+# whose body the optimizer inlines — identical execution, ~10× faster
+# compile.  ONE generic builder guarantees the two paths cannot drift.
+
+
+class _ColB:
+    """Column-expression backend."""
+
+    is_sql = False
+
+    def lit(self, v):
+        return F.lit(v)
+
+    def null(self, t):
+        return F.lit(None).cast(t)
+
+    def fn(self, name, *xs):
+        return F.call_function(name, *xs)
+
+    def cast(self, x, t):
+        return x.cast(t)
+
+    def try_cast(self, x, t):
+        return x.try_cast(t)
+
+    def rlike(self, x, pat):
+        return x.rlike(pat)
+
+    def case(self, pairs, else_):
+        c = F.when(pairs[0][0], pairs[0][1])
+        for cond, val in pairs[1:]:
+            c = c.when(cond, val)
+        return c.otherwise(else_)
+
+    def eq(self, a, b):
+        return a == b
+
+    def ne(self, a, b):
+        return a != b
+
+    def lt(self, a, b):
+        return a < b
+
+    def isnull(self, x):
+        return x.isNull()
+
+    def isnotnull(self, x):
+        return x.isNotNull()
+
+    def op(self, sym, a, b):
+        if sym == "+":
+            return a + b
+        if sym == "*":
+            return a * b
+        if sym == "/":
+            return a / b
+        if sym == "%":
+            return a % b
+        raise ValueError(sym)  # pragma: no cover
+
+    def err(self, kind, msg, path, t):
+        return rerr(kind, msg, path).cast(t)
+
+    def let(self, x, fn):
+        return V.let(x, fn)
+
+    def let_many(self, xs, fn):
+        return V.let_many(xs, fn)
+
+    def struct(self, **kw):
+        return F.struct(*[v.alias(k) for k, v in kw.items()])
+
+    def field(self, x, name):
+        return x[name]
+
+    def ts_add_seconds(self, n, ts):
+        return F.timestamp_add("SECOND", n, ts)
+
+    def concat(self, *xs):
+        return F.concat(*xs)
+
+
+class _SqlB:
+    """SQL-text backend: handles are SQL expression strings."""
+
+    is_sql = True
+
+    def __init__(self, lenient: bool):
+        self.lenient = lenient
+        self._n = 0
+
+    def lit(self, v):
+        from . import sqlfn
+        if isinstance(v, str):
+            return sqlfn.quote(v)
+        return repr(v)
+
+    def null(self, t):
+        return f"CAST(NULL AS {t})"
+
+    def fn(self, name, *xs):
+        return f"{name}(" + ", ".join(xs) + ")"
+
+    def cast(self, x, t):
+        return f"CAST({x} AS {t})"
+
+    def try_cast(self, x, t):
+        return f"TRY_CAST({x} AS {t})"
+
+    def rlike(self, x, pat):
+        from . import sqlfn
+        return f"({x} RLIKE {sqlfn.quote(pat)})"
+
+    def case(self, pairs, else_):
+        whens = " ".join(f"WHEN {c} THEN {v}" for c, v in pairs)
+        return f"(CASE {whens} ELSE {else_} END)"
+
+    def eq(self, a, b):
+        return f"({a} = {b})"
+
+    def ne(self, a, b):
+        return f"({a} != {b})"
+
+    def lt(self, a, b):
+        return f"({a} < {b})"
+
+    def isnull(self, x):
+        return f"({x} IS NULL)"
+
+    def isnotnull(self, x):
+        return f"({x} IS NOT NULL)"
+
+    def op(self, sym, a, b):
+        return f"({a} {sym} {b})"
+
+    def err(self, kind, msg, path, t):
+        from . import sqlfn
+        from ..errors import encode_engine_error
+        if self.lenient:
+            return self.null(t)
+        encoded = encode_engine_error(kind, msg, path)
+        return f"CAST(raise_error({sqlfn.quote(encoded)}) AS {t})"
+
+    def let(self, x, fn):
+        self._n += 1
+        var = f"_v{self._n}"
+        return (f"try_element_at(transform(array({x}), "
+                f"{var} -> {fn(var)}), 1)")
+
+    def let_many(self, xs, fn):
+        if not xs:
+            return fn()
+        if len(xs) == 1:
+            return self.let(xs[0], fn)
+        self._n += 1
+        var = f"_v{self._n}"
+        fields = ", ".join(f"{self.lit(f'_b{i}')}, {x}"
+                           for i, x in enumerate(xs))
+        body = fn(*[f"{var}._b{i}" for i in range(len(xs))])
+        return (f"try_element_at(transform(array(named_struct({fields})), "
+                f"{var} -> {body}), 1)")
+
+    def struct(self, **kw):
+        fields = ", ".join(f"{self.lit(k)}, {v}" for k, v in kw.items())
+        return f"named_struct({fields})"
+
+    def field(self, x, name):
+        return f"{x}.{name}"
+
+    def ts_add_seconds(self, n, ts):
+        return f"timestampadd(SECOND, {n}, {ts})"
+
+    def concat(self, *xs):
+        return self.fn("concat", *xs)
+
+
+def _b_try_parse(b, value, chrono_fmt: str, path: str,
+                 tz_seconds: int | None):
+    """One chrono format → timestamp-UTC (NULL on parse failure)."""
     cands = []
     for spark_fmt in chrono_to_spark(chrono_fmt, path):
         if _fmt_has_offset(chrono_fmt):
-            cands.append(F.try_to_timestamp(value, F.lit(spark_fmt)))
+            cands.append(b.fn("try_to_timestamp", value, b.lit(spark_fmt)))
         elif _fmt_has_time(chrono_fmt):
-            naive = F.try_to_timestamp(value, F.lit(spark_fmt))
+            naive = b.fn("try_to_timestamp", value, b.lit(spark_fmt))
             off = _offset_str(tz_seconds or 0)
-            cands.append(F.to_utc_timestamp(naive, off))
+            cands.append(b.fn("to_utc_timestamp", naive, b.lit(off)))
         else:
-            d = F.call_function("try_to_date", value, F.lit(spark_fmt))
-            naive = d.cast("timestamp")
+            d = b.fn("try_to_date", value, b.lit(spark_fmt))
             off = _offset_str(tz_seconds or 0)
-            cands.append(F.to_utc_timestamp(naive, off))
-    return F.coalesce(*cands) if len(cands) > 1 else cands[0]
+            cands.append(b.fn("to_utc_timestamp", b.cast(d, "timestamp"),
+                              b.lit(off)))
+    return b.fn("coalesce", *cands) if len(cands) > 1 else cands[0]
 
 
 def _fmt_gate_regex(chrono_fmt: str) -> str:
@@ -220,94 +404,142 @@ def _fmt_gate_regex(chrono_fmt: str) -> str:
     return "".join(out)
 
 
-def _gated_parse(value: Column, chrono_fmt: str, path: str,
-                 tz_seconds: int | None) -> Column:
+def _b_gated_parse(b, value, chrono_fmt: str, path: str,
+                   tz_seconds: int | None):
     gate = _fmt_gate_regex(chrono_fmt)
-    return F.when(value.rlike(gate),
-                  _try_parse(value, chrono_fmt, path, tz_seconds)) \
-        .otherwise(F.lit(None).cast("timestamp"))
-
-
-def parse_datetime_utc(value: Column, formats: list[str] | None,
-                       tz_seconds: int | None, path: str) -> Column:
-    """Full default/explicit parse chain → (ts_utc, input_offset_seconds).
-
-    ``input_offset_seconds`` recovers the offset the input string itself
-    carried (chrono keeps it for rendering); NULL when the format was naive.
-    """
-    cands: list[Column] = []
-    offset_cands: list[tuple[Column, Column]] = []
-    if formats is None:
-        chain = _RFC3339 + _DEFAULT_WITH_TZ
-        for f in chain:
-            c = _gated_parse(value, f, path, tz_seconds)
-            cands.append(c)
-            offset_cands.append((c, _extract_offset_seconds(value)))
-        # RFC2822 (spark patterns directly, weekday prefix stripped)
-        no_weekday = F.regexp_replace(value, r"^[A-Za-z]{3},\s*", "")
-        for sf in _RFC2822_SPARK:
-            c = F.try_to_timestamp(no_weekday, F.lit(sf))
-            cands.append(c)
-            offset_cands.append((c, _extract_offset_seconds(value)))
-        for f in _DEFAULT_NAIVE:
-            c = _gated_parse(value, f, path, tz_seconds)
-            cands.append(c)
-            offset_cands.append((c, F.lit(None).cast("int")))
-    else:
-        for f in formats:
-            c = _try_parse(value, f, path, tz_seconds)
-            cands.append(c)
-            if _fmt_has_offset(f):
-                offset_cands.append((c, _extract_offset_seconds(value)))
-            else:
-                offset_cands.append((c, F.lit(None).cast("int")))
-    ts = F.coalesce(*cands)
-    ts = F.when(ts.isNotNull(), ts).otherwise(
-        rerr("expr_error", "date format is invalid", path).cast("timestamp"))
-    # first successful candidate (in declaration order) decides the offset
-    input_offset = F.lit(None).cast("int")
-    for c, off in reversed(offset_cands):
-        input_offset = F.when(c.isNotNull(), off).otherwise(input_offset)
-    return ts, input_offset
+    return b.case([(b.rlike(value, gate),
+                    _b_try_parse(b, value, chrono_fmt, path, tz_seconds))],
+                  b.null("timestamp"))
 
 
 _OFFSET_EXTRACT_RE = r"(Z|[+-]\d{2}:?\d{2})\s*$"
 
 
-def _extract_offset_seconds(value: Column) -> Column:
-    tz = F.regexp_extract(value, _OFFSET_EXTRACT_RE, 1)
-    hours = F.substring(F.regexp_replace(tz, ":", ""), 2, 2).try_cast("int")
-    mins = F.substring(F.regexp_replace(tz, ":", ""), 4, 2).try_cast("int")
-    signed = F.when(F.substring(tz, 1, 1) == "-", -1).otherwise(1)
-    return (
-        F.when(tz == "Z", F.lit(0))
-        .when(tz == "", F.lit(None).cast("int"))
-        .otherwise(signed * (hours * 3600 + F.coalesce(mins, F.lit(0)) * 60))
-    )
+def _b_extract_offset(b, value):
+    tz_raw = b.fn("regexp_extract", value, b.lit(_OFFSET_EXTRACT_RE),
+                  b.lit(1))
+
+    def body(tz):
+        rr = b.fn("regexp_replace", tz, b.lit(":"), b.lit(""))
+        hours = b.try_cast(b.fn("substring", rr, b.lit(2), b.lit(2)), "int")
+        mins = b.try_cast(b.fn("substring", rr, b.lit(4), b.lit(2)), "int")
+        signed = b.case([(b.eq(b.fn("substring", tz, b.lit(1), b.lit(1)),
+                               b.lit("-")), b.lit(-1))], b.lit(1))
+        return b.case(
+            [(b.eq(tz, b.lit("Z")), b.lit(0)),
+             (b.eq(tz, b.lit("")), b.null("int"))],
+            b.op("*", signed,
+                 b.op("+", b.op("*", hours, b.lit(3600)),
+                      b.op("*", b.fn("coalesce", mins, b.lit(0)),
+                           b.lit(60)))))
+
+    return b.let(tz_raw, body)
 
 
-def _render(ts_utc: Column, out_fmt: str, offset_seconds: Column,
-            path: str) -> Column:
+def _b_parse_struct(b, value, formats: list[str] | None,
+                    tz_seconds: int | None, path: str):
+    """Full default/explicit parse chain → ``struct<ts, off>``.
+
+    ``ts`` is NULL when no format matched (callers decide the error);
+    ``off`` recovers the offset the input string itself carried (chrono
+    keeps it for rendering); NULL when the matching format was naive.
+    The candidates and the offset extraction are let-bound ONCE — the
+    coalesce and the first-match offset fold both reference them.
+    """
+    cands, kinds = [], []
+    if formats is None:
+        for f in _RFC3339 + _DEFAULT_WITH_TZ:
+            cands.append(_b_gated_parse(b, value, f, path, tz_seconds))
+            kinds.append("extract")
+        # RFC2822 (spark patterns directly, weekday prefix stripped)
+        no_weekday = b.fn("regexp_replace", value,
+                          b.lit(r"^[A-Za-z]{3},\s*"), b.lit(""))
+        for sf in _RFC2822_SPARK:
+            cands.append(b.fn("try_to_timestamp", no_weekday, b.lit(sf)))
+            kinds.append("extract")
+        for f in _DEFAULT_NAIVE:
+            cands.append(_b_gated_parse(b, value, f, path, tz_seconds))
+            kinds.append(None)
+    else:
+        for f in formats:
+            cands.append(_b_try_parse(b, value, f, path, tz_seconds))
+            kinds.append("extract" if _fmt_has_offset(f) else None)
+    # "first successful candidate (declaration order) decides the
+    # offset" — when every offset-carrying format PRECEDES every naive
+    # one (always true for the default chain), that reduces to "did
+    # any offset-group candidate match", so only the group's coalesce
+    # needs binding and each candidate appears exactly once
+    n_ext = sum(1 for k in kinds if k == "extract")
+    if all(k == "extract" for k in kinds[:n_ext]) and \
+            all(k is None for k in kinds[n_ext:]):
+        naive = cands[n_ext:]
+        if n_ext == 0:
+            ts = b.fn("coalesce", *naive) if len(naive) > 1 else naive[0]
+            return b.struct(ts=ts, off=b.null("int"))
+        ext_ts = b.fn("coalesce", *cands[:n_ext]) if n_ext > 1 \
+            else cands[0]
+
+        def body(tzts):
+            ts = b.fn("coalesce", tzts, *naive) if naive else tzts
+            off = b.case([(b.isnotnull(tzts), _b_extract_offset(b, value))],
+                         b.null("int"))
+            return b.struct(ts=ts, off=off)
+
+        return b.let(ext_ts, body)
+
+    # interleaved explicit formats: per-candidate first-match fold
+    ext = _b_extract_offset(b, value)
+
+    def body(ext_h, *cs):
+        ts = b.fn("coalesce", *cs) if len(cs) > 1 else cs[0]
+        off = b.null("int")
+        for c, k in reversed(list(zip(cs, kinds))):
+            off = b.case(
+                [(b.isnotnull(c),
+                  ext_h if k == "extract" else b.null("int"))], off)
+        return b.struct(ts=ts, off=off)
+
+    return b.let_many([ext] + cands, body)
+
+
+def parse_datetime_utc(value: Column, formats: list[str] | None,
+                       tz_seconds: int | None, path: str):
+    """Column-backend wrapper with the historical contract:
+    (ts-with-invalid-raise, input_offset_seconds) — kept for the typed
+    engine (``typed.py``)."""
+    b = _ColB()
+    pr = _b_parse_struct(b, value, formats, tz_seconds, path)
+    ts = F.when(pr["ts"].isNotNull(), pr["ts"]).otherwise(
+        rerr("expr_error", "date format is invalid", path).cast("timestamp"))
+    return ts, pr["off"]
+
+
+def _b_render(b, ts_utc, out_fmt: str, offset_seconds, path: str):
     """Format a UTC instant in the given per-row offset with a chrono fmt."""
     # shift the wall clock into the rendering offset
-    off = F.coalesce(offset_seconds, F.lit(0))
-    shifted = F.timestamp_add("SECOND", off.cast("long"), ts_utc)
+    off = b.fn("coalesce", offset_seconds, b.lit(0))
+    shifted = b.ts_add_seconds(b.cast(off, "long"), ts_utc)
     # render offset literals for %z/%:z from offset_seconds
-    sign = F.when(off < 0, "-").otherwise("+")
-    abs_off = F.abs(off)
-    hh = F.lpad((abs_off / 3600).cast("int").cast("string"), 2, "0")
-    mm = F.lpad(((abs_off % 3600) / 60).cast("int").cast("string"), 2, "0")
-    off_colon = F.concat(sign, hh, F.lit(":"), mm)
-    off_plain = F.concat(sign, hh, mm)
+    sign = b.case([(b.lt(off, b.lit(0)), b.lit("-"))], b.lit("+"))
+    abs_off = b.fn("abs", off)
+    hh = b.fn("lpad",
+              b.cast(b.cast(b.op("/", abs_off, b.lit(3600)), "int"),
+                     "string"), b.lit(2), b.lit("0"))
+    mm = b.fn("lpad",
+              b.cast(b.cast(b.op("/", b.op("%", abs_off, b.lit(3600)),
+                                 b.lit(60)), "int"), "string"),
+              b.lit(2), b.lit("0"))
+    off_colon = b.concat(sign, hh, b.lit(":"), mm)
+    off_plain = b.concat(sign, hh, mm)
 
-    parts: list[Column] = []
+    parts = []
     i, buf = 0, ""
 
     def flush_fmt():
         nonlocal buf
         if buf:
             spark_fmts = chrono_to_spark(buf, path)
-            parts.append(F.date_format(shifted, spark_fmts[0]))
+            parts.append(b.fn("date_format", shifted, b.lit(spark_fmts[0])))
             buf = ""
 
     while i < len(out_fmt):
@@ -321,7 +553,7 @@ def _render(ts_utc: Column, out_fmt: str, offset_seconds: Column,
             i += 2
         elif out_fmt[i:i + 2] == "%s":
             flush_fmt()
-            parts.append(F.unix_timestamp(ts_utc).cast("string"))
+            parts.append(b.cast(b.fn("unix_timestamp", ts_utc), "string"))
             i += 2
         else:
             tok3, tok2 = out_fmt[i:i + 3], out_fmt[i:i + 2]
@@ -336,15 +568,87 @@ def _render(ts_utc: Column, out_fmt: str, offset_seconds: Column,
                 i += 1
     flush_fmt()
     if not parts:
-        return F.lit("")
-    return F.concat(*parts) if len(parts) > 1 else parts[0]
+        # parse errors still fire with a token-free output format (the
+        # reference parses BEFORE rendering — round-8 parity fix): the
+        # zero-length probe evaluates ts_utc, raising its embedded
+        # invalid-date error, and contributes ""
+        return b.fn("coalesce",
+                    b.fn("substring", b.cast(ts_utc, "string"),
+                         b.lit(1), b.lit(0)), b.lit(""))
+    return b.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _render(ts_utc: Column, out_fmt: str, offset_seconds: Column,
+            path: str) -> Column:
+    """Column-backend wrapper (typed engine entry)."""
+    return _b_render(_ColB(), ts_utc, out_fmt, offset_seconds, path)
+
+
+def _b_date_format_core(b, s, input_formats, tz_seconds, out_fmt: str,
+                        path, vp: str):
+    """Parse + render over a string handle ``s`` (backend-generic)."""
+    pr = _b_parse_struct(b, s, input_formats, tz_seconds, vp)
+
+    def with_pr(r):
+        ts_raw = b.field(r, "ts")
+        ts = b.case([(b.isnotnull(ts_raw), ts_raw)],
+                    b.err("expr_error", "date format is invalid", vp,
+                          "timestamp"))
+        if tz_seconds is not None:
+            render_off = b.lit(tz_seconds)
+        else:
+            render_off = b.field(r, "off")  # input's own offset
+        return _b_render(b, ts, out_fmt, render_off, path)
+
+    return b.let(pr, with_pr)
+
+
+def _b_to_unixtime_core(b, s, tz_seconds, unit: str, vp: str):
+    pr = _b_parse_struct(b, s, None, tz_seconds, vp)
+
+    def with_pr(r):
+        ts_raw = b.field(r, "ts")
+        ts = b.case([(b.isnotnull(ts_raw), ts_raw)],
+                    b.err("expr_error", "date format is invalid", vp,
+                          "timestamp"))
+        if unit == "ms":
+            return b.cast(b.op("/", b.fn("unix_micros", ts), b.lit(1000)),
+                          "long")
+        return b.cast(b.fn("unix_timestamp", ts), "long")
+
+    return b.let(pr, with_pr)
+
+
+def _date_sqlfn_call(cur: Column, ret_t: str, core, vp: str):
+    """SQL-function fast path: the whole op (operand protocol + parse +
+    render) as one session SQL function over the raw pipe value.
+
+    Returns None (→ caller builds inline) when a Catalyst lambda var
+    may be in scope (call args can't reference one), when a dynamic
+    path marker is active (error paths would need per-row splicing),
+    or when SQL UDFs are unavailable."""
+    from .core import lenient_on
+    from . import sqlfn
+    if V.lambda_depth() > 0 or V.dyn_marker_depth() > 0 \
+            or not sqlfn.available():
+        return None
+    b = _SqlB(lenient_on())
+    body = b.case(
+        [(b.isnull("v"), b.null(ret_t)),
+         (b.fn("is_variant_null", "v"),
+          b.err("expr_error", "expr arg must not be null", vp, ret_t)),
+         (b.ne(b.fn("schema_of_variant", "v"), b.lit("STRING")),
+          b.err("expr_error", "value must be a string", vp, ret_t))],
+        b.let(b.try_cast("v", "string"), lambda s: core(b, s)))
+    name = sqlfn.ensure_fn("v VARIANT", ret_t, body, "dt")
+    if name is None:
+        return None
+    return sqlfn.call(name, cur).cast(V.VT)
 
 
 @register("date_format")
 def op_date_format(scope: Scope, cur, args, path):
-    ops = _operands(scope, cur, args, path)
     vp = arg_path(path, 0)
-    value = _as_string(ops[0], vp)
     out_fmt = _lit_str_arg(args[0], arg_path(path, 1), "output format")
     if not isinstance(out_fmt, str):
         raise RuleError("expr_error", "output format must be a string",
@@ -369,29 +673,32 @@ def op_date_format(scope: Scope, cur, args, path):
         tz = _lit_str_arg(args[2], tp, "timezone")
         tz_seconds = parse_tz_literal(str(tz), tp)
 
-    # let-bind the string value, then the parsed (ts, offset) pair:
-    # the default-chain parse references the value once per tried
-    # format, and _render references the parse result once per output
-    # component — unbound, the whole parse tree inlined into every
-    # component (~100k-char plans for one call; round 5)
-    def render(ts: Column, input_off: Column) -> Column:
-        if tz_seconds is not None:
-            render_off = F.lit(tz_seconds)
-        else:
-            render_off = input_off  # render in the input's own offset
-        return _render(ts, out_fmt, render_off, path)
+    fast = _date_sqlfn_call(
+        cur, "STRING",
+        lambda b, s: _b_date_format_core(b, s, input_formats, tz_seconds,
+                                         out_fmt, path, vp), vp)
+    if fast is not None:
+        return fast
 
-    result = V.let(value, lambda v: V.let_many(
-        list(parse_datetime_utc(v, input_formats, tz_seconds, vp)),
-        render))
-    return seq_strict(ops, path, result.cast(V.VT))
+    # inline fallback (lambda scopes): let-bind the pipe value (this op
+    # skips compile_step's binding — UDF_OPS), then the string value —
+    # the default-chain parse references the value once per tried
+    # format and _render references the parse result once per output
+    # component; unbound, the whole parse tree inlined into every
+    # component (~100k-char plans for one call; round 5)
+    def inline(x: Column) -> Column:
+        ops = _operands(scope, x, args, path)
+        value = _as_string(ops[0], vp)
+        result = V.let(value, lambda v: _b_date_format_core(
+            _ColB(), v, input_formats, tz_seconds, out_fmt, path, vp))
+        return seq_strict(ops, path, result.cast(V.VT))
+
+    return V.let(cur, inline)
 
 
 @register("to_unixtime")
 def op_to_unixtime(scope: Scope, cur, args, path):
-    ops = _operands(scope, cur, args, path)
     vp = arg_path(path, 0)
-    value = _as_string(ops[0], vp)
     unit = "s"
     tz_seconds: int | None = None
     if len(args) >= 1:
@@ -412,11 +719,17 @@ def op_to_unixtime(scope: Scope, cur, args, path):
         tz = str(_lit_str_arg(args[1], tp, "timezone"))
         tz_seconds = parse_tz_literal(tz, tp)
 
-    def to_epoch(v: Column) -> Column:
-        ts, _ = parse_datetime_utc(v, None, tz_seconds, vp)
-        if unit == "ms":
-            return (F.unix_micros(ts) / 1000).cast("long")
-        return F.unix_timestamp(ts).cast("long")
+    fast = _date_sqlfn_call(
+        cur, "BIGINT",
+        lambda b, s: _b_to_unixtime_core(b, s, tz_seconds, unit, vp), vp)
+    if fast is not None:
+        return fast
 
-    result = V.let(value, to_epoch)  # bind: parse references v per format
-    return seq_strict(ops, path, result.cast(V.VT))
+    def inline(x: Column) -> Column:
+        ops = _operands(scope, x, args, path)
+        value = _as_string(ops[0], vp)
+        result = V.let(value, lambda v: _b_to_unixtime_core(
+            _ColB(), v, tz_seconds, unit, vp))
+        return seq_strict(ops, path, result.cast(V.VT))
+
+    return V.let(cur, inline)

@@ -495,10 +495,15 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
             acc = F.when(nums[1] == 0.0,
                          F.lit(float("inf")) * F.signum(nums[0])
                          ).otherwise(acc)
-        finite = ~(F.isnan(acc) | (F.abs(acc) == F.lit(float("inf"))))
-        result = F.when(finite, V.num_to_variant(acc)).otherwise(
+        # bind the accumulated fold ONCE: the finite guard + integral
+        # re-emission reference it 4× and inlining re-multiplied every
+        # operand's conversion tree (round 8 plan-size audit: t13's
+        # nested `mul` mapping alone was 430 KB of analyzed plan)
+        result = V.let(acc, lambda a: F.when(
+            ~(F.isnan(a) | (F.abs(a) == F.lit(float("inf")))),
+            V.num_to_variant(a)).otherwise(
             rerr("expr_error", "number result is not finite",
-                 path).cast(V.VT))
+                 path).cast(V.VT)))
         return seq_strict(list(bound), path, result, checks=checks)
 
     return _operands_bound(scope, cur, args, path, build)
@@ -515,26 +520,29 @@ def op_round(scope, cur, args, path):
             scale = _as_i64(bound[1], sp,
                             "scale must be a non-negative integer")
             # the reference splits the range errors (eval_round,
-            # transform.rs): negative vs "scale is too large"
-            scale = (F.when(scale < 0, rerr(
+            # transform.rs): negative vs "scale is too large"; the
+            # converted scale is let-bound (3 references)
+            scale = V.let(scale, lambda s: F.when(s < 0, rerr(
                 "expr_error", "scale must be a non-negative integer",
                 sp).cast("long"))
-                .when(scale > 308, rerr(
+                .when(s > 308, rerr(
                     "expr_error", "scale is too large", sp).cast("long"))
-                .otherwise(scale))
+                .otherwise(s))
         else:
             scale = F.lit(0).cast("long")
-        factor = F.pow(F.lit(10.0), scale.cast("double"))
-        scaled = number * factor
         # Rust f64::round = half away from zero.  Spark's floor/ceil
         # over DOUBLE return LONG and overflow beyond i64 (r7 fuzz:
         # round(1e20) clamped to 9.2e18); doubles at |x| >= 2^53 are
-        # already integral, where f64::round is the identity
-        big = F.abs(scaled) >= F.lit(9007199254740992.0)
-        rounded = F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
-            F.ceil(scaled - 0.5))
-        result = F.when(big, scaled).otherwise(
-            rounded.cast("double")) / factor
+        # already integral, where f64::round is the identity.
+        # factor and scaled are let-bound (referenced 2× / 5× below —
+        # round 8 plan-size audit)
+        result = V.let(
+            F.pow(F.lit(10.0), scale.cast("double")),
+            lambda factor: V.let(number * factor, lambda scaled: F.when(
+                F.abs(scaled) >= F.lit(9007199254740992.0), scaled
+            ).otherwise(
+                F.when(scaled >= 0, F.floor(scaled + 0.5)).otherwise(
+                    F.ceil(scaled - 0.5)).cast("double")) / factor))
         # value converts before the scale's null/int checks
         # (eval_round, transform.rs:2437-2476)
         checks = [_chk(number)]

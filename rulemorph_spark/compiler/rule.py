@@ -46,16 +46,45 @@ from . import ops_date  # noqa: F401
 
 
 class Builder:
-    """Accumulates materialized columns onto a DataFrame."""
+    """Accumulates materialized columns onto a DataFrame.
+
+    Adds are BATCHED: every ``df.select`` eagerly re-analyzes the whole
+    accumulated plan JVM-side, so one select per mapping made rule
+    compile O(mappings × plan-size) (t13's 14 mappings spent ~2 s in
+    repeated analysis — round 8).  Columns queue up and flush as ONE
+    projection; a flush happens early only when a newly added column
+    references a pending name (its expression string mentions
+    ``__tag N __``) — projections within one select are parallel, so a
+    dependent column needs the previous batch materialized first."""
 
     def __init__(self, df: DataFrame):
-        self.df = df
+        self._df = df
         self._n = 0
+        self._pending: list = []  # aliased Columns awaiting one select
+
+    @property
+    def df(self) -> DataFrame:
+        self._flush()
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame):
+        self._flush()
+        self._df = value
+
+    def _flush(self):
+        if self._pending:
+            self._df = self._df.select("*", *[c for _, c in self._pending])
+            self._pending = []
 
     def add(self, col: Column, tag: str = "m") -> Column:
         name = f"__{tag}{self._n}__"
         self._n += 1
-        self.df = self.df.select("*", col.alias(name))
+        if self._pending:
+            text = str(col)
+            if any(n in text for n, _ in self._pending):
+                self._flush()
+        self._pending.append((name, col.alias(name)))
         return F.col(name)
 
 

@@ -271,13 +271,17 @@ _LONG_MAX = 9223372036854775807
 def num_to_variant(d: Column) -> Column:
     """double → variant with the reference's integral re-emission:
     ``json_number_from_f64`` (``transform.rs:5846-5859``) re-emits an
-    integral f64 as an integer JSON number."""
-    return (
-        F.when(d.isNull(), F.lit(None).cast(VT))
-        .when((d == F.floor(d)) & (F.abs(d) <= F.lit(float(_LONG_MAX) / 2)),
-              d.cast("long").cast(VT))
-        .otherwise(d.cast(VT))
-    )
+    integral f64 as an integer JSON number.
+
+    ``d`` is let-bound: it is referenced 5× below, and callers pass
+    whole arithmetic accumulators — inlining multiplied the t13 arith
+    mappings ~6× (round 8 plan-size audit)."""
+    return let(d, lambda x: (
+        F.when(x.isNull(), F.lit(None).cast(VT))
+        .when((x == F.floor(x)) & (F.abs(x) <= F.lit(float(_LONG_MAX) / 2)),
+              x.cast("long").cast(VT))
+        .otherwise(x.cast(VT))
+    ))
 
 
 _ZEROS330 = "0" * 330  # > max double exponent span
@@ -368,15 +372,20 @@ def to_number_strict(v: Column, path: str,
     strings → double; anything else errors (transform.rs:5804-5817 —
     no whitespace, "nan"/"inf" parse but fail the finite check).
     Missing propagates as SQL NULL."""
-    t = typeof(v)
-    parsed = rust_f64_parse(v.try_cast("string"))
-    finite = parsed.isNotNull() & ~F.isnan(parsed) & \
-        (F.abs(parsed) != F.lit(float("inf")))
+    err = raise_err("expr_error", msg, path).cast("double")
+    # the Rust-grammar parse subtree appears ONCE, let-bound under the
+    # STRING branch (was inlined 4× via the finite guard — round 8
+    # plan-size audit); CASE keeps it unevaluated for non-string rows
     return (
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(is_number(v), v.try_cast("double"))
-        .when((t == "STRING") & finite, parsed)
-        .otherwise(raise_err("expr_error", msg, path).cast("double"))
+        .when(typeof(v) == "STRING",
+              let(rust_f64_parse(v.try_cast("string")),
+                  lambda p: F.when(
+                      p.isNotNull() & ~F.isnan(p)
+                      & (F.abs(p) != F.lit(float("inf"))), p)
+                  .otherwise(err)))
+        .otherwise(err)
     )
 
 
@@ -528,15 +537,16 @@ def as_number_v2(v: Column, path: str, prefix: str = "expected number, got "
     string as number``); null / bool / array / object → ``expected
     number, got {:?}``.  Missing → SQL NULL (callers run the
     positional protocol)."""
-    t = typeof(v)
-    parsed = rust_f64_parse(v.try_cast("string"))
+    # parse subtree once, let-bound under the STRING branch (round 8)
     return (
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(is_number(v), v.try_cast("double"))
-        .when((t == "STRING") & parsed.isNotNull(), parsed)
-        .when(t == "STRING",
-              raise_err("expr_error", "failed to parse string as number",
-                        path).cast("double"))
+        .when(typeof(v) == "STRING",
+              let(rust_f64_parse(v.try_cast("string")),
+                  lambda p: F.when(p.isNotNull(), p).otherwise(
+                      raise_err("expr_error",
+                                "failed to parse string as number",
+                                path).cast("double"))))
         .otherwise(raise_err_got("expr_error", prefix, v, path)
                    .cast("double"))
     )
@@ -569,6 +579,33 @@ def navigate(v: Column, tokens) -> Column:
     return cur
 
 
+# --- Catalyst-lambda scope tracking (round 8) ---------------------------
+# SQL-function call sites (compiler/sqlfn.py) fail analysis when their
+# argument references a lambda variable (ResolveSQLFunctions binds args
+# with a Project, and lambda vars cannot escape their function).  Every
+# op build runs inside compile_step's ``let`` lambda — tracking depth
+# here tells SQL-function-backed ops whether a free lambda var may be
+# in scope (depth > 0 → build inline instead).
+
+_lam_state = threading.local()
+
+
+def lambda_depth() -> int:
+    return getattr(_lam_state, "depth", 0)
+
+
+def _lam_fn(fn):
+    # pyspark derives the Catalyst lambda's arity from the Python
+    # signature, so the wrapper must keep positional parameters
+    def wrapped(x):
+        _lam_state.depth = getattr(_lam_state, "depth", 0) + 1
+        try:
+            return fn(x)
+        finally:
+            _lam_state.depth -= 1
+    return wrapped
+
+
 def let(col: Column, fn) -> Column:
     """Pure-expression let-binding: embed ``col`` ONCE, give ``fn`` a
     lambda variable to reference freely.
@@ -579,7 +616,8 @@ def let(col: Column, fn) -> Column:
     single-element ``transform`` lambda keeps the tree linear while
     preserving per-row laziness of error branches.
     """
-    return F.try_element_at(F.transform(F.array(col), fn), F.lit(1))
+    return F.try_element_at(F.transform(F.array(col), _lam_fn(fn)),
+                            F.lit(1))
 
 
 def let_many(cols: list[Column], fn) -> Column:
@@ -591,7 +629,8 @@ def let_many(cols: list[Column], fn) -> Column:
     s = F.struct(*[c.alias(f"_b{i}") for i, c in enumerate(cols)])
     return F.try_element_at(
         F.transform(F.array(s),
-                    lambda b: fn(*[b[f"_b{i}"] for i in range(len(cols))])),
+                    _lam_fn(lambda b: fn(*[b[f"_b{i}"]
+                                           for i in range(len(cols))]))),
         F.lit(1))
 
 
