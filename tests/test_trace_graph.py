@@ -786,3 +786,54 @@ def test_traced_request_adds_no_spark_jobs(spark, svc_dir):
     with tempfile.TemporaryDirectory() as td:
         traced = _count_jobs(spark, lambda: run_once(td))
     assert traced == base, (traced, base)
+
+
+def test_child_trace_failure_is_recorded_not_vanished(spark, tmp_path,
+                                                      monkeypatch):
+    """VERDICT r7 #2: when the child-trace replay machinery itself
+    throws, the error must be RECORDED on the step node (the reference
+    writes trace errors, it never vanishes them) and the request must
+    still succeed."""
+    import json as _json
+
+    from rulemorph_spark.service import rule_trace
+    from rulemorph_spark.service.endpoint import EndpointEngine
+
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: GET
+    path: /api/boom
+    steps:
+      - rule: ./steps.yaml
+    reply: {status: 200, body: "@input"}
+""")
+    (tmp_path / "steps.yaml").write_text("""
+version: 2
+input:
+  format: json
+  json: {}
+mappings:
+  - target: ok
+    expr: ["lit:yes"]
+""")
+
+    def explode(*a, **k):
+        raise RuntimeError("replay exploded (injected)")
+
+    monkeypatch.setattr(rule_trace, "build_rule_nodes_from_rule", explode)
+    tdir = tmp_path / "traces"
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"),
+                         trace_dir=str(tdir))
+    status, _h, _body = eng.handle_request("GET", "/api/boom")
+    assert status == 200  # tracing failure never breaks the request
+
+    docs = [fn for fn in os.listdir(tdir) if fn.endswith(".json")]
+    with open(tdir / docs[0]) as fh:
+        doc = _json.load(fh)
+    rule_steps = [s for s in doc["steps"] if s["kind"] == "step"]
+    assert rule_steps, "expected a rule step node"
+    step = rule_steps[0]
+    assert "child_trace" not in step
+    assert "replay exploded (injected)" in step["trace_error"]
