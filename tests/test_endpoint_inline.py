@@ -822,3 +822,82 @@ timeout: 1s
     status, _, body = eng.handle_request("GET", "/api/test")
     assert status == 500
     assert body["kind"] in ("Invalid", "Network")
+
+
+def test_method_case_is_exact_bytes(spark, tmp_path):
+    """VERDICT r7 #4: ``Method::from_bytes`` never folds case —
+    ``b"get"`` is an extension method distinct from GET
+    (endpoint_engine.rs:1218-1238), so a declared ``get`` endpoint
+    must NOT match a wire ``GET`` (and vice versa), while exact-case
+    custom methods match themselves."""
+    from rulemorph_spark.service.endpoint import EndpointEngine
+
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: get
+    path: /lower
+    reply: {status: 200, body: "lit:lower"}
+  - method: GET
+    path: /upper
+    reply: {status: 200, body: "lit:upper"}
+  - method: PURGE-x
+    path: /custom
+    reply: {status: 200, body: "lit:custom"}
+""")
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"))
+    # declared lowercase never matches wire GET
+    status, _h, _b = eng.handle_request("GET", "/lower")
+    assert status == 404
+    status, _h, body = eng.handle_request("get", "/lower")
+    assert (status, body) == (200, "lower")
+    # declared GET never matches wire get
+    status, _h, _b = eng.handle_request("get", "/upper")
+    assert status == 404
+    status, _h, body = eng.handle_request("GET", "/upper")
+    assert (status, body) == (200, "upper")
+    # extension methods: exact bytes only
+    status, _h, body = eng.handle_request("PURGE-x", "/custom")
+    assert (status, body) == (200, "custom")
+    status, _h, _b = eng.handle_request("purge-x", "/custom")
+    assert status == 404
+
+
+def test_input_method_is_verbatim(spark, tmp_path):
+    """``@input.method`` is ``parts.method.as_str()`` verbatim
+    (endpoint_engine.rs:1629) — a lowercase custom method keeps its
+    case."""
+    from rulemorph_spark.service.endpoint import EndpointEngine
+
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: notify
+    path: /m
+    reply: {status: 200, body: "@input.method"}
+""")
+    eng = EndpointEngine(spark, str(tmp_path / "endpoint.yaml"))
+    status, _h, body = eng.handle_request("notify", "/m")
+    assert (status, body) == (200, "notify")
+
+
+def test_invalid_declared_method_rejected(spark, tmp_path):
+    """``Method::from_bytes`` error → invalid method at load
+    (endpoint_engine.rs:1218-1219)."""
+    import pytest
+
+    from rulemorph_spark.errors import RuleError
+    from rulemorph_spark.service.endpoint import EndpointEngine
+
+    (tmp_path / "endpoint.yaml").write_text("""
+version: 2
+type: endpoint
+endpoints:
+  - method: "GE T"
+    path: /x
+    reply: {status: 200}
+""")
+    with pytest.raises(RuleError, match="invalid method"):
+        EndpointEngine(spark, str(tmp_path / "endpoint.yaml"))
