@@ -240,7 +240,8 @@ V2_NATIVE_STEP_OPS = {
 #   value as the function ARGUMENT (the analyzer binds it once via a
 #   Project) and fall back to an internal V.let inside lambda scopes.
 UDF_OPS = {"deep_merge", "object_flatten", "object_unflatten",
-           "pick", "omit", "date_format", "to_unixtime"}
+           "pick", "omit", "date_format", "to_unixtime",
+           "+", "-", "*", "/"}
 
 _op_state = threading.local()
 _op_state.current = None

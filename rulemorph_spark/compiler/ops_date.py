@@ -26,6 +26,8 @@ from ..errors import RuleError
 from ..expr_ir import Pipe, StartLiteral
 from . import variant as V
 from .core import Scope, arg_path, compile_pipe, register, rerr
+from .backend import ColB as _ColB
+from .backend import SqlB as _SqlB
 from .ops_scalar import _as_string, _operands, seq_strict
 
 # chrono strftime token → Spark (java.time) pattern token
@@ -176,177 +178,6 @@ def _offset_str(seconds: int) -> str:
 # compile.  ONE generic builder guarantees the two paths cannot drift.
 
 
-class _ColB:
-    """Column-expression backend."""
-
-    is_sql = False
-
-    def lit(self, v):
-        return F.lit(v)
-
-    def null(self, t):
-        return F.lit(None).cast(t)
-
-    def fn(self, name, *xs):
-        return F.call_function(name, *xs)
-
-    def cast(self, x, t):
-        return x.cast(t)
-
-    def try_cast(self, x, t):
-        return x.try_cast(t)
-
-    def rlike(self, x, pat):
-        return x.rlike(pat)
-
-    def case(self, pairs, else_):
-        c = F.when(pairs[0][0], pairs[0][1])
-        for cond, val in pairs[1:]:
-            c = c.when(cond, val)
-        return c.otherwise(else_)
-
-    def eq(self, a, b):
-        return a == b
-
-    def ne(self, a, b):
-        return a != b
-
-    def lt(self, a, b):
-        return a < b
-
-    def isnull(self, x):
-        return x.isNull()
-
-    def isnotnull(self, x):
-        return x.isNotNull()
-
-    def op(self, sym, a, b):
-        if sym == "+":
-            return a + b
-        if sym == "*":
-            return a * b
-        if sym == "/":
-            return a / b
-        if sym == "%":
-            return a % b
-        raise ValueError(sym)  # pragma: no cover
-
-    def err(self, kind, msg, path, t):
-        return rerr(kind, msg, path).cast(t)
-
-    def let(self, x, fn):
-        return V.let(x, fn)
-
-    def let_many(self, xs, fn):
-        return V.let_many(xs, fn)
-
-    def struct(self, **kw):
-        return F.struct(*[v.alias(k) for k, v in kw.items()])
-
-    def field(self, x, name):
-        return x[name]
-
-    def ts_add_seconds(self, n, ts):
-        return F.timestamp_add("SECOND", n, ts)
-
-    def concat(self, *xs):
-        return F.concat(*xs)
-
-
-class _SqlB:
-    """SQL-text backend: handles are SQL expression strings."""
-
-    is_sql = True
-
-    def __init__(self, lenient: bool):
-        self.lenient = lenient
-        self._n = 0
-
-    def lit(self, v):
-        from . import sqlfn
-        if isinstance(v, str):
-            return sqlfn.quote(v)
-        return repr(v)
-
-    def null(self, t):
-        return f"CAST(NULL AS {t})"
-
-    def fn(self, name, *xs):
-        return f"{name}(" + ", ".join(xs) + ")"
-
-    def cast(self, x, t):
-        return f"CAST({x} AS {t})"
-
-    def try_cast(self, x, t):
-        return f"TRY_CAST({x} AS {t})"
-
-    def rlike(self, x, pat):
-        from . import sqlfn
-        return f"({x} RLIKE {sqlfn.quote(pat)})"
-
-    def case(self, pairs, else_):
-        whens = " ".join(f"WHEN {c} THEN {v}" for c, v in pairs)
-        return f"(CASE {whens} ELSE {else_} END)"
-
-    def eq(self, a, b):
-        return f"({a} = {b})"
-
-    def ne(self, a, b):
-        return f"({a} != {b})"
-
-    def lt(self, a, b):
-        return f"({a} < {b})"
-
-    def isnull(self, x):
-        return f"({x} IS NULL)"
-
-    def isnotnull(self, x):
-        return f"({x} IS NOT NULL)"
-
-    def op(self, sym, a, b):
-        return f"({a} {sym} {b})"
-
-    def err(self, kind, msg, path, t):
-        from . import sqlfn
-        from ..errors import encode_engine_error
-        if self.lenient:
-            return self.null(t)
-        encoded = encode_engine_error(kind, msg, path)
-        return f"CAST(raise_error({sqlfn.quote(encoded)}) AS {t})"
-
-    def let(self, x, fn):
-        self._n += 1
-        var = f"_v{self._n}"
-        return (f"try_element_at(transform(array({x}), "
-                f"{var} -> {fn(var)}), 1)")
-
-    def let_many(self, xs, fn):
-        if not xs:
-            return fn()
-        if len(xs) == 1:
-            return self.let(xs[0], fn)
-        self._n += 1
-        var = f"_v{self._n}"
-        fields = ", ".join(f"{self.lit(f'_b{i}')}, {x}"
-                           for i, x in enumerate(xs))
-        body = fn(*[f"{var}._b{i}" for i in range(len(xs))])
-        return (f"try_element_at(transform(array(named_struct({fields})), "
-                f"{var} -> {body}), 1)")
-
-    def struct(self, **kw):
-        fields = ", ".join(f"{self.lit(k)}, {v}" for k, v in kw.items())
-        return f"named_struct({fields})"
-
-    def field(self, x, name):
-        return f"{x}.{name}"
-
-    def ts_add_seconds(self, n, ts):
-        return f"timestampadd(SECOND, {n}, {ts})"
-
-    def concat(self, *xs):
-        return self.fn("concat", *xs)
-
-
 def _b_try_parse(b, value, chrono_fmt: str, path: str,
                  tz_seconds: int | None):
     """One chrono format → timestamp-UTC (NULL on parse failure)."""
@@ -356,13 +187,15 @@ def _b_try_parse(b, value, chrono_fmt: str, path: str,
             cands.append(b.fn("try_to_timestamp", value, b.lit(spark_fmt)))
         elif _fmt_has_time(chrono_fmt):
             naive = b.fn("try_to_timestamp", value, b.lit(spark_fmt))
+            # per-call-site constant (SqlB hoists it to a parameter so
+            # bodies share across timezones)
             off = _offset_str(tz_seconds or 0)
-            cands.append(b.fn("to_utc_timestamp", naive, b.lit(off)))
+            cands.append(b.fn("to_utc_timestamp", naive, b.slot(off)))
         else:
             d = b.fn("try_to_date", value, b.lit(spark_fmt))
             off = _offset_str(tz_seconds or 0)
             cands.append(b.fn("to_utc_timestamp", b.cast(d, "timestamp"),
-                              b.lit(off)))
+                              b.slot(off)))
     return b.fn("coalesce", *cands) if len(cands) > 1 else cands[0]
 
 
@@ -594,10 +427,10 @@ def _b_date_format_core(b, s, input_formats, tz_seconds, out_fmt: str,
         ts = b.case([(b.isnotnull(ts_raw), ts_raw)],
                     b.err("expr_error", "date format is invalid", vp,
                           "timestamp"))
-        if tz_seconds is not None:
-            render_off = b.lit(tz_seconds)
-        else:
-            render_off = b.field(r, "off")  # input's own offset
+        # tz as a hoisted constant: NULL → render in the input's own
+        # offset (body text shared across timezones)
+        tzp = b.slot(tz_seconds, "INT")
+        render_off = b.case([(b.isnull(tzp), b.field(r, "off"))], tzp)
         return _b_render(b, ts, out_fmt, render_off, path)
 
     return b.let(pr, with_pr)
@@ -611,10 +444,14 @@ def _b_to_unixtime_core(b, s, tz_seconds, unit: str, vp: str):
         ts = b.case([(b.isnotnull(ts_raw), ts_raw)],
                     b.err("expr_error", "date format is invalid", vp,
                           "timestamp"))
-        if unit == "ms":
-            return b.cast(b.op("/", b.fn("unix_micros", ts), b.lit(1000)),
-                          "long")
-        return b.cast(b.fn("unix_timestamp", ts), "long")
+        # unit as a hoisted constant (constant-folds at the call
+        # site; body text shared across s/ms)
+        unitp = b.slot(unit)
+        return b.case(
+            [(b.eq(unitp, b.lit("ms")),
+              b.cast(b.op("/", b.fn("unix_micros", ts), b.lit(1000)),
+                     "long"))],
+            b.cast(b.fn("unix_timestamp", ts), "long"))
 
     return b.let(pr, with_pr)
 
@@ -640,10 +477,13 @@ def _date_sqlfn_call(cur: Column, ret_t: str, core, vp: str):
          (b.ne(b.fn("schema_of_variant", "v"), b.lit("STRING")),
           b.err("expr_error", "value must be a string", vp, ret_t))],
         b.let(b.try_cast("v", "string"), lambda s: core(b, s)))
-    name = sqlfn.ensure_fn("v VARIANT", ret_t, body, "dt")
+    params = "v VARIANT"
+    if b.slots:
+        params += ", " + b.slot_params()
+    name = sqlfn.ensure_fn(params, ret_t, body, "dt")
     if name is None:
         return None
-    return sqlfn.call(name, cur).cast(V.VT)
+    return sqlfn.call(name, cur, *b.slot_args()).cast(V.VT)
 
 
 @register("date_format")

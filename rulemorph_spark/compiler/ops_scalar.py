@@ -449,6 +449,14 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                         f"{op} requires exactly two operands", path)
     version = cur_version()
 
+    # SQL-function fast path (round 8): outside lambda scopes the whole
+    # op registers once as f(o0 VARIANT, …) RETURNS VARIANT — operands
+    # bind via the analyzer's Project, the body inlines at execution
+    from .ops_arith_sql import arith_sqlfn
+    fast = arith_sqlfn(scope, cur, args, path, op, version)
+    if fast is not None:
+        return fast
+
     def build(*bound) -> Column:
         if version >= 2:
             # v2: eval_value_as_number — null/bool/containers →
@@ -506,7 +514,11 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                  path).cast(V.VT)))
         return seq_strict(list(bound), path, result, checks=checks)
 
-    return _operands_bound(scope, cur, args, path, build)
+    # arith ops are UDF_OPS (they manage the pipe binding themselves):
+    # the inline path re-binds the raw pipe value compile_step no
+    # longer wraps
+    return V.let(cur, lambda x: _operands_bound(scope, x, args, path,
+                                                build))
 
 
 @register("round")

@@ -41,23 +41,43 @@ def available() -> bool:
     return spark is not None and id(spark) not in _disabled
 
 
+def _probe(spark) -> bool:
+    """Once per session: does this Spark support SQL UDFs at all?"""
+    probe_key = (id(spark), "__probe__")
+    if probe_key in _registered:
+        return True
+    try:
+        spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _rm_probe"
+                  "(v STRING) RETURNS STRING RETURN v")
+    except Exception:
+        _disabled.add(id(spark))
+        return False
+    _registered[probe_key] = True
+    return True
+
+
 def ensure_fn(params: str, returns: str, body: str, tag: str) -> str | None:
     """Register (idempotently) and return the function name; None when
-    SQL UDFs are unavailable in this session."""
+    SQL UDFs are unavailable in this session.
+
+    A failing CREATE of a specific body is a COMPILER BUG, not a
+    missing feature — it propagates (a trivial probe function decides
+    feature availability), so a malformed generated body can never
+    silently disable the fast path (round-8 lesson: a bad float
+    literal did exactly that and every test quietly took the inline
+    path)."""
     spark = SparkSession.getActiveSession()
     if spark is None or id(spark) in _disabled:
+        return None
+    if not _probe(spark):
         return None
     key = hashlib.sha1(
         f"{params}|{returns}|{body}".encode()).hexdigest()[:16]
     name = f"_rm_{tag}_{key}"
     cache_key = (id(spark), name)
     if cache_key not in _registered:
-        try:
-            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
-                      f"({params}) RETURNS {returns} RETURN {body}")
-        except Exception:
-            _disabled.add(id(spark))
-            return None
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                  f"({params}) RETURNS {returns} RETURN {body}")
         _registered[cache_key] = True
     return name
 
