@@ -1,0 +1,164 @@
+"""SQL-function fast path: capability probes + cross-path parity.
+
+The ops that compile to session SQL functions outside lambda scopes
+(arith, dates) keep an inline Column fallback for lambda contexts.
+These tests pin (a) the Spark capabilities the design rests on, and
+(b) that the two paths agree value-for-value and error-for-error on a
+corpus covering every protocol branch — the drift detector for the
+dual implementation (round 8, VERDICT r7 #1).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rulemorph_spark.compiler import sqlfn
+from rulemorph_spark.engine import transform
+from rulemorph_spark.errors import TransformEngineError
+
+
+def _run(spark, rule, record):
+    try:
+        out = transform(spark, rule, input_text=json.dumps([record]))
+        return ("ok", out)
+    except TransformEngineError as e:
+        return ("err", e.kind, e.message, e.path)
+
+
+def _both_paths(spark, rule, record):
+    """(sql-path result, inline result) for the same rule+record."""
+    fast = _run(spark, rule, record)
+    key = id(spark)
+    sqlfn._disabled.add(key)
+    try:
+        slow = _run(spark, rule, record)
+    finally:
+        sqlfn._disabled.discard(key)
+    return fast, slow
+
+
+ARITH_RULE = """
+version: 1
+input: {format: json, json: {}}
+mappings:
+  - target: out
+    expr: {op: "%(op)s", args: [{ref: "input.a"}, {ref: "input.b"}]}
+"""
+
+V2_RULE = """
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.a", {%(op)s: ["@input.b"]}]
+"""
+
+DATE_RULE = """
+version: 1
+input: {format: json, json: {}}
+mappings:
+  - target: out
+    expr:
+      op: date_format
+      args: [{ref: "input.d"}, "%Y/%m/%d %H:%M:%S%:z", "+09:00"]
+  - target: epoch
+    expr: {op: to_unixtime, args: [{ref: "input.d"}, "ms"]}
+"""
+
+ARITH_RECORDS = [
+    {"a": 80.6, "b": "2.5"},
+    {"a": 1, "b": 2},
+    {"a": 1, "b": "x"},           # conversion error
+    {"b": 2},                     # missing → missing
+    {"a": 1, "b": None},          # null protocol error
+    {"a": 1, "b": 0},             # ÷0 paths
+    {"a": "inf", "b": 1},         # rust grammar non-finite → error (v1)
+    {"a": "1e308", "b": "1e308"}, # overflow → not finite (v1 +)
+    {"a": True, "b": 1},          # bool → error
+    {"a": [1], "b": 1},           # container → error
+    {"a": "0.1", "b": "0.2"},
+    {"a": -0.0, "b": 0.0},
+]
+
+DATE_RECORDS = [
+    {"d": "2024-01-02T03:04:05Z"},
+    {"d": "2024-01-02 03:04:05"},
+    {"d": "2024-01-02T03:04:05.123+09:00"},
+    {"d": "Tue, 02 Jan 2024 03:04:05 +0900"},
+    {"d": "20240102"},
+    {"d": "not a date"},          # invalid-date error
+    {"d": 12345},                 # value must be a string
+    {"d": None},                  # null protocol
+    {},                           # missing → missing
+]
+
+
+@pytest.mark.parametrize("op", ["+", "-", "*", "/"])
+def test_arith_paths_agree_v1(spark, op):
+    rule = ARITH_RULE % {"op": op}
+    for rec in ARITH_RECORDS:
+        fast, slow = _both_paths(spark, rule, rec)
+        assert fast == slow, (op, rec, fast, slow)
+
+
+@pytest.mark.parametrize("op", ["add", "divide"])
+def test_arith_paths_agree_v2(spark, op):
+    rule = V2_RULE % {"op": op}
+    for rec in ARITH_RECORDS:
+        fast, slow = _both_paths(spark, rule, rec)
+        assert fast == slow, (op, rec, fast, slow)
+
+
+def test_date_paths_agree(spark):
+    for rec in DATE_RECORDS:
+        fast, slow = _both_paths(spark, DATE_RULE, rec)
+        assert fast == slow, (rec, fast, slow)
+
+
+def test_sql_path_engages_and_shares(spark):
+    """The fast path must actually be taken at top level, and two
+    mappings differing only in error paths must SHARE one session
+    function (the slot-parameterization contract)."""
+    from pyspark.sql import functions as F
+
+    from rulemorph_spark.engine import transform_table
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    rule = """
+version: 1
+input: {format: json, json: {}}
+mappings:
+  - target: x
+    expr: {op: "+", args: [{ref: "input.a"}, {ref: "input.b"}]}
+  - target: y
+    expr: {op: "+", args: [{ref: "input.b"}, {ref: "input.a"}]}
+"""
+    before = {n for (_s, n) in sqlfn._registered}
+    out = transform_table(df, rule, mode="variant")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "_rm_ar_" in plan, "fast path not engaged"
+    new = {n for (_s, n) in sqlfn._registered
+           if n.startswith("_rm_ar_")} - before
+    # both mappings (and both within one) resolve to the same function
+    import re
+    names = set(re.findall(r"_rm_ar_\w+", plan))
+    assert len(names) == 1, names
+    rows = out.selectExpr("to_json(x) AS x", "to_json(y) AS y").collect()
+    assert (rows[0]["x"], rows[0]["y"]) == ("3", "3")
+
+
+def test_inline_path_used_inside_lambdas(spark):
+    """Arith inside a {map:} body compiles inline (SQL-function args
+    cannot reference Catalyst lambda variables) and still matches."""
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.xs", {map: [{add: [1]}]}]
+"""
+    out = transform(spark, rule, input_text=json.dumps(
+        [{"xs": [1, 2.5, "3"]}]))
+    assert out == [{"out": [2.0, 3.5, 4.0]}]
