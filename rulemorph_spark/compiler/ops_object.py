@@ -126,8 +126,7 @@ def op_deep_merge(scope, cur, args, path):
     ]).cast("array<string>"))
     # array of JSON texts; decode inside the UDF (paths precomputed to
     # plain strings so the closure never pickles a V1OpPath)
-    arg_paths = [V.scrub_markers(str(arg_path(path, j)))
-                 for j in range(len(ops))]
+    arg_paths = [str(arg_path(path, j)) for j in range(len(ops))]
     udf = _json_udf("deep_merge", _make_deep_merge_outer(arg_paths))
     result = udf(packed)
     return F.when(result.isNull(), F.lit(None).cast(V.VT)).otherwise(
@@ -489,9 +488,8 @@ def _pick_omit_udf(scope, cur, args, path, *, pick: bool):
     # plain strings precomputed so the closure never pickles an OpPath;
     # the base is operand 0, each paths arg attributes per sub_path
     # (v1: the one paths operand at args[1]; v2: 0-based per-arg)
-    arg_paths = [V.scrub_markers(str(arg_path(path, 0)))] + \
-        [V.scrub_markers(str(sub_path(path, j)))
-         for j in range(len(ops) - 1)]
+    arg_paths = [str(arg_path(path, 0))] + \
+        [str(sub_path(path, j)) for j in range(len(ops) - 1)]
 
     def run(parts):
         base = parts[0]
@@ -602,13 +600,15 @@ def op_from_entries(scope, cur, args, path):
             ops[1].isNull(), F.lit(None).cast(V.VT)).otherwise(single))
 
     items = V.as_array(first)
-    base0 = V.scrub_markers(str(arg_path(path, 0)))
+    base_tpl = str(arg_path(path, 0))
 
     def entry_pair(item, idx):
         # per-entry error attribution: the reference reports the
         # offending entry's index inside the array arg — e.g.
-        # ``...expr.args[0][0]`` (transform_golden.rs fixture r08)
-        epath = F.concat(F.lit(base0 + "["), idx.cast("string"),
+        # ``...expr.args[0][0]`` (transform_golden.rs fixture r08).
+        # Enclosing map-body markers splice Column-side (round 8).
+        base_parts = V.splice_markers(base_tpl) or [F.lit(base_tpl)]
+        epath = F.concat(*base_parts, F.lit("["), idx.cast("string"),
                          F.lit("]"))
         pair = V.as_array(item)
         obj = V.as_map(item)
@@ -743,8 +743,7 @@ def _obj_unary_udf(scope, cur, args, path, make_fn):
     o = ops[0]
     # operand-attributed plain-string path (v1: ...expr.args[0]); the
     # closure must never pickle a V1OpPath
-    udf = _json_udf("obj_op",
-                    make_fn(V.scrub_markers(str(arg_path(path, 0)))))
+    udf = _json_udf("obj_op", make_fn(str(arg_path(path, 0))))
     result = F.parse_json(udf(F.to_json(o)))
     return seq_strict(ops, path, result)
 

