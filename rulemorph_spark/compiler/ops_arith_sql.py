@@ -151,8 +151,15 @@ def _arith_body(b, op: str, version: int, n: int, path) -> str:
         for i in range(1, n):
             acc = b.op(op, acc, nums[i])
         if version >= 2:
-            # v2-native arithmetic: raw f64, no int re-emission
-            return b.cast(acc, "variant")
+            # v2-native arithmetic: f64, no int re-emission — but
+            # serde_json's Number::from_f64 of a NON-FINITE value is
+            # None, so the reference emits JSON NULL for overflow/inf
+            # results (round-8 double fuzz)
+            return b.case(
+                [(b.or_(b.fn("isnan", acc),
+                        b.eq(b.fn("abs", acc), b.lit(float("inf")))),
+                  b.fn("parse_json", b.lit("null")))],
+                b.cast(acc, "variant"))
         if op == "/":
             # IEEE: x/0 → ±inf in Rust; Spark double /0 → NULL
             acc = b.case(

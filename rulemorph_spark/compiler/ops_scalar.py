@@ -492,10 +492,17 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
                                        ).otherwise(checks[i])
                 acc = acc / n  # Spark double /0 → NULL? guarded below
         if version >= 2:
-            # v2-native arithmetic: raw f64 result (no int re-emission,
-            # v2_eval.rs:1848-1928); null wording from
-            # eval_value_as_number's catch-all
-            return seq_strict(list(bound), path, acc.cast(V.VT),
+            # v2-native arithmetic: f64 result with NO int re-emission
+            # (v2_eval.rs:1848-1928) — but the reference wraps it with
+            # serde_json::json!(f64), and Number::from_f64 of a
+            # NON-FINITE value is None, so overflow/inf results emit
+            # JSON NULL (round-8 random-bit-pattern double fuzz; the
+            # engines used to return inf).  null wording from
+            # eval_value_as_number's catch-all.
+            result = V.let(acc, lambda a: F.when(
+                F.isnan(a) | (F.abs(a) == F.lit(float("inf"))),
+                V.vnull()).otherwise(a.cast(V.VT)))
+            return seq_strict(list(bound), path, result,
                               null_msg="expected number, got Null",
                               checks=checks)
         if op == "/":

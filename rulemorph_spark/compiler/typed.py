@@ -1721,6 +1721,12 @@ def _t_arith(scope, cur, args, path, op):
             checks[i] = F.when(n == 0.0, zerr.cast("string")
                                ).otherwise(base)
             acc = F.when(n == 0.0, zerr).otherwise(acc / n)
+    # serde_json::json!(f64): Number::from_f64 of a NON-FINITE result
+    # is None → the reference emits JSON NULL (a runtime NULL in a
+    # non-missing TVal IS JSON null) — round-8 double fuzz
+    acc = F.try_element_at(F.transform(F.array(acc), lambda a: F.when(
+        F.isnan(a) | (F.abs(a) == F.lit(float("inf"))),
+        F.lit(None).cast("double")).otherwise(a)), F.lit(1))
     return _seq(ops, path, acc, T.DoubleType(),
                 null_msg="expected number, got Null", checks=checks)
 

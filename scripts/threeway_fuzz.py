@@ -325,6 +325,59 @@ ARR_STARTS = ["@input.nums", "@input.strs"]
 OBJ_STARTS = ["@input.obj"]
 
 
+# --- random-bit-pattern double pool (round 8, VERDICT r7 #6) --------------
+#
+# The r7 f64 work (rust_f64_parse, serde float text, Rust {} Display,
+# -0, over-render) was driven by CONSTRUCTED edge rows; this pool
+# reinterprets random 64-bit patterns as doubles (non-finite patterns
+# skipped — a JSON-modeled record cannot carry inf/NaN) and pushes
+# them through stringify / arith / compare / casts in all three
+# evaluators.  ``ds`` carries the shortest-repr text form so the Rust
+# parse grammar sees round-trip inputs too.
+
+DBL_OPS = [
+    ("{to_string: []}", None),
+    ("{string: []}", None),
+    ('{concat: ["lit:|"]}', None),
+    ("{float: []}", None),
+    ("{int: []}", None),
+    ("{round: [%d]}", lambda r: r.randrange(0, 3)),
+    ('{add: ["@input.g"]}', None),
+    ('{subtract: ["@input.g"]}', None),
+    ('{multiply: ["@input.g"]}', None),
+    ('{divide: ["@input.g"]}', None),
+    ('{add: ["@input.gs"]}', None),
+    ('{"==": ["@input.g"]}', None),
+    ('{"!=": ["@input.gs"]}', None),
+    ('{"<": ["@input.g"]}', None),
+    ('{">=": ["@input.g"]}', None),
+    ('{if: {cond: {gt: ["$", "@input.g"]}, then: ["lit:gt"], '
+     'else: ["$", {to_string: []}]}}', None),
+    ('{if: {cond: {eq: ["$", "@input.g"]}, then: [1], else: [0]}}',
+     None),
+]
+DBL_STARTS = ["@input.d", "@input.g", "@input.ds", "@input.gs"]
+DBL_SCHEMA = "id long, d double, g double, ds string, gs string"
+
+
+def dbl_records(seed: int, count: int = 14) -> list[dict]:
+    import struct as _struct
+    rng = random.Random(seed)
+    vals: list[float] = []
+    while len(vals) < 2 * count:
+        bits = rng.getrandbits(64)
+        d = _struct.unpack("<d", _struct.pack("<Q", bits))[0]
+        if d != d or d in (float("inf"), float("-inf")):
+            continue
+        vals.append(d)
+    # pin the known display/parse zone edges alongside the random mass
+    vals[:8] = [0.0, -0.0, 2.0, 2.0 ** 53, 2.0 ** 60, 1e-308, 5e-324,
+                -1e16]
+    return [{"id": i + 1, "d": vals[2 * i], "g": vals[2 * i + 1],
+             "ds": repr(vals[2 * i]), "gs": repr(vals[2 * i + 1])}
+            for i in range(count)]
+
+
 def fold_eq(doc_value, table_value):
     """table NULL ⇔ doc missing-or-null; else exact."""
     if doc_value is None:
@@ -332,8 +385,10 @@ def fold_eq(doc_value, table_value):
     return table_value == doc_value
 
 
-def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
+def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth,
+             records=None):
     rng = random.Random(seed)
+    recs = RECORDS if records is None else records
     divergences = []
     compared = skipped = 0
     for it in range(iters):
@@ -354,7 +409,7 @@ def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
         # interpreter per record (ground truth)
         interp_res = {}
         try:
-            for rec in RECORDS:
+            for rec in recs:
                 interp_res[rec["id"]] = run_interp(rule, rec)
         except Exception as e:
             divergences.append((pool_name, expr, "interp-crash",
@@ -372,7 +427,7 @@ def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
                 continue
             if kind == "err":
                 # some row errors: per-row comparison
-                for rec in RECORDS:
+                for rec in recs:
                     rid = rec["id"]
                     one = df.filter(F.col("id") == rid)
                     try:
@@ -409,7 +464,7 @@ def run_pool(spark, df, pool_name, ops, starts, seed, iters, depth):
                 compared += 1
                 continue
             # all rows ok on the Spark side
-            for rec in RECORDS:
+            for rec in recs:
                 rid = rec["id"]
                 k2, r2 = interp_res[rid]
                 if k2 == "err":
@@ -434,6 +489,26 @@ def main():
         [(r["id"], r["i"], r["n"], r["s"],
           tuple(r["obj"].values()) if r["obj"] else None, r["arr"],
           r["f"], r["strs"], r["nums"]) for r in RECORDS], SCHEMA)
+    if pool in ("dbl", "all"):
+        recs = dbl_records(seed)
+        ddf = spark.createDataFrame(
+            [(r["id"], r["d"], r["g"], r["ds"], r["gs"]) for r in recs],
+            DBL_SCHEMA)
+        compared, skipped, divs = run_pool(
+            spark, ddf, "dbl", DBL_OPS, DBL_STARTS, seed, iters, (1, 4),
+            records=recs)
+        print(f"[dbl] compared={compared} skipped={skipped} "
+              f"divergences={len(divs)}", flush=True)
+        if pool == "dbl":
+            for d in divs:
+                print("---")
+                for part in d:
+                    print("   ", part)
+            print(f"TOTAL divergences: {len(divs)}")
+            return
+        _dbl_divs = divs
+    else:
+        _dbl_divs = []
     pools = {
         "miss": (MISS_OPS, STARTS, (2, 5)),
         "mixed": (MIXED_OPS, STARTS, (2, 5)),
@@ -444,7 +519,7 @@ def main():
         "v1": (V1_OPS, V1_STARTS, (1, 4)),
     }
     names = list(pools) if pool == "all" else [pool]
-    total_div = []
+    total_div = list(_dbl_divs)
     for name in names:
         ops, starts, depth = pools[name]
         compared, skipped, divs = run_pool(spark, df, name, ops, starts,

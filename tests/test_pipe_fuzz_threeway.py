@@ -58,6 +58,23 @@ def test_threeway_pool(spark, df, pool):
     assert not divs, divs[:5]
 
 
+def test_threeway_random_doubles(spark):
+    """Round 8 (VERDICT r7 #6): random 64-bit patterns reinterpreted
+    as doubles through stringify/arith/compare/casts in all three
+    evaluators.  First campaign immediately convicted BOTH engines of
+    returning inf where the reference's serde_json::json!(f64) emits
+    NULL for non-finite v2 arithmetic results."""
+    recs = tw.dbl_records(8801)
+    ddf = spark.createDataFrame(
+        [(r["id"], r["d"], r["g"], r["ds"], r["gs"]) for r in recs],
+        tw.DBL_SCHEMA)
+    compared, _skipped, divs = tw.run_pool(
+        spark, ddf, "dbl", tw.DBL_OPS, tw.DBL_STARTS, seed=8801,
+        iters=10, depth=(1, 4), records=recs)
+    assert compared > 0
+    assert not divs, divs[:5]
+
+
 # --- regression pins: every divergence class the round-7 three-way
 # campaign surfaced, each fixed in the engines and pinned here against
 # the interpreter's (= the reference's) exact wording -----------------
@@ -285,6 +302,15 @@ R7_VALUE_PINS = [
     # error pin above; the USED binding value survives the weave
     ('"@input.s2", {let: {x: [5, {add: [1]}]}}, "@x"',
      {"id": 1, "s2": "q"}, 6.0),
+    # round 8: serde_json::json!(f64) — a non-finite v2 arithmetic
+    # result is JSON NULL (Number::from_f64 → None), not inf
+    ('"@input.f2", {multiply: [1e308]}', {"id": 1, "f2": 1e308}, None),
+    ('"@input.f2", {multiply: [-1e308]}', {"id": 1, "f2": 1e308}, None),
+    # the emitted null is a PRESENT JSON null: v2 coalesce skips it
+    ('"@input.f2", {multiply: [1e308]}, {coalesce: ["lit:was-null"]}',
+     {"id": 1, "f2": 1e308}, "was-null"),
+    # ... and a finite product stays a number
+    ('"@input.f2", {multiply: [2]}', {"id": 1, "f2": 1e200}, 2e200),
 ]
 
 
