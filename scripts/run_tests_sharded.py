@@ -57,8 +57,12 @@ def main() -> int:
     t0 = time.time()
     for i, (w, fs) in enumerate(shards):
         log = open(f"/tmp/rm_shard_{i}.log", "w")
+        log.write("FILES: " + " ".join(os.path.basename(f)
+                                        for f in fs) + "\n")
+        log.flush()
         procs.append((i, subprocess.Popen(
-            [sys.executable, "-m", "pytest", "-q", *fs],
+            [sys.executable, "-m", "pytest", "-q", "--durations=15",
+             *fs],
             cwd=repo, stdout=log, stderr=subprocess.STDOUT), log))
         print(f"shard {i}: ~{w:.0f}s estimated, {len(fs)} files")
     rc = 0
