@@ -192,6 +192,35 @@ def serde_number_str(n: Any) -> str:
     return s
 
 
+def _rust_str_debug(s: str) -> str:
+    """Rust ``str`` ``{:?}`` (``escape_debug``): named escapes for
+    ``\\t \\r \\n \\0 \\\\ \\"``, printable unicode verbatim, other
+    chars as ``\\u{hex}`` (category-C/Zl/Zp approximates the
+    printable table; round 8 — was JSON escaping)."""
+    import unicodedata
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\0":
+            out.append("\\0")
+        elif unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn",
+                                          "Zl", "Zp"):
+            out.append(f"\\u{{{ord(ch):x}}}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
 def _rust_debug(v: Any) -> str:
     """serde_json ``Value``'s Debug rendering — appears in v2 error
     message tails (e.g. ``map step requires array, got Null``)."""
@@ -204,11 +233,11 @@ def _rust_debug(v: Any) -> str:
     if _is_num(v):
         return f"Number({serde_number_str(v)})"
     if isinstance(v, str):
-        return f"String({json.dumps(v)})"
+        return f"String({_rust_str_debug(v)})"
     if isinstance(v, list):
         return "Array [" + ", ".join(_rust_debug(x) for x in v) + "]"
     if isinstance(v, dict):
-        inner = ", ".join(f"{json.dumps(k)}: {_rust_debug(x)}"
+        inner = ", ".join(f"{_rust_str_debug(k)}: {_rust_debug(x)}"
                           for k, x in v.items())
         return "Object {" + inner + "}"
     return repr(v)
