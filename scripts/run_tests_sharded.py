@@ -23,20 +23,23 @@ import time
 # approximate single-file wall seconds (round-8 measurements); files
 # not listed default to 30
 WEIGHTS = {
-    "test_pipe_fuzz_threeway.py": 300,
-    "test_golden_reference.py": 300,
-    "test_pipe_fuzz.py": 180,
-    "test_pipe_fuzz_complex.py": 180,
-    "test_endpoint_fuzz.py": 180,
-    "test_oracle_parity.py": 130,
-    "test_sqlfn.py": 100,
-    "test_plan_quality.py": 90,
-    "test_compile_scale.py": 90,
-    "test_interp_golden.py": 60,
-    "test_trace_graph.py": 60,
-    "test_end_to_end_corpus.py": 60,
-    "test_cli_and_streaming.py": 60,
-    "test_property_ops.py": 50,
+    "test_pipe_fuzz_complex.py": 700,
+    "test_pipe_fuzz_threeway.py": 600,
+    "test_golden_reference.py": 320,
+    "test_pipe_fuzz.py": 260,
+    "test_oracle_parity.py": 250,
+    "test_stateful_streaming.py": 220,
+    "test_endpoint_fuzz.py": 200,
+    "test_retrieval.py": 160,
+    "test_cli_and_streaming.py": 150,
+    "test_compile_scale.py": 150,
+    "test_sqlfn.py": 110,
+    "test_plan_quality.py": 100,
+    "test_trace_graph.py": 80,
+    "test_interp_golden.py": 70,
+    "test_end_to_end_corpus.py": 70,
+    "test_diag.py": 60,
+    "test_property_ops.py": 60,
     "test_reference_inline_suites.py": 50,
 }
 

@@ -39,7 +39,7 @@ def test_deep_pipe_compiles_and_runs(spark):
     rule = _deep_pipe_rule(depth)
     t0 = time.time()
     out = transform(spark, rule, input_text=json.dumps([{"x": 0}]))
-    assert time.time() - t0 < 120
+    assert time.time() - t0 < 240
     expected = 0.0
     for i in range(depth):
         expected = (expected + (i % 3 + 1)) * 1.0
@@ -67,7 +67,7 @@ def test_nested_v1_operand_tree_compiles_and_runs(spark):
     t0 = time.time()
     out = transform(spark, json.dumps(rule),
                     input_text='{"a": "x", "b": "y"}')
-    assert time.time() - t0 < 60
+    assert time.time() - t0 < 180
     assert out == [{"out": "x" + "y-" * depth}]
 
 
@@ -79,7 +79,7 @@ def test_long_out_chain_variant_and_typed(spark):
     typed = transform_table(df, rule, mode="typed").collect()[0]
     variant_row = transform_table(df, rule, mode="variant") \
         .selectExpr(f"to_json(c{n - 1}) AS v").collect()[0]
-    assert time.time() - t0 < 120
+    assert time.time() - t0 < 240
     assert typed[f"c{n - 1}"] == float(n)
     assert json.loads(variant_row["v"]) == float(n)
 
@@ -164,7 +164,7 @@ def test_typed_deep_chain_falls_back_not_oom(spark):
     from pyspark.sql import functions as F
     out = transform_table(df, rule, mode="auto") \
         .select(F.col("out").cast("double").alias("out")).collect()
-    assert time.time() - t0 < 120
+    assert time.time() - t0 < 240
     assert out[0]["out"] == expected
 
 
