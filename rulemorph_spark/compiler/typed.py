@@ -173,6 +173,12 @@ class TVal:
     # while a wrong False silently drops per-row errors (three r5 fuzz
     # bugs + the r6 _seq static-missing probe were all of that class).
     errs: bool = True
+    # True when the value is a double whose INTEGRAL rows are serde
+    # INTEGER kind per v1 json_number_from_f64 re-emission (round: the
+    # per-row kind cannot live in one static dtype) — kind-OBSERVING
+    # consumers (v2 serde rendering, v2 strict eq) must defer to the
+    # variant engine; kind-blind consumers stay typed (round 8)
+    reemit_kind: bool = False
     # True when the value is ROW-INDEPENDENT (literals, and ops whose
     # operands are all const — tracked best-effort, default False).
     # Needed because Catalyst may constant-fold two branches of a CASE
@@ -622,6 +628,9 @@ def t_str_v2(v: TVal, path: str,
     with the rendered-Null wording): skip the redundant in-place
     runtime-null wrap — the protocol's cheap isNull guard already
     raises the same error first."""
+    if v.reemit_kind:
+        raise TypedFallback("per-row int re-emission kind reaches v2 "
+                            "serde rendering")
     dt = v.dtype
     null_err = _terr("string", "expr_error", prefix + "Null", path)
     if _is_null(dt):
@@ -1361,6 +1370,10 @@ def _t_compare(op: str, left: TVal, right: TVal, path: str,
         # compares canonical JSON text, mirrored here per static type).
         # eqNullSafe has exactly the null≡null semantics AND pushes to
         # parquet as an EqualNullSafe filter.
+        if getattr(left, "reemit_kind", False) or \
+                getattr(right, "reemit_kind", False):
+            raise TypedFallback("per-row int re-emission kind reaches "
+                                "v2 strict equality")
         if _is_num(left.dtype) and _is_num(right.dtype):
             # serde_json kind-aware number equality (Number PartialEq;
             # mirrored in the variant engine's V.v2_eq): integers never
@@ -1783,8 +1796,17 @@ def t_round(scope, cur, args, path):
         s = ops[1]
         checks.append(None if s.nonnull and _is_int(s.dtype)
                       else _chk(scale))
-    return _seq(ops, path, rounded / factor, T.DoubleType(),
-                checks=checks)
+    out = _seq(ops, path, rounded / factor, T.DoubleType(),
+               checks=checks)
+    # round is v1-delegated: json_number_from_f64 re-emits INTEGRAL
+    # results as i64 PER ROW (huge values stay Float — the `as i64`
+    # saturation round-trip fails).  A double column cannot carry the
+    # per-row serde kind, so it is FLAGGED: kind-OBSERVING consumers
+    # (v2 serde rendering, v2 strict equality) defer to the variant
+    # engine; kind-blind consumers (arithmetic, v1 renders, native
+    # output columns) stay typed (round-8 double-fuzz find: typed
+    # rendered 0.0/3.0 where the reference emits 0/3)
+    return replace(out, reemit_kind=True)
 
 
 @_treg("and")

@@ -1622,8 +1622,14 @@ def _op_numeric(op, total_len, args, injected, record, context, out,
 
 
 def _rust_round(x: float) -> float:
-    """f64::round — half away from zero (Python round is banker's)."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    """f64::round — half away from zero (Python round is banker's).
+    The result stays a FLOAT: math.floor returns an exact python int,
+    which would silently flip the serde number kind for huge values
+    (round-8 double fuzz — json_number_from_f64's ``value as i64``
+    saturation round-trip FAILS above i64 range, so the reference
+    keeps Float there; an exact int here skipped that check)."""
+    return float(math.floor(x + 0.5)) if x >= 0 \
+        else float(math.ceil(x - 0.5))
 
 
 def _op_round(total_len, args, injected, record, context, out, base_path,

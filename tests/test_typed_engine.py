@@ -115,6 +115,35 @@ def test_typed_plan_has_no_variant_ops(spark):
     assert "parse_json" not in plan
 
 
+def test_round_falls_back_per_row_kind(spark):
+    """round is v1-delegated even from v2 pipes: an integral rounded
+    value re-emits as i64 PER ROW (json_number_from_f64), a kind a
+    single typed column cannot carry.  The result is FLAGGED
+    (TVal.reemit_kind): kind-blind consumers (native output columns,
+    arithmetic) stay typed — the parity fixture above keeps its round
+    — while kind-OBSERVING consumers (v2 serde rendering, v2 strict
+    eq) defer to the variant engine (round-8 double-fuzz find: typed
+    rendered 3.0 where the reference emits 3)."""
+    import pytest
+
+    from rulemorph_spark.compiler.typed import TypedFallback
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.price", {round: [0]}, {concat: ["lit:|"]}]
+"""
+    with pytest.raises(TypedFallback, match="re-emission kind"):
+        transform_table(_df(spark), rule, context=CTX, mode="typed")
+    out = transform_table(_df(spark), rule, context=CTX, mode="auto")
+    vals = [r["o"] for r in out.selectExpr(
+        "CAST(out AS STRING) AS o").collect()]
+    # integral results render as serde INTEGERS through v2 concat
+    assert vals and all(v.endswith("|") and "." not in v
+                        for v in vals), vals
+
+
 def test_auto_falls_back_on_unsupported_op(spark):
     # `chunk` is an array op outside the typed subset → TypedFallback,
     # and mode="auto" routes to the variant engine
