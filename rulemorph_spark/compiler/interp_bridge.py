@@ -19,9 +19,10 @@ slow path by construction — these shapes are rare and row-local — but
 it is oracle-exact, including the per-item error paths the Column path
 could only approximate (``[?]`` placeholders, VERDICT r7 #5).
 
-Known residual: ``when``/``record_when`` CONDITIONS and finalize
-filters with nested UDF ops still compile the Column path and fail
-analysis; mappings are the only shapes the reference corpus exercises.
+``when``/``record_when`` conditions take the same fallback
+(:func:`when_value_column`); the remaining uncovered shape is a nested
+UDF op inside a FINALIZE filter, which the reference corpus never
+exercises.
 """
 
 from __future__ import annotations
@@ -96,6 +97,45 @@ def _pipe_has_trapped_udf(pipe: Pipe, top: bool) -> bool:
 
 def needs_interp(pipe: Pipe) -> bool:
     return _pipe_has_trapped_udf(pipe, top=True)
+
+
+def cond_needs_interp(cond) -> bool:
+    """v2 when/record_when conditions: every pipe position inside a
+    condition compiles under comparison/short-circuit machinery, so
+    any UDF-requiring op defers."""
+    return _cond_has_udf(cond)
+
+
+def when_value_column(raw_when, version: int, scope,
+                      base_path: str) -> Column:
+    """A when/record_when condition as an interp-evaluated BOOLEAN
+    Column: True/False per the reference's ``eval_when_expr``; NULL on
+    evaluation error (the caller's lenient protocol records a warning
+    and skips, exactly like the interpreter's warn-and-false)."""
+    from .. import interp as I
+
+    model = I.parse_expr_model(raw_when)
+    ctx = I.canon(scope.context_value) \
+        if scope.context_value is not None else None
+    bp = str(base_path)
+    record_j = F.to_json(scope.input)
+    out_j = F.to_json(scope.out) if scope.out is not None else F.lit("{}")
+
+    @F.pandas_udf("boolean")
+    def _udf(rec_s: pd.Series, out_s: pd.Series) -> pd.Series:
+        def run(rec_t, out_t):
+            record = _json.loads(rec_t) if rec_t is not None else {}
+            out = _json.loads(out_t) if out_t is not None else {}
+            try:
+                return bool(I._eval_when_expr(model, record, ctx, out,
+                                              bp, version))
+            except I.InterpError:
+                return None
+
+        return pd.Series([run(r, o) for r, o in zip(rec_s, out_s)],
+                         dtype="object")
+
+    return _udf(record_j, out_j)
 
 
 def mapping_value_column(raw_expr, version: int, scope,

@@ -248,16 +248,26 @@ class RuleCompiler:
     def _compile_when(self, raw, scope: Scope, path: str) -> Column:
         """when/record_when → boolean Column; errors → NULL (warn+skip,
         ``transform.rs:1041-1091``)."""
+        from .interp_bridge import (cond_needs_interp, needs_interp,
+                                    when_value_column)
         with lenient_errors():
             try:
                 if self.rule.version >= 2 and not (
                         isinstance(raw, dict) and
                         ("ref" in raw or ("op" in raw and "if" not in raw))):
                     cond = parse_condition(raw)
+                    if cond_needs_interp(cond):
+                        # pandas-UDF op in a lambda position: evaluate
+                        # the condition through the interpreter
+                        return when_value_column(raw, self.rule.version,
+                                                 scope, path)
                     return compile_condition(cond, scope, path)
                 # v1 path: expr must evaluate to a strict bool
                 pipe = v1_expr_to_pipe(raw) if not is_v2_expr(raw) \
                     else parse_expr(raw)
+                if needs_interp(pipe):
+                    return when_value_column(raw, self.rule.version,
+                                             scope, path)
                 value = compile_pipe(pipe, scope, path)
                 return F.when(V.is_bool(value), value.try_cast("boolean")) \
                         .otherwise(F.lit(None).cast("boolean"))

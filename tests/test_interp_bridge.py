@@ -116,3 +116,38 @@ def test_top_level_udf_ops_stay_on_the_column_path(spark):
     assert not needs_interp(pipe)
     pipe2 = parse_expr(["@input.xs", {"map": [{"deep_merge": [{"z": 1}]}]}])
     assert needs_interp(pipe2)
+
+
+WHEN_CASES = [
+    # deep_merge inside a when-condition's map body
+    ("""
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    when: {gt: [["@input.xs", {map: [{deep_merge: [{"w": 1}]}]}, {len: []}], [1]]}
+    expr: ["lit:many"]
+""", [{"xs": [{"a": 1}, {"b": 2}]}]),
+    ("""
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    when: {gt: [["@input.xs", {map: [{deep_merge: [{"w": 1}]}]}, {len: []}], [1]]}
+    expr: ["lit:many"]
+""", [{"xs": [{"a": 1}]}]),
+    # erroring condition → warning + skip in both
+    ("""
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    when: {gt: [["@input.xs", {map: [{deep_merge: [{"w": 1}]}]}, {len: []}], [1]]}
+    expr: ["lit:many"]
+""", [{"xs": [{"a": 1}, 5]}]),
+]
+
+
+@pytest.mark.parametrize("rule,records", WHEN_CASES)
+def test_when_conditions_match_interp(spark, rule, records):
+    assert _engine(spark, rule, records) == _oracle(rule, records)
