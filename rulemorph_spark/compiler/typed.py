@@ -1736,10 +1736,13 @@ def _t_arith(scope, cur, args, path, op):
             acc = F.when(n == 0.0, zerr).otherwise(acc / n)
     # serde_json::json!(f64): Number::from_f64 of a NON-FINITE result
     # is None → the reference emits JSON NULL (a runtime NULL in a
-    # non-missing TVal IS JSON null) — round-8 double fuzz
-    acc = F.try_element_at(F.transform(F.array(acc), lambda a: F.when(
-        F.isnan(a) | (F.abs(a) == F.lit(float("inf"))),
-        F.lit(None).cast("double")).otherwise(a)), F.lit(1))
+    # non-missing TVal IS JSON null) — round-8 double fuzz.  Plain
+    # CASE (acc referenced 3×, typed trees are compact): a transform
+    # let here is a CodegenFallback lambda that kicked the ENTIRE
+    # typed projection out of whole-stage codegen (typed anchor exec
+    # 0.30 s → 1.05 s before this was caught)
+    acc = F.when(F.isnan(acc) | (F.abs(acc) == F.lit(float("inf"))),
+                 F.lit(None).cast("double")).otherwise(acc)
     return _seq(ops, path, acc, T.DoubleType(),
                 null_msg="expected number, got Null", checks=checks)
 
