@@ -30,6 +30,9 @@ from . import variant as V
 
 _lenient_state = threading.local()
 _version_state = threading.local()
+_fast_columns_lock = threading.Lock()
+_fast_columns_depth = 0
+_fast_columns_saved = True
 
 
 def lenient_on() -> bool:
@@ -69,19 +72,37 @@ def fast_columns():
     calls → 3.7 s on the t13 anchor).  The captured origin would point
     at compiler internals, not user code, and engine errors carry
     their own structured payload (``errors.py``), so nothing of value
-    is lost.  Restores the previous state on exit; tolerates pyspark
-    versions without the private cache."""
+    is lost.
+
+    The cache is a PROCESS-WIDE pyspark global, so suspension is
+    refcounted under a lock (ADVICE r8 #2): the saved value is
+    captured by the outermost enter and restored only when the
+    outermost exit runs, so overlapping compiles from multiple
+    threads can't restore a stale value or flip the flag back while
+    another compile is still inside.  User queries on OTHER threads do
+    lose debug-origin capture while any rule compiles — inherent to
+    toggling a pyspark global, and origins are a debugging nicety, not
+    a correctness input.  Tolerates pyspark versions without the
+    private cache."""
     try:
         import pyspark.errors.utils as _eu
-        prev = _eu._enable_debugging_cache
-        _eu._enable_debugging_cache = False
+        _eu._enable_debugging_cache
     except (ImportError, AttributeError):  # pragma: no cover
         yield
         return
+    global _fast_columns_depth, _fast_columns_saved
+    with _fast_columns_lock:
+        if _fast_columns_depth == 0:
+            _fast_columns_saved = _eu._enable_debugging_cache
+            _eu._enable_debugging_cache = False
+        _fast_columns_depth += 1
     try:
         yield
     finally:
-        _eu._enable_debugging_cache = prev
+        with _fast_columns_lock:
+            _fast_columns_depth -= 1
+            if _fast_columns_depth == 0:
+                _eu._enable_debugging_cache = _fast_columns_saved
 
 
 @contextmanager
@@ -207,6 +228,15 @@ class Scope:
     # the plain-Python context document, when known at compile time —
     # lets ops precompute (e.g. lookup hash maps from context arrays)
     context_value: object = None
+    # mutable cell shared with child scopes: appended to whenever a
+    # compiled expression actually reads ``out`` — lets the rule
+    # compiler declare exact Builder.add deps instead of text-scanning
+    # the rendered expression (ADVICE r8 #3)
+    out_used: list | None = None
+
+    def used_out(self) -> None:
+        if self.out_used is not None:
+            self.out_used.append(True)
 
     def child(self, **kw) -> "Scope":
         if "locals" not in kw:
@@ -269,6 +299,7 @@ def compile_ref(ref: Ref, scope: Scope, path: str) -> Column:
             return V.missing()
         base = scope.context
     elif ref.namespace == "out":
+        scope.used_out()
         base = scope.out if scope.out is not None else V.lit_variant({})
     elif ref.namespace == "item":
         if scope.item is None:

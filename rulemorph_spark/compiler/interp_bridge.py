@@ -119,6 +119,7 @@ def when_value_column(raw_when, version: int, scope,
         if scope.context_value is not None else None
     bp = str(base_path)
     record_j = F.to_json(scope.input)
+    scope.used_out()
     out_j = F.to_json(scope.out) if scope.out is not None else F.lit("{}")
 
     @F.pandas_udf("boolean")
@@ -159,6 +160,7 @@ def mapping_value_column(raw_expr, version: int, scope,
         if scope.context_value is not None else None
     bp = str(base_path)
     record_j = F.to_json(scope.input)
+    scope.used_out()
     out_j = F.to_json(scope.out) if scope.out is not None else F.lit("{}")
 
     @F.pandas_udf("string")

@@ -20,11 +20,13 @@ Argument-evaluation order note: SQL-function arguments bind EAGERLY
 reference's own order (v1 ``op_add`` evaluates every arg expression
 before converting any, so an arg-expression error fires before a
 later conversion error).  The one divergence hazard — a raising
-step-bearing arg evaluating on rows where an EARLIER operand's
-missing/null already short-circuits the op — is closed at the call
-site by the same absent-guard ``_operands_bound`` applies before
-let-binding (r6 fuzz class: ``concat(missing, ÷0-chain)`` must be
-missing).
+step-bearing arg evaluating on rows where an EARLIER operand already
+decides the op (missing short-circuit, null error, or a CONVERSION
+error whose message must win) — is closed at the call site by
+guarding each heavy arg on ``ops_scalar.arith_decided`` of every
+earlier operand (r6 fuzz class: ``concat(missing, ÷0-chain)`` must be
+missing; ADVICE r8 #4 extended the predicate from missing/null to
+conversion failures).
 """
 
 from __future__ import annotations
@@ -206,11 +208,15 @@ def arith_sqlfn(scope, cur, args, path, op: str, version: int):
         return None
     # absent-guard for step-bearing args (see module doc): a heavy
     # arg's embedded raises must not evaluate on rows an earlier
-    # operand's missing/null already short-circuits
+    # operand already DECIDES — missing short-circuit, null error, or
+    # a conversion error (bool/container/unparseable string), whose
+    # error must fire first per the reference's per-operand order
+    # (ADVICE r8 #4)
+    from .ops_scalar import arith_decided
     guarded = list(cols)
     for h in (i for i, a in enumerate(args, start=1) if a.steps):
-        pre = V.is_absent(cols[0])
+        pre = arith_decided(cols[0], version)
         for j in range(1, h):
-            pre = pre | V.is_absent(cols[j])
+            pre = pre | arith_decided(cols[j], version)
         guarded[h] = F.when(~pre, cols[h])
     return sqlfn.call(name, *guarded, *b.slot_args())

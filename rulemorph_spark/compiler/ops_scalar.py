@@ -432,6 +432,31 @@ def op_div(scope, cur, args, path):
     return _numeric_fold(scope, cur, args, path, "/", exact_two=True)
 
 
+def arith_decided(o: Column, version: int) -> Column:
+    """True when operand ``o`` DECIDES the arithmetic op's result
+    before any later operand is consulted: missing (op → missing),
+    null (null-protocol error), or a value whose number conversion
+    errors (bool/container, or a string that doesn't parse — v1
+    additionally requires the parse to be finite,
+    ``transform.rs:5962-5981`` vs ``v2_eval.rs:1278-1304``).
+
+    Used as the absent-guard predicate for later STEP-BEARING args:
+    the reference's per-operand loop converts operand i before
+    evaluating arg i+1, so a later arg's embedded raise must stay
+    unevaluated whenever an earlier operand already short-circuits OR
+    errors (ADVICE r8 #4 — the guard used to cover only missing/null,
+    letting a later arg's error fire before an earlier conversion
+    error)."""
+    parsed = V.rust_f64_parse(o.try_cast("string"))
+    if version >= 2:
+        ok_str = parsed.isNotNull()
+    else:
+        ok_str = parsed.isNotNull() & ~F.isnan(parsed) & \
+            (F.abs(parsed) != F.lit(float("inf")))
+    convertible = V.is_number(o) | (V.is_string(o) & ok_str)
+    return V.is_absent(o) | V.is_vnull(o) | ~convertible
+
+
 def _numeric_fold(scope, cur, args, path, op, exact_two=False):
     """f64 fold over operands; numeric strings accepted; integral results
     re-emitted as ints; non-finite results error (``transform.rs:2375-2435``).
@@ -523,9 +548,12 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
 
     # arith ops are UDF_OPS (they manage the pipe binding themselves):
     # the inline path re-binds the raw pipe value compile_step no
-    # longer wraps
-    return V.let(cur, lambda x: _operands_bound(scope, x, args, path,
-                                                build))
+    # longer wraps.  The absent-guard uses the FULL decided predicate
+    # (missing | null | conversion-error), matching the reference's
+    # per-operand eval order for erroring earlier operands too
+    return V.let(cur, lambda x: _operands_bound(
+        scope, x, args, path, build,
+        short=lambda c: arith_decided(c, version)))
 
 
 @register("round")

@@ -45,6 +45,36 @@ from . import ops_lookup  # noqa: F401
 from . import ops_date  # noqa: F401
 
 
+def _dep_names(deps) -> set:
+    """Union of builder-column names referenced by ``deps`` items.
+
+    Accepts handles returned by ``Builder.add`` (carry ``_rm_name``),
+    composed Columns annotated with a ``_rm_names`` set, ``OutTree``
+    (whose leaves are handles — tracked in ``dep_names``), plain name
+    strings, and ``None`` (skipped).  Non-handle Columns (literals,
+    base-df columns) contribute nothing."""
+    out: set = set()
+    for d in deps:
+        if d is None:
+            continue
+        if isinstance(d, OutTree):
+            out |= d.dep_names
+        elif isinstance(d, str):
+            out.add(d)
+        else:
+            # NB: Column.__getattr__ resolves unknown attributes as
+            # field accesses (returns a Column) — read the instance
+            # dict directly
+            d_dict = getattr(d, "__dict__", None) or {}
+            n = d_dict.get("_rm_name")
+            if n is not None:
+                out.add(n)
+            ns = d_dict.get("_rm_names")
+            if ns:
+                out |= ns
+    return out
+
+
 class Builder:
     """Accumulates materialized columns onto a DataFrame.
 
@@ -53,9 +83,18 @@ class Builder:
     compile O(mappings × plan-size) (t13's 14 mappings spent ~2 s in
     repeated analysis — round 8).  Columns queue up and flush as ONE
     projection; a flush happens early only when a newly added column
-    references a pending name (its expression string mentions
-    ``__tag N __``) — projections within one select are parallel, so a
-    dependent column needs the previous batch materialized first."""
+    references a PENDING name — projections within one select are
+    parallel, so a dependent column needs the previous batch
+    materialized first.
+
+    Dependence is declared by the caller via ``deps`` (handles /
+    ``OutTree`` / annotated Columns — see ``_dep_names``), which the
+    rule compiler can enumerate exactly (``Scope.out_used`` records
+    whether a compiled expression actually embedded ``@out``).  A
+    caller that cannot enumerate its references passes ``deps=None``
+    and pays a rendered-text scan of the new column for pending names
+    (the pre-r9 behavior; ADVICE r8 #3 — the scan is a py4j toString
+    of a potentially large tree per add)."""
 
     def __init__(self, df: DataFrame):
         self._df = df
@@ -77,24 +116,38 @@ class Builder:
             self._df = self._df.select("*", *[c for _, c in self._pending])
             self._pending = []
 
-    def add(self, col: Column, tag: str = "m") -> Column:
+    def add(self, col: Column, tag: str = "m", deps=None) -> Column:
         name = f"__{tag}{self._n}__"
         self._n += 1
         if self._pending:
-            text = str(col)
-            if any(n in text for n, _ in self._pending):
+            pending = {n for n, _ in self._pending}
+            if deps is None:
+                text = str(col)
+                hit = any(n in text for n in pending)
+            else:
+                hit = bool(_dep_names(deps) & pending)
+            if hit:
                 self._flush()
         self._pending.append((name, col.alias(name)))
-        return F.col(name)
+        handle = F.col(name)
+        handle._rm_name = name
+        return handle
 
 
 class OutTree:
-    """Static tree of output targets → materialized Columns."""
+    """Static tree of output targets → materialized Columns.
+
+    ``dep_names`` (root-level) is the set of builder-column names the
+    tree's leaves reference — what ``Builder.add(deps=[tree])`` uses to
+    decide whether a flush is needed (only maintained on trees used as
+    roots; recursion-internal child nodes don't need it)."""
 
     def __init__(self):
         self.children: dict[str, "OutTree | Column"] = {}
+        self.dep_names: set = set()
 
     def set(self, tokens: list[str], col: Column, path: str):
+        self.dep_names |= _dep_names([col])
         node = self
         for t in tokens[:-1]:
             child = node.children.get(t)
@@ -167,6 +220,8 @@ class OutTree:
         """Static tree merge: rows where ``cond`` holds take ``other``'s
         keys deep-merged over self (``transform.rs:533-564``)."""
         result = OutTree()
+        result.dep_names = (self.dep_names | other.dep_names
+                            | _dep_names([cond]))
         keys = list(self.children.keys()) + [
             k for k in other.children if k not in self.children]
         for k in keys:
@@ -388,6 +443,8 @@ class RuleCompiler:
                     "source with dot paths must use an explicit namespace",
                     path)
             ns, rest = "input", text
+        if ns == "out":
+            scope.used_out()
         base = {"input": scope.input, "context": scope.context,
                 "out": scope.out}[ns]
         if base is None:
@@ -415,16 +472,25 @@ class RuleCompiler:
         returned_names: list[str] = []
 
         def scope():
+            # fresh out_used cell per scope: after a compile, a truthy
+            # cell means the expression embedded @out (→ the add must
+            # declare the out_tree as a dependency)
             return Scope(input=input_col, context=context_col,
                          out=out_tree.to_variant(), locals={},
-                         context_value=self.context)
+                         context_value=self.context, out_used=[])
+
+        def out_dep(s):
+            return out_tree if s.out_used else None
 
         if self.rule.has_record_when:
+            s0 = scope()
             cond = builder.add(
-                self._compile_when(self.rule.record_when, scope(),
-                                   "record_when"), "w")
+                self._compile_when(self.rule.record_when, s0,
+                                   "record_when"), "w",
+                deps=[input_col, out_dep(s0)])
             warn_flags.append(("record_when", cond.isNull()))
-            keep = builder.add(F.coalesce(cond, F.lit(False)), "k")
+            keep = builder.add(F.coalesce(cond, F.lit(False)), "k",
+                               deps=[cond])
 
         def apply_mappings(mappings, base_path):
             nonlocal keep
@@ -438,13 +504,17 @@ class RuleCompiler:
                 # guard: filtered records / when-false / returned rows
                 # never evaluate the value (and never raise)
                 gate = keep & ~returned
+                wcond = None
                 if m.has_when:
                     wcond = builder.add(
-                        self._compile_when(m.when, s, f"{mpath}.when"), "w")
+                        self._compile_when(m.when, s, f"{mpath}.when"), "w",
+                        deps=[input_col, out_dep(s)])
                     warn_flags.append(
                         (f"{mpath}.when", keep & wcond.isNull()))
                     gate = gate & F.coalesce(wcond, F.lit(False))
-                materialized = builder.add(F.when(gate, value), "m")
+                materialized = builder.add(
+                    F.when(gate, value), "m",
+                    deps=[input_col, keep, returned, wcond, out_dep(s)])
                 out_tree.set(names, materialized, mpath)
 
         if self.rule.steps is not None:
@@ -453,18 +523,21 @@ class RuleCompiler:
                 if step.mappings is not None:
                     apply_mappings(step.mappings, f"{spath}.mappings")
                 if step.has_record_when:
+                    sw = scope()
                     cond = builder.add(
-                        self._compile_when(step.record_when, scope(),
-                                           f"{spath}.record_when"), "w")
+                        self._compile_when(step.record_when, sw,
+                                           f"{spath}.record_when"), "w",
+                        deps=[input_col, out_dep(sw)])
                     warn_flags.append(
                         (f"{spath}.record_when", keep & cond.isNull()))
                     keep = builder.add(
                         keep & (returned | F.coalesce(cond, F.lit(False))),
-                        "k")
+                        "k", deps=[keep, returned, cond])
                 if step.asserts is not None:
                     for ai, a in enumerate(step.asserts):
                         apath = f"{spath}.asserts[{ai}]"
-                        cond = self._compile_when(a.when, scope(), apath)
+                        sa = scope()
+                        cond = self._compile_when(a.when, sa, apath)
                         guard = F.when(
                             keep & ~returned &
                             ~F.coalesce(cond, F.lit(False)),
@@ -474,7 +547,9 @@ class RuleCompiler:
                                         f"{a.error.message}",
                                         apath, a.error.code).cast("boolean")
                         ).otherwise(F.lit(True))
-                        keep = builder.add(keep & guard, "k")
+                        keep = builder.add(
+                            keep & guard, "k",
+                            deps=[input_col, keep, returned, out_dep(sa)])
                 if step.branch is not None:
                     keep, returned, returned_out, out_tree = \
                         self._compile_branch(builder, step.branch, spath,
@@ -497,9 +572,13 @@ class RuleCompiler:
         with **@input = the current @out** (``transform.rs:509``) and its
         own per-record finalize (``transform.rs:288-308``); the result is
         deep-merged into the output or returned outright."""
-        cond = self._compile_when(branch.when, scope_fn(), f"{spath}.branch")
-        cond = builder.add(F.coalesce(cond, F.lit(False)), "b")
-        branch_input = builder.add(out_tree.to_variant(), "bi")
+        sb = scope_fn()
+        cond = self._compile_when(branch.when, sb, f"{spath}.branch")
+        cond = builder.add(F.coalesce(cond, F.lit(False)), "b",
+                           deps=[input_col,
+                                 out_tree if sb.out_used else None])
+        branch_input = builder.add(out_tree.to_variant(), "bi",
+                                   deps=[out_tree])
 
         def compile_target(rel_path):
             if rel_path is None:
@@ -530,11 +609,14 @@ class RuleCompiler:
                 continue
             compiled, out_col, sub_keep = target
             gate = active & taken & sub_keep
+            gate_deps = [keep, returned, cond, sub_keep]
             if branch.return_:
                 returned_out = builder.add(
                     F.when(gate & ~returned, out_col)
-                    .otherwise(returned_out), "r")
-                returned = builder.add(returned | gate, "rf")
+                    .otherwise(returned_out), "r",
+                    deps=gate_deps + [out_col, returned_out])
+                returned = builder.add(returned | gate, "rf",
+                                       deps=gate_deps)
                 if returned_names is not None:
                     for name in (list(compiled.out_tree.children)
                                  + compiled.returned_names):
@@ -543,7 +625,9 @@ class RuleCompiler:
             else:
                 out_tree = out_tree.merged_with(compiled.out_tree, gate,
                                                 deep=True)
-            keep = builder.add(keep & (~(active & taken) | sub_keep), "k")
+                out_tree.dep_names |= _dep_names(gate_deps)
+            keep = builder.add(keep & (~(active & taken) | sub_keep), "k",
+                               deps=gate_deps)
         return keep, returned, returned_out, out_tree
 
     def _apply_record_finalize(self, builder: Builder, sub_rule: RuleFile,
@@ -556,9 +640,14 @@ class RuleCompiler:
         """
         out_v = F.parse_json(compiled.out_json())
         keep = compiled.keep
+        # every column composed below embeds the sub-rule's out tree /
+        # keep / return columns — declare them once for Builder.add and
+        # annotate the composed keep for downstream deps lists
+        base_deps = _dep_names([compiled.out_tree, compiled.keep,
+                                compiled.returned, compiled.returned_out])
         fin = sub_rule.finalize
         if fin is None:
-            return builder.add(out_v, "bo"), keep
+            return builder.add(out_v, "bo", deps=base_deps), keep
         from .core import lenient_errors as _lenient
         from ..expr_ir import parse_condition as _pc
         with rule_version(sub_rule.version):
@@ -588,7 +677,12 @@ class RuleCompiler:
                        .cast(V.VT)
                 out_v = self._compile_wrap_template(fin.wrap, arr,
                                                     "finalize.wrap")
-        return builder.add(out_v, "bo"), keep
+        handle = builder.add(out_v, "bo", deps=base_deps)
+        try:
+            keep._rm_names = set(base_deps)
+        except AttributeError:  # pragma: no cover — Column with slots
+            pass
+        return handle, keep
 
     def _compile_wrap_template(self, wrap, arr_col: Column,
                                path: str) -> Column:

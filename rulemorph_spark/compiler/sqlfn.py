@@ -21,12 +21,58 @@ Restrictions (probed in tests/test_sqlfn.py):
 from __future__ import annotations
 
 import hashlib
+import threading
+import weakref
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-_registered: dict = {}
-_disabled: set = set()  # session ids where CREATE FUNCTION failed
+
+class _State:
+    """Per-SparkSession registry state.
+
+    Keyed via WeakKeyDictionary on the session OBJECT, not ``id()``:
+    CPython reuses ids after garbage collection, so an id-keyed cache
+    could treat a brand-new session as already-registered (unresolved
+    function at run time) or as disabled (silent slow path) —
+    ADVICE r8 #1.  The weak key also drops the state when the session
+    goes away instead of leaking one entry per session."""
+
+    __slots__ = ("registered", "disabled", "probed", "__weakref__")
+
+    def __init__(self) -> None:
+        self.registered: set[str] = set()
+        self.disabled = False
+        self.probed = False
+
+
+_sessions: "weakref.WeakKeyDictionary[SparkSession, _State]" = \
+    weakref.WeakKeyDictionary()
+_lock = threading.Lock()
+
+
+def _state(spark: SparkSession) -> _State:
+    with _lock:
+        st = _sessions.get(spark)
+        if st is None:
+            st = _State()
+            _sessions[spark] = st
+        return st
+
+
+def disable(spark: SparkSession) -> None:
+    """Force the inline Column path for this session (tests/diag)."""
+    _state(spark).disabled = True
+
+
+def enable(spark: SparkSession) -> None:
+    st = _state(spark)
+    st.disabled = False
+    st.probed = False  # re-probe on next use
+
+
+def registered_names(spark: SparkSession) -> set[str]:
+    return set(_state(spark).registered)
 
 
 def quote(s: str) -> str:
@@ -38,21 +84,22 @@ def quote(s: str) -> str:
 
 def available() -> bool:
     spark = SparkSession.getActiveSession()
-    return spark is not None and id(spark) not in _disabled
+    return spark is not None and not _state(spark).disabled
 
 
 def _probe(spark) -> bool:
     """Once per session: does this Spark support SQL UDFs at all?"""
-    probe_key = (id(spark), "__probe__")
-    if probe_key in _registered:
-        return True
+    st = _state(spark)
+    if st.probed:
+        return not st.disabled
     try:
         spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _rm_probe"
                   "(v STRING) RETURNS STRING RETURN v")
     except Exception:
-        _disabled.add(id(spark))
+        st.disabled = True
         return False
-    _registered[probe_key] = True
+    finally:
+        st.probed = True
     return True
 
 
@@ -67,18 +114,20 @@ def ensure_fn(params: str, returns: str, body: str, tag: str) -> str | None:
     literal did exactly that and every test quietly took the inline
     path)."""
     spark = SparkSession.getActiveSession()
-    if spark is None or id(spark) in _disabled:
+    if spark is None:
+        return None
+    st = _state(spark)
+    if st.disabled:
         return None
     if not _probe(spark):
         return None
     key = hashlib.sha1(
         f"{params}|{returns}|{body}".encode()).hexdigest()[:16]
     name = f"_rm_{tag}_{key}"
-    cache_key = (id(spark), name)
-    if cache_key not in _registered:
+    if name not in st.registered:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
                   f"({params}) RETURNS {returns} RETURN {body}")
-        _registered[cache_key] = True
+        st.registered.add(name)
     return name
 
 

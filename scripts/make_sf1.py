@@ -1,16 +1,22 @@
 #!/usr/bin/env python
-"""Synthesize an sf1-scale dataset from the driver's sf0.1 parquet.
+"""Synthesize an sfN-scale dataset from the driver's sf0.1 parquet.
 
-Every number so far is sf0.1, where ~0.3 s of fixed Spark job overhead
-floors the per-query ratios (VERDICT r7 #7).  This script replicates
-the FACT tables ×10 with key shifting so a bench pass at ~6M lineitem
-rows can show the amortization: order keys shift consistently across
+Replicates the FACT tables ×N with key shifting so bench passes at
+~6M (sf1) or ~60M (sf10) lineitem rows can show how fixed Spark job
+overhead amortizes and whether any query scales worse than linearly
+(VERDICT r7 #7, r8 next #1): order keys shift consistently across
 orders/lineitem (joins stay valid), dimension foreign keys stay in
-range (fan-out ×10), event ids/user ids shift, and document/embedding
+range (fan-out ×N), event ids/user ids shift, and document/embedding
 ids shift with a replica tag appended to text so near-dup structure is
 perturbed rather than exactly clonal.  Dimensions copy through.
 
-    python scripts/make_sf1.py [/tmp/sf1]
+At sf10 (100 replicas) the replicated tables no longer fit
+comfortably as one in-memory Arrow concat, so each replica is written
+incrementally through one ParquetWriter (constant memory in N).
+
+    python scripts/make_sf1.py [/tmp/sf1] [replicas]
+
+sf1 = 10 replicas (default), sf10 = 100 replicas.
 """
 
 from __future__ import annotations
@@ -24,7 +30,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 
 def _shift(table: pa.Table, col: str, offset: int) -> pa.Table:
@@ -45,6 +50,7 @@ def _tag_text(table: pa.Table, col: str, r: int) -> pa.Table:
 
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     copy = ["region.parquet", "nation.parquet", "customer.parquet",
             "supplier.parquet", "part.parquet"]
@@ -53,11 +59,14 @@ def main() -> None:
 
     def replicate(name, build):
         t = pq.read_table(os.path.join(SRC, name))
-        parts = [build(t, r) for r in range(REPLICAS)]
-        out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(dst, name),
-                       row_group_size=1 << 20)
-        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+        path = os.path.join(dst, name)
+        total = 0
+        with pq.ParquetWriter(path, t.schema) as w:
+            for r in range(replicas):
+                part = build(t, r).cast(t.schema)
+                w.write_table(part, row_group_size=1 << 20)
+                total += part.num_rows
+        print(f"{name}: {t.num_rows} -> {total}", flush=True)
 
     n_ord = 10_000_000  # beyond sf0.1's max o_orderkey
     replicate("orders.parquet",

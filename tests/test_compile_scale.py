@@ -222,3 +222,41 @@ def test_extended_anchor_plan_budget(spark):
         node = ch.apply(0)
     assert biggest < 100_000, \
         f"one t13 mapping went multiplicative again: {biggest} chars"
+
+
+def test_fast_columns_reentrant_and_threaded():
+    """ADVICE r8 #2: fast_columns suspends a process-wide pyspark
+    global — the suspension must be refcounted so nested and
+    overlapping uses restore the ORIGINAL value only at the outermost
+    exit (no stale restores from interleaved enter/exit)."""
+    import threading
+    import pyspark.errors.utils as eu
+    from rulemorph_spark.compiler.core import fast_columns
+
+    original = eu._enable_debugging_cache
+
+    # nested: inner exit must NOT restore while outer is active
+    with fast_columns():
+        assert eu._enable_debugging_cache is False
+        with fast_columns():
+            assert eu._enable_debugging_cache is False
+        assert eu._enable_debugging_cache is False
+    assert eu._enable_debugging_cache == original
+
+    # interleaved from two threads: whatever the overlap order, the
+    # flag ends back at the original value
+    enter = threading.Barrier(2)
+    mid = threading.Barrier(2)
+
+    def worker():
+        with fast_columns():
+            enter.wait(timeout=10)
+            assert eu._enable_debugging_cache is False
+            mid.wait(timeout=10)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert eu._enable_debugging_cache == original

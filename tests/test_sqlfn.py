@@ -30,12 +30,11 @@ def _run(spark, rule, record):
 def _both_paths(spark, rule, record):
     """(sql-path result, inline result) for the same rule+record."""
     fast = _run(spark, rule, record)
-    key = id(spark)
-    sqlfn._disabled.add(key)
+    sqlfn.disable(spark)
     try:
         slow = _run(spark, rule, record)
     finally:
-        sqlfn._disabled.discard(key)
+        sqlfn.enable(spark)
     return fast, slow
 
 
@@ -135,11 +134,11 @@ mappings:
   - target: y
     expr: {op: "+", args: [{ref: "input.b"}, {ref: "input.a"}]}
 """
-    before = {n for (_s, n) in sqlfn._registered}
+    before = sqlfn.registered_names(spark)
     out = transform_table(df, rule, mode="variant")
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "_rm_ar_" in plan, "fast path not engaged"
-    new = {n for (_s, n) in sqlfn._registered
+    new = {n for n in sqlfn.registered_names(spark)
            if n.startswith("_rm_ar_")} - before
     # both mappings (and both within one) resolve to the same function
     import re
@@ -162,3 +161,50 @@ mappings:
     out = transform(spark, rule, input_text=json.dumps(
         [{"xs": [1, 2.5, "3"]}]))
     assert out == [{"out": [2.0, 3.5, 4.0]}]
+
+
+def test_earlier_conversion_error_wins_over_later_arg_raise(spark):
+    """ADVICE r8 #4: the absent-guard must cover earlier-operand
+    CONVERSION failures, not just missing/null — the reference
+    converts operand i before evaluating arg i+1, so a bool operand's
+    "expected number" error fires before a later step-bearing arg's
+    embedded division-by-zero.  Pinned against the interpreter oracle
+    on both the SQL-function and inline paths."""
+    import pytest as _pytest
+    from rulemorph_spark import interp
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.a", {"+": [["@input.b", {"/": [0]}]]}]
+"""
+    cases = [
+        # bool operand 0 → its conversion error wins
+        {"a": True, "b": 1},
+        # numeric operand 0 → the heavy arg's ÷0 error fires
+        {"a": 1, "b": 1},
+        # missing operand 0 → whole op missing (r6 class, still green)
+        {"b": 1},
+    ]
+    for rec in cases:
+        try:
+            expected = ("ok", interp.transform(
+                rule, input_text=json.dumps([rec])))
+        except interp.InterpError as e:
+            expected = ("err", e.kind_snake, e.message, e.path) \
+                if hasattr(e, "kind_snake") else ("err", e)
+        fast, slow = _both_paths(spark, rule, rec)
+        assert fast == slow, (rec, fast, slow)
+        if expected[0] == "ok":
+            assert fast[0] == "ok" and fast[1] == expected[1], \
+                (rec, fast, expected)
+        else:
+            assert fast[0] == "err", (rec, fast)
+            if len(expected) == 4:
+                assert (fast[2], fast[3]) == (expected[2], expected[3]), \
+                    (rec, fast, expected)
+            else:
+                err = expected[1]
+                assert (fast[2], fast[3]) == (err.message, err.path), \
+                    (rec, fast, err)
