@@ -20,9 +20,10 @@ it is oracle-exact, including the per-item error paths the Column path
 could only approximate (``[?]`` placeholders, VERDICT r7 #5).
 
 ``when``/``record_when`` conditions take the same fallback
-(:func:`when_value_column`); the remaining uncovered shape is a nested
-UDF op inside a FINALIZE filter, which the reference corpus never
-exercises.
+(:func:`when_value_column`), and ``finalize.filter`` conditions take a
+STRICT one (:func:`finalize_filter_column` — finalize eval errors
+propagate, ``transform.rs:638``, unlike the when channel's
+warn-and-false).
 """
 
 from __future__ import annotations
@@ -33,9 +34,10 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..errors import encode_engine_error
+from ..errors import RuleError, encode_engine_error
 from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, IfStep,
-                       LetStep, MapStep, OpStep, Pipe, StartLiteral)
+                       LetStep, MapStep, OpStep, Pipe, RefStep,
+                       StartLiteral, StartRef)
 from ..registry import OP_ALIASES
 
 _UDF_ALWAYS = frozenset({"deep_merge", "object_flatten",
@@ -104,6 +106,141 @@ def cond_needs_interp(cond) -> bool:
     condition compiles under comparison/short-circuit machinery, so
     any UDF-requiring op defers."""
     return _cond_has_udf(cond)
+
+
+# --- condition ref introspection (finalize.filter routing) -------------
+
+
+def _iter_pipe_refs(pipe: Pipe):
+    if isinstance(pipe.start, StartRef):
+        yield pipe.start.ref
+    for step in pipe.steps:
+        if isinstance(step, RefStep):
+            yield step.ref
+        elif isinstance(step, OpStep):
+            for a in step.args:
+                yield from _iter_pipe_refs(a)
+        elif isinstance(step, LetStep):
+            for _n, e in step.bindings:
+                yield from _iter_pipe_refs(e)
+        elif isinstance(step, IfStep):
+            yield from _iter_cond_refs(step.cond)
+            yield from _iter_pipe_refs(step.then_branch)
+            if step.else_branch is not None:
+                yield from _iter_pipe_refs(step.else_branch)
+        elif isinstance(step, MapStep):
+            for s in step.steps:
+                yield from _iter_pipe_refs(
+                    Pipe(start=StartLiteral(None), steps=(s,)))
+
+
+def _iter_cond_refs(cond):
+    if isinstance(cond, (CondAll, CondAny)):
+        for c in cond.conditions:
+            yield from _iter_cond_refs(c)
+    elif isinstance(cond, CondCompare):
+        for p in cond.args:
+            yield from _iter_pipe_refs(p)
+    elif isinstance(cond, CondExpr):
+        yield from _iter_pipe_refs(cond.expr)
+
+
+def cond_uses_out(cond) -> bool:
+    """True when a finalize.filter condition references ``@out`` — the
+    reference binds it to the WHOLE pre-filter output array
+    (``transform.rs:634``), a global value the distributed Column path
+    cannot supply per row."""
+    return any(r.namespace == "out" for r in _iter_cond_refs(cond))
+
+
+def cond_uses_item_index(cond) -> bool:
+    """True when a finalize.filter condition reads ``@item.index`` — a
+    dense enumerate over the OUTPUT array (``transform.rs:637``), which
+    diverges from the input ``__idx__`` once record_when/branch
+    returns have dropped records."""
+    return any(r.namespace == "item" and r.path == "index"
+               for r in _iter_cond_refs(cond))
+
+
+def finalize_filter_parse_error(raw_filter):
+    """The reference's finalize.filter condition-parse protocol
+    (``transform.rs:620-633``): returns ``(kind, message)`` when the
+    value fails to parse as a v2 condition, else None.  Callers raise
+    it on the transform-error channel with path ``finalize.filter`` —
+    BEFORE the engine's own ``parse_condition``, whose wordings differ.
+    ``parse_expr_model`` failures propagate to the caller's own rule
+    parse channel (they fire at rule-parse time in both engines)."""
+    from .. import interp as I
+
+    model = I.parse_expr_model(raw_filter)
+    raw = I._expr_to_json_for_v2_condition(model)
+    if raw is None:
+        return ("expr_error", "finalize.filter must be a v2 condition")
+    try:
+        I.parse_v2_condition(raw)
+    except I.V2ParseError as e:
+        return ("expr_error", f"invalid v2 condition: {e}")
+    return None
+
+
+def finalize_filter_column(raw_filter, version: int, item_col: Column,
+                           idx_col: Column, context_value,
+                           singleton_out: bool = False,
+                           guard: Column | None = None) -> Column:
+    """A finalize.filter condition as a STRICT interp-evaluated boolean
+    Column: per-item ``eval_v2_condition`` with ``@item``=(item, index)
+    and ``@input``=item (``transform.rs:636-638``); evaluation errors
+    re-raise with the standard engine payload (finalize errors are
+    hard, not warn-and-skip).  ``singleton_out=True`` binds ``@out`` to
+    ``[item]`` (the per-record branch-finalize contract,
+    ``transform.rs:288-308``); otherwise the caller must have verified
+    the condition never references ``@out`` and it binds ``[]``.
+
+    ``guard``: rows where it is false/null return False WITHOUT
+    evaluating (the reference only finalizes records whose gate
+    passed, transform.rs:296-299) — the guard must live INSIDE the
+    UDF because Spark extracts Python UDFs into an eager projection,
+    so an outer ``F.when`` would not stop evaluation.
+    """
+    from .. import interp as I
+
+    model = I.parse_expr_model(raw_filter)
+    raw = I._expr_to_json_for_v2_condition(model)
+    if raw is None:
+        raise RuleError("expr_error",
+                        "finalize.filter must be a v2 condition",
+                        "finalize.filter")
+    try:
+        cond = I.parse_v2_condition(raw)
+    except I.V2ParseError as e:
+        raise RuleError("expr_error", f"invalid v2 condition: {e}",
+                        "finalize.filter") from None
+    ctx = I.canon(context_value) if context_value is not None else None
+    item_j = F.to_json(item_col)
+    guard_col = (F.coalesce(guard, F.lit(False)) if guard is not None
+                 else F.lit(True))
+
+    @F.pandas_udf("boolean")
+    def _udf(item_s: pd.Series, idx_s: pd.Series,
+             g_s: pd.Series) -> pd.Series:
+        def run(it, ix, g):
+            if not g:
+                return False
+            item = _json.loads(it) if it is not None else None
+            out = [item] if singleton_out else []
+            c = I.V2Ctx(item=(item, int(ix)))
+            try:
+                return bool(I.eval_v2_condition(cond, item, ctx, out,
+                                                "finalize.filter", c))
+            except I.InterpError as e:
+                raise RuntimeError(encode_engine_error(
+                    e.kind, e.message, e.path)) from None
+
+        return pd.Series(
+            [run(a, b, g) for a, b, g in zip(item_s, idx_s, g_s)],
+            dtype="object")
+
+    return _udf(item_j, idx_col.cast("int"), guard_col)
 
 
 def when_value_column(raw_when, version: int, scope,

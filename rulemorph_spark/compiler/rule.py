@@ -648,18 +648,38 @@ class RuleCompiler:
         fin = sub_rule.finalize
         if fin is None:
             return builder.add(out_v, "bo", deps=base_deps), keep
-        from .core import lenient_errors as _lenient
         from ..expr_ir import parse_condition as _pc
+        from .interp_bridge import (cond_needs_interp,
+                                    finalize_filter_column,
+                                    finalize_filter_parse_error)
         with rule_version(sub_rule.version):
             if fin.has_filter:
-                arr = F.array(out_v).cast(V.VT)
-                scope = Scope(input=out_v, context=(
-                    V.lit_variant(self.context)
-                    if self.context is not None else None),
-                    out=arr, item=out_v, item_index=F.lit(0), pipe=out_v)
-                with _lenient():
-                    cond = compile_condition(_pc(fin.filter), scope,
-                                             "finalize.filter")
+                # finalize eval errors are HARD (transform.rs:304 `?`s
+                # them) — strict compile, guarded so the condition only
+                # evaluates for records whose gate passed
+                # (transform.rs:296-299).  Condition-parse errors fire
+                # per surviving record (the reference parses inside the
+                # per-record apply_finalize), so they raise as a guarded
+                # column, not at compile.
+                perr = finalize_filter_parse_error(fin.filter)
+                if perr is not None:
+                    cond = F.when(keep, V.raise_err(
+                        perr[0], perr[1],
+                        "finalize.filter").cast("boolean"))
+                elif cond_needs_interp(cond_ir := _pc(fin.filter)):
+                    cond = finalize_filter_column(
+                        fin.filter, sub_rule.version, out_v, F.lit(0),
+                        self.context, singleton_out=True, guard=keep)
+                else:
+                    arr = F.array(out_v).cast(V.VT)
+                    scope = Scope(input=out_v, context=(
+                        V.lit_variant(self.context)
+                        if self.context is not None else None),
+                        out=arr, item=out_v, item_index=F.lit(0),
+                        pipe=out_v)
+                    cond = F.when(keep,
+                                  compile_condition(cond_ir, scope,
+                                                    "finalize.filter"))
                 keep = keep & F.coalesce(cond, F.lit(False))
             if fin.sort is not None:
                 tokens = parse_path(fin.sort.by, error_code="expr_error")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .compiler import variant as V
 from .compiler.core import Scope, compile_condition, compile_pipe, \
-    lenient_errors, rule_version
+    rule_version
 from .compiler.rule import RuleCompiler
 from .errors import (TransformEngineError, extract_engine_error, RuleError)
 from .expr_ir import parse_condition, parse_expr
@@ -230,6 +230,48 @@ def records_from_csv(spark: SparkSession, path: str, has_header: bool,
 # --- finalize -----------------------------------------------------------
 
 
+def _finalize_filter_on_driver(df: DataFrame, raw_filter, rule: RuleFile,
+                               context) -> DataFrame:
+    """finalize.filter with an ``@out`` reference: the condition sees
+    the WHOLE pre-filter output array (``transform.rs:634``), a global
+    value no per-row plan can supply — evaluated through the
+    interpreter on the driver (the reference's own loop is single-node
+    and clones the full vector the same way)."""
+    from . import interp as I
+    from .errors import normalize_kind
+
+    model = I.parse_expr_model(raw_filter)
+    raw = I._expr_to_json_for_v2_condition(model)
+    if raw is None:
+        raise TransformEngineError(normalize_kind("expr_error"),
+                                   "finalize.filter must be a v2 condition",
+                                   "finalize.filter")
+    try:
+        cond = I.parse_v2_condition(raw)
+    except I.V2ParseError as e:
+        raise TransformEngineError(normalize_kind("expr_error"),
+                                   f"invalid v2 condition: {e}",
+                                   "finalize.filter") from None
+    rows = sorted(df.select("__idx__", "__json__").collect(),
+                  key=lambda r: r["__idx__"])
+    items = [json.loads(r["__json__"]) for r in rows]
+    ctx = I.canon(context) if context is not None else None
+    base_out = list(items)
+    kept = []
+    for index, (row, it) in enumerate(zip(rows, items)):
+        c = I.V2Ctx(item=(it, index))
+        try:
+            keep = I.eval_v2_condition(cond, it, ctx, base_out,
+                                       "finalize.filter", c)
+        except I.InterpError as e:
+            raise TransformEngineError(normalize_kind(e.kind), e.message,
+                                       e.path) from None
+        if keep:
+            kept.append((row["__idx__"], row["__json__"]))
+    return df.sparkSession.createDataFrame(
+        kept, "__idx__ long, __json__ string")
+
+
 def apply_finalize(df: DataFrame, rule: RuleFile,
                    context=None) -> tuple[DataFrame, Any]:
     """finalize filter/sort/offset/limit on df(__idx__, __json__)
@@ -239,16 +281,55 @@ def apply_finalize(df: DataFrame, rule: RuleFile,
         return df, None
     item = F.parse_json(F.col("__json__"))
     if fin.has_filter:
-        # per-item v2 condition with @item = the output record
+        # per-item v2 condition with @item = the output record and
+        # @input = the item (transform.rs:619-644).  Finalize eval
+        # errors are HARD (the reference `?`s them) — strict compile,
+        # unlike the when channel's warn-and-false.
+        from .compiler.interp_bridge import (cond_needs_interp,
+                                             cond_uses_item_index,
+                                             cond_uses_out,
+                                             finalize_filter_column,
+                                             finalize_filter_parse_error)
+        from .errors import normalize_kind
+        perr = finalize_filter_parse_error(fin.filter)
+        if perr is not None:
+            raise TransformEngineError(normalize_kind(perr[0]), perr[1],
+                                       "finalize.filter")
         cond_ir = parse_condition(fin.filter)
-        with rule_version(rule.version), lenient_errors():
-            scope = Scope(input=item, context=(V.lit_variant(context)
-                                               if context is not None
-                                               else None),
-                          item=item, item_index=F.col("__idx__").cast("int"),
-                          pipe=item)
-            cond = compile_condition(cond_ir, scope, "finalize.filter")
-        df = df.filter(F.coalesce(cond, F.lit(False)))
+        if cond_uses_out(cond_ir):
+            # @out = the WHOLE pre-filter output array — inherently
+            # global, so this shape evaluates on the driver exactly
+            # like the reference's single-node loop (which clones the
+            # full vector too, transform.rs:634).
+            df = _finalize_filter_on_driver(df, fin.filter, rule, context)
+        else:
+            idx_col = F.col("__idx__").cast("int")
+            fidx = False
+            if cond_uses_item_index(cond_ir):
+                # @item.index is a dense enumerate over the OUTPUT
+                # array (transform.rs:637); __idx__ has gaps once
+                # record_when/branch returns dropped records, so
+                # re-index in output (= __idx__) order.
+                df = _zip_with_index(df.orderBy("__idx__"), "__fidx__")
+                idx_col = F.col("__fidx__").cast("int")
+                fidx = True
+            if cond_needs_interp(cond_ir):
+                with rule_version(rule.version):
+                    cond = finalize_filter_column(
+                        fin.filter, rule.version,
+                        F.parse_json(F.col("__json__")), idx_col, context)
+            else:
+                with rule_version(rule.version):
+                    scope = Scope(input=item,
+                                  context=(V.lit_variant(context)
+                                           if context is not None
+                                           else None),
+                                  item=item, item_index=idx_col, pipe=item)
+                    cond = compile_condition(cond_ir, scope,
+                                             "finalize.filter")
+            df = df.filter(F.coalesce(cond, F.lit(False)))
+            if fidx:
+                df = df.drop("__fidx__")
         item = F.parse_json(F.col("__json__"))
     if fin.sort is not None:
         from .paths import parse_path

@@ -6,10 +6,13 @@ its own JVM/SparkSession (ports auto-increment), so the wall time is
 the heaviest shard (~10-15 min at N=4).  Files are greedy-bin-packed
 by measured weights so the fuzz/golden monsters spread out.  Usage:
 
-    python scripts/run_tests_sharded.py [N]
+    python scripts/run_tests_sharded.py [N] [--smoke]
 
-Exit code is non-zero if any shard fails; each shard's tail is
-printed, and full logs land in /tmp/rm_shard_<i>.log.
+``--smoke`` restricts to the ``smoke``-marked tier (oracle parity +
+reference inline suites + plan quality + entry contract; see
+pytest.ini) — the ≤5 min inner-loop gate.  Exit code is non-zero if
+any shard fails; each shard's tail is printed, and full logs land in
+/tmp/rm_shard_<i>.log.
 """
 
 from __future__ import annotations
@@ -44,10 +47,27 @@ WEIGHTS = {
 }
 
 
+# modules carrying ``pytestmark = pytest.mark.smoke`` (kept in sync by
+# test_suite_tiers.py); only these are sharded under --smoke
+SMOKE_FILES = {
+    "test_oracle_parity.py",
+    "test_plan_quality.py",
+    "test_reference_inline_suites.py",
+    "test_v2_eval_inline.py",
+    "test_v2_transform_inline.py",
+    "test_endpoint_inline.py",
+    "test_entry_contract.py",
+}
+
+
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    args = [a for a in sys.argv[1:] if a != "--smoke"]
+    smoke = "--smoke" in sys.argv[1:]
+    n = int(args[0]) if args else 4
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(repo, "tests", "test_*.py")))
+    if smoke:
+        files = [f for f in files if os.path.basename(f) in SMOKE_FILES]
     weighted = sorted(
         files, key=lambda f: -WEIGHTS.get(os.path.basename(f), 30))
     shards: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]

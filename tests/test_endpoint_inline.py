@@ -14,6 +14,8 @@ import pytest
 
 from rulemorph_spark.service.endpoint import (EndpointEngine, NO_BODY)
 
+pytestmark = pytest.mark.smoke
+
 
 def _engine(spark, tmp_path, files, http=None):
     for name, text in files.items():

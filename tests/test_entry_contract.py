@@ -8,6 +8,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.smoke
+
 SF = "/root/testdata/sf0.001"
 
 

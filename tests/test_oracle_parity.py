@@ -15,6 +15,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.smoke
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 QUERIES = entry_mod.queries()

@@ -7,6 +7,8 @@ fails here.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -22,6 +24,8 @@ from rulemorph_spark.functions.diag import (  # noqa: E402
     count_shuffle_exchanges as _exchanges,
     physical_plan as _plan,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_tfidf_scans_corpus_once(spark):

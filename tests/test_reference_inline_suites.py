@@ -23,6 +23,8 @@ import pytest
 from rulemorph_spark.engine import transform, transform_with_warnings
 from rulemorph_spark.errors import RuleError, TransformEngineError
 
+pytestmark = pytest.mark.smoke
+
 
 def _run(spark, yaml: str, input_text: str):
     out, warnings = transform_with_warnings(spark, yaml,

@@ -26,6 +26,8 @@ import pytest
 from rulemorph_spark.engine import transform
 from rulemorph_spark.errors import RuleError, TransformEngineError
 
+pytestmark = pytest.mark.smoke
+
 MISSING = object()
 _ERRORS = (TransformEngineError, RuleError)
 

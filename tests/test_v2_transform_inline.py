@@ -14,6 +14,8 @@ import pytest
 from rulemorph_spark.engine import transform
 from rulemorph_spark.errors import RuleError, TransformEngineError
 
+pytestmark = pytest.mark.smoke
+
 _ERRORS = (TransformEngineError, RuleError)
 
 
