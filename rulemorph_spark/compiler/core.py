@@ -25,7 +25,9 @@ from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
                        IfStep, LetStep, MapStep, OpStep, Pipe, Ref, RefStep,
                        StartLiteral, StartPipeValue, StartRef)
 from ..paths import parse_path
-from ..registry import OP_ALIASES, OP_ARITY
+from ..registry import (OP_ALIASES, OP_ARITY, V1_EVAL_ARITY,
+                        V1_SUPPORTED_OPS, V2_DELEGATED_EVAL_ARITY,
+                        V2_NATIVE_EVAL_ARITY, V2_NATIVE_IGNORED_ARGS)
 from . import variant as V
 
 _lenient_state = threading.local()
@@ -381,26 +383,96 @@ def step_op_path(step, step_path: str, pipe_base: str):
     return OpPath(step_path, kind)
 
 
+def _args_then_err(scope: Scope, cur: Column, step, path, msg: str,
+                   sfx: str) -> Column:
+    """An arity-violating DELEGATED op step: the reference evaluates
+    every argument expression first (``eval_v2_op_with_v1_fallback``
+    binds them to v1 locals, v2_eval.rs:1594-1609), then v1's
+    ``args_len`` check raises — so a raising argument's error must win
+    over the arity error, in argument order.  Argument values (present
+    or missing) don't matter, only their error channel — each compiled
+    arg weaves in as a zero-length probe ahead of the arity error."""
+    pipe_scope = scope.child(pipe=cur)
+    out = rerr("expr_error", msg, f"{path}{sfx}").cast(V.VT)
+    for j, a in reversed(list(enumerate(step.args))):
+        binding = compile_pipe(a, pipe_scope, sub_path(path, j))
+        probe = F.coalesce(
+            F.substring(F.to_json(V.as_nullable(binding)), 1, 0),
+            F.lit(""))
+        out = F.when(F.length(probe) >= 1,
+                     V.cached_col("raise", "__unreachable__",
+                                  lambda: F.raise_error(
+                                      F.lit("unreachable probe")))
+                     .cast(V.VT)).otherwise(out)
+    return out
+
+
 def compile_step(step, cur: Column, scope: Scope, path: str):
     """Compile one step; returns (new_pipe_value, new_scope)."""
     if isinstance(step, OpStep):
         op = OP_ALIASES.get(step.op, step.op)
-        if step.op not in OP_ARITY and op not in OP_ARITY:
-            raise RuleError("unknown_op", f"unknown op: {step.op}", path)
-        lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
         n = len(step.args)
-        # native v2 steps use the exact pipe-context range the reference
-        # enforces both at validation (v2_validator.rs:812-863) and at
-        # eval ("fold requires exactly two arguments", v2_eval.rs:2336);
-        # only v1-converted standalone ops (first arg hoisted to the
-        # pipe start) may carry one fewer explicit arg
-        v1_form = step.origin_first_arg is not None or step.v1_chain
-        min_n = lo - 1 if v1_form else lo
-        if n < min_n or (hi is not None and n > hi):
-            raise RuleError(
-                "invalid_args",
-                f"{step.op} expects between {lo} and {hi if hi is not None else 'inf'} args, got {n}",
-                path)
+        # Arity and op-existence are EVAL errors with per-op wordings
+        # and windows, NOT the validator's OP_ARITY table — the two
+        # reference tables disagree (e.g. the v2 validator demands one
+        # explicit arg for object_flatten while v2 eval delegates to v1
+        # with the pipe injected and demands zero).  A violating step
+        # compiles to a raising column so it only fires when the
+        # reference would evaluate it (untaken if-branches stay silent,
+        # when-conditions downgrade to the warning channel).  Derived
+        # differentially from the interpreter; see registry.py and
+        # tests/test_eval_arity.py (round 9 — this closed a systematic
+        # fuzz blind spot: fuzzers only generated compile-accepted
+        # shapes).
+        if getattr(step, "v1_empty_args", False):
+            # v1 standalone with args: [] — fires before even the
+            # unsupported-op check (transform.rs:1397)
+            return rerr("expr_error", "expr.args must be a non-empty "
+                        "array", f"{path}.args").cast(V.VT), scope
+        v1_form = (step.origin_first_arg is not None or step.v1_chain
+                   or step.v1_empty_args)
+        if v1_form:
+            # v1 eval: unsupported names ("expr.op is not supported",
+            # transform.rs:1989-1993) and per-op TOTAL windows checked
+            # BEFORE any argument evaluates (args_len, transform.rs)
+            if step.op not in V1_SUPPORTED_OPS:
+                return rerr("expr_error", "expr.op is not supported",
+                            f"{path}.op").cast(V.VT), scope
+            spec = V1_EVAL_ARITY.get(step.op)
+            if spec is not None:
+                lo_t, hi_t, tail = spec
+                total = n + 1  # injected pipe / hoisted first arg
+                if total < lo_t or (hi_t is not None and total > hi_t):
+                    return rerr("expr_error",
+                                f"expr.args must contain {tail}",
+                                f"{path}.args").cast(V.VT), scope
+        elif op in V2_NATIVE_STEP_OPS:
+            # native v2 steps check explicit args BEFORE evaluating
+            # them; absent entries ignore extra args entirely
+            spec = V2_NATIVE_EVAL_ARITY.get(op)
+            if spec is not None:
+                lo_n, hi_n, msg, sfx = spec
+                if n < lo_n or (hi_n is not None and n > hi_n):
+                    return rerr("expr_error", msg,
+                                f"{path}{sfx}").cast(V.VT), scope
+            if op in V2_NATIVE_IGNORED_ARGS and n:
+                # ignored args are never EVALUATED either — a raising
+                # extra arg must stay silent (v2_eval.rs native arms
+                # read only the pipe value)
+                step = replace(step, args=())
+        else:
+            if op not in OP_ARITY:
+                return rerr("expr_error", "expr.op is not supported",
+                            f"{path}.op").cast(V.VT), scope
+            spec = V2_DELEGATED_EVAL_ARITY.get(op)
+            if spec is not None:
+                lo_n, hi_n, msg, sfx = spec
+                if n < lo_n or (hi_n is not None and n > hi_n):
+                    # delegated ops evaluate their argument expressions
+                    # BEFORE the v1 arity check (v2_eval.rs:1594-1609)
+                    # — a raising argument wins over the arity error
+                    return _args_then_err(scope, cur, step, path, msg,
+                                          sfx), scope
         fn = OPS.get(op)
         if fn is None:
             raise RuleError("unknown_op", f"op not implemented: {op}", path)

@@ -70,7 +70,7 @@ from ..expr_ir import (CondAll, CondAny, CondCompare, CondExpr, Condition,
                        IfStep, LetStep, MapStep, OpStep, Pipe, Ref, RefStep,
                        StartLiteral, StartPipeValue, StartRef)
 from ..paths import Index, Key, parse_path
-from ..registry import OP_ALIASES, OP_ARITY
+from ..registry import OP_ALIASES, OP_ARITY, eval_arity_anomaly
 from . import variant as V
 from .core import (OpPath, V2_NATIVE_STEP_OPS, arg_path, lenient_errors,
                    lenient_on, raw_path, step_op_path, sub_path)
@@ -1135,20 +1135,14 @@ def compile_tpipe(pipe: Pipe, scope: TScope, path: str = "expr") -> TVal:
 def compile_tstep(step, cur: TVal, scope: TScope, path: str):
     if isinstance(step, OpStep):
         op = OP_ALIASES.get(step.op, step.op)
-        # arity check BEFORE dispatch — mirror of core.compile_step:
-        # without it the typed path silently accepted arg counts the
-        # variant engine rejects (e.g. 2-arg pipe `eq`)
-        if step.op in OP_ARITY or op in OP_ARITY:
-            lo, hi = OP_ARITY.get(step.op) or OP_ARITY[op]
-            n = len(step.args)
-            v1_form = step.origin_first_arg is not None or step.v1_chain
-            min_n = lo - 1 if v1_form else lo
-            if n < min_n or (hi is not None and n > hi):
-                raise RuleError(
-                    "invalid_args",
-                    f"{step.op} expects between {lo} and "
-                    f"{hi if hi is not None else 'inf'} args, got {n}",
-                    path)
+        # eval-surface arity/op-existence anomalies (unknown ops, counts
+        # outside the per-version windows, ignored-extra-args natives)
+        # need the reference's per-op wordings and conditional-eval
+        # semantics — core.compile_step implements those as raising
+        # columns (round 9); defer such shapes to the variant engine
+        # rather than duplicating that machinery here
+        if eval_arity_anomaly(step, op, V2_NATIVE_STEP_OPS):
+            raise TypedFallback(f"eval arity anomaly: {step.op}")
         fn = T_OPS.get(op)
         if fn is None:
             raise TypedFallback(f"op {step.op} not in typed subset")

@@ -89,6 +89,11 @@ class OpStep:
     # items) — v1 error paths carry the original structure, never the
     # pipe-step index (transform.rs reports ``{base}.args[o]``)
     v1_suffix: str | None = None
+    # a v1 standalone parsed with an EMPTY args list: the reference
+    # raises "expr.args must be a non-empty array" at EVAL
+    # (transform.rs:1397), before even the unsupported-op check, so the
+    # shape must survive parsing and compile to a raising column
+    v1_empty_args: bool = False
 
 
 @dataclass(frozen=True)
@@ -330,7 +335,12 @@ def v1_expr_to_pipe(value: JsonValue) -> Pipe:
         if "op" in value:
             args = tuple(v1_expr_to_pipe(a) for a in value.get("args", []))
             if not args:
-                raise _err("expr.args must be a non-empty array")
+                # an EVAL error in the reference (transform.rs:1397) —
+                # compile_step raises it per evaluation, not at parse
+                return Pipe(start=StartLiteral(None),
+                            steps=(OpStep(op=value["op"], args=(),
+                                          v1_suffix="",
+                                          v1_empty_args=True),))
             # v1 standalone op: first arg is the primary operand
             return Pipe(start=StartPipeValue(),
                         steps=(OpStep(op=value["op"], args=args,

@@ -192,11 +192,21 @@ def serde_number_str(n: Any) -> str:
     return s
 
 
+_OTHER_GRAPHEME_EXTEND = frozenset(
+    [0x09BE, 0x09D7, 0x0B3E, 0x0B57, 0x0BBE, 0x0BD7, 0x0CC2, 0x0CD5,
+     0x0CD6, 0x0D3E, 0x0D57, 0x0DCF, 0x0DDF, 0x1715, 0x1734, 0x200C,
+     0x302E, 0x302F, 0xFF9E, 0xFF9F, 0x1133E, 0x11357, 0x114B0, 0x114BD,
+     0x115AF, 0x11930, 0x1D165]
+    + list(range(0x1D16E, 0x1D173)) + list(range(0xE0020, 0xE0080)))
+
+
 def _rust_str_debug(s: str) -> str:
-    """Rust ``str`` ``{:?}`` (``escape_debug``): named escapes for
-    ``\\t \\r \\n \\0 \\\\ \\"``, printable unicode verbatim, other
-    chars as ``\\u{hex}`` (category-C/Zl/Zp approximates the
-    printable table; round 8 — was JSON escaping)."""
+    """Rust ``str`` ``{:?}`` (Debug-for-str → ``escape_debug_ext`` with
+    grapheme-extend escaping ON): named escapes for
+    ``\\t \\r \\n \\0 \\\\ \\"``, grapheme-extend chars
+    (Mn/Me/Other_Grapheme_Extend) and non-printables as ``\\u{hex}``,
+    printable unicode verbatim (category-C/Zl/Zp approximates the
+    printable table; round 9 added grapheme-extend)."""
     import unicodedata
     out = ['"']
     for ch in s:
@@ -212,8 +222,9 @@ def _rust_str_debug(s: str) -> str:
             out.append("\\t")
         elif ch == "\0":
             out.append("\\0")
-        elif unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn",
-                                          "Zl", "Zp"):
+        elif (unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn",
+                                           "Zl", "Zp", "Mn", "Me")
+              or ord(ch) in _OTHER_GRAPHEME_EXTEND):
             out.append(f"\\u{{{ord(ch):x}}}")
         else:
             out.append(ch)
@@ -629,7 +640,29 @@ def parse_rule_file(text: str) -> RuleFile:
         doc = yaml.load(text, Loader=_Loader)
     except yaml.YAMLError as e:
         raise InterpRuleError("yaml_error", str(e)) from e
-    return RuleFile(doc)
+    return RuleFile(_repair_surrogates(doc))
+
+
+def _repair_surrogates(v):
+    """libyaml pairs adjacent ``\\uD8xx\\uDCxx`` escapes into the
+    astral char (and rejects unpaired ones); PyYAML leaves lone
+    surrogate code points — repair to match the reference's parser."""
+    if isinstance(v, str):
+        if any(0xD800 <= ord(c) <= 0xDFFF for c in v):
+            try:
+                return v.encode("utf-16-le", "surrogatepass") \
+                        .decode("utf-16-le")
+            except UnicodeDecodeError:
+                raise InterpRuleError(
+                    "yaml_error",
+                    "unpaired surrogate escape in YAML scalar") from None
+        return v
+    if isinstance(v, list):
+        return [_repair_surrogates(x) for x in v]
+    if isinstance(v, dict):
+        return {_repair_surrogates(k): _repair_surrogates(x)
+                for k, x in v.items()}
+    return v
 
 
 # =========================================================================

@@ -260,12 +260,37 @@ def parse_rule_dict(doc: dict) -> RuleFile:
     )
 
 
+def repair_yaml_surrogates(v):
+    """PyYAML decodes adjacent ``\\uD8xx\\uDCxx`` escapes in quoted
+    scalars as two LONE surrogate code points; the reference's libyaml
+    pairs them into the astral char (and errors on an unpaired one).
+    Lone surrogates also crash py4j string transport, so repair at the
+    YAML boundary.  JSON input needs none of this — Python's json
+    pairs surrogate escapes itself."""
+    if isinstance(v, str):
+        if any(0xD800 <= ord(c) <= 0xDFFF for c in v):
+            try:
+                return v.encode("utf-16-le", "surrogatepass") \
+                        .decode("utf-16-le")
+            except UnicodeDecodeError:
+                raise RuleError("yaml_error",
+                                "unpaired surrogate escape in YAML "
+                                "scalar") from None
+        return v
+    if isinstance(v, list):
+        return [repair_yaml_surrogates(x) for x in v]
+    if isinstance(v, dict):
+        return {repair_yaml_surrogates(k): repair_yaml_surrogates(x)
+                for k, x in v.items()}
+    return v
+
+
 def parse_rule_file(text: str) -> RuleFile:
     try:
         doc = yaml.safe_load(text)
     except yaml.YAMLError as e:
         raise RuleError("yaml_error", str(e)) from e
-    return parse_rule_dict(doc)
+    return parse_rule_dict(repair_yaml_surrogates(doc))
 
 
 def load_rule_file(path: str) -> RuleFile:

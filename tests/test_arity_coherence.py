@@ -46,11 +46,25 @@ _OVER = [(op, hi + 1) for op, (lo, hi) in OP_ARITY.items()
          if hi is not None]
 
 
+# (op, n) pairs the VALIDATOR rejects but the reference's EVAL
+# tolerates — the two reference tables genuinely disagree (round-9
+# differential finding; see registry.py "EVAL-surface arities").
+# These natives ignore extra args without evaluating them, and
+# concat/coalesce are total-variadic at eval.  test_eval_arity.py pins
+# the eval-side behavior against the interpreter.
+_EVAL_TOLERATED = {("trim", 1), ("lowercase", 1), ("uppercase", 1),
+                   ("to_string", 1), ("string", 1), ("int", 1),
+                   ("float", 1), ("bool", 1), ("first", 1), ("last", 1),
+                   ("concat", 0), ("coalesce", 0)}
+
+
 @pytest.mark.parametrize("op,n", _UNDER + _OVER,
                          ids=[f"{o}-{n}" for o, n in _UNDER + _OVER])
-def test_v2_step_out_of_range_rejected_both_layers(spark, op, n):
+def test_v2_step_out_of_range_rejected_by_validator(spark, op, n):
     yaml_text = _v2_rule_yaml(op, n)
     assert "InvalidArgs" in _codes(yaml_text), (op, n)
+    if (op, n) in _EVAL_TOLERATED:
+        return  # eval-side tolerance pinned by test_eval_arity.py
     with pytest.raises(_ERRORS):
         transform(spark, yaml_text, input_text='[{"v": "x"}]')
 
