@@ -50,7 +50,11 @@ def get_spark(app_name: str = "rulemorph-spark",
         # nesting level costs an analyzer fixed-point iteration, so the
         # default 100 caps pipes at ~50 steps
         .config("spark.sql.analyzer.maxIterations", "1000")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test JVMs); SPARK_GRAFT_UI=true exposes the
+        # REST metrics API for the scale-rehearsal benches, which record
+        # per-query shuffle bytes + spill from /api/v1/.../stages
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     # local-mode default driver memory is 1g — enough for the sf<=0.1
     # gates, far too small for scale probes; only effective for the
