@@ -118,6 +118,31 @@ def rule_version(version: int):
         _version_state.version = prev
 
 
+_flat_state = threading.local()
+
+
+@contextmanager
+def flat_rule(is_flat: bool):
+    """Marks a compile as a FLAT rule (no steps / record_when /
+    asserts / branch): the string-family SQL-function fast path only
+    engages there.  In composed rules the optimizer multiplies
+    inlined function bodies through the @out-chaining projections
+    (PushDownPredicates substitutes keep through the builder layers,
+    then ColumnPruning/CollapseProject re-copy — a 37 kB analyzed plan
+    ballooned to an 8-29 MB optimized plan and OOM'd; round-9 find,
+    latent since the r8 arith functions at smaller scale)."""
+    prev = getattr(_flat_state, "flat", False)
+    _flat_state.flat = is_flat
+    try:
+        yield
+    finally:
+        _flat_state.flat = prev
+
+
+def in_flat_rule() -> bool:
+    return getattr(_flat_state, "flat", False)
+
+
 def rerr(kind: str, message: str, path: str | None = None,
          code: str | None = None) -> Column:
     """Error column: raise in strict mode, NULL in lenient (when) mode."""
@@ -273,7 +298,13 @@ V2_NATIVE_STEP_OPS = {
 #   Project) and fall back to an internal V.let inside lambda scopes.
 UDF_OPS = {"deep_merge", "object_flatten", "object_unflatten",
            "pick", "omit", "date_format", "to_unixtime",
-           "+", "-", "*", "/"}
+           "+", "-", "*", "/",
+           # round 9: string/stringify ops with SQL-function fast paths
+           # (ops_string_sql.py) — raw pipe value becomes the function
+           # argument; the inline fallback V.lets it itself
+           "trim", "lowercase", "uppercase", "to_string", "concat",
+           "split", "pad_start", "pad_end", "replace", "to_base",
+           "round"}
 
 _op_state = threading.local()
 _op_state.current = None

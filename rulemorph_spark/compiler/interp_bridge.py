@@ -44,6 +44,13 @@ _UDF_ALWAYS = frozenset({"deep_merge", "object_flatten",
                          "object_unflatten"})
 _UDF_DYNAMIC = frozenset({"pick", "omit"})  # UDF only for dynamic paths
 
+# observability (VERDICT r8 watch item #2): the bridge is a deliberate
+# whole-mapping-interpreted slow path for rare shapes — these counters
+# (compile-time hits per entry point, read via
+# functions.diag.interp_bridge_stats) make it visible if a refactor
+# silently routes a HOT path through it
+BRIDGE_HITS = {"mapping": 0, "when": 0, "finalize": 0}
+
 
 def _op_needs_udf(step: OpStep) -> bool:
     op = OP_ALIASES.get(step.op, step.op)
@@ -202,6 +209,7 @@ def finalize_filter_column(raw_filter, version: int, item_col: Column,
     UDF because Spark extracts Python UDFs into an eager projection,
     so an outer ``F.when`` would not stop evaluation.
     """
+    BRIDGE_HITS["finalize"] += 1
     from .. import interp as I
 
     model = I.parse_expr_model(raw_filter)
@@ -249,6 +257,7 @@ def when_value_column(raw_when, version: int, scope,
     Column: True/False per the reference's ``eval_when_expr``; NULL on
     evaluation error (the caller's lenient protocol records a warning
     and skips, exactly like the interpreter's warn-and-false)."""
+    BRIDGE_HITS["when"] += 1
     from .. import interp as I
 
     model = I.parse_expr_model(raw_when)
@@ -279,6 +288,7 @@ def when_value_column(raw_when, version: int, scope,
 def mapping_value_column(raw_expr, version: int, scope,
                          base_path: str) -> Column:
     """The mapping's value as an interp-evaluated variant Column."""
+    BRIDGE_HITS["mapping"] += 1
     from .. import interp as I
     from . import variant as V
 

@@ -193,6 +193,18 @@ def op_concat(scope, cur, args, path):
              and isinstance(a.start.value, (str, int, float, bool)))
         for a in args]
 
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("concat", scope, cur, args, path, safe=safe)
+    if fast is not None:
+        return fast
+    # inline fallback: concat is in UDF_OPS (compile_step skips its
+    # pipe binding for the fast path above), so bind the raw pipe here
+    # — every part/protocol piece below references it several times
+    return V.let(cur, lambda x: _concat_inline(scope, x, args, path,
+                                               safe))
+
+
+def _concat_inline(scope, cur, args, path, safe):
     if cur_version() >= 2:
         # v2: each part through eval_value_as_string — serde Display
         # numbers (2.0 → "2.0"), null/containers → "expected string,
@@ -238,6 +250,14 @@ def op_coalesce(scope, cur, args, path):
 
 @register("to_string")
 def op_to_string(scope, cur, args, path):
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("to_string", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _to_string_inline(scope, x, args, path))
+
+
+def _to_string_inline(scope, cur, args, path):
     ops = _operands(scope, cur, args, path)
     if cur_version() >= 2:
         # v2-native to_string never errors: null → "null", containers →
@@ -274,21 +294,44 @@ def _unary_string(scope, cur, args, path, fn):
 
 @register("trim")
 def op_trim(scope, cur, args, path):
-    return _unary_string(scope, cur, args, path, F.trim)
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("trim", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _unary_string(scope, x, args, path,
+                                              F.trim))
 
 
 @register("lowercase")
 def op_lowercase(scope, cur, args, path):
-    return _unary_string(scope, cur, args, path, F.lower)
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("lowercase", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _unary_string(scope, x, args, path,
+                                              F.lower))
 
 
 @register("uppercase")
 def op_uppercase(scope, cur, args, path):
-    return _unary_string(scope, cur, args, path, F.upper)
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("uppercase", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _unary_string(scope, x, args, path,
+                                              F.upper))
 
 
 @register("replace")
 def op_replace(scope, cur, args, path):
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("replace", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _replace_inline(scope, x, args, path))
+
+
+def _replace_inline(scope, cur, args, path):
     """Four modes (``transform.rs:2162-2236``): default literal-FIRST,
     ``all`` literal-all, ``regex`` regex-first, ``regex_all`` regex-all."""
     def build(*ops):
@@ -349,6 +392,14 @@ def _replace_regex_first(value, pattern, replacement):
 
 @register("split")
 def op_split(scope, cur, args, path):
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("split", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _split_inline(scope, x, args, path))
+
+
+def _split_inline(scope, cur, args, path):
     """Literal delimiter, keeps empty parts (``transform.rs:2238-2282``)."""
     def build(*ops):
         value = _as_string(ops[0], arg_path(path, 0))
@@ -402,12 +453,20 @@ def _pad(scope, cur, args, path, *, start: bool):
 
 @register("pad_start")
 def op_pad_start(scope, cur, args, path):
-    return _pad(scope, cur, args, path, start=True)
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("pad_start", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _pad(scope, x, args, path, start=True))
 
 
 @register("pad_end")
 def op_pad_end(scope, cur, args, path):
-    return _pad(scope, cur, args, path, start=False)
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("pad_end", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _pad(scope, x, args, path, start=False))
 
 
 # --- numeric ops ---------------------------------------------------------
@@ -559,6 +618,14 @@ def _numeric_fold(scope, cur, args, path, op, exact_two=False):
 @register("round")
 def op_round(scope, cur, args, path):
     """Half-away-from-zero with optional scale (``transform.rs:2437-2515``)."""
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("round", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _round_inline(scope, x, args, path))
+
+
+def _round_inline(scope, cur, args, path):
     def build(*bound) -> Column:  # operands let-bound (see _numeric_fold)
         number = V.to_number_strict(bound[0], arg_path(path, 0),
                                     "operand must be a number")
@@ -603,6 +670,14 @@ def op_round(scope, cur, args, path):
 
 @register("to_base")
 def op_to_base(scope, cur, args, path):
+    from .ops_string_sql import string_sqlfn
+    fast = string_sqlfn("to_base", scope, cur, args, path)
+    if fast is not None:
+        return fast
+    return V.let(cur, lambda x: _to_base_inline(scope, x, args, path))
+
+
+def _to_base_inline(scope, cur, args, path):
     """int → base-2..36 lowercase digits (``transform.rs:2517-2574``)."""
     def build(*ops):
         number = _as_i64(ops[0], arg_path(path, 0),

@@ -297,7 +297,12 @@ class RuleCompiler:
             return v1_expr_to_pipe(raw)
         except RuleError as e:
             if e.path is None:
-                raise RuleError(e.code, e.message, path) from None
+                ne = RuleError(e.code, e.message, path)
+                # keep the V2ParseError variant for the transform
+                # boundary's Display wrapper (errors.
+                # rule_error_to_transform)
+                ne.v2_variant = getattr(e, "v2_variant", None)
+                raise ne from None
             raise
 
     def _compile_when(self, raw, scope: Scope, path: str) -> Column:
@@ -369,6 +374,16 @@ class RuleCompiler:
                            path).cast(V.VT)
         else:
             on_null = V.vnull()
+
+        if (mapping.value_type is None and not mapping.required
+                and not mapping.has_default):
+            # the plain-mapping finish is an IDENTITY (missing stays
+            # SQL NULL, variant-null maps to a fresh variant null) —
+            # skipping it drops the V.let lambda that kept otherwise
+            # lambda-free projections out of whole-stage codegen
+            # (round 9; the sqlfn-backed op set made this the common
+            # fully-codegen shape)
+            return value
 
         def finish(v):
             casted = v
@@ -457,7 +472,11 @@ class RuleCompiler:
 
     def compile(self, builder: Builder, input_col: Column) \
             -> CompiledRecordRule:
-        with rule_version(self.rule.version):
+        r = self.rule
+        flat = (r.steps is None and not r.has_record_when
+                and not any(m.has_when for m in (r.mappings or [])))
+        from .core import flat_rule
+        with rule_version(r.version), flat_rule(flat):
             return self._compile_inner(builder, input_col)
 
     def _compile_inner(self, builder: Builder,

@@ -544,7 +544,17 @@ def _transform_parsed(spark, rule, input_text, input_path, context,
     from .compiler.rule import Builder
     compiler = RuleCompiler(rule, context=context, base_dir=base_dir)
     builder = Builder(df)
-    compiled = compiler.compile(builder, F.col("__record__"))
+    try:
+        compiled = compiler.compile(builder, F.col("__record__"))
+    except RuleError as e:
+        # the reference parses v2 mapping exprs at EVAL, so expr-level
+        # parse failures are transform ExprErrors with the V2ParseError
+        # Display wrappers (CLI rc=3), not rule errors (rc=2)
+        from .errors import rule_error_to_transform
+        te = rule_error_to_transform(e)
+        if te is not None:
+            raise te from None
+        raise
     warnings: list[dict] = []
     if collect_warnings and compiled.warn_flags:
         agg = builder.df.agg(*[

@@ -278,3 +278,19 @@ def extract_engine_error(exc: BaseException) -> TransformEngineError | None:
         path=payload.get("path"),
         code=payload.get("code"),
     )
+
+
+def rule_error_to_transform(e: RuleError) -> "TransformEngineError | None":
+    """Expression-level RuleErrors raised during rule COMPILE surface
+    as transform errors: the reference parses v2 pipes at EVAL
+    (per mapping), so parse failures are ExprErrors (CLI rc=3) rendered
+    with the ``V2ParseError`` Display wrapper named by the variant tag
+    (``expr_ir._err``).  Structural rule errors return None and stay on
+    the rule channel (rc=2)."""
+    if e.code not in ("expr_error", "unknown_op", "invalid_args"):
+        return None
+    label = {"start": "invalid start value", "step": "invalid step",
+             "args": "invalid args", "cond": "invalid condition"}
+    v = getattr(e, "v2_variant", None)
+    msg = f"{label[v]}: {e.message}" if v else e.message
+    return TransformEngineError(normalize_kind(e.code), msg, e.path)

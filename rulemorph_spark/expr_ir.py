@@ -155,8 +155,16 @@ Condition = CondAll | CondAny | CondCompare | CondExpr
 
 # --- parser ------------------------------------------------------------
 
-def _err(msg: str) -> RuleError:
-    return RuleError("expr_error", msg)
+def _err(msg: str, variant: str | None = None) -> RuleError:
+    """Expression-parse error; ``variant`` mirrors the reference's
+    ``V2ParseError`` classification (v2_parser.rs:565-583) so the
+    transform boundary can render its Display wrapper ("invalid step:
+    ...", "invalid start value: ...") — the reference parses v2 pipes
+    at EVAL, so these surface as transform ExprErrors, not rule errors
+    (engine.rule_error_to_transform)."""
+    e = RuleError("expr_error", msg)
+    e.v2_variant = variant
+    return e
 
 
 def parse_start(value: JsonValue) -> Start:
@@ -169,7 +177,7 @@ def parse_start(value: JsonValue) -> Start:
         if ref is not None:
             return StartRef(ref)
         if value.startswith("@"):
-            raise _err(f"invalid v2 reference: {value}")
+            raise _err(f"invalid v2 reference: {value}", "start")
         return StartLiteral(value)
     return StartLiteral(value)
 
@@ -191,7 +199,7 @@ def parse_step(value: JsonValue) -> Step:
         if "let" in value:
             bindings = value["let"]
             if not isinstance(bindings, dict):
-                raise _err("let bindings must be an object")
+                raise _err("let bindings must be an object", "step")
             return LetStep(bindings=tuple(
                 (k, parse_expr(v)) for k, v in bindings.items()))
         if "if" in value:
@@ -199,7 +207,7 @@ def parse_step(value: JsonValue) -> Step:
         if "map" in value:
             steps = value["map"]
             if not isinstance(steps, list):
-                raise _err("map steps must be an array")
+                raise _err("map steps must be an array", "step")
             return MapStep(steps=tuple(parse_step(s) for s in steps))
         if len(value) == 1:
             (op_name, args_val), = value.items()
@@ -209,24 +217,24 @@ def parse_step(value: JsonValue) -> Step:
                 else:
                     args = (parse_expr(args_val),)
                 return OpStep(op=op_name, args=args)
-        raise _err("unknown step type")
+        raise _err("unknown step type", "step")
     if isinstance(value, str):
         ref = parse_ref(value)
         if ref is not None:
             return RefStep(ref)
         if value == "$":
-            raise _err("$ as a step is not valid")
+            raise _err("$ as a step is not valid, use it as start or in expressions", "step")
         return OpStep(op=value)
-    raise _err("step must be object or string")
+    raise _err("step must be object or string", "step")
 
 
 def _parse_if_step(obj: dict) -> IfStep:
     if_val = obj["if"]
     if isinstance(if_val, dict) and ("cond" in if_val or "then" in if_val):
         if "cond" not in if_val:
-            raise _err("if step missing 'cond'")
+            raise _err("if step missing 'cond'", "step")
         if "then" not in if_val:
-            raise _err("if step missing 'then' branch")
+            raise _err("if step missing 'then' branch", "step")
         cond = parse_condition(if_val["cond"])
         then_branch = parse_pipe_from_value(if_val["then"])
         else_branch = (parse_pipe_from_value(if_val["else"])
@@ -234,7 +242,7 @@ def _parse_if_step(obj: dict) -> IfStep:
         return IfStep(cond=cond, then_branch=then_branch,
                       else_branch=else_branch)
     if "then" not in obj:
-        raise _err("if step missing then branch")
+        raise _err("if step missing then branch", "step")
     cond = parse_condition(if_val)
     then_branch = parse_pipe_from_value(obj["then"])
     else_branch = (parse_pipe_from_value(obj["else"])
@@ -286,12 +294,12 @@ def parse_condition(value: JsonValue) -> Condition:
         if "all" in value:
             arr = value["all"]
             if not isinstance(arr, list):
-                raise _err("all/any must contain an array")
+                raise _err("all/any must contain an array", "cond")
             return CondAll(tuple(parse_condition(c) for c in arr))
         if "any" in value:
             arr = value["any"]
             if not isinstance(arr, list):
-                raise _err("all/any must contain an array")
+                raise _err("all/any must contain an array", "cond")
             return CondAny(tuple(parse_condition(c) for c in arr))
         for key in _CMP_KEYS:
             if key in value:

@@ -173,3 +173,17 @@ def key_skew(df: DataFrame, key: str | Column, top: int = 20) -> dict:
         "max_key_frac": round(hot[0][1] / total, 4) if total and hot
         else 0.0,
     }
+
+
+def interp_bridge_stats(reset: bool = False) -> dict:
+    """Compile-time hit counts of the interp-bridge slow path
+    (``compiler/interp_bridge.py`` — whole-mapping interpretation for
+    UDF ops trapped in lambda positions).  The bridge is oracle-exact
+    but Arrow-batched Python; a HOT path showing up here is a plan
+    regression (VERDICT r8 watch item #2)."""
+    from ..compiler.interp_bridge import BRIDGE_HITS
+    out = dict(BRIDGE_HITS)
+    if reset:
+        for k in BRIDGE_HITS:
+            BRIDGE_HITS[k] = 0
+    return out

@@ -184,3 +184,31 @@ def test_extended_anchor_codegen_state(spark):
     assert st["nodes_interpreted"], st
     assert all(n in ("Project", "Filter") for n in
                st["nodes_interpreted"]), st
+
+
+def test_interp_bridge_counter(spark):
+    """The interp bridge's compile-time hit counters
+    (diag.interp_bridge_stats) — the slow path must be observable
+    (VERDICT r8 watch item #2)."""
+    import json as _json
+
+    from rulemorph_spark.engine import transform
+    from rulemorph_spark.functions.diag import interp_bridge_stats
+
+    interp_bridge_stats(reset=True)
+    rule = """
+version: 2
+input: {format: json}
+mappings:
+  - target: out
+    expr: ["@input.xs", {map: [{deep_merge: [{"z": 9}]}]}]
+"""
+    transform(spark, rule, input_text=_json.dumps([{"xs": [{"a": 1}]}]))
+    assert interp_bridge_stats()["mapping"] >= 1
+    # a plain rule adds nothing
+    before = interp_bridge_stats(reset=True)
+    transform(spark, 'version: 2\ninput: {format: json}\nmappings:\n'
+                     '  - target: a\n    expr: ["@input.xs"]\n',
+              input_text=_json.dumps([{"xs": 1}]))
+    assert interp_bridge_stats() == {"mapping": 0, "when": 0,
+                                     "finalize": 0}
