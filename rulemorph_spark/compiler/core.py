@@ -367,6 +367,14 @@ def compile_ref(ref: Ref, scope: Scope, path: str) -> Column:
         if name not in scope.locals:
             raise RuleError("expr_error", f"undefined variable: @{name}", path)
         return scope.locals[name]
+    elif ref.namespace == "pipe":
+        # v1 ``pipe.*`` refs: bound only during the reference's
+        # v2→v1 delegation (which the engine never expresses through
+        # v1 {ref:} syntax), so this is ALWAYS the eval error — raised
+        # per evaluation position like eval_ref (transform.rs; pinned
+        # by the v1_pipe_ref.rs inline suite)
+        return rerr("expr_error", "pipe is only available within v2 pipes",
+                    path).cast(V.VT)
     else:  # pragma: no cover
         raise RuleError("invalid_ref", f"unknown namespace {ref.namespace}")
     if ref.path == "":

@@ -338,6 +338,15 @@ def v1_expr_to_pipe(value: JsonValue) -> Pipe:
             ref = parse_ref("@" + ref_path if not str(ref_path).startswith("@")
                             else ref_path)
             if ref is None:
+                # v1 additionally knows the ``pipe.*`` namespace (the
+                # injected chain value during v2 delegation); in plain
+                # v1 eval it is never bound, so it raises "pipe is only
+                # available within v2 pipes" at EVAL, not at parse
+                # (eval_ref, transform.rs; pinned by v1_pipe_ref.rs)
+                s = str(ref_path)
+                if s == "pipe" or s.startswith("pipe."):
+                    return Pipe(start=StartRef(
+                        Ref("pipe", s[5:] if len(s) > 4 else "")))
                 raise _err(f"invalid ref: {ref_path}")
             return Pipe(start=StartRef(ref))
         if "op" in value:

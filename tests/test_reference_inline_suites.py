@@ -47,12 +47,14 @@ mappings:
     expr:
       ref: "pipe.value"
 """
-    with pytest.raises((TransformEngineError, RuleError)) as exc_info:
+    # a TRANSFORM ExprError, like the reference (round 9 parse-error
+    # channel: expression parse failures are eval-channel errors)
+    with pytest.raises(TransformEngineError) as exc_info:
         transform(spark, yaml, input_text='{ "id": 1 }')
     err = exc_info.value
-    kind = getattr(err, "kind", getattr(err, "code", None))
-    assert kind == "expr_error"
-    assert getattr(err, "path", None) == "mappings[0].expr"
+    assert err.kind == "ExprError"
+    assert err.message == "pipe is only available within v2 pipes"
+    assert err.path == "mappings[0].expr"
 
 
 # --- v2_conditions.rs ----------------------------------------------------
