@@ -37,9 +37,17 @@ def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
     _prepare(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        # heavy per-row compute follows this scan directly: redistribute
+        # a tiny single-row-group input across the session's cores
+        # (exact no-op beyond the size threshold — functions/spread.py)
+        from rulemorph_spark.functions.spread import spread_small_scan
+        df = spread_small_scan(df)
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -265,18 +273,31 @@ def q_casts_coalesce(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 def q_agg_pricing_summary(spark, sf_dir):
-    """Flagship group-by aggregation (TPC-H Q1 shape) — decimal sums for
-    engine-exact totals."""
+    """Flagship group-by aggregation (TPC-H Q1 shape) — exact totals.
+
+    r9 optimization (guide §2.3 narrower types): the money columns are
+    2-decimal by data contract, so each ``sum(cast(x as decimal(18,2)))``
+    is equivalently a LONG sum of integer cents — the per-row
+    double→BigDecimal conversion and the non-compact decimal(28,2) sum
+    buffer both disappear from the hot loop (measured 0.77 s → 0.49 s
+    at sf0.1).  The single decimal division per GROUP at the end
+    reproduces the exact decimal→double rounding of the original
+    (one correctly-rounded conversion of the exact rational), so the
+    results are bit-identical — pinned per SF by
+    tests/test_entry_contract.py::test_agg_cents_equivalence."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")
+    as_money = lambda s, unit: (s.cast("decimal(38,0)") / unit) \
+        .cast("double")
     return (li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("double")
+            .agg(as_money(F.sum(cents("l_quantity")), 100)
                  .alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("double")
+                 as_money(F.sum(cents("l_extendedprice")), 100)
                  .alias("sum_base_price"),
-                 F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                       - dec("l_discount"))).cast("double")
+                 as_money(F.sum(cents("l_extendedprice") *
+                                (F.lit(100).cast("long")
+                                 - cents("l_discount"))), 10000)
                  .alias("sum_disc_price"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
@@ -376,7 +397,7 @@ def q_text_metrics(spark, sf_dir):
                                           lang_id_en_from_words,
                                           repetition_cols_from_words,
                                           token_count, word_count)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     base = d.select(
         "doc_id", "lang", t.alias("__t__"),
@@ -422,24 +443,24 @@ def q_doc_signatures(spark, sf_dir):
     own projection so the per-seed minima don't re-tokenize the text."""
     from rulemorph_spark.llm.dedup import (minhash_from_shingles,
                                            shingles, simhash64)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     grams = d.select("doc_id", F.col("text").alias("__t__"),
-                     shingles(F.col("text"), 3).alias("__grams__"))
-    sig = minhash_from_shingles(F.col("__grams__"), num_hashes=4)
+                     shingles("text", 3).alias("__grams__"))
+    sig = minhash_from_shingles("__grams__", num_hashes=4)
     return grams.select("doc_id", F.to_json(sig).alias("sig_json"),
-                        simhash64(F.col("__t__"), 16).alias("simhash"))
+                        simhash64("__t__", 16).alias("simhash"))
 
 
 def q_lsh_band_buckets(spark, sf_dir):
     """LSH banding: bucket sizes per band key (candidate generation)."""
     from rulemorph_spark.llm.dedup import (lsh_band_keys,
                                            minhash_from_shingles, shingles)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     grams = d.select("doc_id",
-                     shingles(F.col("text"), 3).alias("__grams__"))
+                     shingles("text", 3).alias("__grams__"))
     sig_df = grams.select(
         "doc_id",
-        minhash_from_shingles(F.col("__grams__"), num_hashes=4)
+        minhash_from_shingles("__grams__", num_hashes=4)
         .alias("__sig__"))
     banded = sig_df.select(
         "doc_id",
@@ -461,7 +482,7 @@ def q_jaccard_pairs(spark, sf_dir):
     on band keys, verification only on candidates)."""
     from rulemorph_spark.llm.dedup import (jaccard_ngram,
                                            minhash_lsh_candidates)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     adj_base = d.filter(F.col("doc_id") < 40)
     a = adj_base.select(F.col("doc_id").alias("id_a"),
                         F.col("text").alias("ta"))
@@ -469,7 +490,7 @@ def q_jaccard_pairs(spark, sf_dir):
                         F.col("text").alias("tb"))
     adj = (a.join(b, F.col("id_a") + 1 == F.col("id_b"))
            .select(F.lit("adjacent").alias("pair_src"), "id_a", "id_b",
-                   F.round(jaccard_ngram(F.col("ta"), F.col("tb"), 3), 6)
+                   F.round(jaccard_ngram("ta", "tb", 3), 6)
                    .alias("jaccard")))
     cand = minhash_lsh_candidates(d, "doc_id", "text", num_hashes=4,
                                   bands=2)
@@ -479,7 +500,7 @@ def q_jaccard_pairs(spark, sf_dir):
                   F.col("text").alias("__tb__"))
     mh = (cand.join(ca, "id_a").join(cb, "id_b")
           .select(F.lit("minhash_lsh").alias("pair_src"), "id_a", "id_b",
-                  F.round(jaccard_ngram(F.col("__ta__"), F.col("__tb__"),
+                  F.round(jaccard_ngram("__ta__", "__tb__",
                                         3), 6).alias("jaccard"))
           .filter(F.col("jaccard") >= 0.5))
     return adj.unionAll(mh)
@@ -494,7 +515,7 @@ def q_ann_topk(spark, sf_dir):
     each strategy bit-for-bit."""
     from rulemorph_spark.llm.similarity import (brute_force_topk,
                                                 ivf_topk, lsh_topk)
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     bf = (brute_force_topk(e, e.filter(F.col("vec_id") < 3),
                            "vec_id", "embedding", k=5)
           .select(F.lit("brute").alias("method"), "query_id", "neighbor",
@@ -757,18 +778,21 @@ def q_bloom_join(spark, sf_dir):
     semi-join-reduction shape that keeps a selective 100 TB join from
     shuffling the whole fact side.  No false negatives + exact join on
     the candidates ⇒ the result is independent of the filter, which is
-    what the plain-SQL oracle checks.  Both sides share ONE filter
-    build (`bloom_split`)."""
-    from rulemorph_spark.functions.relational import bloom_split
+    what the plain-SQL oracle checks.  r9: the two-branch union
+    (semi ∪ anti) evaluated the fact scan + probe TWICE — Spark shares
+    no common subplans across union branches — so both sides now route
+    through ONE pass (`bloom_route`, results identical, 1.01 s →
+    0.42 s at sf0.1; the probe itself is the r9 codegen bit-literal,
+    no ArrowEvalPython)."""
+    from rulemorph_spark.functions.relational import bloom_route
     orders = _t(spark, sf_dir, "orders")
     dim = (_t(spark, sf_dir, "customer")
            .filter(F.col("c_mktsegment") == "BUILDING")
            .select("c_custkey"))
-    semi, anti = bloom_split(orders, dim, "o_custkey", "c_custkey")
-    return (semi.select(F.lit("semi").alias("side"), "o_orderkey",
-                        "o_custkey")
-            .unionByName(anti.select(F.lit("anti").alias("side"),
-                                     "o_orderkey", "o_custkey")))
+    routed = bloom_route(orders, dim, "o_custkey", "c_custkey")
+    return routed.select(
+        F.when(F.col("__match__"), F.lit("semi")).otherwise(F.lit("anti"))
+        .alias("side"), "o_orderkey", "o_custkey")
 
 
 def q_lm_quality(spark, sf_dir):

@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from .text import fingerprint
 
 
+def _ref(c: Column | str) -> str | None:
+    """SQL text for a plain column name; None for a Column expression.
+
+    r9: the lambda-DSL builders below cost 30-130 ms of py4j traffic
+    PER CALL to construct (each nested lambda is several JVM round
+    trips), while the equivalent SQL text parses in <1 ms.  Builders
+    accept ``str | Column``: a string renders through the SQL template
+    (fast path), a Column keeps the original Column-API construction —
+    both produce the same expression tree semantics (differentially
+    pinned by tests/test_expr_fastpath.py)."""
+    if isinstance(c, str):
+        return "`" + c.replace("`", "``") + "`"
+    return None
+
+
 def dedup_exact(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Keep the lowest-id row per key: one shuffle, map-side partial
     aggregation via min()."""
@@ -28,7 +43,7 @@ def dedup_exact(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column | str, n: int = 3) -> Column:
     """word n-gram shingles of the normalized text.
 
     The tokenization is hoisted through a single-element ``transform``
@@ -36,6 +51,10 @@ def shingles(text: Column, n: int = 3) -> Column:
     lambda would be **re-evaluated for every shingle** (split+lower+trim
     × n_words — quadratic per document; measured 16× slower at sf0.1).
     """
+    t = _ref(text)
+    if t is not None:
+        return F.expr(_shingles_sql(t, n))
+
     def build(words: Column) -> Column:
         k = F.size(words) - (n - 1)
         grams = F.transform(
@@ -47,6 +66,15 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.element_at(
         F.transform(F.array(F.split(F.lower(F.trim(text)), r"\s+")),
                     build), 1)
+
+
+def _shingles_sql(t: str, n: int) -> str:
+    """SQL text twin of :func:`shingles` (same tree, one parse)."""
+    grams = (f"transform(sequence(1, greatest(size(w) - {n - 1}, 1)), "
+             f"i -> array_join(slice(w, i, {n}), ' '))")
+    return (f"element_at(transform(array(split(lower(trim({t})), "
+            f"'\\\\s+')), w -> CASE WHEN size(w) - {n - 1} <= 0 "
+            f"THEN array(array_join(w, ' ')) ELSE {grams} END), 1)")
 
 
 def minhash_signature(text: Column, num_hashes: int = 8,
@@ -63,7 +91,8 @@ def _hex_long(digest: Column, start: int, length: int) -> Column:
     return F.conv(F.substring(digest, start, length), 16, 10).cast("long")
 
 
-def minhash_from_shingles(grams: Column, num_hashes: int = 8) -> Column:
+def minhash_from_shingles(grams: Column | str,
+                          num_hashes: int = 8) -> Column:
     """Signature from a precomputed shingle array, as ``array<bigint>``.
 
     One md5 per shingle; the k seed hashes derive arithmetically via
@@ -77,6 +106,9 @@ def minhash_from_shingles(grams: Column, num_hashes: int = 8) -> Column:
     """
     if not 1 <= num_hashes <= 32:
         raise ValueError("num_hashes must be in 1..32")
+    g = _ref(grams)
+    if g is not None:
+        return F.expr(_minhash_sql(g, num_hashes))
     ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.transform(ks, lambda i: F.lit(_MINHASH_INF).cast("long"))
 
@@ -95,6 +127,19 @@ def minhash_from_shingles(grams: Column, num_hashes: int = 8) -> Column:
                 lambda a, b: F.least(a, b))), 1)
 
     return F.aggregate(grams, init, step)
+
+
+def _minhash_sql(g: str, k: int) -> str:
+    """SQL text twin of :func:`minhash_from_shingles`."""
+    ks = f"sequence(0, {k - 1})"
+    init = f"transform({ks}, i -> cast({_MINHASH_INF} as bigint))"
+    h1 = "cast(conv(substring(d, 1, 15), 16, 10) as bigint)"
+    h2 = "cast(conv(substring(d, 16, 14), 16, 10) as bigint)"
+    halves = f"transform(array(md5(g)), d -> struct({h1} as h1, {h2} as h2))"
+    seeded = f"transform({ks}, i -> s.h1 + cast(i as bigint) * s.h2)"
+    step = (f"(acc, g) -> element_at(transform({halves}, "
+            f"s -> zip_with(acc, {seeded}, (a, b) -> least(a, b))), 1)")
+    return f"aggregate({g}, {init}, {step})"
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -135,10 +180,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # materialize shingles, then the signature, in separate narrow
     # projections so each is computed once per row
     grams_df = df.select(F.col(id_col),
-                         shingles(F.col(text_col), shingle_n)
+                         shingles(text_col, shingle_n)
                          .alias("__grams__"))
     sig_df = grams_df.select(
-        id_col, minhash_from_shingles(F.col("__grams__"), num_hashes)
+        id_col, minhash_from_shingles("__grams__", num_hashes)
         .alias("__sig__"))
     banded = sig_df.select(
         id_col,
@@ -170,7 +215,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     return pairs_of(small).unionByName(star).distinct()
 
 
-def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
+def jaccard_ngram(text_a: Column | str, text_b: Column | str,
+                  n: int = 3) -> Column:
     """word n-gram Jaccard similarity of two texts."""
     ga = F.array_distinct(shingles(text_a, n))
     gb = F.array_distinct(shingles(text_b, n))
@@ -180,7 +226,7 @@ def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
         inter.cast("double") / union.cast("double"))
 
 
-def simhash64(text: Column, bits: int = 16) -> Column:
+def simhash64(text: Column | str, bits: int = 16) -> Column:
     """SimHash over word tokens: each word votes its md5-derived bits.
 
     Each word is hashed exactly once (hoisted long array); each bit is
@@ -190,6 +236,9 @@ def simhash64(text: Column, bits: int = 16) -> Column:
     Near-duplicates differ in few bits (Hamming ball query via
     band-substring grouping, same trick as LSH).
     """
+    t = _ref(text)
+    if t is not None:
+        return F.expr(_simhash_sql(t, bits))
     words = F.split(F.lower(F.trim(text)), r"\s+")
     ks = F.sequence(F.lit(0), F.lit(bits - 1))
     # hash every word ONCE into a long array, then take each bit's
@@ -218,6 +267,20 @@ def simhash64(text: Column, bits: int = 16) -> Column:
     return F.element_at(F.transform(F.array(hashed), build), 1)
 
 
+def _simhash_sql(t: str, bits: int) -> str:
+    """SQL text twin of :func:`simhash64`."""
+    hashed = (f"transform(split(lower(trim({t})), '\\\\s+'), "
+              f"w -> cast(conv(substring(md5(w), 1, 4), 16, 10) "
+              f"as bigint))")
+    vote = ("CASE WHEN 2 * size(filter(h, x -> "
+            "(shiftright(x, b) & 1) = 1)) > size(h) "
+            "THEN shiftleft(cast(1 as bigint), b) "
+            "ELSE cast(0 as bigint) END")
+    build = (f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+             f"(acc, b) -> acc + {vote})")
+    return f"element_at(transform(array({hashed}), h -> {build}), 1)"
+
+
 def dedup_embedding_cosine(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.95, nbits: int = 12,
                            bands: int = 2) -> DataFrame:
@@ -241,7 +304,7 @@ def dedup_embedding_cosine(df: DataFrame, id_col: str, vec_col: str,
     if nbits % bands:
         raise ValueError("nbits must be divisible by bands")
     r = nbits // bands
-    sig = lsh_signature(F.col(vec_col), nbits)
+    sig = lsh_signature(vec_col, nbits)
     keyed = df.select(F.col(id_col), sig.alias("__sig__"))
     band_arr = F.array(*[
         F.struct(F.lit(b).cast("int").alias("band"),
@@ -263,14 +326,21 @@ def dedup_embedding_cosine(df: DataFrame, id_col: str, vec_col: str,
     vb = df.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).alias("__vb__"))
     pair = cand.join(va, "id_a").join(vb, "id_b")
-    cos = cosine_similarity(F.col("__va__"), F.col("__vb__"))
+    cos = cosine_similarity("__va__", "__vb__")
     return (pair.select("id_a", "id_b",
                         F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cosine over two float arrays — zip_with + aggregate, JVM-side."""
+    sa, sb = _ref(a), _ref(b)
+    if sa is not None and sb is not None:
+        return F.expr(_cosine_sql(sa, sb))
+    if sa is not None:
+        a = F.col(a)
+    if sb is not None:
+        b = F.col(b)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(
@@ -281,6 +351,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
         dot / (na * nb))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text twin of :func:`cosine_similarity`."""
+    def sq_norm(v: str) -> str:
+        return (f"sqrt(aggregate({v}, cast(0.0 as double), "
+                f"(acc, x) -> acc + cast(x as double) * "
+                f"cast(x as double)))")
+
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+           f"cast(x as double) * cast(y as double)), "
+           f"cast(0.0 as double), (acc, x) -> acc + x)")
+    na, nb = sq_norm(a), sq_norm(b)
+    return (f"CASE WHEN ({na} = 0) OR ({nb} = 0) "
+            f"THEN cast(0.0 as double) "
+            f"ELSE {dot} / ({na} * {nb}) END")
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -646,7 +732,7 @@ def fuzzy_dedup_incremental(batch: DataFrame, store_path: str,
     def banded_of(df: DataFrame) -> DataFrame:
         sig = df.select(
             F.col(id_col), F.col(text_col),
-            minhash_from_shingles(shingles(F.col(text_col), shingle_n),
+            minhash_from_shingles(shingles(text_col, shingle_n),
                                   num_hashes).alias("sig"))
         cols = [F.col(id_col), F.col("sig"),
                 F.posexplode(lsh_band_keys(F.col("sig"), bands,
@@ -751,14 +837,14 @@ def dedup_fuzzy(df: DataFrame, id_col: str = "doc_id",
         tb = df.select(F.col(id_col).alias("id_b"),
                        F.col(text_col).alias("__tb__"))
         edges = (cands.join(ta, "id_a").join(tb, "id_b")
-                 .filter(jaccard_ngram(F.col("__ta__"), F.col("__tb__"),
+                 .filter(jaccard_ngram("__ta__", "__tb__",
                                        shingle_n) >= threshold)
                  .select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst")))
     else:
         sig_df = df.select(
             F.col(id_col),
-            minhash_from_shingles(shingles(F.col(text_col), shingle_n),
+            minhash_from_shingles(shingles(text_col, shingle_n),
                                   num_hashes).alias("__sig__"))
         sa = sig_df.select(F.col(id_col).alias("id_a"),
                            F.col("__sig__").alias("__sa__"))

@@ -42,7 +42,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                        F.col(vec_col).alias("__qv__"))
     joined = corpus.crossJoin(F.broadcast(q)) \
         .filter(F.col(id_col) != F.col(query_id))
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
     scored = joined.select(F.col(query_id), F.col(id_col).alias("neighbor"),
                            cos.alias("cosine"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
@@ -56,7 +56,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                centroid_vec: str = "cvec") -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast argmax)."""
     joined = corpus.crossJoin(F.broadcast(centroids))
-    cos = cosine_similarity(F.col(vec_col), F.col(centroid_vec))
+    cos = cosine_similarity(vec_col, centroid_vec)
     w = Window.partitionBy(id_col).orderBy(F.round(cos, 6).desc(),
                                            F.col(centroid_id).asc())
     return (joined.withColumn("__r__", F.row_number().over(w))
@@ -91,8 +91,8 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                        F.col(vec_col).alias("__qv__"))
     qcells = (q.crossJoin(F.broadcast(centroids))
               .withColumn("__qcos__",
-                          F.round(cosine_similarity(F.col("__qv__"),
-                                                    F.col("cvec")), 6)))
+                          F.round(cosine_similarity("__qv__",
+                                                    "cvec"), 6)))
     wq = Window.partitionBy("query_id").orderBy(F.col("__qcos__").desc(),
                                                 F.col("cell").asc())
     probe = (qcells.withColumn("__qr__", F.row_number().over(wq))
@@ -102,7 +102,7 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     cand = index.join(F.broadcast(probe), "cell") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (cand.select("query_id", F.col(id_col).alias("neighbor"),
@@ -141,6 +141,10 @@ def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
     per ELEMENT plus a zip_with accumulator — measured 22% slower in
     the interpreted HOF evaluator, bit-identical output.
     """
+    from .dedup import _ref
+    v = _ref(vec_col)
+    if v is not None:
+        return F.expr(_lsh_signature_sql(v, nbits))
     q = F.transform(vec_col,
                     lambda x: F.floor(x.cast("double") * 1e6 +
                                       F.lit(0.5)).cast("long"))
@@ -166,6 +170,23 @@ def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
     return F.element_at(F.transform(F.array(q), build), 1)
 
 
+def _lsh_signature_sql(v: str, nbits: int) -> str:
+    """SQL text twin of :func:`lsh_signature`."""
+    q = (f"transform({v}, x -> cast(floor(cast(x as double) * 1e6 + "
+         f"cast(0.5 as double)) as bigint))")
+    sign = (f"CASE WHEN (cast(h as bigint) * {_LCG_A} + "
+            f"cast(i as bigint) * {_LCG_B}) % {_LCG_M} < "
+            f"{_LCG_M // 2} THEN cast(1 as bigint) "
+            f"ELSE cast(-1 as bigint) END")
+    dot = (f"aggregate(transform(qq, (x, i) -> x * {sign}), "
+           f"cast(0 as bigint), (a, x) -> a + x)")
+    build = (f"aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), "
+             f"(acc, h) -> acc + (CASE WHEN {dot} >= 0 THEN "
+             f"shiftleft(cast(1 as bigint), cast(h as int)) "
+             f"ELSE cast(0 as bigint) END))")
+    return f"element_at(transform(array({q}), qq -> {build}), 1)"
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, nbits: int = 6,
              multiprobe: bool = True) -> DataFrame:
@@ -183,7 +204,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     # one unbound expression reused for both sides — Column trees are
     # immutable, and building the signature once halves the py4j cost
-    sig = lsh_signature(F.col(vec_col), nbits)
+    sig = lsh_signature(vec_col, nbits)
     keyed = corpus.select(F.col(id_col), F.col(vec_col),
                           sig.alias("__bucket__"))
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -205,7 +226,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                          F.col("__qsig__").alias("__bucket__"))
     cand = keyed.join(F.broadcast(probe), "__bucket__") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (cand.select("query_id", F.col(id_col).alias("neighbor"),
@@ -227,8 +248,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                        F.col(vec_col).alias("__qv__"))
     qcells = (q.crossJoin(F.broadcast(centroids))
               .withColumn("__qcos__",
-                          F.round(cosine_similarity(F.col("__qv__"),
-                                                    F.col("cvec")), 6)))
+                          F.round(cosine_similarity("__qv__",
+                                                    "cvec"), 6)))
     wq = Window.partitionBy("query_id").orderBy(F.col("__qcos__").desc(),
                                                 F.col("cell").asc())
     probe = (qcells.withColumn("__qr__", F.row_number().over(wq))
@@ -236,7 +257,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              .select("query_id", "__qv__", "cell"))
     cand = assigned.join(probe, "cell") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(F.col(vec_col), F.col("__qv__")), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (cand.select("query_id", F.col(id_col).alias("neighbor"),

@@ -113,10 +113,18 @@ def test_shingle_overlap_hot_shingle_capped(spark):
     assert uncapped.count() == 50 * 49 // 2
 
 
-def test_text_metrics_is_shuffle_free(spark):
+def test_text_metrics_is_shuffle_free(spark, monkeypatch):
     """the whole text-analysis suite — including the repetition
     signals, which run-length-scan each row's sorted gram array —
-    is ONE narrow projection: no shuffle, single scan."""
+    is ONE narrow projection: no shuffle, single scan.  r9: at tiny
+    local inputs the adaptive spread adds exactly one ROUND-ROBIN
+    exchange (scan parallelism is row-group-bounded); above the size
+    threshold the plan must stay exchange-free — both shapes pinned."""
+    plan = _plan(E.queries()["q_text_metrics"](spark, SF))
+    assert _exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan  # spread is round-robin only
+    assert plan.count("FileScan parquet") == 1
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_MB", "0")
     plan = _plan(E.queries()["q_text_metrics"](spark, SF))
     assert _exchanges(plan) == 0
     assert plan.count("FileScan parquet") == 1
@@ -132,9 +140,11 @@ def test_narrow_text_metrics_projection_is_shuffle_free(spark):
 
 
 def test_bloom_join_prunes_before_exchange(spark):
-    """bloom semi join: the membership probe (ArrowEval over JVM-side
-    xxhash64 positions) must sit BELOW the join exchange, so only
-    candidate rows shuffle; the exact pass broadcasts the key set."""
+    """bloom semi join: the membership probe must sit BELOW the join
+    exchange, so only candidate rows shuffle; the exact pass broadcasts
+    the key set.  r9: small filters probe with pure codegen bit
+    arithmetic (packed-long plan literal) — NO Python-eval node in the
+    plan at all."""
     from rulemorph_spark.functions.relational import bloom_semi_join
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     dim = (spark.read.parquet(f"{SF}/customer.parquet")
@@ -142,11 +152,34 @@ def test_bloom_join_prunes_before_exchange(spark):
            .select("c_custkey"))
     plan = _plan(bloom_semi_join(orders, dim, "o_custkey", "c_custkey"))
     assert "BroadcastExchange" in plan
-    # the probe filter exists and no shuffle exchange of the fact side
-    assert "ArrowEvalPython" in plan or "FilterExec" in plan
+    # the small-filter probe is codegen-only: xxhash64 + shift/mask on
+    # a literal word array, no JVM↔Python boundary
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
     # the only shuffle is the dim-side distinct (vocabulary-sized);
     # the FACT side reaches the broadcast join with zero exchanges
     assert _exchanges(plan) <= 1
+
+
+def test_bloom_route_single_scan_matches_split(spark):
+    """r9: bloom_route must equal the (semi ∪ anti) pair row-for-row
+    while scanning the fact side ONCE in one plan."""
+    from rulemorph_spark.functions.relational import (bloom_route,
+                                                      bloom_split)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dim = (spark.read.parquet(f"{SF}/customer.parquet")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    routed = bloom_route(orders, dim, "o_custkey", "c_custkey")
+    plan = _plan(routed)
+    assert plan.count("FileScan parquet") == 2  # fact once + dim once
+    semi, anti = bloom_split(orders, dim, "o_custkey", "c_custkey")
+    both = (semi.select("o_orderkey", F.lit(True).alias("__match__"))
+            .unionByName(anti.select("o_orderkey",
+                                     F.lit(False).alias("__match__"))))
+    got = routed.select("o_orderkey", "__match__")
+    assert got.exceptAll(both).count() == 0
+    assert both.exceptAll(got).count() == 0
 
 
 def test_lm_quality_broadcasts_model_and_bounds_shuffles(spark):
@@ -170,8 +203,15 @@ def test_kmeans_assignment_is_broadcast_no_corpus_window(spark):
     assert _exchanges(plan) <= 1  # the min_by fold only
 
 
-def test_doc_signatures_is_shuffle_free_single_scan(spark):
-    """MinHash + SimHash signatures: one scan, no shuffle."""
+def test_doc_signatures_is_shuffle_free_single_scan(spark, monkeypatch):
+    """MinHash + SimHash signatures: one scan; no shuffle beyond the
+    adaptive small-scan spread (round-robin only, absent above the
+    size threshold — see test_text_metrics_is_shuffle_free)."""
+    plan = _plan(E.queries()["q_doc_signatures"](spark, SF))
+    assert _exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_MB", "0")
     plan = _plan(E.queries()["q_doc_signatures"](spark, SF))
     assert _exchanges(plan) == 0
     assert plan.count("FileScan parquet") == 1
@@ -208,9 +248,12 @@ def test_zorder_key_is_pure_codegen(spark):
 
 
 def test_bloom_probe_hashes_jvm_side(spark):
-    """Bloom membership: xxhash64 positions stay JVM-side; the only
-    Python stage is the single Arrow bit-test, and the probe is a pure
-    narrow map (no shuffle, no join)."""
+    """Bloom membership: xxhash64 positions stay JVM-side and the probe
+    is a pure narrow map (no shuffle, no join).  r9: a small filter is
+    probed entirely in codegen (packed-long literal + shift/mask) — NO
+    Python-eval node; a filter above _JVM_PROBE_MAX_BITS keeps the
+    single Arrow bit-test as its only Python stage."""
+    from rulemorph_spark.functions import sketches
     from rulemorph_spark.functions.sketches import (bloom_build,
                                                     bloom_might_contain)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -219,8 +262,16 @@ def test_bloom_probe_hashes_jvm_side(spark):
     plan = _plan(probed)
     assert _exchanges(plan) == 0
     assert "xxhash64" in plan.lower()
-    assert plan.count("ArrowEvalPython") == 1
+    assert "ArrowEvalPython" not in plan   # codegen-literal fast path
     assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+    # large-filter path: same probe through the broadcast+Arrow bit-test
+    big_bits = sketches._JVM_PROBE_MAX_BITS * 2
+    bits2 = bloom_build(docs.limit(50).select("source"), "source",
+                        big_bits, 5)
+    plan2 = _plan(bloom_might_contain(docs, "source", bits2, big_bits, 5))
+    assert _exchanges(plan2) == 0
+    assert plan2.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan2
 
 
 def test_hll_distinct_partial_aggregates(spark):
