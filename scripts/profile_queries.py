@@ -77,9 +77,12 @@ def main():
               f"{t_exec1:7.3f} {t_exec_w:7.3f}")
         if tag:
             p = os.path.join(plans_dir, f"{name}_{tag}.txt")
+            df3 = fn(spark, sf_dir)
+            jvm = spark._jvm
+            txt = (jvm.org.apache.spark.sql.api.python.PythonSQLUtils
+                   .explainString(df3._jdf.queryExecution(), "formatted"))
             with open(p, "w", encoding="utf-8") as fh:
-                fh.write(fn(spark, sf_dir)._jdf.queryExecution()
-                         .explainString("formatted"))
+                fh.write(txt)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,7 @@ SMOKE_FILES = {
     "test_v2_transform_inline.py",
     "test_endpoint_inline.py",
     "test_entry_contract.py",
+    "test_expr_fastpath.py",
 }
 
 
