@@ -35,6 +35,12 @@ def _prepare(spark: SparkSession) -> None:
     comparisons vs DuckDB), serde-style map key dedup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # r9: suspend pyspark's per-Column-call debug-origin capture (3
+    # py4j round trips + a stack walk per call) for the whole process —
+    # query construction cost, measured 0.3-1.5 s per query at sf0.1
+    # (scripts/profile_queries.py "build" column; guide §1.2 step 2)
+    from rulemorph_spark.engine import disable_df_debugging
+    disable_df_debugging(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
@@ -513,25 +519,43 @@ def q_ann_topk(spark, sf_dir):
     'lsh' — random-hyperplane sign buckets + Hamming-1 multiprobe.
     Signatures/centroid picks are integer-exact so the oracle replays
     each strategy bit-for-bit."""
-    from rulemorph_spark.llm.similarity import (brute_force_topk,
-                                                ivf_topk, lsh_topk)
+    from rulemorph_spark.llm.similarity import (brute_force_scored,
+                                                ivf_scored, lsh_scored)
     e = _t(spark, sf_dir, "embeddings", spread=True)
-    bf = (brute_force_topk(e, e.filter(F.col("vec_id") < 3),
-                           "vec_id", "embedding", k=5)
+    # query/centroid sides are a handful of rows after their vec_id
+    # filters — read them un-spread so they don't pay the round-robin
+    # Exchange meant for the corpus side (guide §2.4)
+    tiny = _t(spark, sf_dir, "embeddings")
+    bf = (brute_force_scored(e, tiny.filter(F.col("vec_id") < 3),
+                             "vec_id", "embedding")
           .select(F.lit("brute").alias("method"), "query_id", "neighbor",
-                  "cosine", "rank"))
-    centroids = (e.filter(F.col("vec_id") < 8)
+                  "cosine"))
+    centroids = (tiny.filter(F.col("vec_id") < 8)
                  .select(F.col("vec_id").alias("cell"),
                          F.col("embedding").alias("cvec")))
-    queries_df = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11))
-    ivf = (ivf_topk(e, queries_df, centroids, "vec_id", "embedding",
-                    k=3, nprobe=2)
+    queries_df = tiny.filter((F.col("vec_id") >= 8) &
+                             (F.col("vec_id") < 11))
+    ivf = (ivf_scored(e, queries_df, centroids, "vec_id", "embedding",
+                      nprobe=2)
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor",
-                   "cosine", "rank"))
-    lsh = (lsh_topk(e, queries_df, "vec_id", "embedding", k=3, nbits=6)
+                   "cosine"))
+    lsh = (lsh_scored(e, queries_df, "vec_id", "embedding", nbits=6)
            .select(F.lit("lsh").alias("method"), "query_id", "neighbor",
-                   "cosine", "rank"))
-    return bf.unionAll(ivf).unionAll(lsh)
+                   "cosine"))
+    # ONE shared rank window over all three strategies (guide §2.4:
+    # the per-strategy windows cost one Exchange each; partitioning by
+    # (method, query_id) ranks each strategy independently under a
+    # single Exchange).  The constant rank<=5 keeps the
+    # WindowGroupLimit pushdown; the per-method k (brute 5, ivf/lsh 3)
+    # is applied exactly afterwards — identical rows to the former
+    # three per-leg windows.
+    w = Window.partitionBy("method", "query_id") \
+        .orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    ranked = (bf.unionAll(ivf).unionAll(lsh)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 5))
+    return ranked.filter((F.col("method") == "brute") |
+                         (F.col("rank") <= 3))
 
 
 def q_json_props_variant(spark, sf_dir):

@@ -62,10 +62,42 @@ def get_spark(app_name: str = "rulemorph-spark",
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+    # r9 (guide §1.2 "per-task work" applied to the DRIVER): PySpark 4
+    # wraps every Column/functions call with a call-site capture that
+    # costs a conf read + PySparkCurrentOrigin.set/.clear py4j round
+    # trips plus a Python stack walk.  Rule compilation already
+    # suspends it (compiler fast_columns()); query CONSTRUCTION paid
+    # it everywhere else — 0.3-1.5 s per bench query at local[32]
+    # (profile_queries "build" column).  The public conf disables the
+    # capture; origins are a debugging nicety (engine errors carry
+    # their own payload, errors.py).  SPARK_GRAFT_DF_DEBUG=true
+    # restores the Spark default.
+    df_debug = os.environ.get("SPARK_GRAFT_DF_DEBUG", "false")
+    builder = builder.config(
+        "spark.python.sql.dataFrameDebugging.enabled", df_debug)
     spark = builder.getOrCreate()
+    if df_debug == "false":
+        disable_df_debugging(spark)
     spark.sparkContext.setLogLevel("ERROR")
     _patch_jvm_function_cache()
     return spark
+
+
+def disable_df_debugging(spark: SparkSession) -> None:
+    """Idempotently turn off pyspark's per-call debug-origin capture
+    for this process (conf + the module-level cache pyspark consults on
+    every wrapped call).  Safe on sessions the engine did not build —
+    the conf is a runtime SQL conf."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled",
+                       "false")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
+    try:
+        import pyspark.errors.utils as _eu
+        _eu._enable_debugging_cache = False
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
 
 
 # --- input readers ------------------------------------------------------

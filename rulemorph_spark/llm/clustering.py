@@ -51,27 +51,72 @@ def seed_centroids(df: DataFrame, id_col: str, vec_col: str,
                         .alias("cell"), "cvec")
 
 
+def _cents_1row(centroids: DataFrame) -> DataFrame:
+    """The (small, broadcastable) centroid table collapsed to ONE row
+    holding the cell-sorted struct array — the in-plan form the per-row
+    argmin expression consumes (r9, guide §2.4)."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("cell").alias("cell"),
+            F.col("cvec").alias("cvec")))).alias("__cents__"))
+
+
+def _best_cell(vec: Column) -> Column:
+    """argmin_{cell} ||vec - cvec||² over the ``__cents__`` array as a
+    struct (d, cell, cvec): lowest rounded distance, ties to the lowest
+    cell id — the exact ordering of the former min_by fold
+    (struct(round(d,9), cell)), now a narrow per-row expression with no
+    k-way row blowup and no exchange.  ``cvec`` rides along for free
+    (never compared: cell ids are unique, so the (d, cell) prefix always
+    decides)."""
+    return F.array_min(F.transform(
+        F.col("__cents__"),
+        lambda c: F.struct(
+            F.round(l2_sq(vec, c["cvec"]), 9).alias("d"),
+            c["cell"].alias("cell"),
+            c["cvec"].alias("cvec"))))
+
+
+def assign_cells_with_vec(df: DataFrame, centroids: DataFrame,
+                          id_col: str, vec_col: str,
+                          keep_cvec: bool = False) -> DataFrame:
+    """Nearest-centroid assignment carrying the input vector through:
+    (id, vec, cell[, __cvec__]).  One narrow pass over the corpus with
+    the one-row centroid array broadcast — no shuffle at all.
+
+    r9 (guide §2.4): the former shape crossJoined the corpus k-fold and
+    folded it back through a groupBy(id) min_by — an Exchange of
+    corpus×k rows carrying the full vectors.  Assignment values are
+    identical (same rounded distance, same tiebreak).  Input ids are
+    assumed unique (the min_by fold deduplicated; this keeps one output
+    row per input row)."""
+    cents = _cents_1row(centroids)
+    best = _best_cell(F.col(vec_col))
+    cols = [F.col(id_col), F.col(vec_col), best["cell"].alias("cell")]
+    if keep_cvec:
+        cols.append(best["cvec"].alias("__cvec__"))
+    return (df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .select(*cols)
+            .filter(F.col("cell").isNotNull()))
+
+
 def assign_cells(df: DataFrame, centroids: DataFrame, id_col: str,
                  vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, take
-    the per-row ``min_by`` over the k candidates.  One narrow pass +
-    a fold keyed by the row id (co-partitioned with the scan)."""
-    joined = df.select(id_col, vec_col) \
-        .crossJoin(F.broadcast(centroids))
-    d = F.round(l2_sq(F.col(vec_col), F.col("cvec")), 9)
-    return (joined.groupBy(id_col)
-            .agg(F.min_by(F.col("cell"),
-                          F.struct(d.alias("d"),
-                                   F.col("cell").alias("c")))
-                 .alias("cell")))
+    """Nearest-centroid assignment → (id, cell): broadcast the one-row
+    centroid array, take the per-row argmin expression (see
+    :func:`assign_cells_with_vec`)."""
+    return assign_cells_with_vec(df, centroids, id_col, vec_col) \
+        .select(id_col, "cell")
 
 
-def _mean_vectors(assigned: DataFrame, df: DataFrame, id_col: str,
-                  vec_col: str) -> DataFrame:
-    """Element-wise mean vector per cell: posexplode → groupBy
-    (cell, dim) avg → re-assemble (sort by dim).  Shuffle key space =
-    k · dims, with map-side partial aggregation."""
-    with_cell = df.select(id_col, vec_col).join(assigned, id_col)
+def _mean_vectors(with_cell: DataFrame, vec_col: str) -> DataFrame:
+    """Element-wise mean vector per cell from an already-assigned
+    (…, vec, cell) frame: posexplode → groupBy (cell, dim) avg →
+    re-assemble (sort by dim).  Shuffle key space = k · dims, with
+    map-side partial aggregation.  (r9: takes the assigned frame
+    directly — the former signature re-joined assignments to the
+    corpus by id, one corpus-sized shuffle join per Lloyd iteration.)"""
     dims = with_cell.select(
         "cell", F.posexplode(F.col(vec_col)).alias("__d__", "__v__"))
     means = (dims.groupBy("cell", "__d__")
@@ -91,14 +136,19 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
 
     Empty cells keep their previous centroid (standard practice — no
     resampling, preserving determinism).
+
+    r9 iteration shape (guide §2.4): narrow argmin assignment (no
+    corpus exchange) → posexplode → ONE tiny (cell, dim)-keyed shuffle
+    with map-side partial avg → k-row merge join.  The former iteration
+    paid a corpus×k min_by shuffle plus a corpus-sized assignment join.
     """
     if k <= 0:
         raise ValueError("k must be positive")
     centroids = seed_centroids(df, id_col, vec_col, k) \
         .localCheckpoint(eager=True)
     for _ in range(max(iters, 0)):
-        assigned = assign_cells(df, centroids, id_col, vec_col)
-        updated = _mean_vectors(assigned, df, id_col, vec_col)
+        with_cell = assign_cells_with_vec(df, centroids, id_col, vec_col)
+        updated = _mean_vectors(with_cell, vec_col)
         # empty cells: fall back to the previous centroid
         merged = (centroids.alias("old")
                   .join(updated.alias("new"), "cell", "left")
@@ -111,12 +161,15 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
 
 def kmeans_inertia(df: DataFrame, centroids: DataFrame, id_col: str,
                    vec_col: str) -> float:
-    """Sum of squared distances to the assigned centroid (the Lloyd
-    objective — must be non-increasing over iterations)."""
-    joined = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
-    d = l2_sq(F.col(vec_col), F.col("cvec"))
-    per_row = (joined.groupBy(id_col)
-               .agg(F.min(d).alias("__d__")))
+    """Sum of squared distances to the nearest centroid (the Lloyd
+    objective — must be non-increasing over iterations).  r9: per-row
+    min over the one-row centroid array + one scalar agg — no
+    corpus×k shuffle."""
+    cents = _cents_1row(centroids)
+    d = F.array_min(F.transform(
+        F.col("__cents__"), lambda c: l2_sq(F.col(vec_col), c["cvec"])))
+    per_row = (df.select(vec_col).crossJoin(F.broadcast(cents))
+               .select(d.alias("__d__")))
     return per_row.agg(F.sum("__d__")).collect()[0][0]
 
 

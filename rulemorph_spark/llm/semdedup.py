@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .clustering import assign_cells, kmeans_train
+from .clustering import assign_cells_with_vec, kmeans_train
 
 
 def _dedup_group(pdf: pd.DataFrame, thr: float, keep: str):
@@ -114,12 +114,16 @@ def semdedup(df: DataFrame, id_col: str = "doc_id",
         centroids = kmeans_train(df, id_col, vec_col, k, iters)
     thr = 1.0 - eps
 
-    assigned = assign_cells(df, centroids, id_col, vec_col)
-    rows = (df.select(F.col(id_col).alias("__id__"),
-                      F.col(vec_col).alias("__vec__"))
-            .join(assigned.withColumnRenamed(id_col, "__id__"), "__id__")
-            .join(F.broadcast(
-                centroids.withColumnRenamed("cvec", "__cvec__")), "cell"))
+    # r9 (guide §2.4): assignment is a narrow per-row argmin over the
+    # one-row broadcast centroid array, with the assigned centroid
+    # vector riding along — the former shape shuffled the corpus
+    # through a min_by fold and then JOINED the assignments back to the
+    # corpus by id (a second corpus-sized exchange) plus a third
+    # broadcast join for the centroid vectors.
+    rows = (assign_cells_with_vec(df, centroids, id_col, vec_col,
+                                  keep_cvec=True)
+            .select(F.col(id_col).alias("__id__"),
+                    F.col(vec_col).alias("__vec__"), "cell", "__cvec__"))
 
     # deterministic sub-sharding of oversized clusters: shard count
     # depends only on the cluster's size, shard membership only on the

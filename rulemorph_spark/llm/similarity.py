@@ -29,6 +29,22 @@ from pyspark.sql import types as T
 from .dedup import cosine_similarity
 
 
+def brute_force_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
+                       vec_col: str,
+                       query_id: str = "query_id") -> DataFrame:
+    """Exact cosine of every (corpus row, query) pair — the un-ranked
+    half of :func:`brute_force_topk`, exposed so composite callers can
+    rank several strategies' candidates under ONE shared window
+    (r9, guide §2.4: one exchange instead of one per strategy)."""
+    q = queries.select(F.col(id_col).alias(query_id),
+                       F.col(vec_col).alias("__qv__"))
+    joined = corpus.crossJoin(F.broadcast(q)) \
+        .filter(F.col(id_col) != F.col(query_id))
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    return joined.select(F.col(query_id), F.col(id_col).alias("neighbor"),
+                         cos.alias("cosine"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 5,
                      query_id: str = "query_id") -> DataFrame:
@@ -38,30 +54,77 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     rounded before ranking so ties break on id deterministically across
     engines.
     """
-    q = queries.select(F.col(id_col).alias(query_id),
-                       F.col(vec_col).alias("__qv__"))
-    joined = corpus.crossJoin(F.broadcast(q)) \
-        .filter(F.col(id_col) != F.col(query_id))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
-    scored = joined.select(F.col(query_id), F.col(id_col).alias("neighbor"),
-                           cos.alias("cosine"))
+    scored = brute_force_scored(corpus, queries, id_col, vec_col, query_id)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col("neighbor").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 
+def _cents_1row(centroids: DataFrame, centroid_id: str,
+                centroid_vec: str) -> DataFrame:
+    """Collapse the (small, broadcastable) centroid table to ONE row
+    holding the sorted struct array — the in-plan form every per-row
+    argmax/probe expression consumes.  Sorting by cell id makes the
+    array order deterministic under any physical partitioning."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(centroid_id).alias("cell"),
+            F.col(centroid_vec).alias("cvec")))).alias("__cents__"))
+
+
+def _norm0(c: Column) -> Column:
+    """+0.0 normalizes IEEE -0.0 to 0.0 so struct-wise comparisons on
+    the rounded cosine tie exactly like a window sort (whose keys go
+    through NormalizeFloatingNumbers) did."""
+    return c + F.lit(0.0)
+
+
+def _nearest_cell(vec_col: str, cell_type) -> Column:
+    """argmax_{cell} cosine(vec, cvec) over the ``__cents__`` array:
+    highest rounded cosine, ties to the LOWEST cell id — bit-for-bit
+    the ordering of the former per-row window
+    (round(cos,6) DESC, cell ASC), now a narrow expression with no
+    k-way row blowup and no exchange (r9, guide §2.4)."""
+    best = F.array_max(F.transform(
+        F.col("__cents__"),
+        lambda c: F.struct(
+            _norm0(F.round(cosine_similarity(F.col(vec_col), c["cvec"]),
+                           6)).alias("c"),
+            (-c["cell"].cast("long")).alias("negcell"))))
+    return (-best["negcell"]).cast(cell_type)
+
+
+def _probe_cells(vec_col: str, nprobe: int) -> Column:
+    """The ``nprobe`` nearest cells for a query vector, ordered by
+    (rounded cosine DESC, cell ASC) — expression twin of the former
+    probe window (row_number <= nprobe)."""
+    ranked = F.array_sort(F.transform(
+        F.col("__cents__"),
+        lambda c: F.struct(
+            (-_norm0(F.round(cosine_similarity(F.col(vec_col), c["cvec"]),
+                             6))).alias("negc"),
+            c["cell"].alias("cell"))))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str, centroid_id: str = "cell",
                centroid_vec: str = "cvec") -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast argmax)."""
-    joined = corpus.crossJoin(F.broadcast(centroids))
-    cos = cosine_similarity(vec_col, centroid_vec)
-    w = Window.partitionBy(id_col).orderBy(F.round(cos, 6).desc(),
-                                           F.col(centroid_id).asc())
-    return (joined.withColumn("__r__", F.row_number().over(w))
-            .filter(F.col("__r__") == 1)
-            .select(id_col, vec_col, centroid_id))
+    """Assign each vector to its nearest centroid.
+
+    r9 (guide §2.4): the centroid table collapses to a one-row struct
+    array (broadcast), and the assignment is a per-row argmax
+    EXPRESSION — the former crossJoin blew the corpus up k-fold and
+    shuffled it through a per-id row_number window (an Exchange of
+    corpus×k rows carrying the full vectors).  Same assignment
+    bit-for-bit (`tests/test_similarity.py` equivalence pin)."""
+    cell_type = centroids.schema[centroid_id].dataType
+    cents = _cents_1row(centroids, centroid_id, centroid_vec)
+    return (corpus.crossJoin(F.broadcast(cents))
+            .select(id_col, vec_col,
+                    _nearest_cell(vec_col, cell_type).alias(centroid_id))
+            .filter(F.col(centroid_id).isNotNull()))
 
 
 def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
@@ -87,17 +150,13 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     into the scan as a partition filter, so only the probed cells'
     files are read.
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv__"))
-    qcells = (q.crossJoin(F.broadcast(centroids))
-              .withColumn("__qcos__",
-                          F.round(cosine_similarity("__qv__",
-                                                    "cvec"), 6)))
-    wq = Window.partitionBy("query_id").orderBy(F.col("__qcos__").desc(),
-                                                F.col("cell").asc())
-    probe = (qcells.withColumn("__qr__", F.row_number().over(wq))
-             .filter(F.col("__qr__") <= nprobe)
-             .select("query_id", "__qv__", "cell"))
+    cents = _cents_1row(centroids, "cell", "cvec")
+    probe = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("__qv__"))
+             .crossJoin(F.broadcast(cents))
+             .select("query_id", "__qv__",
+                     F.explode(_probe_cells("__qv__", nprobe))
+                     .alias("cell")))
     cells = [r["cell"] for r in probe.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     cand = index.join(F.broadcast(probe), "cell") \
@@ -187,10 +246,11 @@ def _lsh_signature_sql(v: str, nbits: int) -> str:
     return f"element_at(transform(array({q}), qq -> {build}), 1)"
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-             vec_col: str, k: int = 5, nbits: int = 6,
-             multiprobe: bool = True) -> DataFrame:
-    """LSH approximate top-k: exact cosine within signature buckets.
+def lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, nbits: int = 6,
+               multiprobe: bool = True) -> DataFrame:
+    """LSH candidates with exact cosine within signature buckets,
+    un-ranked (see :func:`brute_force_scored`).
 
     The query side probes its own bucket plus (with ``multiprobe``)
     every bucket at Hamming distance 1 — ``nbits + 1`` probe rows per
@@ -227,12 +287,52 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     cand = keyed.join(F.broadcast(probe), "__bucket__") \
         .filter(F.col(id_col) != F.col("query_id"))
     cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    return cand.select("query_id", F.col(id_col).alias("neighbor"),
+                       cos.alias("cosine"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, nbits: int = 6,
+             multiprobe: bool = True) -> DataFrame:
+    """LSH approximate top-k: :func:`lsh_scored` candidates ranked by
+    (cosine DESC, neighbor ASC) per query."""
+    scored = lsh_scored(corpus, queries, id_col, vec_col, nbits,
+                        multiprobe)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
-    return (cand.select("query_id", F.col(id_col).alias("neighbor"),
-                        cos.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_scored(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               id_col: str, vec_col: str, nprobe: int = 2) -> DataFrame:
+    """IVF candidates with exact cosines, un-ranked (see
+    :func:`brute_force_scored` for why this is exposed).
+
+    r9 (guide §2.4): both the corpus cell assignment and the per-query
+    probe selection are per-row expressions over the one-row broadcast
+    centroid array — the former shape blew the corpus up k-fold through
+    a crossJoin and shuffled it through a per-id window for the
+    assignment, ran a second window for the probe, then
+    SORT-MERGE-joined assigned⋈probe (the probe's size estimate was
+    unknown).  Now: zero corpus exchange before the candidate join, and
+    the (queries × nprobe)-row probe side is broadcast."""
+    cell_type = centroids.schema["cell"].dataType
+    cents = _cents_1row(centroids, "cell", "cvec")
+    assigned = (corpus.crossJoin(F.broadcast(cents))
+                .select(id_col, vec_col,
+                        _nearest_cell(vec_col, cell_type).alias("cell")))
+    probe = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("__qv__"))
+             .crossJoin(F.broadcast(cents))
+             .select("query_id", "__qv__",
+                     F.explode(_probe_cells("__qv__", nprobe))
+                     .alias("cell")))
+    cand = assigned.join(F.broadcast(probe), "cell") \
+        .filter(F.col(id_col) != F.col("query_id"))
+    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    return cand.select("query_id", F.col(id_col).alias("neighbor"),
+                       cos.alias("cosine"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -243,26 +343,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     At scale, corpus-by-cell is a bucketed/partitioned table, so each
     query touches ~nprobe/ncells of the data instead of all of it.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv__"))
-    qcells = (q.crossJoin(F.broadcast(centroids))
-              .withColumn("__qcos__",
-                          F.round(cosine_similarity("__qv__",
-                                                    "cvec"), 6)))
-    wq = Window.partitionBy("query_id").orderBy(F.col("__qcos__").desc(),
-                                                F.col("cell").asc())
-    probe = (qcells.withColumn("__qr__", F.row_number().over(wq))
-             .filter(F.col("__qr__") <= nprobe)
-             .select("query_id", "__qv__", "cell"))
-    cand = assigned.join(probe, "cell") \
-        .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    scored = ivf_scored(corpus, queries, centroids, id_col, vec_col,
+                        nprobe)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
-    return (cand.select("query_id", F.col(id_col).alias("neighbor"),
-                        cos.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 
