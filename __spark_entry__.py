@@ -35,6 +35,12 @@ def _prepare(spark: SparkSession) -> None:
     comparisons vs DuckDB), serde-style map key dedup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # r9 (guide §7.2): generator inputs here are always inline computed
+    # arrays — the inferred pre-explode filter re-evaluates them per row
+    # for nothing (see engine.get_spark); results identical
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+                   "org.apache.spark.sql.catalyst.optimizer."
+                   "InferFiltersFromGenerate")
     # r9: suspend pyspark's per-Column-call debug-origin capture (3
     # py4j round trips + a stack walk per call) for the whole process —
     # query construction cost, measured 0.3-1.5 s per query at sf0.1

@@ -50,6 +50,17 @@ def get_spark(app_name: str = "rulemorph-spark",
         # nesting level costs an analyzer fixed-point iteration, so the
         # default 100 caps pipes at ~50 steps
         .config("spark.sql.analyzer.maxIterations", "1000")
+        # r9 (guide §7.2 "duplicated subtrees"): InferFiltersFromGenerate
+        # copies the generator input into a pre-explode IsNotNull +
+        # size>0 Filter; every generator input in this engine is an
+        # inline computed array (shingle/gram/chunk/band-key HOFs), so
+        # the inferred filter re-evaluates the whole expression 2× per
+        # row for rows that are never null by construction (measured
+        # 1.7× on the dup-span gram scan at sf0.1).  Results identical:
+        # the filter only pre-drops rows the inner Generate drops anyway.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # UI off by default (test JVMs); SPARK_GRAFT_UI=true exposes the
         # REST metrics API for the scale-rehearsal benches, which record
         # per-query shuffle bytes + spill from /api/v1/.../stages
