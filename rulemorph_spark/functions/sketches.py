@@ -13,10 +13,13 @@ anywhere; the standard answers are mergeable sketches:
   reusable* filter — build once from a (possibly large) key set,
   persist the bits, and prefilter any number of later scans (e.g.
   decontamination against a fixed benchmark set).  PySpark 4.1
-  exposes no public bloom expression, so: the k probe positions are
-  computed JVM-side with `xxhash64` (cheap, codegen'd), and only the
-  bit test runs in an Arrow-batched pandas UDF against a broadcast
-  numpy bit array — no per-row Python hashing.
+  exposes no public bloom expression, so: two `xxhash64` seeds are
+  computed JVM-side per key and expanded into the k probe positions by
+  Kirsch-Mitzenmacher double hashing (position_i = (h1 + i*h2) mod
+  num_bits — the standard Bloom construction); small filters are
+  probed entirely in whole-stage codegen, large ones test bits in an
+  Arrow-batched pandas UDF against a broadcast numpy bit array — no
+  per-row Python hashing.
 
 KLL quantile sketches already live in ``relational.grouped_percentiles``
 (``approx_percentile``).
@@ -33,7 +36,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_distinct", "hll_sketch_table", "hll_merge_estimate",
-    "bloom_build", "bloom_might_contain", "bloom_params",
+    "bloom_build", "bloom_build_auto", "bloom_might_contain",
+    "bloom_params",
 ]
 
 
@@ -94,29 +98,55 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return max(64, num_bits), num_hashes
 
 
-def _positions(col: Column, num_bits: int, num_hashes: int) -> Column:
-    """k probe positions, each an independent JVM-side xxhash64 seed."""
-    return F.array(*[
-        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits)).cast("long")
-        for i in range(num_hashes)])
+def _hash_pairs(df: DataFrame, key_col: str):
+    """ONE distributed job → the distinct keys' (h1, h2) xxhash64 pair
+    as two int64 numpy arrays.  The k probe positions derive from the
+    pair by Kirsch-Mitzenmacher double hashing — position_i =
+    (h1 + i·h2) mod num_bits — so the filter can be sized AND built
+    from a single collect (r9: the former build needed a separate
+    ``count()`` job to size the filter before a second job could hash,
+    and collected ~k rows per key instead of one pair)."""
+    rows = (df.select(F.xxhash64(F.col(key_col), F.lit(0)).alias("h1"),
+                      F.xxhash64(F.col(key_col), F.lit(1)).alias("h2"))
+            .distinct().collect())
+    h1 = np.array([r["h1"] for r in rows], dtype=np.int64)
+    h2 = np.array([r["h2"] for r in rows], dtype=np.int64)
+    return h1, h2
+
+
+def _pack_bits(h1, h2, num_bits: int, num_hashes: int) -> bytes:
+    bits = np.zeros(num_bits, dtype=np.uint8)
+    if h1.size:
+        a = h1 % num_bits  # numpy % has the divisor's sign == pmod
+        b = h2 % num_bits
+        for i in range(num_hashes):
+            bits[(a + i * b) % num_bits] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def bloom_build(df: DataFrame, key_col: str, num_bits: int,
                 num_hashes: int) -> bytes:
     """Build the filter's packed bit array from a key DataFrame.
 
-    Distributed: keys hash and dedup on the cluster; only the set bit
-    POSITIONS come back to the driver (≤ num_bits values — bounded by
-    the filter size, not the key count), then pack to num_bits/8 bytes.
-    """
-    rows = (df.select(F.explode(_positions(F.col(key_col), num_bits,
-                                           num_hashes)).alias("p"))
-            .distinct().collect())
-    bits = np.zeros(num_bits, dtype=np.uint8)
-    idx = np.array([r["p"] for r in rows], dtype=np.int64)
-    if idx.size:
-        bits[idx] = 1
-    return np.packbits(bits, bitorder="little").tobytes()
+    Distributed: keys hash and dedup on the cluster; one (h1, h2) pair
+    per distinct key comes back to the driver (16 bytes/key — less
+    than the ~1.2 bytes-per-key-per-probe of the former per-position
+    collect), positions expand vectorized on the driver."""
+    h1, h2 = _hash_pairs(df, key_col)
+    return _pack_bits(h1, h2, num_bits, num_hashes)
+
+
+def bloom_build_auto(df: DataFrame, key_col: str,
+                     fpp: float = 0.01) -> tuple[bytes, int, int]:
+    """Size AND build the filter in ONE distributed job → (bits,
+    num_bits, num_hashes).  The distinct (h1, h2) collect doubles as
+    the exact key count, so the separate ``df.count()`` sizing job the
+    explicit-signature path needs disappears (r9 — at sf0.1 that was
+    half the Bloom construction wall time; at scale it was a second
+    full scan of the dim side)."""
+    h1, h2 = _hash_pairs(df, key_col)
+    num_bits, num_hashes = bloom_params(max(h1.size, 1), fpp)
+    return _pack_bits(h1, h2, num_bits, num_hashes), num_bits, num_hashes
 
 
 # filters at or below this size are embedded in the plan as a packed
@@ -147,22 +177,25 @@ def bloom_might_contain(df: DataFrame, key_col: str, bloom_bits: bytes,
         pad = (8 - len(bloom_bits) % 8) % 8
         words = np.frombuffer(bloom_bits + b"\0" * pad,
                               dtype="<u8").view(np.int64)
-        packed = F.lit([int(w) for w in words])
-
-        def probe(i: int) -> Column:
-            # bit p lives at word p//64, bit p%64 (little-endian pack)
-            p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
-                       F.lit(num_bits)).cast("long")
-            word = F.element_at(packed, F.floor(p / 64).cast("int") + 1)
-            return F.call_function(
-                "shiftright", word,
-                F.pmod(p, F.lit(64)).cast("int")
-            ).bitwiseAND(F.lit(1)) == F.lit(1)
-
-        cond = probe(0)
-        for i in range(1, num_hashes):
-            cond = cond & probe(i)
-        return df.withColumn(out_col, cond)
+        # ONE SQL-text expression (a single py4j call — the former
+        # per-probe Column chain cost ~0.3 s of driver construction per
+        # filter at k=7).  The expression stays FLAT so it keeps
+        # whole-stage codegen (a `transform` let-binding would be
+        # CodegenFallback); the h1/h2 hashes repeat textually per probe
+        # and codegen subexpression elimination evaluates them once.
+        # h1/h2 are reduced mod num_bits first, so h1 + i*h2 never
+        # overflows under ANSI; the array literal constant-folds once.
+        words_sql = "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+        h1 = f"pmod(xxhash64(`{key_col}`, 0), {num_bits}L)"
+        h2 = f"pmod(xxhash64(`{key_col}`, 1), {num_bits}L)"
+        tests = " AND ".join(
+            f"((shiftright(element_at({words_sql}, "
+            f"cast((pmod({h1} + {i}L * {h2}, {num_bits}L)) div 64 as int)"
+            f" + 1), "
+            f"cast(pmod(pmod({h1} + {i}L * {h2}, {num_bits}L), 64) as int))"
+            f" & 1L) = 1L)"
+            for i in range(num_hashes))
+        return df.withColumn(out_col, F.expr(f"({tests})"))
 
     sc = df.sparkSession.sparkContext
     bits_bc = sc.broadcast(
@@ -170,12 +203,17 @@ def bloom_might_contain(df: DataFrame, key_col: str, bloom_bits: bytes,
                       bitorder="little")[:num_bits])
 
     @F.pandas_udf("boolean")
-    def _test(pos: pd.Series) -> pd.Series:
+    def _test(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         bits = bits_bc.value
-        if not len(pos):
+        if not len(h1s):
             return pd.Series([], dtype="bool")
-        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
-        return pd.Series(bits[mat].all(axis=1))
+        a = h1s.to_numpy(dtype=np.int64) % num_bits
+        b = h2s.to_numpy(dtype=np.int64) % num_bits
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(num_hashes):
+            ok &= bits[(a + i * b) % num_bits] == 1
+        return pd.Series(ok)
 
-    pos = _positions(F.col(key_col), num_bits, num_hashes)
-    return df.withColumn(out_col, _test(pos))
+    return df.withColumn(
+        out_col, _test(F.xxhash64(F.col(key_col), F.lit(0)),
+                       F.xxhash64(F.col(key_col), F.lit(1))))

@@ -280,15 +280,14 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     the per-doc count fold — this just shrinks the join input by
     ~the contamination rate.
     """
-    from ..functions.sketches import (bloom_build, bloom_might_contain,
-                                      bloom_params)
+    from ..functions.sketches import bloom_build_auto, bloom_might_contain
     bench_sh = (benchmark
                 .select(F.explode(shingle_strings(F.col(text_col), n))
                         .alias("sh"))
                 .distinct())
-    n_bench = bench_sh.count()
-    num_bits, num_hashes = bloom_params(max(n_bench, 1), fpp)
-    bits = bloom_build(bench_sh, "sh", num_bits, num_hashes)
+    # r9: one job sizes AND builds (the distinct-pair collect is the
+    # exact count) — the former count() was a second full shingle pass
+    bits, num_bits, num_hashes = bloom_build_auto(bench_sh, "sh", fpp)
     corp_sh = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingle_strings(F.col(text_col), n)))
