@@ -482,15 +482,18 @@ def _dup_span_hits(df: DataFrame, text_col: str, id_col: str, n: int,
     base = df.select(F.col(id_col), words.alias("__w__"),
                      F.size(words).alias("__nt__"),
                      gcol.alias("__g__"))
-    # r9 (guide §2.4 "two operations keyed the same way share one
-    # exchange"): the frequency aggregation and the hit probe both key
-    # on the gram hash, so ONE explicit repartition feeds both branches
-    # — AQE reuses the shuffle stage, the gram-hash scan runs ONCE
-    # (the former broadcast-join shape re-evaluated the posexplode
-    # subtree on each branch: two full gram-hash passes), and the
-    # shuffled-hash join's build side is only the duplicated gram keys
-    # of each partition.  Measured 1.5 s → 0.64 s for the hits leg at
-    # sf0.1; skewed gram keys stay splittable by AQE's skew-join.
+    # r9 (guide §2.4/§3.1): the frequency aggregation and the hit probe
+    # both key on the gram hash, so both branches sit on an explicit
+    # gram-hash repartition: the count-distinct then runs single-phase
+    # on already-clustered rows, and the probe is a shuffled-hash join
+    # whose per-partition build side is only the duplicated gram keys —
+    # the former shape aggregated the un-partitioned pos (two-phase
+    # distinct) and broadcast the full duplicated-gram set to re-probe
+    # it.  (Column pruning diverges the two branches below the
+    # exchange, so this is still two gram-hash passes — same as the
+    # former shape — but each pass is cheaper and nothing broadcasts.)
+    # Measured 1.5 s → 0.64 s for the hits leg at sf0.1; skewed gram
+    # keys stay splittable by AQE's skew-join.
     pos = (base.select(id_col, "__nt__",
                        F.posexplode("__g__").alias("__p__", "__h__"))
            .repartition("__h__"))

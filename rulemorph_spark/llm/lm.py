@@ -110,16 +110,21 @@ def lm_score(corpus: DataFrame, logprobs: DataFrame,
 def lm_quality(corpus: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                train: DataFrame | None = None,
-               materialize: bool = True) -> DataFrame:
+               materialize: bool = False) -> DataFrame:
     """Train-and-score convenience: fit the unigram table on ``train``
     (default: the corpus itself — self-perplexity, the boilerplate /
     gibberish detector) and score every document.
 
-    ``materialize=True`` checkpoints the vocabulary-sized model table
-    before scoring — without it the scoring plan re-derives the count
-    aggregation in all three places it is consumed (model join, OOV
-    constant, totals), tripling the training scan.  At 100 TB the
-    model would be persisted to parquet; a localCheckpoint is the
+    The model table is consumed three times in the scoring plan (model
+    join, OOV constant, totals), but every consumer sits above the SAME
+    vocabulary-keyed exchange, so AQE stage reuse materializes the
+    training shuffle once per execution — the scan feeding it runs one
+    time (r9: the former eager ``localCheckpoint`` default paid a
+    separate driver-blocking training job per call; measured 1.16 s →
+    0.86 s per scored run at sf0.1).  Pass ``materialize=True`` only
+    when the returned plan will be executed repeatedly and the model
+    should be pinned across those actions — at 100 TB the model would
+    be persisted to parquet instead; a localCheckpoint is the
     in-session equivalent.
     """
     fit_on = train if train is not None else corpus
