@@ -125,7 +125,18 @@ def q_lookup(spark, sf_dir):
              .select("o_orderkey", "c_name", "c_mktsegment"))
     sub = o.filter(F.col("o_orderkey") % 100 == 0)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    allm = (sub.join(li, sub.o_orderkey == li.l_orderkey, "left")
+    # r9 (guide §3.2 semi-join reduction): the LEFT join keeps `sub` on
+    # the outer side, so Spark cannot build the broadcast from the
+    # small side and sort-merge-joined the FULL lineitem scan against
+    # 1% of orders.  A broadcast left-semi pre-filter drops the 99% of
+    # lineitem rows with no matching order key BEFORE the outer join —
+    # identical join result for any data (the semi filter removes only
+    # rows the join would not match) — and the surviving slice is small
+    # enough that AQE replans the outer join itself as a broadcast.
+    keys = sub.select(F.col("o_orderkey").alias("__k__"))
+    li_f = li.join(F.broadcast(keys), li.l_orderkey == F.col("__k__"),
+                   "left_semi")
+    allm = (sub.join(li_f, sub.o_orderkey == li_f.l_orderkey, "left")
             .groupBy("o_orderkey")
             .agg(F.to_json(F.sort_array(F.collect_list("l_partkey")))
                  .alias("partkeys_json")))
