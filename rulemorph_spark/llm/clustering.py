@@ -64,6 +64,88 @@ def _cents_1row(centroids: DataFrame) -> DataFrame:
             F.col("cvec").alias("cvec")))).alias("__cents__"))
 
 
+_CENTS_LIT_ENV = "SPARK_GRAFT_CENTROID_LIT_MAX_ELEMS"
+_CENTS_LIT_DEFAULT = 8192
+
+
+def _cents_lit_max() -> int:
+    import os
+    try:
+        return int(os.environ.get(_CENTS_LIT_ENV, _CENTS_LIT_DEFAULT))
+    except ValueError:
+        return _CENTS_LIT_DEFAULT
+
+
+def cents_inline(centroids: DataFrame, centroid_id: str = "cell",
+                 centroid_vec: str = "cvec") -> Column | None:
+    """The cell-sorted centroid struct array as ONE typed plan literal
+    (a single ``F.expr`` — one py4j call), or None when the caller must
+    fall back to the broadcast-join form (``_cents_1row``).
+
+    r9 (guide §5.2): every consumer of the one-row broadcast centroid
+    array pays a driver-blocking broadcast-build job (~0.3 s at local
+    sf0.1) per branch that reads it.  When the centroid table is
+    already DRIVER-LOCAL (``kmeans_train`` combines partials on the
+    driver and returns ``createDataFrame`` — a LocalRelation; declared
+    queries use literal seed tables), the same values can ride the plan
+    as a literal: no broadcast exchange, no build job, and the argmin
+    projection stays a pure narrow map.  Values are identical — the
+    literal is CAST to the centroid table's exact composite type, so a
+    float32 ``cvec`` stays float32 and every distance/rounding input is
+    bit-for-bit what the broadcast column held.
+
+    Scale guard: literal only when the plan is local (``isLocal`` —
+    deciding must never run a cluster job) AND the total element count
+    is ≤ ``SPARK_GRAFT_CENTROID_LIT_MAX_ELEMS`` (default 8192; 0
+    disables).  A 50k-cluster SemDeDup-scale table keeps the broadcast
+    join — a multi-megabyte literal would bloat the plan (the r8
+    plan-budget lesson) — and non-finite / NULL components also fall
+    back rather than round-tripping through SQL text."""
+    max_elems = _cents_lit_max()
+    if max_elems <= 0:
+        return None
+    id_type = centroids.schema[centroid_id].dataType.simpleString()
+    if id_type not in ("int", "bigint", "smallint", "tinyint"):
+        return None  # python sort must replay array_sort's order
+    elem = centroids.schema[centroid_vec].dataType.elementType
+    elem_sql = elem.simpleString()
+    stashed = getattr(centroids, "_rm_cents_rows", None)
+    if stashed is not None:
+        rows = [{"cell": c, "cvec": v} for c, v in stashed]
+    else:
+        # createDataFrame yields a LogicalRDD (isLocal False); only
+        # genuine LocalRelations (inline tables) may be collected here —
+        # deciding must never run a cluster job.
+        try:
+            if not centroids.isLocal():
+                return None
+        except Exception:
+            return None
+        rows = centroids.select(F.col(centroid_id).alias("cell"),
+                                F.col(centroid_vec).alias("cvec")).collect()
+    if not rows:
+        return None
+    total = 0
+    import math
+    for r in rows:
+        if r["cell"] is None or r["cvec"] is None:
+            return None
+        total += len(r["cvec"])
+        if total > max_elems:
+            return None
+        for x in r["cvec"]:
+            if x is None or not math.isfinite(x):
+                return None
+    parts = []
+    for r in sorted(rows, key=lambda r: r["cell"]):
+        vals = ",".join(repr(float(x)) + "D" for x in r["cvec"])
+        parts.append(f"named_struct('cell',{int(r['cell'])},"
+                     f"'cvec',array({vals}))")
+    sql = (f"CAST(array({','.join(parts)}) AS "
+           f"array<struct<cell:{id_type},cvec:array<{elem_sql}>>>)")
+    return F.expr(sql)
+
+
 def _best_cell(vec: Column) -> Column:
     """argmin_{cell} ||vec - cvec||² over the ``__cents__`` array as a
     struct (d, cell, cvec): lowest rounded distance, ties to the lowest
@@ -92,16 +174,20 @@ def assign_cells_with_vec(df: DataFrame, centroids: DataFrame,
     corpus×k rows carrying the full vectors.  Assignment values are
     identical (same rounded distance, same tiebreak).  Input ids are
     assumed unique (the min_by fold deduplicated; this keeps one output
-    row per input row)."""
-    cents = _cents_1row(centroids)
+    row per input row).  Driver-local centroid tables ride the plan as
+    a typed literal instead of the broadcast join (``cents_inline``) —
+    same values, one fewer broadcast-build job per consuming branch."""
     best = _best_cell(F.col(vec_col))
     cols = [F.col(id_col), F.col(vec_col), best["cell"].alias("cell")]
     if keep_cvec:
         cols.append(best["cvec"].alias("__cvec__"))
-    return (df.select(id_col, vec_col)
-            .crossJoin(F.broadcast(cents))
-            .select(*cols)
-            .filter(F.col("cell").isNotNull()))
+    lit = cents_inline(centroids)
+    if lit is not None:
+        base = df.select(id_col, vec_col).withColumn("__cents__", lit)
+    else:
+        base = (df.select(id_col, vec_col)
+                .crossJoin(F.broadcast(_cents_1row(centroids))))
+    return base.select(*cols).filter(F.col("cell").isNotNull())
 
 
 def assign_cells(df: DataFrame, centroids: DataFrame, id_col: str,
@@ -210,9 +296,16 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
         cents = [list(sums[c] / ns[c]) if ns[c] > 0
                  else [float(x) for x in cents[c]]
                  for c in range(kk)]
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(c, [float(x) for x in vec]) for c, vec in enumerate(cents)],
         f"cell int, cvec array<{out_elem}>")
+    # the values already live on the driver: stash them so consumers
+    # (cents_inline) can inline the table as a typed plan literal
+    # without a collect — createDataFrame's plan is a LogicalRDD, which
+    # isLocal() cannot vouch for
+    out._rm_cents_rows = [(c, [float(x) for x in vec])
+                          for c, vec in enumerate(cents)]
+    return out
 
 
 def kmeans_inertia(df: DataFrame, centroids: DataFrame, id_col: str,

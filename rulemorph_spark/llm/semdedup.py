@@ -115,13 +115,19 @@ def semdedup(df: DataFrame, id_col: str = "doc_id",
     thr = 1.0 - eps
 
     # r9 (guide §2.4): assignment is a narrow per-row argmin over the
-    # one-row broadcast centroid array, with the assigned centroid
-    # vector riding along — the former shape shuffled the corpus
-    # through a min_by fold and then JOINED the assignments back to the
-    # corpus by id (a second corpus-sized exchange) plus a third
-    # broadcast join for the centroid vectors.
-    rows = (assign_cells_with_vec(df, centroids, id_col, vec_col,
-                                  keep_cvec=True)
+    # one-row broadcast centroid array (a typed plan literal when the
+    # trained table is driver-local — no broadcast-build job), with the
+    # assigned centroid vector riding along — the former shape shuffled
+    # the corpus through a min_by fold and then JOINED the assignments
+    # back to the corpus by id (a second corpus-sized exchange) plus a
+    # third broadcast join for the centroid vectors.  The scan is
+    # spread (exact no-op at scale) because the argmin is heavy per-row
+    # compute that a single-row-group file would serialize on one core
+    # (guide §2.4 stragglers); results are partitioning-independent
+    # (pinned by the repartition-determinism test).
+    from ..functions.spread import spread_small_scan
+    rows = (assign_cells_with_vec(spread_small_scan(df), centroids,
+                                  id_col, vec_col, keep_cvec=True)
             .select(F.col(id_col).alias("__id__"),
                     F.col(vec_col).alias("__vec__"), "cell", "__cvec__"))
 

@@ -73,6 +73,22 @@ def _cents_1row(centroids: DataFrame, centroid_id: str,
             F.col(centroid_vec).alias("cvec")))).alias("__cents__"))
 
 
+def _with_cents(df: DataFrame, centroids: DataFrame,
+                centroid_id: str = "cell",
+                centroid_vec: str = "cvec") -> DataFrame:
+    """``df`` plus the ``__cents__`` array: a typed plan literal when
+    the centroid table is driver-local and small — no broadcast
+    exchange, no driver broadcast-build job per consuming branch — else
+    the one-row broadcast join (r9, guide §5.2; values identical, see
+    ``clustering.cents_inline``)."""
+    from .clustering import cents_inline
+    lit = cents_inline(centroids, centroid_id, centroid_vec)
+    if lit is not None:
+        return df.withColumn("__cents__", lit)
+    return df.crossJoin(
+        F.broadcast(_cents_1row(centroids, centroid_id, centroid_vec)))
+
+
 def _norm0(c: Column) -> Column:
     """+0.0 normalizes IEEE -0.0 to 0.0 so struct-wise comparisons on
     the rounded cosine tie exactly like a window sort (whose keys go
@@ -120,8 +136,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     corpus×k rows carrying the full vectors).  Same assignment
     bit-for-bit (`tests/test_similarity.py` equivalence pin)."""
     cell_type = centroids.schema[centroid_id].dataType
-    cents = _cents_1row(centroids, centroid_id, centroid_vec)
-    return (corpus.crossJoin(F.broadcast(cents))
+    return (_with_cents(corpus, centroids, centroid_id, centroid_vec)
             .select(id_col, vec_col,
                     _nearest_cell(vec_col, cell_type).alias(centroid_id))
             .filter(F.col(centroid_id).isNotNull()))
@@ -150,10 +165,10 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     into the scan as a partition filter, so only the probed cells'
     files are read.
     """
-    cents = _cents_1row(centroids, "cell", "cvec")
-    probe = (queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("__qv__"))
-             .crossJoin(F.broadcast(cents))
+    probe = (_with_cents(
+                 queries.select(F.col(id_col).alias("query_id"),
+                                F.col(vec_col).alias("__qv__")),
+                 centroids)
              .select("query_id", "__qv__",
                      F.explode(_probe_cells("__qv__", nprobe))
                      .alias("cell")))
@@ -318,13 +333,13 @@ def ivf_scored(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     unknown).  Now: zero corpus exchange before the candidate join, and
     the (queries × nprobe)-row probe side is broadcast."""
     cell_type = centroids.schema["cell"].dataType
-    cents = _cents_1row(centroids, "cell", "cvec")
-    assigned = (corpus.crossJoin(F.broadcast(cents))
+    assigned = (_with_cents(corpus, centroids)
                 .select(id_col, vec_col,
                         _nearest_cell(vec_col, cell_type).alias("cell")))
-    probe = (queries.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("__qv__"))
-             .crossJoin(F.broadcast(cents))
+    probe = (_with_cents(
+                 queries.select(F.col(id_col).alias("query_id"),
+                                F.col(vec_col).alias("__qv__")),
+                 centroids)
              .select("query_id", "__qv__",
                      F.explode(_probe_cells("__qv__", nprobe))
                      .alias("cell")))

@@ -204,6 +204,54 @@ def test_trained_centroids_feed_ivf(spark):
     assert top.count() == queries.count() * 3
 
 
+def test_cents_inline_literal_matches_broadcast(spark, monkeypatch):
+    """r9: a driver-local centroid table rides the plan as a typed
+    literal (no broadcast-build job).  Assignment must be bit-identical
+    to the broadcast-join path — including a float32 cvec (the literal
+    is CAST to the table's exact element type) — and every guarded case
+    must fall back to the broadcast form (return None)."""
+    from rulemorph_spark.llm.clustering import (
+        _best_cell, _cents_1row, cents_inline, kmeans_train)
+    emb = _t(spark, "embeddings")
+    trained = kmeans_train(emb, "vec_id", "embedding", 5, iters=2)
+    assert cents_inline(trained) is not None
+
+    def assign_via(base):
+        best = _best_cell(F.col("embedding"))
+        return {r["vec_id"]: (r["cell"], tuple(r["cvec"])) for r in
+                base.select("vec_id",
+                            best["cell"].alias("cell"),
+                            best["cvec"].alias("cvec"))
+                .filter(F.col("cell").isNotNull()).collect()}
+
+    lit = assign_via(emb.withColumn("__cents__", cents_inline(trained)))
+    bc = assign_via(emb.crossJoin(F.broadcast(_cents_1row(trained))))
+    assert lit == bc and len(lit) == emb.count()
+
+    # float32 cvec: the literal CAST must reproduce the float values
+    frows = [(0, [1.25, -0.5]), (1, [0.1, 2.75])]  # 0.1 inexact in f32
+    fcents = spark.createDataFrame(frows, "cell int, cvec array<float>")
+    fcents._rm_cents_rows = frows
+    col = cents_inline(fcents)
+    assert col is not None
+    got = spark.range(1).select(col.alias("c")).collect()[0]["c"]
+    want = sorted(fcents.collect(), key=lambda r: r["cell"])
+    assert [(s["cell"], s["cvec"]) for s in got] == \
+        [(r["cell"], r["cvec"]) for r in want]
+
+    # guarded fallbacks: non-local w/o stash, oversized, disabled, NaN
+    assert cents_inline(trained.filter(F.col("cell") >= 0)) is None
+    monkeypatch.setenv("SPARK_GRAFT_CENTROID_LIT_MAX_ELEMS", "3")
+    assert cents_inline(trained) is None
+    monkeypatch.setenv("SPARK_GRAFT_CENTROID_LIT_MAX_ELEMS", "0")
+    assert cents_inline(trained) is None
+    monkeypatch.delenv("SPARK_GRAFT_CENTROID_LIT_MAX_ELEMS")
+    bad = spark.createDataFrame([(0, [float("nan")])],
+                                "cell int, cvec array<double>")
+    bad._rm_cents_rows = [(0, [float("nan")])]
+    assert cents_inline(bad) is None
+
+
 # -------------------------------------------------------- bloom decontaminate
 
 def test_decontaminate_bloom_matches_exact(spark):
