@@ -113,12 +113,38 @@ def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     disappears entirely from the query path."""
     toks = corpus.select(F.col(id_col).alias("doc_id"),
                          _terms(F.col(text_col)).alias("__ts__"))
-    qterms_d = (queries.select(F.explode(F.array_distinct(
-        _terms(F.col(query_col)))).alias("term"))
-        .distinct())
-    matched = (toks.select("doc_id", F.size("__ts__").alias("dl"),
-                           F.explode("__ts__").alias("term"))
-               .join(F.broadcast(qterms_d), "term"))
+    # r9 (guide §2.2 shuffle/stream fewer rows): with the query
+    # vocabulary as an in-plan literal, the prune happens INSIDE the
+    # token array before the explode — the former broadcast join
+    # exploded EVERY token of every document into a (doc_id, dl, term)
+    # row first and discarded the ~all-of-them non-matches after.  Rows
+    # and row order are identical (the array filter keeps token order,
+    # exactly like the stream-order-preserving broadcast join), so all
+    # downstream float sums see the same operands in the same order —
+    # output byte-identical, pinned by the indexed≡adhoc test.  Query
+    # batches beyond the gate (or with no collectable vocabulary) keep
+    # the broadcast-join form.
+    vocab = None
+    qterm_expr = F.explode(F.array_distinct(
+        _terms(F.col(query_col)))).alias("term")
+    try:
+        vocab = sorted({r["term"] for r in
+                        queries.select(qterm_expr).distinct().collect()
+                        if r["term"] is not None})
+    except Exception:
+        vocab = None
+    if vocab is not None and 0 < len(vocab) <= 4096:
+        lit_vocab = F.array(*[F.lit(t) for t in vocab])
+        matched = toks.select(
+            "doc_id", F.size("__ts__").alias("dl"),
+            F.explode(F.filter(
+                "__ts__",
+                lambda t: F.array_contains(lit_vocab, t))).alias("term"))
+    else:
+        qterms_d = queries.select(qterm_expr).distinct()
+        matched = (toks.select("doc_id", F.size("__ts__").alias("dl"),
+                               F.explode("__ts__").alias("term"))
+                   .join(F.broadcast(qterms_d), "term"))
     tf = (matched.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
     stats = (toks.select(F.size("__ts__").alias("dl"))
