@@ -29,10 +29,27 @@ _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
               "it", "that", "for", "on", "with", "as"]
 
 
+import weakref
+
+_prepared: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+# Raw parquet relations per (session, dir, table).  METADATA caching
+# only (footer schema + file listing — what a real catalog holds): the
+# DataFrame is a lazy plan and every action still reads the parquet
+# files; no rows, results, or intermediates are retained (r9, guide
+# §1.2 "the driver is part of the system": each spark.read.parquet is
+# ~0.13 s of schema-inference round trips, paid per query build).
+_scans: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
 def _prepare(spark: SparkSession) -> None:
     """Session confs the queries rely on, set idempotently at runtime so
     any driver-provided session works: UTC rendering (timestamp
-    comparisons vs DuckDB), serde-style map key dedup."""
+    comparisons vs DuckDB), serde-style map key dedup.  Guarded per
+    session object — each conf.set is a py4j round trip and _t runs on
+    every query construction."""
+    if spark in _prepared:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # r9 (guide §7.2): generator inputs here are always inline computed
@@ -47,12 +64,17 @@ def _prepare(spark: SparkSession) -> None:
     # (scripts/profile_queries.py "build" column; guide §1.2 step 2)
     from rulemorph_spark.engine import disable_df_debugging
     disable_df_debugging(spark)
+    _prepared.add(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
        spread: bool = False) -> DataFrame:
     _prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    memo = _scans.setdefault(spark, {})
+    df = memo.get((sf_dir, name))
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo[(sf_dir, name)] = df
     if spread:
         # heavy per-row compute follows this scan directly: redistribute
         # a tiny single-row-group input across the session's cores
