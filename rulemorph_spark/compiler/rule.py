@@ -112,6 +112,12 @@ class Builder:
         self._df = value
 
     def _flush(self):
+        # barrier for deferred SQL-function registration: the select
+        # below (and anything the caller does with .df) analyzes
+        # JVM-side and must be able to resolve every function name a
+        # pending column references (sqlfn.deferred)
+        from . import sqlfn
+        sqlfn.flush(self._df.sparkSession)
         if self._pending:
             self._df = self._df.select("*", *[c for _, c in self._pending])
             self._pending = []
@@ -476,7 +482,10 @@ class RuleCompiler:
         flat = (r.steps is None and not r.has_record_when
                 and not any(m.has_when for m in (r.mappings or [])))
         from .core import flat_rule
-        with rule_version(r.version), flat_rule(flat):
+        from . import sqlfn
+        spark = builder._df.sparkSession
+        with rule_version(r.version), flat_rule(flat), \
+                sqlfn.deferred(spark):
             return self._compile_inner(builder, input_col)
 
     def _compile_inner(self, builder: Builder,

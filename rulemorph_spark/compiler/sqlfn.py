@@ -38,12 +38,17 @@ class _State:
     ADVICE r8 #1.  The weak key also drops the state when the session
     goes away instead of leaking one entry per session."""
 
-    __slots__ = ("registered", "disabled", "probed", "__weakref__")
+    __slots__ = ("registered", "disabled", "probed", "deferred",
+                 "pending", "__weakref__")
 
     def __init__(self) -> None:
         self.registered: set[str] = set()
         self.disabled = False
         self.probed = False
+        # deferred-registration scope depth (see ``deferred()``) and
+        # the in-flight CREATE futures, keyed by function name
+        self.deferred = 0
+        self.pending: dict = {}
 
 
 _sessions: "weakref.WeakKeyDictionary[SparkSession, _State]" = \
@@ -72,7 +77,103 @@ def enable(spark: SparkSession) -> None:
 
 
 def registered_names(spark: SparkSession) -> set[str]:
+    flush(spark)
     return set(_state(spark).registered)
+
+
+_pool = None
+
+
+def _executor():
+    """Shared FIFO registration pool.  FIFO matters for deadlock
+    freedom: a CREATE that waits on earlier-submitted helper CREATEs
+    can only start after those were picked up (strict submission
+    order), so a dependent never starves its own dependencies no
+    matter the worker count."""
+    global _pool
+    if _pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _pool = ThreadPoolExecutor(max_workers=8,
+                                   thread_name_prefix="rm-sqlfn")
+    return _pool
+
+
+class deferred:
+    """Batch-registration scope (r9, guide §5.2 ``the driver is part
+    of the system``): inside the scope, ``ensure_fn`` SUBMITS each
+    ``CREATE TEMPORARY FUNCTION`` to a background pool and returns the
+    (hash-derived, known-without-running) name immediately, so the
+    JVM analyzes function bodies concurrently with each other and with
+    Python-side body construction — the t13 extended anchor's ~10 s of
+    serial CREATEs collapse to the longest dependency chain.  A CREATE
+    whose body references a still-pending function name waits for
+    exactly those futures inside its task.
+
+    ``flush()`` barriers run before ANY analysis that could resolve the
+    functions (``Builder._flush``/``Builder.df`` — the only analysis
+    points during rule compile) and on scope exit, so a failing CREATE
+    still propagates loudly from ``compile()`` like the synchronous
+    form (the round-8 ``silent slow path`` lesson).  Outside a scope,
+    ``ensure_fn`` stays fully synchronous — direct callers and tests
+    keep the register-then-call-immediately contract."""
+
+    def __init__(self, spark: SparkSession | None):
+        self._spark = spark
+
+    def __enter__(self):
+        if self._spark is not None:
+            st = _state(self._spark)
+            with _lock:
+                st.deferred += 1
+        return self
+
+    def __exit__(self, *exc):
+        if self._spark is not None:
+            st = _state(self._spark)
+            with _lock:
+                st.deferred -= 1
+            if exc[0] is None:
+                flush(self._spark)
+            else:
+                # already failing: drain fully (each failed CREATE is
+                # popped, so this terminates) without masking the
+                # original exception
+                while True:
+                    try:
+                        flush(self._spark)
+                        break
+                    except Exception:
+                        continue
+        return False
+
+
+def flush(spark: SparkSession | None = None) -> None:
+    """Wait for all in-flight CREATEs of this session; re-raises the
+    first failure (a malformed generated body is a compiler bug — it
+    must never silently disable the fast path)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    st = _state(spark)
+    while True:
+        with _lock:
+            items = list(st.pending.items())
+        if not items:
+            return
+        for name, fut in items:
+            try:
+                fut.result()
+            except Exception:
+                # pop the failed CREATE so one bad body raises HERE
+                # (loudly, like the synchronous form) without
+                # poisoning every later flush of the session
+                with _lock:
+                    st.pending.pop(name, None)
+                raise
+            with _lock:
+                st.registered.add(name)
+                st.pending.pop(name, None)
 
 
 def quote(s: str) -> str:
@@ -124,10 +225,30 @@ def ensure_fn(params: str, returns: str, body: str, tag: str) -> str | None:
     key = hashlib.sha1(
         f"{params}|{returns}|{body}".encode()).hexdigest()[:16]
     name = f"_rm_{tag}_{key}"
-    if name not in st.registered:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
-                  f"({params}) RETURNS {returns} RETURN {body}")
-        st.registered.add(name)
+    if name in st.registered:
+        return name
+    stmt = (f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+            f"({params}) RETURNS {returns} RETURN {body}")
+    with _lock:
+        if name in st.pending:
+            return name
+        if st.deferred > 0:
+            # deferred scope: submit and return the hash-derived name;
+            # a body referencing a still-pending function waits for
+            # exactly those futures (FIFO pool ⇒ deps already picked
+            # up ⇒ no starvation).  flush() barriers sit before every
+            # analysis point (Builder) and on scope exit.
+            deps = [f for n, f in st.pending.items() if n in body]
+
+            def _task(deps=deps, stmt=stmt):
+                for f in deps:
+                    f.result()
+                spark.sql(stmt)
+
+            st.pending[name] = _executor().submit(_task)
+            return name
+    spark.sql(stmt)
+    st.registered.add(name)
     return name
 
 

@@ -208,3 +208,58 @@ mappings:
                 err = expected[1]
                 assert (fast[2], fast[3]) == (err.message, err.path), \
                     (rec, fast, err)
+
+
+def test_deferred_registration_parallel_and_loud(spark):
+    """r9: inside sqlfn.deferred, ensure_fn submits CREATEs to the
+    background pool and returns the hash-derived name immediately;
+    flush resolves everything (including bodies that reference still-
+    pending helper names) and a malformed body still propagates
+    LOUDLY at the barrier — never a silent slow path."""
+    import pyspark.sql.functions as F
+
+    with sqlfn.deferred(spark):
+        h = sqlfn.ensure_fn("v BIGINT", "BIGINT", "v + 1", "tdefh")
+        assert h is not None
+        # dependent body references the still-pending helper by name
+        dep = sqlfn.ensure_fn("v BIGINT", "BIGINT", f"{h}(v) * 10",
+                              "tdefd")
+        assert dep is not None
+        st = sqlfn._state(spark)
+        assert h in st.pending or h in st.registered
+    # scope exit flushed: both callable, correct composition
+    row = spark.range(1).select(
+        sqlfn.call(dep, F.lit(4).cast("long")).alias("x")).collect()[0]
+    assert row["x"] == 50
+    assert {h, dep} <= sqlfn.registered_names(spark)
+
+    # failure propagates at the barrier (scope exit), not silently
+    import pytest as _pt
+    with _pt.raises(Exception):
+        with sqlfn.deferred(spark):
+            sqlfn.ensure_fn("v BIGINT", "BIGINT",
+                            "this_is_not_a_function(v", "tdefbad")
+    # the registry is still healthy afterwards
+    assert not sqlfn._state(spark).disabled
+    ok = sqlfn.ensure_fn("v BIGINT", "BIGINT", "v + 2", "tdefok")
+    row = spark.range(1).select(
+        sqlfn.call(ok, F.lit(1).cast("long")).alias("x")).collect()[0]
+    assert row["x"] == 3
+
+
+def test_deferred_failure_does_not_poison_later_flushes(spark):
+    """A failed deferred CREATE raises at its barrier and is removed —
+    subsequent flushes/compiles of the session stay healthy."""
+    import pytest as _pt
+    with _pt.raises(Exception):
+        with sqlfn.deferred(spark):
+            sqlfn.ensure_fn("v BIGINT", "BIGINT",
+                            "nope_not_real(v", "tpois")
+    # later flushes are clean and new registrations work
+    sqlfn.flush(spark)
+    assert sqlfn._state(spark).pending == {}
+    import pyspark.sql.functions as F
+    ok = sqlfn.ensure_fn("v BIGINT", "BIGINT", "v * 3", "tpoisok")
+    row = spark.range(1).select(
+        sqlfn.call(ok, F.lit(2).cast("long")).alias("x")).collect()[0]
+    assert row["x"] == 6
