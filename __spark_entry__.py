@@ -54,10 +54,19 @@ def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # r9 (guide §7.2): generator inputs here are always inline computed
     # arrays — the inferred pre-explode filter re-evaluates them per row
-    # for nothing (see engine.get_spark); results identical
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-                   "org.apache.spark.sql.catalyst.optimizer."
-                   "InferFiltersFromGenerate")
+    # for nothing (see engine.get_spark); results identical.  r10:
+    # APPEND to any exclusions a driver-provided session already
+    # carries instead of clobbering them.
+    rule = ("org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate")
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules",
+                             None) or ""
+    except Exception:
+        cur = ""
+    if rule not in cur.split(","):
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{cur},{rule}".strip(","))
     # r9: suspend pyspark's per-Column-call debug-origin capture (3
     # py4j round trips + a stack walk per call) for the whole process —
     # query construction cost, measured 0.3-1.5 s per query at sf0.1
@@ -69,6 +78,13 @@ def _prepare(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str,
        spread: bool = False) -> DataFrame:
+    """Memoized parquet relation (metadata only — see ``_scans``).
+
+    Assumes IMMUTABLE inputs for the session lifetime: the memoized
+    relation pins the file listing, so parquet rewritten under
+    ``sf_dir`` mid-session would be served from the stale listing.
+    The bench/test datasets are generated once and read-only; a caller
+    that rewrites inputs must use a fresh session."""
     _prepare(spark)
     memo = _scans.setdefault(spark, {})
     df = memo.get((sf_dir, name))

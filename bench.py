@@ -152,14 +152,12 @@ def main():
             spark.read.parquet(f"{d}/documents.parquet"), n=8)
 
     def _gopher(spark, d):
-        # the gopher signals are pure per-row compute after the scan:
-        # spread a tiny single-row-group input across the cores (no-op
-        # at scale — functions/spread.py; measured 3.5 s → 1.4 s at
-        # sf0.1/local[32])
-        from rulemorph_spark.functions.spread import spread_small_scan
+        # r10: the scan spreading moved INSIDE the operator
+        # (llm/filters.py — every caller gets it, not just the bench);
+        # the bench calls the operator bare again
         from rulemorph_spark.llm.filters import gopher_quality_flags
         return gopher_quality_flags(
-            spread_small_scan(spark.read.parquet(f"{d}/documents.parquet")))
+            spark.read.parquet(f"{d}/documents.parquet"))
 
     def _semdedup(spark, d):
         from rulemorph_spark.llm.semdedup import semdedup

@@ -45,9 +45,12 @@ class _State:
         self.registered: set[str] = set()
         self.disabled = False
         self.probed = False
-        # deferred-registration scope depth (see ``deferred()``) and
-        # the in-flight CREATE futures, keyed by function name
-        self.deferred = 0
+        # deferred-registration scope depth PER THREAD (see
+        # ``deferred()``: only the thread inside a scope defers —
+        # concurrent ensure_fn callers on other threads keep the
+        # synchronous register-then-call contract) and the in-flight
+        # CREATE futures, keyed by function name
+        self.deferred: dict[int, int] = {}
         self.pending: dict = {}
 
 
@@ -123,27 +126,37 @@ class deferred:
     def __enter__(self):
         if self._spark is not None:
             st = _state(self._spark)
+            tid = threading.get_ident()
             with _lock:
-                st.deferred += 1
+                st.deferred[tid] = st.deferred.get(tid, 0) + 1
         return self
 
     def __exit__(self, *exc):
         if self._spark is not None:
             st = _state(self._spark)
+            tid = threading.get_ident()
             with _lock:
-                st.deferred -= 1
-            if exc[0] is None:
-                flush(self._spark)
-            else:
-                # already failing: drain fully (each failed CREATE is
-                # popped, so this terminates) without masking the
-                # original exception
-                while True:
-                    try:
-                        flush(self._spark)
-                        break
-                    except Exception:
-                        continue
+                depth = st.deferred.get(tid, 0) - 1
+                if depth > 0:
+                    st.deferred[tid] = depth
+                else:
+                    st.deferred.pop(tid, None)
+            # drain FULLY on both paths (each failed CREATE is popped,
+            # so this terminates): a scope with several malformed
+            # bodies must not leave failed futures behind to poison a
+            # later, unrelated flush.  On the clean path the FIRST
+            # failure re-raises after the drain; on the exception path
+            # nothing is raised so the original exception propagates.
+            first: Exception | None = None
+            while True:
+                try:
+                    flush(self._spark)
+                    break
+                except Exception as e:
+                    if first is None:
+                        first = e
+            if exc[0] is None and first is not None:
+                raise first
         return False
 
 
@@ -229,10 +242,31 @@ def ensure_fn(params: str, returns: str, body: str, tag: str) -> str | None:
         return name
     stmt = (f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
             f"({params}) RETURNS {returns} RETURN {body}")
+    tid = threading.get_ident()
     with _lock:
-        if name in st.pending:
+        in_scope = st.deferred.get(tid, 0) > 0
+        fut = st.pending.get(name)
+        if fut is not None and in_scope:
             return name
-        if st.deferred > 0:
+    if fut is not None:
+        # a deferring thread already submitted this CREATE; a
+        # synchronous caller must be able to call it IMMEDIATELY, so
+        # wait for that future here (failure pops + raises in flush's
+        # style: loudly, without poisoning later flushes)
+        try:
+            fut.result()
+        except Exception:
+            with _lock:
+                st.pending.pop(name, None)
+            raise
+        with _lock:
+            st.registered.add(name)
+            st.pending.pop(name, None)
+        return name
+    with _lock:
+        if name in st.registered or (in_scope and name in st.pending):
+            return name
+        if in_scope:
             # deferred scope: submit and return the hash-derived name;
             # a body referencing a still-pending function waits for
             # exactly those futures (FIFO pool ⇒ deps already picked

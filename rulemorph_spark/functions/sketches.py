@@ -21,6 +21,14 @@ anywhere; the standard answers are mergeable sketches:
   Arrow-batched pandas UDF against a broadcast numpy bit array — no
   per-row Python hashing.
 
+  FORMAT (r10): persisted blobs are versioned — byte 0 is a scheme
+  tag (currently 2 = the double-hashing scheme above), the rest the
+  little-endian packed bit array.  ``bloom_might_contain`` REFUSES
+  blobs without a matching tag: r9 changed the hashing scheme (k
+  independent seeds → double hashing), and probing bits persisted
+  under the old scheme would silently produce false negatives —
+  rebuild any filter persisted before the tag existed.
+
 KLL quantile sketches already live in ``relational.grouped_percentiles``
 (``approx_percentile``).
 """
@@ -98,17 +106,35 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return max(64, num_bits), num_hashes
 
 
-def _hash_pairs(df: DataFrame, key_col: str):
-    """ONE distributed job → the distinct keys' (h1, h2) xxhash64 pair
-    as two int64 numpy arrays.  The k probe positions derive from the
-    pair by Kirsch-Mitzenmacher double hashing — position_i =
-    (h1 + i·h2) mod num_bits — so the filter can be sized AND built
-    from a single collect (r9: the former build needed a separate
-    ``count()`` job to size the filter before a second job could hash,
-    and collected ~k rows per key instead of one pair)."""
-    rows = (df.select(F.xxhash64(F.col(key_col), F.lit(0)).alias("h1"),
+# Packed-blob format (r10): byte 0 is a scheme tag, bytes 1.. the
+# little-endian packed bit array.  The tag exists because the bytes are
+# documented as persistable across sessions and the hashing scheme
+# changed once already (r9: k independent xxhash64 seeds →
+# Kirsch-Mitzenmacher double hashing over seeds 0/1) — a filter built
+# under one scheme probed under another silently produces FALSE
+# NEGATIVES, breaking the no-false-negative guarantee the anti-join /
+# decontamination callers rely on.  ``bloom_might_contain`` refuses
+# untagged or foreign-scheme blobs loudly instead.
+_SCHEME_KM2 = 2  # xxhash64 seeds 0/1, position_i = (h1 + i*h2) mod bits
+
+
+def _pairs_df(df: DataFrame, key_col: str) -> DataFrame:
+    """The distinct keys' (h1, h2) xxhash64 pair — the k probe
+    positions derive from the pair by Kirsch-Mitzenmacher double
+    hashing (position_i = (h1 + i·h2) mod num_bits), so the filter can
+    be sized AND built from a single collect (r9: the former build
+    needed a separate ``count()`` job to size the filter before a
+    second job could hash, and collected ~k rows per key instead of
+    one pair)."""
+    return (df.select(F.xxhash64(F.col(key_col), F.lit(0)).alias("h1"),
                       F.xxhash64(F.col(key_col), F.lit(1)).alias("h2"))
-            .distinct().collect())
+            .distinct())
+
+
+def _hash_pairs(df: DataFrame, key_col: str):
+    """ONE distributed job → distinct (h1, h2) pairs as two int64
+    numpy arrays (see :func:`_pairs_df`)."""
+    rows = _pairs_df(df, key_col).collect()
     h1 = np.array([r["h1"] for r in rows], dtype=np.int64)
     h2 = np.array([r["h2"] for r in rows], dtype=np.int64)
     return h1, h2
@@ -121,7 +147,26 @@ def _pack_bits(h1, h2, num_bits: int, num_hashes: int) -> bytes:
         b = h2 % num_bits
         for i in range(num_hashes):
             bits[(a + i * b) % num_bits] = 1
-    return np.packbits(bits, bitorder="little").tobytes()
+    return bytes([_SCHEME_KM2]) + \
+        np.packbits(bits, bitorder="little").tobytes()
+
+
+def _unpack_payload(bloom_bits: bytes, num_bits: int) -> bytes:
+    """Validate the scheme tag and return the packed bit payload.
+
+    Raises on untagged or foreign-scheme blobs: probing bits built
+    under a different hashing scheme yields silent FALSE NEGATIVES —
+    the one failure mode a Bloom prefilter must never have."""
+    payload_len = (num_bits + 7) // 8
+    if (len(bloom_bits) == payload_len + 1
+            and bloom_bits[0] == _SCHEME_KM2):
+        return bloom_bits[1:]
+    raise ValueError(
+        f"bloom blob is not scheme {_SCHEME_KM2} (xxhash64 double "
+        f"hashing) for num_bits={num_bits}: got {len(bloom_bits)} "
+        f"bytes, expected {payload_len + 1} with tag byte "
+        f"{_SCHEME_KM2}.  Filters persisted by an older scheme must "
+        f"be rebuilt — probing them would produce false negatives.")
 
 
 def bloom_build(df: DataFrame, key_col: str, num_bits: int,
@@ -131,9 +176,36 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int,
     Distributed: keys hash and dedup on the cluster; one (h1, h2) pair
     per distinct key comes back to the driver (16 bytes/key — less
     than the ~1.2 bytes-per-key-per-probe of the former per-position
-    collect), positions expand vectorized on the driver."""
-    h1, h2 = _hash_pairs(df, key_col)
-    return _pack_bits(h1, h2, num_bits, num_hashes)
+    collect), positions expand vectorized on the driver.
+
+    Driver-memory bound (r10): the pair collect is bounded by the
+    DISTINCT KEY COUNT, which an explicit small ``num_bits`` over a
+    huge key set does not cap — so the collect is probed with a
+    ``limit(num_bits + 1)`` first, and past that the build falls back
+    to collecting the distinct PROBE POSITIONS instead (≤ ``num_bits``
+    rows by construction, the old per-position bound).  Identical
+    bits either way."""
+    pairs = _pairs_df(df, key_col)
+    rows = pairs.limit(num_bits + 1).collect()
+    if len(rows) <= num_bits:
+        h1 = np.array([r["h1"] for r in rows], dtype=np.int64)
+        h2 = np.array([r["h2"] for r in rows], dtype=np.int64)
+        return _pack_bits(h1, h2, num_bits, num_hashes)
+    # more distinct keys than bits: the filter is saturated anyway;
+    # collect the ≤ num_bits distinct positions, never the key set.
+    # Expression mirrors _pack_bits exactly: reduce h1/h2 mod num_bits
+    # BEFORE the linear combination (same values, and i*h2 cannot
+    # overflow under ANSI).
+    nb = F.lit(num_bits).cast("long")
+    a = F.pmod(F.col("h1"), nb)
+    b = F.pmod(F.col("h2"), nb)
+    pos = pairs.select(F.explode(F.array(
+        *[F.pmod(a + F.lit(i).cast("long") * b, nb)
+          for i in range(num_hashes)])).alias("p")).distinct().collect()
+    bits = np.zeros(num_bits, dtype=np.uint8)
+    bits[np.array([r["p"] for r in pos], dtype=np.int64)] = 1
+    return bytes([_SCHEME_KM2]) + \
+        np.packbits(bits, bitorder="little").tobytes()
 
 
 def bloom_build_auto(df: DataFrame, key_col: str,
@@ -143,7 +215,8 @@ def bloom_build_auto(df: DataFrame, key_col: str,
     the exact key count, so the separate ``df.count()`` sizing job the
     explicit-signature path needs disappears (r9 — at sf0.1 that was
     half the Bloom construction wall time; at scale it was a second
-    full scan of the dim side)."""
+    full scan of the dim side).  The collect is proportional to the
+    distinct key count — exactly like the filter being sized."""
     h1, h2 = _hash_pairs(df, key_col)
     num_bits, num_hashes = bloom_params(max(h1.size, 1), fpp)
     return _pack_bits(h1, h2, num_bits, num_hashes), num_bits, num_hashes
@@ -173,9 +246,10 @@ def bloom_might_contain(df: DataFrame, key_col: str, bloom_bits: bytes,
     keep the broadcast-numpy pandas UDF, whose cost is one vectorized
     fancy-index per Arrow batch.
     """
+    payload = _unpack_payload(bloom_bits, num_bits)
     if num_bits <= _JVM_PROBE_MAX_BITS:
-        pad = (8 - len(bloom_bits) % 8) % 8
-        words = np.frombuffer(bloom_bits + b"\0" * pad,
+        pad = (8 - len(payload) % 8) % 8
+        words = np.frombuffer(payload + b"\0" * pad,
                               dtype="<u8").view(np.int64)
         # ONE SQL-text expression (a single py4j call — the former
         # per-probe Column chain cost ~0.3 s of driver construction per
@@ -199,7 +273,7 @@ def bloom_might_contain(df: DataFrame, key_col: str, bloom_bits: bytes,
 
     sc = df.sparkSession.sparkContext
     bits_bc = sc.broadcast(
-        np.unpackbits(np.frombuffer(bloom_bits, dtype=np.uint8),
+        np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
                       bitorder="little")[:num_bits])
 
     @F.pandas_udf("boolean")

@@ -276,11 +276,20 @@ def kmeans_train(df: DataFrame, id_col: str, vec_col: str, k: int,
     import numpy as np
     spark = df.sparkSession
     elem0 = df.schema[vec_col].dataType.elementType.simpleString()
-    seed_rows = (df.select(F.col(id_col).alias("__sid__"),
-                           F.col(vec_col).alias("cvec"))
+    # NULL vectors can never seed a centroid (the former DataFrame
+    # fold just let them fall out of the argmin; the driver-side
+    # list() would crash instead) — filter them from the seed draw
+    seed_rows = (df.filter(F.col(vec_col).isNotNull())
+                 .select(F.col(id_col).alias("__sid__"),
+                         F.col(vec_col).alias("cvec"))
                  .orderBy(F.xxhash64(F.col("__sid__")), F.col("__sid__"))
                  .limit(k).collect())
     cents: list[list[float]] = [list(r["cvec"]) for r in seed_rows]
+    if len({len(c) for c in cents}) > 1:
+        raise ValueError(
+            "kmeans_train requires fixed-dimension vectors; the seed "
+            f"draw found lengths {sorted({len(c) for c in cents})} in "
+            f"column {vec_col!r}")
     out_elem = elem0 if iters <= 0 else "double"
     if not cents:
         return spark.createDataFrame(

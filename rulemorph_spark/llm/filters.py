@@ -50,7 +50,18 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     lowercased-token / line arrays ONCE per row, the second computes
     every rule from the shared arrays (the naive per-signal form
     re-tokenized each document ~7×; measured 1.7× slower at sf0.1).
+
+    r10 (guide §2.4 stragglers): the signals are pure per-row compute
+    after the scan, so a TINY single-row-group input (which parquet's
+    row-group→split assignment serializes onto one core) is
+    round-robined across the session's cores here, inside the
+    operator — every caller gets it, not just the bench.
+    ``spread_small_scan`` is an exact no-op above its size threshold
+    (``SPARK_GRAFT_SPREAD_MAX_MB``, default 64), so production plans
+    at scale are unchanged.
     """
+    from ..functions.spread import spread_small_scan
+    df = spread_small_scan(df)
     text = F.col(text_col)
     t = F.trim(text)
     base = df.select(

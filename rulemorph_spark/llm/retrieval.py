@@ -128,9 +128,16 @@ def bm25_search(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qterm_expr = F.explode(F.array_distinct(
         _terms(F.col(query_col)))).alias("term")
     try:
-        vocab = sorted({r["term"] for r in
-                        queries.select(qterm_expr).distinct().collect()
-                        if r["term"] is not None})
+        # r10: LIMIT the probe collect to the gate size + 1 — the
+        # gate itself must not require an unbounded driver collect (a
+        # pathological query batch with millions of distinct terms
+        # would otherwise OD the driver before the ≤4096 check could
+        # route it to the join form).
+        rows = (queries.select(qterm_expr).distinct()
+                .limit(4097).collect())
+        if len(rows) <= 4096:
+            vocab = sorted({r["term"] for r in rows
+                            if r["term"] is not None})
     except Exception:
         vocab = None
     if vocab is not None and 0 < len(vocab) <= 4096:

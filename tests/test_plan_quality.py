@@ -325,14 +325,23 @@ steps:
         "PushedFilters: [" in plan
 
 
-def test_gopher_flags_are_shuffle_free(spark):
+def test_gopher_flags_are_shuffle_free(spark, monkeypatch):
     """the whole Gopher rule set is ONE narrow projection over the
-    corpus scan — at 100 TB it runs at scan speed."""
+    corpus scan — at 100 TB it runs at scan speed.  The operator's
+    built-in ``spread_small_scan`` (r10: moved from bench.py into the
+    operator) is an exact no-op above its size threshold, so the
+    at-scale plan stays exchange-free; on a TINY input the only added
+    node is the round-robin spread exchange."""
     from rulemorph_spark.llm.filters import gopher_quality_flags
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_MB", "0")
     plan = _plan(gopher_quality_flags(docs))
     assert _exchanges(plan) == 0
     assert plan.count("FileScan parquet") == 1
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MAX_MB", "64")
+    plan_tiny = _plan(gopher_quality_flags(docs))
+    assert _exchanges(plan_tiny) == 0  # still no keyed shuffle
+    assert "RoundRobinPartitioning" in plan_tiny
 
 
 def test_remove_dup_spans_bounded_exchanges(spark):

@@ -66,6 +66,31 @@ def test_bm25_matches_python_reference(spark):
     assert (3 not in {q for q, _ in got_rows})
 
 
+def test_bm25_oversized_query_batch_takes_join_form(spark):
+    """r10: the vocabulary-literal gate must be DECIDED with a bounded
+    collect (limit(4097)) — a query batch with more distinct terms
+    than the gate allows routes to the broadcast-join form without
+    ever collecting the full vocabulary, and still scores
+    identically."""
+    docs_df = (spark.read.parquet(f"{SF}/documents.parquet")
+               .select("doc_id", "text").limit(40))
+    # 4200 distinct terms across the batch — past the 4096 gate; one
+    # query also carries real corpus terms so results are non-empty
+    real = docs_df.collect()[0]["text"].split()[:5]
+    qrows = [(0, " ".join(real))] + \
+        [(i, f"zzqq{i}a zzqq{i}b zzqq{i}c") for i in range(1, 1400)]
+    qdf = spark.createDataFrame(qrows, "query_id int, query string")
+    got = bm25_search(docs_df, qdf, k=5)
+    # equivalence with the index path (which always joins) pins values
+    postings, stats = bm25_index(docs_df)
+    want = bm25_topk(postings, stats, qdf, k=5)
+    g = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in want.collect()}
+    assert g == w and g  # non-empty and identical
+
+
 def test_bm25_index_reuse_and_self_retrieval(spark):
     docs_df = (spark.read.parquet(f"{SF}/documents.parquet")
                .select("doc_id", "text").limit(200))

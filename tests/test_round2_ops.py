@@ -192,6 +192,29 @@ def test_kmeans_inertia_decreases(spark):
     assert i3 <= i1 + 1e-6
 
 
+def test_kmeans_null_vectors_cannot_seed_and_ragged_raises(spark):
+    """r10 (ADVICE r9): a NULL vector in the first k hash-ordered rows
+    crashed the driver-side seeding; ragged seed vectors crashed the
+    partial-sum numpy cast.  NULLs are filtered from the seed draw
+    (they still fall out of assignment, like the former DataFrame
+    fold); ragged dimensions raise a clear error."""
+    from rulemorph_spark.llm.clustering import kmeans_train
+    base = _t(spark, "embeddings").select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding"))
+        .alias("embedding"))
+    trained = kmeans_train(base, "vec_id", "embedding", 4, iters=2)
+    rows = trained.collect()
+    assert len(rows) == 4
+    assert all(r["cvec"] is not None for r in rows)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [0.5, 0.1])],
+        "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="fixed-dimension"):
+        kmeans_train(ragged, "vec_id", "embedding", 3, iters=1)
+
+
 def test_trained_centroids_feed_ivf(spark):
     from rulemorph_spark.llm.clustering import train_ivf_centroids
     from rulemorph_spark.llm.similarity import ivf_topk

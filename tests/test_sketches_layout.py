@@ -70,7 +70,8 @@ def test_bloom_no_false_negatives_and_low_fpp(spark):
     members = _keys(spark, 2000, 2000, prefix="in")
     num_bits, k = bloom_params(2000, 0.01)
     bits = bloom_build(members, "k", num_bits, k)
-    assert len(bits) == (num_bits + 7) // 8
+    # r10 format: 1 scheme-tag byte + the packed bit array
+    assert len(bits) == 1 + (num_bits + 7) // 8
 
     # every member passes (no false negatives — the hard guarantee)
     tested = bloom_might_contain(members, "k", bits, num_bits, k)
@@ -106,6 +107,45 @@ def test_bloom_empty_build(spark):
     bits = bloom_build(empty, "k", 1024, 5)
     probe = bloom_might_contain(_keys(spark, 100, 100), "k", bits, 1024, 5)
     assert probe.filter("might_contain").count() == 0
+
+
+def test_bloom_blob_scheme_tag_enforced(spark):
+    """r10: blobs are scheme-tagged; probing an untagged (pre-r10 /
+    foreign-scheme) blob raises instead of silently returning false
+    negatives — on BOTH probe paths (codegen and broadcast-numpy)."""
+    from rulemorph_spark.functions.sketches import _JVM_PROBE_MAX_BITS
+    members = _keys(spark, 100, 100)
+    num_bits, k = 4096, 5
+    bits = bloom_build(members, "k", num_bits, k)
+    legacy = bits[1:]  # exactly the pre-tag format (packed bits only)
+    with pytest.raises(ValueError, match="scheme"):
+        bloom_might_contain(members, "k", legacy, num_bits, k)
+    big_bits = _JVM_PROBE_MAX_BITS * 2
+    blob = bloom_build(members, "k", big_bits, k)
+    with pytest.raises(ValueError, match="scheme"):
+        bloom_might_contain(members, "k", blob[1:], big_bits, k)
+    # tagged blobs of the wrong length are refused too
+    with pytest.raises(ValueError, match="scheme"):
+        bloom_might_contain(members, "k", bits + b"x", num_bits, k)
+
+
+def test_bloom_build_saturated_key_set_is_bounded_and_identical(spark):
+    """r10: an explicit SMALL num_bits over a key set larger than the
+    bit space must not collect the whole key set to the driver — the
+    build falls back to collecting distinct positions (≤ num_bits
+    rows).  The produced filter is bit-identical to the pair-collect
+    build."""
+    from rulemorph_spark.functions.sketches import (_hash_pairs,
+                                                    _pack_bits)
+    num_bits, k = 64, 3
+    many = _keys(spark, 4000, 4000)  # 4000 distinct keys >> 64 bits
+    via_fallback = bloom_build(many, "k", num_bits, k)
+    h1, h2 = _hash_pairs(many, "k")
+    via_pairs = _pack_bits(h1, h2, num_bits, k)
+    assert via_fallback == via_pairs
+    # no false negatives still holds
+    probe = bloom_might_contain(many, "k", via_fallback, num_bits, k)
+    assert probe.filter(~F.col("might_contain")).count() == 0
 
 
 # -------------------------------------------------------------- Z-order

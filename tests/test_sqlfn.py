@@ -247,6 +247,54 @@ def test_deferred_registration_parallel_and_loud(spark):
     assert row["x"] == 3
 
 
+def test_deferred_scope_is_thread_local(spark):
+    """r10 (ADVICE r9): the deferred flag must only apply to the
+    thread INSIDE the scope — a concurrent ensure_fn from another
+    thread keeps the synchronous register-then-call-immediately
+    contract (its CREATE has run before the call returns)."""
+    from pyspark import InheritableThread
+
+    result: dict = {}
+
+    def other_thread():
+        # a fresh py4j-pinned JVM thread has no active session; a real
+        # concurrent driver thread would bind one the same way
+        spark._jvm.SparkSession.setActiveSession(spark._jsparkSession)
+        # runs while the main thread holds a deferred scope
+        name = sqlfn.ensure_fn("v BIGINT", "BIGINT", "v + 41", "ttloc")
+        st = sqlfn._state(spark)
+        result["name"] = name
+        result["registered"] = name in st.registered
+        result["pending"] = name in st.pending
+
+    with sqlfn.deferred(spark):
+        t = InheritableThread(target=other_thread)
+        t.start()
+        t.join()
+    assert result["name"] is not None
+    assert result["registered"] and not result["pending"]
+    import pyspark.sql.functions as F
+    row = spark.range(1).select(
+        sqlfn.call(result["name"], F.lit(1).cast("long"))
+        .alias("x")).collect()[0]
+    assert row["x"] == 42
+
+
+def test_deferred_scope_drains_all_failures_on_clean_exit(spark):
+    """r10 (ADVICE r9): a scope with TWO malformed bodies must drain
+    both failed futures on exit (re-raising the first) — neither may
+    linger in st.pending to poison a later unrelated flush."""
+    import pytest as _pt
+    with _pt.raises(Exception):
+        with sqlfn.deferred(spark):
+            sqlfn.ensure_fn("v BIGINT", "BIGINT",
+                            "bad_one(v", "tdrain1")
+            sqlfn.ensure_fn("v BIGINT", "BIGINT",
+                            "bad_two(v", "tdrain2")
+    assert sqlfn._state(spark).pending == {}
+    sqlfn.flush(spark)  # clean — no poisoned leftovers
+
+
 def test_deferred_failure_does_not_poison_later_flushes(spark):
     """A failed deferred CREATE raises at its barrier and is removed —
     subsequent flushes/compiles of the session stay healthy."""
