@@ -28,6 +28,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
               "it", "that", "for", "on", "with", "as"]
 
+# the embeddings table's fixed vector dimension (data contract, like
+# the 2-decimal money premise of q_agg_pricing_summary).  Used ONLY to
+# statically unroll distance math — a per-row size guard keeps results
+# identical for vectors of any other length (r10, guide §4.1).
+_EMB_DIM = 64
+
 
 import weakref
 
@@ -581,8 +587,17 @@ def q_ann_topk(spark, sf_dir):
     # filters — read them un-spread so they don't pay the round-robin
     # Exchange meant for the corpus side (guide §2.4)
     tiny = _t(spark, sf_dir, "embeddings")
+    # r10 (guide §4.1): the embeddings table's data contract is
+    # fixed 64-dim vectors, so the candidate cosines statically unroll
+    # into flat codegen arithmetic instead of interpreted HOF folds —
+    # measured 2.05× at 1M pairs.  Scale-adaptive (unroll_dim_for):
+    # tiny corpora keep the HOF form because the unroll's flat
+    # ~0.1 s/plan cost outweighs its per-row win there; bit-identical
+    # for ANY data either way (per-row size guard).
+    from rulemorph_spark.llm.dedup import unroll_dim_for
+    dim = unroll_dim_for(e, _EMB_DIM)
     bf = (brute_force_scored(e, tiny.filter(F.col("vec_id") < 3),
-                             "vec_id", "embedding")
+                             "vec_id", "embedding", dim=dim)
           .select(F.lit("brute").alias("method"), "query_id", "neighbor",
                   "cosine"))
     centroids = (tiny.filter(F.col("vec_id") < 8)
@@ -591,10 +606,11 @@ def q_ann_topk(spark, sf_dir):
     queries_df = tiny.filter((F.col("vec_id") >= 8) &
                              (F.col("vec_id") < 11))
     ivf = (ivf_scored(e, queries_df, centroids, "vec_id", "embedding",
-                      nprobe=2)
+                      nprobe=2, dim=dim)
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor",
                    "cosine"))
-    lsh = (lsh_scored(e, queries_df, "vec_id", "embedding", nbits=6)
+    lsh = (lsh_scored(e, queries_df, "vec_id", "embedding", nbits=6,
+                      dim=dim)
            .select(F.lit("lsh").alias("method"), "query_id", "neighbor",
                    "cosine"))
     # ONE shared rank window over all three strategies (guide §2.4:
@@ -890,10 +906,12 @@ def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via banded random-hyperplane LSH
     (nbits=12, 2 bands) + exact cosine on candidates — the rebuilt
     form of the round-1 sign-of-first-4-dims bucket (VERDICT #4)."""
-    from rulemorph_spark.llm.dedup import dedup_embedding_cosine
+    from rulemorph_spark.llm.dedup import (dedup_embedding_cosine,
+                                           unroll_dim_for)
     e = _t(spark, sf_dir, "embeddings")
     return dedup_embedding_cosine(e, "vec_id", "embedding",
-                                  threshold=0.2, nbits=12, bands=2)
+                                  threshold=0.2, nbits=12, bands=2,
+                                  dim=unroll_dim_for(e, _EMB_DIM))
 
 
 def q_corpus_clean(spark, sf_dir):

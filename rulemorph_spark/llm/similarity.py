@@ -30,31 +30,38 @@ from .dedup import cosine_similarity
 
 
 def brute_force_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
-                       vec_col: str,
-                       query_id: str = "query_id") -> DataFrame:
+                       vec_col: str, query_id: str = "query_id",
+                       dim: int | None = None) -> DataFrame:
     """Exact cosine of every (corpus row, query) pair — the un-ranked
     half of :func:`brute_force_topk`, exposed so composite callers can
     rank several strategies' candidates under ONE shared window
-    (r9, guide §2.4: one exchange instead of one per strategy)."""
+    (r9, guide §2.4: one exchange instead of one per strategy).
+
+    ``dim`` (r10): the embedding table's known fixed dimension —
+    statically unrolls the per-pair cosine (bit-identical; rows of any
+    other length take the HOF path per row, see
+    ``dedup.cosine_similarity``)."""
     q = queries.select(F.col(id_col).alias(query_id),
                        F.col(vec_col).alias("__qv__"))
     joined = corpus.crossJoin(F.broadcast(q)) \
         .filter(F.col(id_col) != F.col(query_id))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__", dim), 6)
     return joined.select(F.col(query_id), F.col(id_col).alias("neighbor"),
                          cos.alias("cosine"))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 5,
-                     query_id: str = "query_id") -> DataFrame:
+                     query_id: str = "query_id",
+                     dim: int | None = None) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor id, rounded cosine, rank).  Cosine is
     rounded before ranking so ties break on id deterministically across
     engines.
     """
-    scored = brute_force_scored(corpus, queries, id_col, vec_col, query_id)
+    scored = brute_force_scored(corpus, queries, id_col, vec_col,
+                                query_id, dim)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col("neighbor").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -75,18 +82,23 @@ def _cents_1row(centroids: DataFrame, centroid_id: str,
 
 def _with_cents(df: DataFrame, centroids: DataFrame,
                 centroid_id: str = "cell",
-                centroid_vec: str = "cvec") -> DataFrame:
+                centroid_vec: str = "cvec"
+                ) -> tuple[DataFrame, int | None]:
     """``df`` plus the ``__cents__`` array: a typed plan literal when
     the centroid table is driver-local and small — no broadcast
     exchange, no driver broadcast-build job per consuming branch — else
     the one-row broadcast join (r9, guide §5.2; values identical, see
-    ``clustering.cents_inline``)."""
-    from .clustering import cents_inline
-    lit = cents_inline(centroids, centroid_id, centroid_vec)
-    if lit is not None:
-        return df.withColumn("__cents__", lit)
+    ``clustering.cents_inline``).  Also returns the centroids' uniform
+    dimension when driver-known (r10 — unlocks the static distance
+    unroll), else None."""
+    from .clustering import cents_inline_meta
+    meta = cents_inline_meta(centroids, centroid_id, centroid_vec)
+    if meta is not None:
+        lit, dim = meta
+        return df.withColumn("__cents__", lit), dim
     return df.crossJoin(
-        F.broadcast(_cents_1row(centroids, centroid_id, centroid_vec)))
+        F.broadcast(_cents_1row(centroids, centroid_id,
+                                centroid_vec))), None
 
 
 def _norm0(c: Column) -> Column:
@@ -101,7 +113,13 @@ def _nearest_cell(vec_col: str, cell_type) -> Column:
     highest rounded cosine, ties to the LOWEST cell id — bit-for-bit
     the ordering of the former per-row window
     (round(cos,6) DESC, cell ASC), now a narrow expression with no
-    k-way row blowup and no exchange (r9, guide §2.4)."""
+    k-way row blowup and no exchange (r9, guide §2.4).
+
+    The per-centroid cosine deliberately stays the HOF form: this
+    expression lives INSIDE a ``transform`` lambda, where everything
+    is interpreted without common-subexpression sharing — a statically
+    unrolled cosine here measured 3× SLOWER (r10 rejection; the unroll
+    only pays in top-level projections, see ``dedup.cosine_similarity``)."""
     best = F.array_max(F.transform(
         F.col("__cents__"),
         lambda c: F.struct(
@@ -126,7 +144,8 @@ def _probe_cells(vec_col: str, nprobe: int) -> Column:
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str, centroid_id: str = "cell",
-               centroid_vec: str = "cvec") -> DataFrame:
+               centroid_vec: str = "cvec",
+               dim: int | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid.
 
     r9 (guide §2.4): the centroid table collapses to a one-row struct
@@ -136,7 +155,8 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
     corpus×k rows carrying the full vectors).  Same assignment
     bit-for-bit (`tests/test_similarity.py` equivalence pin)."""
     cell_type = centroids.schema[centroid_id].dataType
-    return (_with_cents(corpus, centroids, centroid_id, centroid_vec)
+    base, _ = _with_cents(corpus, centroids, centroid_id, centroid_vec)
+    return (base
             .select(id_col, vec_col,
                     _nearest_cell(vec_col, cell_type).alias(centroid_id))
             .filter(F.col(centroid_id).isNotNull()))
@@ -158,25 +178,26 @@ def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
 
 def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                      centroids: DataFrame, id_col: str, vec_col: str,
-                     k: int = 5, nprobe: int = 2) -> DataFrame:
+                     k: int = 5, nprobe: int = 2,
+                     dim: int | None = None) -> DataFrame:
     """IVF search against a materialized index (``ivf_write_index``).
 
     Collects the probe cells (tiny: queries × nprobe) and pushes them
     into the scan as a partition filter, so only the probed cells'
     files are read.
     """
-    probe = (_with_cents(
-                 queries.select(F.col(id_col).alias("query_id"),
-                                F.col(vec_col).alias("__qv__")),
-                 centroids)
-             .select("query_id", "__qv__",
-                     F.explode(_probe_cells("__qv__", nprobe))
-                     .alias("cell")))
+    qbase, _ = _with_cents(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv__")),
+        centroids)
+    probe = qbase.select("query_id", "__qv__",
+                         F.explode(_probe_cells("__qv__", nprobe))
+                         .alias("cell"))
     cells = [r["cell"] for r in probe.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     cand = index.join(F.broadcast(probe), "cell") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__", dim), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (cand.select("query_id", F.col(id_col).alias("neighbor"),
@@ -200,7 +221,8 @@ def _hyperplane_sign(h: Column, idx: Column) -> Column:
         .cast("long")
 
 
-def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
+def lsh_signature(vec_col: Column, nbits: int = 6,
+                  dim: int | None = None) -> Column:
     """``nbits``-bit random-hyperplane signature of a float vector.
 
     Bit ``h`` is the sign of the dot product with hyperplane ``h``.
@@ -214,6 +236,13 @@ def lsh_signature(vec_col: Column, nbits: int = 6) -> Column:
     The earlier one-pass form allocated an nbits-wide product array
     per ELEMENT plus a zip_with accumulator — measured 22% slower in
     the interpreted HOF evaluator, bit-identical output.
+
+    ``dim`` is accepted for signature-compatibility with the cosine
+    operators but IGNORED: a statically-unrolled signature was
+    prototyped in r10 and measured 3.5× SLOWER at sf0.1 (the unrolled
+    form re-quantizes every component once per bit — nbits×d floor/cast
+    chains — where the HOF binds the quantized array once; see
+    OPTIMIZATION_r10.md "measured rejections").
     """
     from .dedup import _ref
     v = _ref(vec_col)
@@ -261,9 +290,12 @@ def _lsh_signature_sql(v: str, nbits: int) -> str:
     return f"element_at(transform(array({q}), qq -> {build}), 1)"
 
 
+
+
 def lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
                vec_col: str, nbits: int = 6,
-               multiprobe: bool = True) -> DataFrame:
+               multiprobe: bool = True,
+               dim: int | None = None) -> DataFrame:
     """LSH candidates with exact cosine within signature buckets,
     un-ranked (see :func:`brute_force_scored`).
 
@@ -279,7 +311,7 @@ def lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     # one unbound expression reused for both sides — Column trees are
     # immutable, and building the signature once halves the py4j cost
-    sig = lsh_signature(vec_col, nbits)
+    sig = lsh_signature(vec_col, nbits, dim)
     keyed = corpus.select(F.col(id_col), F.col(vec_col),
                           sig.alias("__bucket__"))
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -301,18 +333,19 @@ def lsh_scored(corpus: DataFrame, queries: DataFrame, id_col: str,
                          F.col("__qsig__").alias("__bucket__"))
     cand = keyed.join(F.broadcast(probe), "__bucket__") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__", dim), 6)
     return cand.select("query_id", F.col(id_col).alias("neighbor"),
                        cos.alias("cosine"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, nbits: int = 6,
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True,
+             dim: int | None = None) -> DataFrame:
     """LSH approximate top-k: :func:`lsh_scored` candidates ranked by
     (cosine DESC, neighbor ASC) per query."""
     scored = lsh_scored(corpus, queries, id_col, vec_col, nbits,
-                        multiprobe)
+                        multiprobe, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -320,7 +353,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 
 def ivf_scored(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-               id_col: str, vec_col: str, nprobe: int = 2) -> DataFrame:
+               id_col: str, vec_col: str, nprobe: int = 2,
+               dim: int | None = None) -> DataFrame:
     """IVF candidates with exact cosines, un-ranked (see
     :func:`brute_force_scored` for why this is exposed).
 
@@ -333,33 +367,34 @@ def ivf_scored(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     unknown).  Now: zero corpus exchange before the candidate join, and
     the (queries × nprobe)-row probe side is broadcast."""
     cell_type = centroids.schema["cell"].dataType
-    assigned = (_with_cents(corpus, centroids)
+    cbase, _ = _with_cents(corpus, centroids)
+    assigned = (cbase
                 .select(id_col, vec_col,
                         _nearest_cell(vec_col, cell_type).alias("cell")))
-    probe = (_with_cents(
-                 queries.select(F.col(id_col).alias("query_id"),
-                                F.col(vec_col).alias("__qv__")),
-                 centroids)
-             .select("query_id", "__qv__",
-                     F.explode(_probe_cells("__qv__", nprobe))
-                     .alias("cell")))
+    qbase, _ = _with_cents(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv__")),
+        centroids)
+    probe = qbase.select("query_id", "__qv__",
+                         F.explode(_probe_cells("__qv__", nprobe))
+                         .alias("cell"))
     cand = assigned.join(F.broadcast(probe), "cell") \
         .filter(F.col(id_col) != F.col("query_id"))
-    cos = F.round(cosine_similarity(vec_col, "__qv__"), 6)
+    cos = F.round(cosine_similarity(vec_col, "__qv__", dim), 6)
     return cand.select("query_id", F.col(id_col).alias("neighbor"),
                        cos.alias("cosine"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              id_col: str, vec_col: str, k: int = 5,
-             nprobe: int = 2) -> DataFrame:
+             nprobe: int = 2, dim: int | None = None) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query.
 
     At scale, corpus-by-cell is a bucketed/partitioned table, so each
     query touches ~nprobe/ncells of the data instead of all of it.
     """
     scored = ivf_scored(corpus, queries, centroids, id_col, vec_col,
-                        nprobe)
+                        nprobe, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
