@@ -379,15 +379,21 @@ def unroll_dim_for(df, dim: int | None) -> int | None:
     """Scale-adaptive unroll gate (the ``spread_small_scan`` pattern,
     guide §2: derive the decision from input size, not a constant):
     return ``dim`` when ``df``'s scan is big enough that the unrolled
-    distance math pays for its fixed per-plan cost (~0.1 s of analysis
-    + codegen per consumer), else None (keep the HOF form).
+    distance math pays for its fixed per-plan cost, else None (keep
+    the HOF form).
 
-    Measured crossover: at 6k pairs the unroll costs ~0.1 s net; at 1M
-    64-dim pairs it wins 2.05× (23.8 → 11.5 s, codegen context) and at
-    4M pairs 1.67–2.3× — the win grows linearly with rows while the
-    cost is flat.  Threshold via ``SPARK_GRAFT_UNROLL_MIN_MB``
-    (default 64; ``0`` = always unroll).  Unknown scan size (non-file
-    source) conservatively keeps the HOF form."""
+    Measured: at 1M 64-dim pairs the unroll wins 2.05× (23.8 →
+    11.5 s, codegen context) and 1.67-2.3× at 4M pairs — the win
+    grows linearly with rows.  But its fixed cost is NOT small in a
+    real multi-leg query: a full-bench A/B at sf1 (~60k candidate
+    pairs, 6 MB scan) measured q_ann_topk 2.05 → 4.2-7.3 s with the
+    unroll firing — per-run analysis + whole-stage-codegen of three
+    unrolled legs far outweighs the per-row win at that volume
+    (plans/r10/SF1 series).  The default threshold is therefore a
+    conservative 64 MB (~2M 64-dim rows → ≥6M pairs in the ANN
+    shapes, safely inside the measured-win regime).  Threshold via
+    ``SPARK_GRAFT_UNROLL_MIN_MB`` (``0`` = always unroll).  Unknown
+    scan size (non-file source) conservatively keeps the HOF form."""
     import os
     if _usable_dim(dim) is None:
         return None
