@@ -38,6 +38,21 @@ def _run_cli(*args):
         capture_output=True, text=True, cwd="/root/repo")
 
 
+def _last_json_array(stderr: str):
+    """The last parseable JSON array line on stderr.  Spark's console
+    progress bar also writes ``[Stage N:==...]`` lines to stderr and —
+    on a loaded machine — can land one AFTER the CLI's error/warning
+    array, so ``last line starting with '['`` is flaky; parse
+    candidates from the end instead."""
+    for ln in reversed(stderr.splitlines()):
+        if ln.startswith("["):
+            try:
+                return json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+    raise AssertionError(f"no JSON array line on stderr: {stderr!r}")
+
+
 @pytest.fixture(scope="module")
 def workdir():
     with tempfile.TemporaryDirectory() as d:
@@ -106,9 +121,7 @@ mappings:
     r = _run_cli("transform", "-r", bad, "-i",
                  os.path.join(workdir, "input.json"), "-e", "json")
     assert r.returncode == 3, r.stderr
-    line = [ln for ln in r.stderr.splitlines()
-            if ln.startswith("[")][-1]
-    payload = json.loads(line)
+    payload = _last_json_array(r.stderr)
     assert payload[0]["type"] == "transform"
     assert payload[0]["kind"] == "ExprError"
 
@@ -385,9 +398,7 @@ def test_cli_transform_emits_warnings_json():
     r = _run_cli("transform", "-r", f"{base}/rules.yaml",
                  "-i", f"{base}/input.json", "-e", "json")
     assert r.returncode == 0, r.stderr
-    line = [ln for ln in r.stderr.splitlines()
-            if ln.startswith("[")][-1]
-    values = json.loads(line)
+    values = _last_json_array(r.stderr)
     assert values[0]["type"] == "warning"
     assert values[0]["kind"] == "ExprError"
 
@@ -420,9 +431,7 @@ def test_cli_preflight_json_errors():
     r = _run_cli("preflight", "-r", f"{base}/rules.yaml",
                  "-i", f"{base}/input.json", "-e", "json")
     assert r.returncode == 3, r.stderr
-    line = [ln for ln in r.stderr.splitlines()
-            if ln.startswith("[")][-1]
-    payload = json.loads(line)
+    payload = _last_json_array(r.stderr)
     assert payload[0]["type"] == "transform"
     assert payload[0]["kind"] == "TypeCastFailed"
 
@@ -438,8 +447,7 @@ def test_cli_validation_error_shapes():
             fh.write("version: 1\ninput: {format: csv}\nmappings: []\n")
         r = _run_cli("validate", "-r", bad, "-e", "json")
         assert r.returncode == 2
-        payload = json.loads(
-            [ln for ln in r.stderr.splitlines() if ln.startswith("[")][-1])
+        payload = _last_json_array(r.stderr)
         codes = [e["code"] for e in payload]
         assert codes == ["MissingCsvSection", "MissingMappings"]
         assert all(e["type"] == "validation" for e in payload)
