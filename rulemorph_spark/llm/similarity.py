@@ -144,8 +144,7 @@ def _probe_cells(vec_col: str, nprobe: int) -> Column:
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str,
                vec_col: str, centroid_id: str = "cell",
-               centroid_vec: str = "cvec",
-               dim: int | None = None) -> DataFrame:
+               centroid_vec: str = "cvec") -> DataFrame:
     """Assign each vector to its nearest centroid.
 
     r9 (guide §2.4): the centroid table collapses to a one-row struct
