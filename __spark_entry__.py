@@ -28,11 +28,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
               "it", "that", "for", "on", "with", "as"]
 
-# the embeddings table's fixed vector dimension (data contract, like
-# the 2-decimal money premise of q_agg_pricing_summary).  Used ONLY to
-# statically unroll distance math — a per-row size guard keeps results
-# identical for vectors of any other length (r10, guide §4.1).
-_EMB_DIM = 64
 
 
 import weakref
@@ -587,17 +582,15 @@ def q_ann_topk(spark, sf_dir):
     # filters — read them un-spread so they don't pay the round-robin
     # Exchange meant for the corpus side (guide §2.4)
     tiny = _t(spark, sf_dir, "embeddings")
-    # r10 (guide §4.1): the embeddings table's data contract is
-    # fixed 64-dim vectors, so the candidate cosines statically unroll
-    # into flat codegen arithmetic instead of interpreted HOF folds —
-    # measured 2.05× at 1M pairs.  Scale-adaptive (unroll_dim_for):
-    # tiny corpora keep the HOF form because the unroll's flat
-    # ~0.1 s/plan cost outweighs its per-row win there; bit-identical
-    # for ANY data either way (per-row size guard).
-    from rulemorph_spark.llm.dedup import unroll_dim_for
-    dim = unroll_dim_for(e, _EMB_DIM)
+    # r10 note: the static cosine unroll (dedup.cosine_similarity's
+    # dim param, measured 2.05× for scoring over MATERIALIZED pair
+    # tables) is deliberately NOT engaged here — alternated
+    # fresh-process A/Bs at sf1 (60k pairs) and sf10 (600k pairs)
+    # measured the composite three-leg query 15-100% SLOWER with it
+    # (the isolated-projection win does not transfer to these
+    # broadcast-crossjoin streams; see OPTIMIZATION_r10.md).
     bf = (brute_force_scored(e, tiny.filter(F.col("vec_id") < 3),
-                             "vec_id", "embedding", dim=dim)
+                             "vec_id", "embedding")
           .select(F.lit("brute").alias("method"), "query_id", "neighbor",
                   "cosine"))
     centroids = (tiny.filter(F.col("vec_id") < 8)
@@ -606,11 +599,10 @@ def q_ann_topk(spark, sf_dir):
     queries_df = tiny.filter((F.col("vec_id") >= 8) &
                              (F.col("vec_id") < 11))
     ivf = (ivf_scored(e, queries_df, centroids, "vec_id", "embedding",
-                      nprobe=2, dim=dim)
+                      nprobe=2)
            .select(F.lit("ivf").alias("method"), "query_id", "neighbor",
                    "cosine"))
-    lsh = (lsh_scored(e, queries_df, "vec_id", "embedding", nbits=6,
-                      dim=dim)
+    lsh = (lsh_scored(e, queries_df, "vec_id", "embedding", nbits=6)
            .select(F.lit("lsh").alias("method"), "query_id", "neighbor",
                    "cosine"))
     # ONE shared rank window over all three strategies (guide §2.4:
@@ -906,12 +898,12 @@ def q_embedding_cluster_dedup(spark, sf_dir):
     """embedding near-dup pairs via banded random-hyperplane LSH
     (nbits=12, 2 bands) + exact cosine on candidates — the rebuilt
     form of the round-1 sign-of-first-4-dims bucket (VERDICT #4)."""
-    from rulemorph_spark.llm.dedup import (dedup_embedding_cosine,
-                                           unroll_dim_for)
+    from rulemorph_spark.llm.dedup import dedup_embedding_cosine
     e = _t(spark, sf_dir, "embeddings")
+    # no dim: see q_ann_topk's r10 note — the unroll is for
+    # materialized-pair scoring shapes, not these candidate streams
     return dedup_embedding_cosine(e, "vec_id", "embedding",
-                                  threshold=0.2, nbits=12, bands=2,
-                                  dim=unroll_dim_for(e, _EMB_DIM))
+                                  threshold=0.2, nbits=12, bands=2)
 
 
 def q_corpus_clean(spark, sf_dir):

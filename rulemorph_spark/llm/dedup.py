@@ -382,18 +382,19 @@ def unroll_dim_for(df, dim: int | None) -> int | None:
     distance math pays for its fixed per-plan cost, else None (keep
     the HOF form).
 
-    Measured: at 1M 64-dim pairs the unroll wins 2.05× (23.8 →
-    11.5 s, codegen context) and 1.67-2.3× at 4M pairs — the win
-    grows linearly with rows.  But its fixed cost is NOT small in a
-    real multi-leg query: a full-bench A/B at sf1 (~60k candidate
-    pairs, 6 MB scan) measured q_ann_topk 2.05 → 4.2-7.3 s with the
-    unroll firing — per-run analysis + whole-stage-codegen of three
-    unrolled legs far outweighs the per-row win at that volume
-    (plans/r10/SF1 series).  The default threshold is therefore a
-    conservative 64 MB (~2M 64-dim rows → ≥6M pairs in the ANN
-    shapes, safely inside the measured-win regime).  Threshold via
-    ``SPARK_GRAFT_UNROLL_MIN_MB`` (``0`` = always unroll).  Unknown
-    scan size (non-file source) conservatively keeps the HOF form."""
+    WHEN TO USE (r10, measured): the unroll wins for cosine/L2 over
+    **materialized pair tables** — scoring/reranking a stored
+    (vector, vector) candidate table — where it measured 2.05× at 1M
+    64-dim pairs (23.8 → 11.5 s, codegen context) and 1.67-2.3× at 4M
+    pairs.  It does NOT transfer to the broadcast-crossJoin candidate
+    streams of the composite ANN queries: alternated fresh-process
+    A/Bs measured q_ann_topk 15-100% SLOWER with the unroll at BOTH
+    sf1 (~60k pairs) and sf10 (~600k pairs), and the isolated
+    crossJoin leg a wash — which is why the declared queries do not
+    engage it (see OPTIMIZATION_r10.md §1 for the full series).
+    Threshold via ``SPARK_GRAFT_UNROLL_MIN_MB`` (default 64 MB; ``0``
+    = always unroll).  Unknown scan size (non-file source)
+    conservatively keeps the HOF form."""
     import os
     if _usable_dim(dim) is None:
         return None
